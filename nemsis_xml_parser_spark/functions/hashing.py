@@ -1,0 +1,76 @@
+"""Deterministic hashing primitives for dedup operators.
+
+MD5-derived hash families so the same signatures are computable in the
+DuckDB oracle (md5 is engine-independent; Spark's xxhash64/murmur are not).
+All expressions are built-ins — JVM-side, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def md5_long(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative BIGINT (fits in 60 bits).
+    DuckDB twin: ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`` via
+    from_hex arithmetic — see plans.llm_ops oracles."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def seeded_hash(col: Column, seed: int) -> Column:
+    """k-th member of the hash family: md5(seed || value) → BIGINT."""
+    return md5_long(F.concat(F.lit(f"{seed}:"), col))
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """ARRAY<BIGINT> minhash signature of an ARRAY<STRING> shingle set:
+    sig[k] = min over shingles of hash_k(shingle).  Empty sets → NULL mins
+    replaced with 2^62 sentinel so unions behave."""
+    sentinel = F.lit(2**62).cast("long")
+
+    def hash_k(k: int):
+        # closure (not default-arg lambda: pyspark inspects lambda arity)
+        def fn(s):
+            return F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 15), 16, 10
+            ).cast("long")
+
+        return fn
+
+    sigs = [
+        F.coalesce(F.array_min(F.transform(shingles, hash_k(k))), sentinel)
+        for k in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def simhash64(tokens_col: Column, bits: int = 32) -> Column:
+    """SimHash over an ARRAY<STRING> token column (default 32 bits).
+
+    Per token: 60-bit md5-derived hash; per bit: +1 if set else -1; final
+    bit = sign of the sum.  Expressed with transform/aggregate so it runs
+    JVM-side.  ``bits`` trades expression-tree size (one aggregate per bit)
+    against collision resistance; 32 is plenty for near-dup bucketing.
+    """
+    hashed = F.transform(
+        tokens_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    def vote_fn(mask):
+        def fn(acc, h):
+            return acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+        return fn
+
+    out = F.lit(0).cast("long")
+    for bit in range(bits):
+        mask = F.lit(1 << bit).cast("long")
+        votes = F.aggregate(hashed, F.lit(0).cast("long"), vote_fn(mask))
+        out = out + F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two BIGINT bit-patterns via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

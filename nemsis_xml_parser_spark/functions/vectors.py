@@ -1,0 +1,52 @@
+"""Vector math over ARRAY<FLOAT/DOUBLE> columns — all built-in higher-order
+functions (``zip_with`` / ``aggregate``), JVM-side, no UDFs.  Backbone of
+the similarity-search operators (SURVEY §2.I north-star extensions).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def to_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a,b) with 0 for zero-norm inputs (deterministic, oracle-matchable
+    via list_dot_product/sqrt in DuckDB)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    diff = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def random_projection_bucket(a: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(a·plane_i).  ``planes`` are fixed
+    (seeded) hyperplanes broadcast as literals — deterministic across runs,
+    so bucket joins are reproducible.  Scale path for ANN: group candidates
+    by bucket, compare only within buckets."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(a, plane_col) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + (bit * F.lit(2**i).cast("long"))
+    return bucket

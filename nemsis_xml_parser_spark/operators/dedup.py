@@ -1,0 +1,248 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, cheapest-first — the standard web-scale dedup ladder:
+
+1. ``exact_dedup``        — md5-fingerprint groupBy; one shuffle on the hash,
+                            perfectly parallel at 100 TB.
+2. ``ngram_jaccard_pairs``— exact shingle-set Jaccard via a shingle
+                            self-join; quadratic in bucket size, so use only
+                            on candidate sets (or small samples).
+3. ``minhash_lsh_pairs``  — MinHash signatures + banded LSH: candidates are
+                            pairs sharing a band bucket, verified with exact
+                            Jaccard.  Near-linear: the only join is on band
+                            keys, and true near-dups concentrate in buckets.
+4. ``simhash_fingerprints`` — 32-bit SimHash; near-dups differ in ≤k bits.
+
+All hashing is md5-derived (functions.hashing) so results are reproducible
+in the DuckDB oracle and across engines; at production scale the same API
+can switch to xxhash64 for ~3× hash throughput.
+
+Skew note: shingle self-joins can skew on stop-shingles; ``minhash_lsh_pairs``
+avoids that by joining on (band_idx, band_hash) whose cardinality is
+controlled by the band count, and AQE's skew-join splitting handles residual
+hot buckets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions import hashing as H
+from ..functions import text as T
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", order_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first exact dedup on the normalized-text fingerprint.
+
+    row_number over the fingerprint partition (not dropDuplicates) so the
+    survivor is deterministic: lowest ``order_col`` wins.
+    """
+    w = Window.partitionBy("__fprint").orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__fprint", T.fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fprint", "__rn")
+    )
+
+
+def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs — the set representation of each doc."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(T.word_ngrams(F.col(text_col), n))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def _jaccard_from_shingles(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Pairs with |A∩B|/|A∪B| ≥ threshold from a (doc_id, shingle) relation."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold (quadratic — sample/candidate
+    sets only; the LSH variant below is the 100 TB path)."""
+    return _jaccard_from_shingles(_distinct_shingles(df, text_col, id_col, n), threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>) MinHash signatures (md5 hash family)."""
+    shingles = F.array_distinct(T.word_ngrams(F.col(text_col), n))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        H.minhash_signature(shingles, num_hashes).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    signature → ``bands`` bands of ``num_hashes//bands`` rows → band-bucket
+    join on (band_idx, md5(band)) → candidate pairs → exact Jaccard filter.
+    The candidate join is equi on the band key, so it shuffles only the
+    (small) signature relation — never the corpus text.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    shingles = _distinct_shingles(df, text_col, id_col, n)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh"))
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh"))
+    common = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash) — near-dups have small Hamming distance."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        H.simhash64(T.tokens(F.col(text_col)), bits=bits).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance ≤ k.
+
+    Candidate generation by bucketing on bit-chunks (pigeonhole: a pair with
+    ≤k differing bits shares at least one of k+1 chunks), then exact Hamming
+    verification — avoids the quadratic cross join at scale."""
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            H.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+* ``brute_force_topk``   — exact cosine top-k: queries broadcast against the
+                           corpus, ranked per query.  The correctness
+                           baseline; O(|Q|·|C|) but fully JVM-side
+                           (zip_with/aggregate) and embarrassingly parallel.
+* ``with_lsh_bucket`` /
+  ``lsh_topk``           — sign-random-projection LSH: corpus bucketed by
+                           hyperplane signs; queries probe only their bucket
+                           (plus optional multi-probe neighbors).  The
+                           100 TB path: turns the cross join into an
+                           equi-join on bucket id.
+* ``cosine_pairs_above`` — all-pairs variant for embedding near-dedup.
+
+Hyperplanes are generated from a fixed LCG seed (pure Python, no numpy
+dependency at plan-build time) so bucket assignments are deterministic
+across runs and engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions import vectors as V
+
+
+def _lcg_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): LCG(2^31) walk."""
+    state = seed
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append(state / float(2**30) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a<b) pairs with cosine ≥ threshold — brute force."""
+    e = df.select(
+        F.col(id_col).alias("vid"), V.to_double_array(F.col(vec_col)).alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = V.cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .where(cos >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (self excluded).
+
+    Ranking uses the ROUNDED similarity (6 dp) with id tie-break so results
+    are stable across engines/float orderings."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.to_double_array(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.to_double_array(F.col(vec_col)).alias("cv"),
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the sign-LSH bucket id (deterministic seeded hyperplanes)."""
+    planes = _lcg_planes(num_planes, dim, seed)
+    return df.withColumn(
+        "bucket", V.random_projection_bucket(V.to_double_array(F.col(vec_col)), planes)
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    Recall is tuned by ``num_planes`` (fewer planes → bigger buckets →
+    higher recall, more compute).  tests/test_similarity.py measures recall
+    against brute_force_topk."""
+    qb = with_lsh_bucket(queries, num_planes, dim, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        V.to_double_array(F.col(vec_col)).alias("qv"),
+        "bucket",
+    )
+    cb = with_lsh_bucket(corpus, num_planes, dim, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        V.to_double_array(F.col(vec_col)).alias("cv"),
+        "bucket",
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        qb.join(cb, ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,680 @@
+"""Operator-family battery (SURVEY §2.I gap list → rebuild targets).
+
+One oracle-checked query per operator family the reference defers to its
+warehouse: filter/project, the join family (inner/left/semi/anti/
+broadcast/range), agg + distinct agg, rollup/cube/grouping sets, windows
+(rank/running/lag), top-k per group, sort/limit, set ops, scalar
+string/date/math/json batteries, and conditional logic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .registry import register, table
+from .tpch import dec2, rate, rev, ts
+
+# ---------------------------------------------------------------- projections
+
+
+@register(
+    "filter_project",
+    family="filter",
+    doc="Predicate + column pruning — both reach the parquet scan (C-group).",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag = 'N'
+""",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "N")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+
+@register(
+    "join_inner",
+    family="join",
+    doc="Shuffled equi-join (F1 parent↔child analogue).",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_outer",
+    family="join",
+    doc="Left outer join + null-aware aggregate (customers incl. orderless).",
+    oracle="""
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec2("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    family="join",
+    doc="Left-semi join (EXISTS): customers having at least one urgent order.",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    family="join",
+    doc="Left-anti join (NOT EXISTS) — same primitive as the lake-side orphan/FK check (SURVEY B4).",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast_decode",
+    family="join",
+    doc="Broadcast decode-join against a dimension (F2 ElementDefinitions analogue).",
+    oracle="""
+SELECT n_nationkey, n_name, r_name AS region_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def join_broadcast_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
+@register(
+    "join_range_band",
+    family="join",
+    doc="Non-equi (range) join of lineitem quantities into static bands.",
+    oracle="""
+SELECT b.band_name, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS band_price
+FROM lineitem l
+JOIN (VALUES ('low', 0, 17), ('mid', 17, 34), ('high', 34, 51))
+     AS b(band_name, lo, hi)
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band_name
+""",
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    bands = table(spark, sf_dir, "lineitem").sparkSession.createDataFrame(
+        [("low", 0, 17), ("mid", 17, 34), ("high", 34, 51)],
+        "band_name string, lo int, hi int",
+    )
+    return (
+        l.join(
+            F.broadcast(bands),
+            (l.l_quantity >= bands.lo) & (l.l_quantity < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("band_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- aggregates
+
+
+@register(
+    "agg_groupby_multi",
+    family="agg",
+    doc="Multi-key hash aggregate with min/max/count (partial+final via Catalyst).",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    family="agg",
+    doc="Distinct aggregate (expand+two-phase in Spark).",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT o_custkey) AS n_buyers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_variance_manual",
+    family="agg",
+    doc="Variance via exact decimal moments (engine-neutral, unlike builtin stddev's float accumulation).",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+       ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1), 4) AS var_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s1 = F.sum(dec2("l_quantity")).cast("double")
+    s2 = F.sum(dec2("l_quantity") * dec2("l_quantity")).cast("double")
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        F.round((s2 - s1 * s1 / n) / (n - F.lit(1)), 4).alias("var_qty"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    family="agg",
+    doc="approx_count_distinct (HLL) — sketch differs per engine, so rows-only check; "
+    "exactness cross-checked in tests against countDistinct.",
+    oracle=None,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------------- rollup / cube / grouping
+
+
+@register(
+    "rollup_agg",
+    family="grouping_sets",
+    doc="ROLLUP hierarchy totals (df.rollup).",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "cube_agg",
+    family="grouping_sets",
+    doc="CUBE over two dimensions (df.cube).",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "grouping_sets_agg",
+    family="grouping_sets",
+    doc="Explicit GROUPING SETS via Spark SQL.",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ------------------------------------------------------------------ windows
+
+
+@register(
+    "window_rank_orders",
+    family="window",
+    doc="rank() per customer by order value; top-3 kept.",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            dec2("o_totalprice").cast("double").alias("price"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_running_total",
+    family="window",
+    doc="Running total per customer over order time (exact decimal accumulation).",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_gap",
+    family="window",
+    doc="lag(): days between consecutive orders of a customer.",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       DATEDIFF('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+                o_orderdate) AS days_since_prev
+FROM orders
+""",
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "topk_per_group",
+    family="window",
+    doc="Per-group top-k via row_number (the scalable per-group limit).",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn <= 5
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            dec2("c_acctbal").cast("double").alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+# -------------------------------------------------------------- sort / limit
+
+
+@register(
+    "sort_limit_topn",
+    family="sort",
+    doc="Global deterministic top-N (TakeOrderedAndProject — no full sort at scale).",
+    oracle="""
+SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 15
+""",
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", dec2("o_totalprice").cast("double").alias("price"), "o_orderdate")
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+
+@register(
+    "set_union_distinct",
+    family="setop",
+    doc="UNION (distinct) of customer and supplier nation keys.",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    family="setop",
+    doc="INTERSECT of customer and supplier nation keys.",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    family="setop",
+    doc="EXCEPT: nations with customers but no suppliers.",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ------------------------------------------------------------ scalar battery
+
+
+@register(
+    "scalar_string_battery",
+    family="scalar",
+    doc="String fn battery: upper/lower/substring/concat/length/replace/regexp_extract.",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LOWER(p_type) AS type_lower,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       REPLACE(p_type, ' ', '_') AS type_snake,
+       REGEXP_EXTRACT(p_type, '^([A-Z]+)', 1) AS type_first_word
+FROM part
+""",
+)
+def scalar_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_first_word"),
+    )
+
+
+@register(
+    "scalar_date_battery",
+    family="scalar",
+    doc="Date fn battery: year/month/day, date_trunc, datediff vs epoch of dataset.",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       CAST(DAY(o_orderdate) AS INT) AS order_day,
+       DATE_TRUNC('month', o_orderdate) AS order_month_start,
+       DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_1995
+FROM orders
+""",
+)
+def scalar_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), ts("1995-01-01 00:00:00"))
+        .cast("bigint")
+        .alias("days_since_1995"),
+    )
+
+
+@register(
+    "scalar_math_battery",
+    family="scalar",
+    doc="Math fn battery: exact decimal arithmetic, mod, abs, floor/ceil, sqrt.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS net_price,
+       l_orderkey % 7 AS key_mod,
+       CAST(ABS(CAST(l_quantity AS DECIMAL(12,2)) - 25) AS DOUBLE) AS qty_dev,
+       CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+       ROUND(SQRT(l_quantity), 6) AS qty_sqrt
+FROM lineitem
+""",
+)
+def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev().cast("double").alias("net_price"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.abs(dec2("l_quantity") - F.lit(25).cast("decimal(12,2)")).cast("double").alias("qty_dev"),
+        F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_decile"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+    )
+
+
+@register(
+    "json_extract_events",
+    family="scalar",
+    doc="JSON extraction from events.props + grouped aggregate (SURVEY §2.I json row).",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "case_when_bands",
+    family="scalar",
+    doc="Conditional logic (CASE WHEN) bucketing + aggregate.",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS band_total
+FROM orders
+GROUP BY 1
+""",
+)
+def case_when_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(band.alias("price_band"), "o_totalprice")
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("band_total"),
+        )
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    family="agg",
+    doc="Batch tumbling-window analogue: hourly event rollup (streaming twin in streaming/events.py).",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )

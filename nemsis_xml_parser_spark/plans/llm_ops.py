@@ -1,0 +1,334 @@
+"""LLM-training-data pipeline queries (north-star extensions): dedup,
+similarity search, text analysis over ``documents`` / ``embeddings``.
+
+Operator implementations live in ``operators.dedup`` / ``operators.similarity``
+and ``functions.text``; this module registers the driver-checkable query
+forms.  Hash-based operators use md5-derived hash families so the DuckDB
+oracle can reproduce signatures bit-for-bit; engine-specific hashes
+(xxhash64 etc.) would be faster but unverifiable — at cluster scale swap
+``functions.hashing.md5_long`` for ``F.xxhash64`` behind the same API.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from .registry import register, table
+
+# SQL twin of functions.text.fingerprint
+SQL_FPRINT = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact_fingerprint",
+    family="dedup",
+    doc="Exact dedup via normalized-text md5 fingerprint: groups + survivor (min doc_id).",
+    oracle=f"""
+SELECT {SQL_FPRINT} AS fprint,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(T.fingerprint(F.col("text")).alias("fprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    family="dedup",
+    doc="Exact dedup keep-first: surviving doc_ids (row_number=1 per fingerprint).",
+    oracle=f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY {SQL_FPRINT} ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, text_col="text", order_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    family="dedup",
+    doc="3-gram shingle Jaccard similarity pairs (doc_id<120 sample; LSH is the scale path).",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM documents WHERE doc_id < 120
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.1
+""",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.1)
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    family="dedup",
+    doc="MinHash(16)+LSH(4 bands) candidate pairs verified at Jaccard≥0.1 on the doc_id<120 "
+    "sample. Deterministic md5 hash family; non-SQL-expressible pipeline → rows-only check "
+    "(exactness vs brute-force asserted in tests/test_dedup.py).",
+    oracle=None,
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return D.minhash_lsh_pairs(d, num_hashes=16, bands=4, n=3, threshold=0.1)
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    family="dedup",
+    doc="SimHash(32-bit) near-dup fingerprints + per-bucket counts (rows-only: bit-vote "
+    "loop is not reasonably SQL-expressible; determinism asserted in tests).",
+    oracle=None,
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(d).select("doc_id", "simhash")
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    family="dedup",
+    doc="Embedding near-dup pairs: cosine ≥ 0.35 over all vector pairs (brute; "
+    "LSH-bucketed variant is the scale path, see ann_lsh_bucket_stats).",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+""",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_above(e, threshold=0.35)
+
+
+# ------------------------------------------------------------- similarity
+
+
+@register(
+    "knn_cosine_topk",
+    family="similarity",
+    doc="Brute-force cosine top-5 neighbors for query vectors vec_id<3 "
+    "(baseline ANN; ranking on rounded similarity for engine-neutral ties).",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 c.vec_id ASC) AS rank
+  FROM e q JOIN e c ON q.vec_id < 3 AND c.vec_id != q.vec_id
+) WHERE rank <= 5
+""",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 3)
+    return S.brute_force_topk(queries, e, k=5)
+
+
+@register(
+    "ann_lsh_bucket_stats",
+    family="similarity",
+    doc="Sign-random-projection LSH bucketing (8 fixed hyperplanes): bucket histogram. "
+    "The IVF/LSH scale path for ANN — candidates are compared only within buckets. "
+    "Rows-only (plane literals not reasonably SQL-expressible); recall vs brute force "
+    "asserted in tests/test_similarity.py.",
+    oracle=None,
+)
+def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        S.with_lsh_bucket(e, num_planes=8, dim=64)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+
+@register(
+    "text_token_stats",
+    family="text",
+    doc="Token counting + quality scoring per document (identical arithmetic in oracle).",
+    oracle="""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS n_tokens,
+       ROUND(
+         0.5 * LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0)
+         + 0.3 * (1.0 - CASE WHEN LENGTH(text) > 0
+                 THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                 ELSE 0.0 END)
+         + 0.2 * LEAST(1.0,
+             (CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END) > 0
+               THEN (CAST(LENGTH(text) AS DOUBLE)
+                     - ((CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END) - 1))
+                    / (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END)
+               ELSE 0.0 END) / 8.0)
+       , 6) AS quality
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def _sql_stopword_score(words: tuple[str, ...]) -> str:
+    terms = [
+        f"CAST((LENGTH(' ' || LOWER(text) || ' ') - LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' {w} ', ''))) / {len(w) + 2} AS INT)"
+        for w in words
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "text_langid_confusion",
+    family="text",
+    doc="Stopword-vote language ID vs the labeled lang column (confusion matrix).",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {_sql_stopword_score(('der', 'und', 'die'))} AS s_de,
+         {_sql_stopword_score(('the', 'and', 'of'))} AS s_en,
+         {_sql_stopword_score(('el', 'de', 'la'))} AS s_es,
+         {_sql_stopword_score(('le', 'et', 'les'))} AS s_fr
+  FROM documents
+)
+SELECT lang AS actual_lang,
+       CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("actual_lang"),
+            T.detect_language(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_quality_by_source",
+    family="text",
+    doc="Mean quality score per source (exact decimal accumulation of rounded scores).",
+    oracle="""
+WITH q AS (
+  SELECT source,
+         CAST(ROUND(
+           0.5 * LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 500.0)
+           + 0.3 * (1.0 - CASE WHEN LENGTH(text) > 0
+                   THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                   ELSE 0.0 END)
+           + 0.2 * LEAST(1.0,
+               (CASE WHEN (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                      ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END) > 0
+                 THEN (CAST(LENGTH(text) AS DOUBLE)
+                       - ((CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                           ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END) - 1))
+                      / (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END)
+                 ELSE 0.0 END) / 8.0)
+         , 6) AS DECIMAL(10,6)) AS quality
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(quality) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+FROM q
+GROUP BY source
+""",
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    q = F.round(T.quality_score(F.col("text")), 6).cast("decimal(10,6)")
+    return (
+        d.select("source", q.alias("quality"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("quality").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_quality"
+            ),
+        )
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    family="text",
+    doc="Polynomial rolling-hash document fingerprint over the first 64 chars "
+    "(rows-only: character-fold not reasonably SQL-expressible; determinism in tests).",
+    oracle=None,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.rolling_hash(F.substring("text", 1, 64)).alias("rhash")
+    )
