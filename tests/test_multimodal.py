@@ -1,0 +1,56 @@
+"""Multimodal plumbing: binaryFile scan, magic-byte sniffing, Arrow-batched
+metadata extraction (PNG header decode real; codec decode stubbed)."""
+
+import struct
+
+import pytest
+
+from nemsis_xml_parser_spark.operators import multimodal as M
+
+
+def _png(width, height):
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + ihdr + b"rest"
+
+
+@pytest.fixture()
+def media_dir(tmp_path):
+    (tmp_path / "a.png").write_bytes(_png(640, 480))
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0JFIFxxxx")
+    (tmp_path / "c.bin").write_bytes(b"garbage-bytes")
+    return str(tmp_path)
+
+
+def test_media_scan_sniffs_types(spark, media_dir):
+    media = M.read_media_dir(spark, media_dir)
+    types = {r["path"].rsplit("/", 1)[-1]: r["media_type"] for r in media.collect()}
+    assert types["a.png"] == "image/png"
+    assert types["b.jpg"] == "image/jpeg"
+    assert types["c.bin"] == "application/octet-stream"
+
+
+def test_metadata_extraction_png_real_jpeg_stubbed(spark, media_dir):
+    meta = M.extract_media_metadata(M.read_media_dir(spark, media_dir))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in meta.collect()}
+    assert (rows["a.png"]["width"], rows["a.png"]["height"]) == (640, 480)
+    assert rows["a.png"]["format"] == "png"
+    # JPEG decode is stubbed by design: marked undecoded, pipeline survives
+    assert rows["b.jpg"]["format"] == "undecoded"
+    assert rows["c.bin"]["format"] is None
+
+
+def test_decode_stub_raises_for_jpeg():
+    with pytest.raises(NotImplementedError, match="stubbed by design"):
+        M.decode_image_meta(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_frame_sample_shape(spark, media_dir):
+    media = M.read_media_dir(spark, media_dir)
+    samples = M.fake_frame_sample(media, every_n_bytes=8)
+    # explode-shaped: ≥1 row per media object, offsets stepped by 8
+    assert samples.count() >= 3
+    offs = [
+        r["offset"]
+        for r in samples.where(samples.path.endswith("c.bin")).collect()
+    ]
+    assert offs == [0, 8]

@@ -1,0 +1,67 @@
+"""Similarity search: exact top-k on hand-built vectors, LSH bucket
+determinism + recall against brute force on real embeddings."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from nemsis_xml_parser_spark.operators import similarity as S
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>").cache()
+
+
+def test_brute_force_topk_ordering(vecs):
+    out = S.brute_force_topk(vecs.where(F.col("vec_id") == 0), vecs, k=4).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 4, 2, 3]
+    cos01 = next(r["cosine"] for r in out if r["neighbor_id"] == 1)
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(cos01 - round(expected, 6)) < 1e-9
+
+
+def test_cosine_pairs_above(vecs):
+    pairs = {
+        (r["vec_a"], r["vec_b"]) for r in S.cosine_pairs_above(vecs, 0.9).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_lsh_bucket_deterministic(vecs):
+    a = {r["vec_id"]: r["bucket"] for r in S.with_lsh_bucket(vecs, 4, 3).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in S.with_lsh_bucket(vecs, 4, 3).collect()}
+    assert a == b
+    # opposite vectors land in complementary buckets (never equal unless 0 planes fire)
+    assert a[0] != a[3]
+
+
+def test_lsh_recall_on_real_embeddings(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300)
+    queries = e.where(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(queries, e, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(queries, e, k=10, num_planes=3, dim=64).collect()
+    }
+    # 3 planes → each query probes ~1/8th of a random corpus; recall for
+    # random (clusterless) data is modest by construction — assert it beats
+    # the random-baseline (~1/8) while staying cheap
+    recall = len(brute & approx) / len(brute)
+    assert recall > 0.1, f"recall {recall}"
+    # sanity: lsh neighbors share the query's bucket by construction
+    assert all(q != n for q, n in approx)

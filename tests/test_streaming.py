@@ -1,0 +1,100 @@
+"""Streaming layer tests: watched-directory XML ingest (microbatch EP1) and
+event-stream windowed operators fed from a file stream."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from nemsis_xml_parser_spark.streaming.events import (
+    dedup_within_watermark,
+    session_windows,
+    tumbling_counts,
+)
+from nemsis_xml_parser_spark.streaming.ingest import start_warehouse_stream
+from tests.conftest import NEMSIS_XML
+
+
+def test_streaming_xml_ingest(spark, tmp_path):
+    watch = tmp_path / "drop"
+    watch.mkdir()
+    (watch / "f1.xml").write_text(NEMSIS_XML)
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_warehouse_stream(spark, str(watch), wh, ckpt, deterministic_ids=True)
+    q.awaitTermination(120)
+
+    v = spark.read.parquet(os.path.join(wh, "evitals_01"))
+    assert v.count() == 1
+    assert v.collect()[0]["evitals_01_value"] == "2025-02-15T12:15:00-05:00"
+
+    # second microbatch: replays nothing (checkpointed), new file with the
+    # same PCR UUID overwrites
+    (watch / "f2.xml").write_text(NEMSIS_XML.replace("98", "99"))
+    q2 = start_warehouse_stream(spark, str(watch), wh, ckpt, deterministic_ids=True)
+    q2.awaitTermination(120)
+    v10 = spark.read.parquet(os.path.join(wh, "evitals_10"))
+    assert {r["evitals_10_value"] for r in v10.collect()} == {"99"}
+
+
+def _event_stream(spark, tmp_path):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 10:05:00", 7, "click", 1.0),
+        (2, "2024-01-01 10:20:00", 7, "click", 2.0),
+        (3, "2024-01-01 11:05:00", 8, "view", 3.0),
+        (1, "2024-01-01 10:05:00", 7, "click", 1.0),  # duplicate event_id
+    ]
+    import pandas as pd
+
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_json(src / "batch.json", orient="records", lines=True)
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    return (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_counts_stream(spark, tmp_path):
+    ev = _event_stream(spark, tmp_path)
+    # complete mode: a single availableNow batch never advances the
+    # watermark past its own windows, so append would emit nothing
+    _run_to_memory(tumbling_counts(ev, "1 hour", "2 hours"), "tumb", mode="complete")
+    out = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumb").collect()
+    }
+    assert out[("2024-01-01 10:00:00", "click")] == 3
+    assert out[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_session_windows_stream(spark, tmp_path):
+    ev = _event_stream(spark, tmp_path)
+    _run_to_memory(session_windows(ev, "30 minutes", "2 hours"), "sess", mode="complete")
+    rows = spark.sql("SELECT * FROM sess").collect()
+    by_user = {r["user_id"]: r["n_events"] for r in rows}
+    assert by_user[7] == 3  # 10:05 & 10:20 within one 30-min-gap session
+    assert by_user[8] == 1
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    ev = _event_stream(spark, tmp_path)
+    _run_to_memory(dedup_within_watermark(ev, "2 hours"), "dedup")
+    rows = spark.sql("SELECT * FROM dedup").collect()
+    assert len(rows) == 3  # duplicate event_id=1 dropped
