@@ -110,11 +110,21 @@ def minhash_signatures(
     num_hashes: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>) MinHash signatures (md5 hash family)."""
+    """(doc_id, sig ARRAY<BIGINT>) MinHash signatures.
+
+    Two projections: the md5 hash pairs are materialized first so each
+    shingle is hashed exactly once, then the k family members derive from
+    double hashing (functions.hashing.minhash_signature_from_pairs)."""
     shingles = F.array_distinct(T.word_ngrams(F.col(text_col), n))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        H.minhash_signature(shingles, num_hashes).alias("sig"),
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            H.shingle_hash_pairs(shingles).alias("_hp"),
+        )
+        .select(
+            "doc_id",
+            H.minhash_signature_from_pairs(F.col("_hp"), num_hashes).alias("sig"),
+        )
     )
 
 
