@@ -332,3 +332,71 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", T.rolling_hash(F.substring("text", 1, 64)).alias("rhash")
     )
+
+
+@register(
+    "text_term_frequency",
+    family="text",
+    doc="Per-document term frequency of a probe vocabulary (tf building "
+    "block of tf-idf; replace-based counting, engine-identical).",
+    oracle="""
+SELECT doc_id,
+       CAST((LENGTH(' ' || lower(text) || ' ') - LENGTH(REPLACE(' ' || lower(text) || ' ', ' spark ', ''))) / 7 AS INT) AS tf_spark,
+       CAST((LENGTH(' ' || lower(text) || ' ') - LENGTH(REPLACE(' ' || lower(text) || ' ', ' data ', ''))) / 6 AS INT) AS tf_data,
+       CAST((LENGTH(' ' || lower(text) || ' ') - LENGTH(REPLACE(' ' || lower(text) || ' ', ' join ', ''))) / 6 AS INT) AS tf_join
+FROM documents
+""",
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.stopword_hits(F.col("text"), ("spark",)).alias("tf_spark"),
+        T.stopword_hits(F.col("text"), ("data",)).alias("tf_data"),
+        T.stopword_hits(F.col("text"), ("join",)).alias("tf_join"),
+    )
+
+
+@register(
+    "text_doc_idf",
+    family="text",
+    doc="Document frequency + idf of the probe vocabulary (the idf half of "
+    "tf-idf; exact log arithmetic on both engines).",
+    oracle="""
+WITH df AS (
+  SELECT
+    COUNT(*) AS n_docs,
+    COUNT(*) FILTER (WHERE ' ' || lower(text) || ' ' LIKE '% spark %') AS df_spark,
+    COUNT(*) FILTER (WHERE ' ' || lower(text) || ' ' LIKE '% data %') AS df_data
+  FROM documents
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(df_spark AS BIGINT) AS df_spark,
+       CAST(df_data AS BIGINT) AS df_data,
+       ROUND(LN(CAST(n_docs AS DOUBLE) / (1 + df_spark)), 6) AS idf_spark,
+       ROUND(LN(CAST(n_docs AS DOUBLE) / (1 + df_data)), 6) AS idf_data
+FROM df
+""",
+)
+def text_doc_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    has = lambda w: F.sum(  # noqa: E731
+        F.when(padded.like(f"% {w} %"), F.lit(1)).otherwise(F.lit(0))
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        has("spark").cast("bigint").alias("df_spark"),
+        has("data").cast("bigint").alias("df_data"),
+    )
+    return agg.select(
+        "n_docs",
+        "df_spark",
+        "df_data",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / (F.lit(1) + F.col("df_spark"))), 6
+        ).alias("idf_spark"),
+        F.round(
+            F.log(F.col("n_docs").cast("double") / (F.lit(1) + F.col("df_data"))), 6
+        ).alias("idf_data"),
+    )
