@@ -1,0 +1,138 @@
+"""As-of join — an operator Spark lacks natively (pyspark_guide "Common
+OLAP patterns"): for each left row, the most recent right row with
+``right.ts <= left.ts`` within the same key.
+
+Two interchangeable implementations:
+
+* ``asof_join``          — pure built-in composition: union both sides
+                           tagged, one window pass carries the last right
+                           value forward, filter back to left rows.  One
+                           shuffle on (key), no UDF — the default and the
+                           100 TB path.
+* ``asof_join_pandas``   — ``applyInPandas`` + ``pd.merge_asof`` per key
+                           group: the escape hatch pattern for semantics
+                           the built-ins can't express (here they can, so
+                           this exists as the reference implementation the
+                           composition is tested against).
+
+Ties (right rows sharing one (key, ts)): the row with the greatest
+``right_order`` column wins — callers pass a deterministic tie-break
+column, matching DuckDB's ASOF JOIN after the right side is deduped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dedupe_right(right: DataFrame, key: str, ts: str, order: str) -> DataFrame:
+    w = Window.partitionBy(key, ts).orderBy(F.col(order).desc())
+    return (
+        right.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_order: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join via union + fill-forward window.
+
+    Returns ``left`` with ``value_cols`` from the latest right row at or
+    before the left row's ``ts`` (NULL when none).  Exactly one shuffle
+    (hash on ``key``), then a single window pass — scales linearly.
+    """
+    right = _dedupe_right(right, key, ts, right_order)
+    lcols = left.columns
+    l_tag = left.withColumn("__is_left", F.lit(1))
+    r_tag = right.select(
+        key, ts, *value_cols
+    ).withColumn("__is_left", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # right rows sort before left rows at the same ts so "at or before"
+    # includes exact-ts matches
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.where(F.col("__is_left") == 1).select(
+        *lcols, *[F.col(f"__asof_{c}").alias(c) for c in value_cols]
+    )
+    return out
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_order: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Reference implementation via per-key ``pd.merge_asof`` (Arrow-batched
+    grouped map).  Semantics-identical to ``asof_join``; used in tests as
+    the independent oracle and as the template for genuinely
+    non-composable grouped logic."""
+    from pyspark.sql.types import StructField, StructType
+
+    right = _dedupe_right(right, key, ts, right_order)
+    r_sel = right.select(key, ts, *value_cols)
+    lcols = left.columns
+    # fresh StructType — StructType.add mutates in place, which would
+    # corrupt left.schema (and left.columns) for the closure below
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [
+            StructField(f.name, f.dataType, True)
+            for f in r_sel.schema.fields
+            if f.name in value_cols
+        ]
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lp = (
+            pdf[pdf["__side"] == "l"][lcols]
+            .sort_values(ts, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        rp = (
+            pdf[pdf["__side"] == "r"][[key, ts, *value_cols]]
+            .sort_values(ts, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if lp.empty:
+            return pd.DataFrame(columns=[*lcols, *value_cols])
+        if rp.empty:
+            for c in value_cols:
+                lp[c] = None
+            return lp
+        return pd.merge_asof(lp, rp.drop(columns=[key]), on=ts, direction="backward")
+
+    l_tag = left.withColumn("__side", F.lit("l"))
+    r_tag = r_sel.withColumn("__side", F.lit("r"))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    return (
+        unioned.groupBy(key)
+        .applyInPandas(lambda _, pdf: merge_group(pdf), schema=out_schema)
+    )

@@ -9,5 +9,6 @@ from .registry import QUERIES, Query, register  # noqa: F401
 from . import tpch  # noqa: F401,E402
 from . import families  # noqa: F401,E402
 from . import families2  # noqa: F401,E402
+from . import families3  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import etl_queries  # noqa: F401,E402
