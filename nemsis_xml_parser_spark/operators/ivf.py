@@ -1,0 +1,144 @@
+"""IVF (inverted-file) approximate nearest neighbor — the k-means scale
+path for similarity search, complementing sign-LSH (operators/similarity.py).
+
+At 100 TB the corpus cannot be cross-joined against queries.  IVF splits it
+into ``nlist`` Voronoi cells around trained centroids; each query probes only
+the ``nprobe`` nearest cells, so the candidate join is an equi-join on
+``cid`` touching nprobe/nlist of the corpus.  All stages are DataFrame ops:
+
+* ``train_centroids`` — Lloyd's iterations fully distributed: assignment is
+  a broadcast-centroid argmin (corpus × nlist rows, ranked per vector), the
+  re-mean is posexplode → groupBy(cid, dim) avg → array_sort re-assembly.
+  No driver-side math, no collect of vectors; only the nlist×dim centroid
+  table (KB-scale) is ever broadcast.
+* ``assign_cells``     — nearest-centroid cell id per vector (the "inverted
+  file"; at scale this is written once, partitioned by cid).
+* ``ivf_topk``         — probe nprobe cells per query, exact cosine within
+  candidates, deterministic top-k (rounded cosine + id tie-break).
+
+Initialization is deterministic (min vec_id per id-modulo-nlist stratum), so
+the whole pipeline is reproducible across runs — required by the rows-only
+correctness check and the recall test (tests/test_similarity.py).
+
+Iterative k-means is not expressible in one SQL statement, so the query
+registration is rows-only by design (driver contract: iterative algorithms
+may omit oracle_sql).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions import vectors as V
+
+
+def _nearest(
+    vecs: DataFrame, centroids: DataFrame, vec_col: str = "v", keep: int = 1
+) -> DataFrame:
+    """Rank centroids per vector by (l2 asc, cid asc); keep the ``keep``
+    nearest.  ``centroids`` is broadcast — nlist rows, never shuffled."""
+    d = F.round(V.l2_distance(F.col(vec_col), F.col("centroid")), 6)
+    w = Window.partitionBy("__vid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        vecs.join(F.broadcast(centroids))
+        .withColumn("dist", d)
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= keep)
+        .drop("__rank", "centroid")
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    nlist: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means → DataFrame(cid INT, centroid ARRAY<DOUBLE>).
+
+    Deterministic seeding: the member with the smallest id in each
+    ``id % nlist`` stratum.  Each iteration: broadcast-argmin assignment,
+    then per-dimension mean via posexplode/groupBy — both shuffle only
+    (cid, dim)-sized aggregates, never raw vectors by key.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"), V.to_double_array(F.col(vec_col)).alias("v")
+    )
+    seed_ids = (
+        vecs.withColumn("g", (F.col("__vid") % nlist).cast("int"))
+        .groupBy("g")
+        .agg(F.min("__vid").alias("__vid"))
+    )
+    centroids = (
+        seed_ids.join(vecs, "__vid")
+        .select(F.col("g").alias("cid"), F.col("v").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = _nearest(vecs, centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The inverted file: (cid, id, vector) — at scale, persist partitioned
+    by cid so each probe reads only its cells."""
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"), V.to_double_array(F.col(vec_col)).alias("v")
+    )
+    return _nearest(vecs, centroids).select(
+        "cid", F.col("__vid").alias("item_id"), F.col("v").alias("iv")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 3,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe the ``nprobe`` nearest cells per
+    query.  Recall → 1 as nprobe → nlist (exactly brute force at nprobe =
+    nlist); tests measure recall vs brute_force_topk."""
+    centroids = train_centroids(corpus, nlist, iters, id_col, vec_col)
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    qv = queries.select(
+        F.col(id_col).alias("__vid"), V.to_double_array(F.col(vec_col)).alias("v")
+    )
+    probes = _nearest(qv, centroids, keep=nprobe).select(
+        F.col("__vid").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("iv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(cells, "cid")
+        .where(F.col("query_id") != F.col("item_id"))
+        .select(
+            "query_id", F.col("item_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

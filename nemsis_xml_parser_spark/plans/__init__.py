@@ -7,6 +7,7 @@ DuckDB oracle string.  Importing this package populates the registry.
 
 from .registry import QUERIES, Query, register  # noqa: F401
 from . import tpch  # noqa: F401,E402
+from . import tpch2  # noqa: F401,E402
 from . import families  # noqa: F401,E402
 from . import families2  # noqa: F401,E402
 from . import families3  # noqa: F401,E402

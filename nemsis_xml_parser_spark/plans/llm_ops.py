@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import text as T
 from ..operators import dedup as D
+from ..operators import ivf as I
 from ..operators import similarity as S
 from .registry import register, table
 
@@ -189,6 +190,23 @@ def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+@register(
+    "ann_ivf_topk",
+    family="similarity",
+    doc="IVF approximate top-5 neighbors for query vectors vec_id<3: "
+    "distributed Lloyd's k-means (nlist=8, 3 iters, deterministic seeding) "
+    "partitions the corpus into cells; each query probes its 3 nearest "
+    "cells only — the equi-join scale path that replaces the cross join. "
+    "Rows-only (iterative k-means is not one SQL statement); recall vs "
+    "brute_force_topk asserted in tests/test_similarity.py.",
+    oracle=None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 3)
+    return I.ivf_topk(queries, e, k=5, nlist=8, nprobe=3, iters=3)
 
 
 # ----------------------------------------------------------- text analysis
