@@ -58,6 +58,21 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, and single
+# non-alphanumeric marks — the GPT-2-style split boundary without the merge
+# table.  RE2/Java-regex compatible so the DuckDB oracle reproduces it.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """ARRAY<STRING> of BPE-ish subword boundaries (pre-merge units)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.coalesce(F.size(bpe_tokens(col)), F.lit(0))
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """ARRAY<STRING> of word n-gram shingles (space-joined)."""
     toks = tokens(col)

@@ -11,5 +11,6 @@ from . import tpch2  # noqa: F401,E402
 from . import families  # noqa: F401,E402
 from . import families2  # noqa: F401,E402
 from . import families3  # noqa: F401,E402
+from . import timeseries  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import etl_queries  # noqa: F401,E402

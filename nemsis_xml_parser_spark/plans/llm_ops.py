@@ -418,3 +418,31 @@ def text_doc_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("n_docs").cast("double") / (F.lit(1) + F.col("df_data"))), 6
         ).alias("idf_data"),
     )
+
+
+@register(
+    "text_bpe_token_stats",
+    family="text",
+    doc="BPE-ish pre-tokenization (letter runs | digit runs | single marks — "
+    "the GPT-2-style boundary without the merge table): subword vs "
+    "whitespace token counts per document, identical regex in both engines.",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_alpha_runs,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS n_ws_tokens
+FROM documents
+""",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.coalesce(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), F.lit(0))),
+            F.lit(0),
+        ).alias("n_alpha_runs"),
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+    )

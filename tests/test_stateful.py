@@ -1,0 +1,59 @@
+"""applyInPandasWithState custom stateful operator: lifetime totals must
+accumulate across microbatches and survive a checkpointed restart."""
+
+import pandas as pd
+
+from nemsis_xml_parser_spark.streaming.stateful import running_totals
+
+SCHEMA = "event_id long, ts string, event_type string, value double"
+
+
+def _write_batch(src, name, rows):
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "event_type", "value"]
+    ).to_json(src / name, orient="records", lines=True)
+
+
+def _run(spark, src, ckpt):
+    """availableNow run with a foreachBatch sink (memory sink cannot recover
+    from a checkpoint; foreachBatch can)."""
+    out = {}
+
+    def sink(batch_df, _batch_id):
+        for r in batch_df.collect():
+            out[r["event_type"]] = (r["n_events"], r["sum_value"])
+
+    ev = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        running_totals(ev)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def test_running_totals_accumulate_across_restarts(spark, tmp_path):
+    src = tmp_path / "st_src"
+    src.mkdir()
+    ckpt = tmp_path / "st_ckpt"
+
+    _write_batch(src, "b1.json", [
+        (1, "2024-01-01 10:00:00", "click", 1.0),
+        (2, "2024-01-01 10:01:00", "click", 2.0),
+        (3, "2024-01-01 10:02:00", "view", 3.0),
+    ])
+    first = _run(spark, src, ckpt)
+    assert first["click"] == (2, 3.0)
+    assert first["view"] == (1, 3.0)
+
+    # new file, restart from the checkpoint: state picks up where it left off
+    _write_batch(src, "b2.json", [
+        (4, "2024-01-01 10:03:00", "click", 5.0),
+    ])
+    second = _run(spark, src, ckpt)
+    assert second["click"] == (3, 8.0)  # 2+1 events, 3.0+5.0
+    assert "view" not in second  # update mode: untouched keys not re-emitted
