@@ -36,9 +36,16 @@ HEADLINE = [
     "json_extract_events",
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh_candidates",
+    "dedup_simhash_fingerprints",
     "knn_cosine_topk",
+    "ann_ivf_topk",
     "text_token_stats",
     "text_langid_confusion",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q21_last_shipper_multi_supplier",
+    "asof_join_last_signup",
+    "events_gapfill_hourly",
 ]
 
 

@@ -70,26 +70,38 @@ def simhash64(tokens_col: Column, bits: int = 32) -> Column:
     """SimHash over an ARRAY<STRING> token column (default 32 bits).
 
     Per token: 60-bit md5-derived hash; per bit: +1 if set else -1; final
-    bit = sign of the sum.  Expressed with transform/aggregate so it runs
-    JVM-side.  ``bits`` trades expression-tree size (one aggregate per bit)
-    against collision resistance; 32 is plenty for near-dup bucketing.
+    bit = sign of the sum.  Single pass: ONE aggregate over the tokens with
+    an ARRAY<LONG> vote accumulator (zip_with per token), then one fold of
+    the vote vector into the bit pattern.  The earlier per-bit formulation
+    (one aggregate per bit) inlined the md5 transform ``bits`` times and
+    re-walked the array per bit — ~9 s → sub-second per 500-doc batch.
     """
     hashed = F.transform(
         tokens_col,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
-    def vote_fn(mask):
-        def fn(acc, h):
-            return acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
-
-        return fn
-
-    out = F.lit(0).cast("long")
-    for bit in range(bits):
-        mask = F.lit(1 << bit).cast("long")
-        votes = F.aggregate(hashed, F.lit(0).cast("long"), vote_fn(mask))
-        out = out + F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
-    return out
+    masks = F.array(*[F.lit(1 << bit).cast("long") for bit in range(bits)])
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != F.lit(0).cast("long"), F.lit(1)).otherwise(
+                F.lit(-1)
+            ).cast("long"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
