@@ -89,6 +89,10 @@ def train_centroids(
                 ).alias("centroid")
             )
         )
+        # materialize the KB-scale centroid table eagerly: without this each
+        # Lloyd round deepens the lineage and every downstream action
+        # re-scans the corpus once per iteration (at 100 TB, iters× scans)
+        centroids = centroids.localCheckpoint(eager=True)
     return centroids
 
 

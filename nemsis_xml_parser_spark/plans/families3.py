@@ -115,3 +115,124 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "stack(2, 'total_qty', total_qty, 'n_rows', n_rows) AS (metric, value)",
     )
+
+
+@register(
+    "set_intersect_all",
+    family="setop",
+    doc="INTERSECT ALL (duplicate-preserving) ≡ df.intersectAll.",
+    oracle="""
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    r = l.where(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = l.where(F.col("l_returnflag") == "A").select("l_suppkey")
+    return r.intersectAll(a)
+
+
+@register(
+    "set_except_all",
+    family="setop",
+    doc="EXCEPT ALL (multiset difference) ≡ df.exceptAll.",
+    oracle="""
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    r = l.where(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = l.where(F.col("l_returnflag") == "A").select("l_suppkey")
+    return r.exceptAll(a)
+
+
+@register(
+    "window_range_frame",
+    family="window",
+    doc="Value-based RANGE frame: per-customer 30-day trailing spend "
+    "(rangeBetween over day numbers ≡ RANGE n PRECEDING — day arithmetic on "
+    "both sides keeps it timezone-free; frames under ties include all "
+    "peers, so no tie-break is needed for determinism).",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    day_num = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(day_num).rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    )
+
+
+@register(
+    "window_locf_fill",
+    family="window",
+    doc="Last-observation-carried-forward: per-user click value filled "
+    "forward over event time (F.last ignorenulls ≡ LAST_VALUE IGNORE NULLS).",
+    oracle="""
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+FROM events
+""",
+)
+def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") == "click", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("last_click_value"),
+    )
+
+
+@register(
+    "join_salted_skew",
+    family="join",
+    doc="Skew-safe salted join (operators/partitioning.salted_join): events "
+    "joined to per-user aggregates with an 8-way salt replication — the "
+    "oracle is the PLAIN join, proving salting is result-identical.",
+    oracle="""
+SELECT e.event_id, e.user_id, d.n_user_events
+FROM events e
+JOIN (SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY user_id) d
+  ON e.user_id = d.user_id
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import salted_join
+
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user_events"))
+    return salted_join(
+        e.select("event_id", "user_id"), dim, key="user_id", salt=8
+    ).select("event_id", "user_id", "n_user_events")
