@@ -37,13 +37,28 @@ def _nearest(
     vecs: DataFrame, centroids: DataFrame, vec_col: str = "v", keep: int = 1
 ) -> DataFrame:
     """Rank centroids per vector by (l2 asc, cid asc); keep the ``keep``
-    nearest.  ``centroids`` is broadcast — nlist rows, never shuffled."""
+    nearest.  ``centroids`` is broadcast — nlist rows, never shuffled.
+
+    keep=1 (the hot path: every training assignment + the inverted file)
+    is a hash aggregate with min(struct(dist, cid)) — partial/final with
+    map-side combine, no sort.  keep>1 (query probes only — tiny input)
+    uses the row_number window."""
     d = F.round(V.l2_distance(F.col(vec_col), F.col("centroid")), 6)
+    expanded = vecs.join(F.broadcast(centroids)).withColumn("dist", d)
+    if keep == 1:
+        best = expanded.groupBy("__vid").agg(
+            F.min(F.struct("dist", "cid")).alias("best"),
+            F.first(vec_col).alias(vec_col),
+        )
+        return best.select(
+            "__vid",
+            vec_col,
+            F.col("best.cid").alias("cid"),
+            F.col("best.dist").alias("dist"),
+        )
     w = Window.partitionBy("__vid").orderBy(F.col("dist").asc(), F.col("cid").asc())
     return (
-        vecs.join(F.broadcast(centroids))
-        .withColumn("dist", d)
-        .withColumn("__rank", F.row_number().over(w))
+        expanded.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= keep)
         .drop("__rank", "centroid")
     )

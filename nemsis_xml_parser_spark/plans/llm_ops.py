@@ -446,3 +446,73 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_alpha_runs"),
         T.token_count(F.col("text")).alias("n_ws_tokens"),
     )
+
+
+@register(
+    "text_zscore_by_lang",
+    family="text",
+    doc="Per-language z-score of document length via groupBy().applyInPandas "
+    "(Arrow-batched group-wise Pandas operator) — verified against the pure "
+    "SQL window algebra, two independent implementations of the same "
+    "exact-integer-sum formula.",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       CASE WHEN n >= 2 AND var > 0
+            THEN ROUND((n_chars - mean) / sqrt(var), 6) END AS zscore
+FROM (
+  SELECT doc_id, lang, n_chars,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(n_chars) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean,
+         (CAST(SUM(n_chars * n_chars) OVER w AS DOUBLE)
+          - CAST(SUM(n_chars) OVER w AS DOUBLE) * CAST(SUM(n_chars) OVER w AS DOUBLE) / COUNT(*) OVER w)
+         / (COUNT(*) OVER w - 1) AS var
+  FROM documents
+  WINDOW w AS (PARTITION BY lang)
+)
+""",
+)
+def text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.groupwise import zscore_by_group
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = zscore_by_group(d, group_col="lang", value_col="n_chars")
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round(F.col("zscore"), 6).alias("zscore")
+    )
+
+
+@register(
+    "curation_survivor_stats",
+    family="dedup",
+    doc="Composite curation pipeline: exact-dedup survivors → length/token "
+    "quality gates → per-(lang, source) corpus stats — the end-to-end shape "
+    "of a training-data filtering job.",
+    oracle=f"""
+WITH survivors AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT doc_id, lang, source, text,
+           ROW_NUMBER() OVER (PARTITION BY {SQL_FPRINT} ORDER BY doc_id ASC) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+filtered AS (
+  SELECT * FROM survivors
+  WHERE LENGTH(text) >= 100
+    AND (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END) >= 20
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM filtered GROUP BY lang, source
+""",
+)
+def curation_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    survivors = D.exact_dedup(d, text_col="text", order_col="doc_id")
+    filtered = survivors.where(
+        (F.length("text") >= 100) & (T.token_count(F.col("text")) >= 20)
+    )
+    return filtered.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
