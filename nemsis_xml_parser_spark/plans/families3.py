@@ -236,3 +236,71 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         e.select("event_id", "user_id"), dim, key="user_id", salt=8
     ).select("event_id", "user_id", "n_user_events")
+
+
+@register(
+    "join_nullsafe_eq",
+    family="join",
+    doc="Null-safe equality join (eqNullSafe ≡ IS NOT DISTINCT FROM): rows "
+    "with NULL keys join each other instead of dropping — a semantics "
+    "corner every engine must get right.",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) < 10 THEN NULL
+              ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 END AS k_bucket
+  FROM events
+),
+d AS (SELECT k_bucket, COUNT(*) AS n_bucket FROM e GROUP BY k_bucket)
+SELECT e.event_id, e.k_bucket, d.n_bucket
+FROM e JOIN d ON e.k_bucket IS NOT DISTINCT FROM d.k_bucket
+""",
+)
+def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    e = ev.select(
+        "event_id",
+        F.when(k < 10, F.lit(None).cast("int")).otherwise(k % 5).alias("k_bucket"),
+    )
+    d = e.groupBy("k_bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
+    return (
+        e.alias("e")
+        .join(
+            F.broadcast(d).alias("d"),
+            F.col("e.k_bucket").eqNullSafe(F.col("d.k_bucket")),
+        )
+        .select("e.event_id", "e.k_bucket", "d.n_bucket")
+    )
+
+
+@register(
+    "multimodal_binary_roundtrip",
+    family="multimodal",
+    doc="Binary-column handling with an oracle: text encoded to BINARY, "
+    "byte length + md5 signature + first-byte class computed over the "
+    "bytes (the decode-free slice of the multimodal plumbing — full "
+    "binaryFile/mapInPandas machinery in operators/multimodal.py).",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       substr(md5(text), 1, 8) AS sig_prefix,
+       CASE WHEN substr(text, 1, 1) BETWEEN 'A' AND 'Z' THEN 'upper'
+            WHEN substr(text, 1, 1) BETWEEN 'a' AND 'z' THEN 'lower'
+            ELSE 'other' END AS first_byte_class
+FROM documents
+""",
+)
+def multimodal_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    first = F.substring(F.col("text"), 1, 1)
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.substring(F.md5(blob), 1, 8).alias("sig_prefix"),
+        F.when(first.between("A", "Z"), "upper")
+        .when(first.between("a", "z"), "lower")
+        .otherwise("other")
+        .alias("first_byte_class"),
+    )
