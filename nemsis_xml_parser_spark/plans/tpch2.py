@@ -1,4 +1,4 @@
-"""Remaining TPC-H analogues (Q4..Q22) adapted to the driver's reduced
+"""Remaining TPC-H analogues (Q2, Q4..Q22) adapted to the driver's reduced
 schema (no ``partsupp``, no commit/receipt dates, no ship modes — see
 TESTDATA.md).  Together with plans.tpch (Q1/3/5/6/10) and plans.families2
 (Q14/18/19) this covers every TPC-H query shape expressible over the
@@ -476,4 +476,70 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q2_cheapest_supplier",
+    family="join",
+    doc="TPC-H Q2 analogue (no partsupp → lineitem as the part↔supplier "
+    "bridge): per (part, supplier) exact average unit price, keep the "
+    "supplier(s) at each part's minimum — min-per-group decorrelated into "
+    "an aggregate join, deterministic top-100 by account balance.  "
+    "Completes the TPC-H shape set: every query number 1-22 now has an "
+    "analogue or a documented schema-gap adaptation.",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey AS bk, MIN(avg_price) AS min_price FROM unit GROUP BY l_partkey
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+       ROUND(u.avg_price, 6) AS unit_price
+FROM part
+JOIN unit u ON u.l_partkey = p_partkey
+JOIN best b ON b.bk = p_partkey AND u.avg_price = b.min_price
+JOIN supplier ON s_suppkey = u.l_suppkey
+WHERE p_size = 15 AND p_type = 'SMALL'
+ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC
+LIMIT 100
+""",
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    s = table(spark, sf_dir, "supplier")
+    unit = l.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(dec2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    best = unit.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("avg_price").alias("min_price")
+    )
+    return (
+        unit.join(F.broadcast(p), unit.l_partkey == p.p_partkey)
+        .join(
+            best,
+            (F.col("bk") == F.col("p_partkey"))
+            & (F.col("avg_price") == F.col("min_price")),
+        )
+        .join(F.broadcast(s), unit.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.round(F.col("avg_price"), 6).alias("unit_price"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_suppkey").asc()
+        )
+        .limit(100)
     )
