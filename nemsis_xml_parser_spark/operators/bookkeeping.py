@@ -25,6 +25,7 @@ import hashlib
 import os
 import shutil
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -168,7 +169,8 @@ def ingest_xml_files(
             for d in (os.listdir(warehouse_dir) if os.path.isdir(warehouse_dir) else [])
             if not d.startswith("_")
         ]
-        for t in sorted(set(existing_tables) | set(incoming_tables)):
+
+        def write_table(t: str) -> None:
             path = os.path.join(warehouse_dir, t)
             new_rows = (
                 table_frame(elements, t, attr_map.get(t, []))
@@ -197,6 +199,16 @@ def ingest_xml_files(
                 os.rename(staging, path)
             elif new_rows is not None:
                 new_rows.write.mode("overwrite").parquet(path)
+
+        # concurrent per-tag write jobs: outputs are disjoint directories and
+        # Spark's scheduler handles concurrent actions, so the only thing
+        # serial execution buys is idle cores between job barriers.  The
+        # reference processes tags inside a single-threaded per-element loop
+        # (/root/reference/main_ingest.py:429-495).
+        all_tables = sorted(set(existing_tables) | set(incoming_tables))
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(all_tables)))) as ex:
+            for fut in [ex.submit(write_table, t) for t in all_tables]:
+                fut.result()  # propagate the first failure
 
         file_urls = {p: "file:" + os.path.abspath(p) for p in todo}
         records = []
