@@ -29,6 +29,7 @@ dataset ``partitionBy("table_name")`` for single-write ingest.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -136,12 +137,29 @@ def write_warehouse(
             .agg(F.min("depth").alias("d"))
             .collect()
         )
-        ordered = [r["t"] for r in sorted(depth_rows, key=lambda r: (r["d"], r["t"]))]
+        levels: dict[int, list[str]] = {}
+        for r in depth_rows:
+            levels.setdefault(r["d"], []).append(r["t"])
         registry: dict[str, list[str]] = {}
-        for t in ordered:
+
+        def write_table(t: str) -> tuple[str, list[str]]:
             frame = table_frame(elements, t, attr_map.get(t, []))
             frame.write.mode(mode).format(file_format).save(os.path.join(lake_dir, t))
-            registry[t] = frame.columns
+            return t, frame.columns
+
+        # parent-before-child across depth levels (barrier per level), but
+        # concurrent write jobs within a level — sibling tags have no
+        # referential ordering between them, so serializing them only
+        # leaves cores idle between job barriers
+        for d in sorted(levels):
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(levels[d]))
+            ) as ex:
+                for fut in [
+                    ex.submit(write_table, t) for t in sorted(levels[d])
+                ]:
+                    t, cols = fut.result()
+                    registry[t] = cols
         return registry
     finally:
         elements.unpersist()

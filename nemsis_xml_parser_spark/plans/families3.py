@@ -304,3 +304,27 @@ def multimodal_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
         .alias("first_byte_class"),
     )
+
+
+@register(
+    "agg_filter_clause",
+    family="agg",
+    doc="ANSI FILTER (WHERE ...) conditional aggregation — same syntax in "
+    "Spark SQL and DuckDB, planned as a partial/final hash aggregate.",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("count(*) FILTER (WHERE l_quantity > 25)").alias("n_big"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))"
+            " FILTER (WHERE l_discount > 0.05) AS DOUBLE)"
+        ).alias("disc_price"),
+    )

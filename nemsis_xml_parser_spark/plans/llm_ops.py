@@ -516,3 +516,40 @@ def curation_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "text_stopword_ratio",
+    family="text",
+    doc="Stopword density per document (quality-scoring component): "
+    "space-bounded occurrences of a fixed stopword list counted via "
+    "non-overlapping replace() length arithmetic — identical semantics in "
+    "both engines.",
+    oracle="""
+SELECT doc_id,
+       CAST(
+         CAST((LENGTH(' ' || LOWER(text) || ' ') - LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' the ', ''))) / 5 AS INTEGER)
+       + CAST((LENGTH(' ' || LOWER(text) || ' ') - LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' and ', ''))) / 5 AS INTEGER)
+       + CAST((LENGTH(' ' || LOWER(text) || ' ') - LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' of ', ''))) / 4 AS INTEGER)
+       AS INTEGER) AS n_stopwords,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN NULL
+            ELSE ROUND(
+              (CAST((LENGTH(' ' || LOWER(text) || ' ') - LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' the ', ''))) / 5 AS INTEGER)
+             + CAST((LENGTH(' ' || LOWER(text) || ' ') - LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' and ', ''))) / 5 AS INTEGER)
+             + CAST((LENGTH(' ' || LOWER(text) || ' ') - LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' of ', ''))) / 4 AS INTEGER))
+              / CAST(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS DOUBLE), 6)
+       END AS stopword_ratio
+FROM documents
+""",
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    hits = T.stopword_hits(F.col("text"), ("the", "and", "of")).cast("int")
+    ntok = T.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        hits.alias("n_stopwords"),
+        F.when(
+            ntok > 0, F.round(hits / ntok.cast("double"), 6)
+        ).alias("stopword_ratio"),
+    )

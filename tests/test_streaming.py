@@ -98,3 +98,21 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     _run_to_memory(dedup_within_watermark(ev, "2 hours"), "dedup")
     rows = spark.sql("SELECT * FROM dedup").collect()
     assert len(rows) == 3  # duplicate event_id=1 dropped
+
+
+def test_sliding_counts_stream(spark, tmp_path):
+    from nemsis_xml_parser_spark.streaming.events import sliding_counts
+
+    ev = _event_stream(spark, tmp_path)
+    _run_to_memory(
+        sliding_counts(ev, "1 hour", "30 minutes", "2 hours"), "slide", mode="complete"
+    )
+    out = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM slide").collect()
+    }
+    # 10:05 & 10:20 clicks land in both the [09:30,10:30) and [10:00,11:00)
+    # sliding windows (overlap = the point of sliding vs tumbling)
+    assert out[("2024-01-01 09:30:00", "click")] == 3
+    assert out[("2024-01-01 10:00:00", "click")] == 3
+    assert out[("2024-01-01 11:00:00", "view")] == 1
