@@ -73,6 +73,15 @@ def bpe_token_count(col: Column) -> Column:
     return F.coalesce(F.size(bpe_tokens(col)), F.lit(0))
 
 
+def clean_text(col: Column) -> Column:
+    """Curation normalize: strip HTML-ish tags, collapse whitespace runs,
+    trim.  Regexes are RE2/Java-identical so the DuckDB oracle reproduces
+    the output byte-for-byte."""
+    no_tags = F.regexp_replace(col, r"<[^>]*>", " ")
+    collapsed = F.regexp_replace(no_tags, r"\s+", " ")
+    return F.trim(collapsed)
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """ARRAY<STRING> of word n-gram shingles (space-joined)."""
     toks = tokens(col)

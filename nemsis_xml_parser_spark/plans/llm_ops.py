@@ -553,3 +553,29 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ntok > 0, F.round(hits / ntok.cast("double"), 6)
         ).alias("stopword_ratio"),
     )
+
+
+@register(
+    "text_clean_normalize",
+    family="text",
+    doc="Curation cleaner (strip markup, collapse whitespace, trim) applied "
+    "to deterministically dirtied text — byte-identical regex chains in "
+    "both engines; roundtrip_ok proves the cleaner inverts the dirtying.",
+    oracle="""
+SELECT doc_id,
+       LENGTH('<p> ' || text || ' </p>') AS n_dirty_chars,
+       LENGTH(TRIM(regexp_replace(regexp_replace('<p> ' || text || ' </p>', '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_clean_chars,
+       TRIM(regexp_replace(regexp_replace('<p> ' || text || ' </p>', '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) = TRIM(text) AS roundtrip_ok
+FROM documents
+""",
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("<p> "), F.col("text"), F.lit(" </p>"))
+    cleaned = T.clean_text(dirty)
+    return d.select(
+        "doc_id",
+        F.length(dirty).alias("n_dirty_chars"),
+        F.length(cleaned).alias("n_clean_chars"),
+        (cleaned == F.trim(F.col("text"))).alias("roundtrip_ok"),
+    )
