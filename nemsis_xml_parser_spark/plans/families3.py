@@ -328,3 +328,38 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             " FILTER (WHERE l_discount > 0.05) AS DOUBLE)"
         ).alias("disc_price"),
     )
+
+
+@register(
+    "recursive_cte_key_depth",
+    family="recursive",
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE, via the spark.sql + temp "
+    "view API path): iterate parent = key DIV 10 over a synthetic key "
+    "forest until the root digit, emitting per-customer depth and root — "
+    "the unbounded-iteration shape the engine otherwise only reaches in "
+    "the Python flatten.",
+    oracle="""
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+  UNION ALL
+  SELECT node, cur // 10, depth + 1 FROM anc WHERE cur >= 10
+)
+SELECT node AS c_custkey, CAST(MAX(depth) AS INTEGER) AS depth,
+       CAST(MIN(cur) AS BIGINT) AS root_key
+FROM anc GROUP BY node
+""",
+)
+def recursive_cte_key_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer_v
+  UNION ALL
+  SELECT node, cur DIV 10, depth + 1 FROM anc WHERE cur >= 10
+)
+SELECT node AS c_custkey, CAST(MAX(depth) AS INT) AS depth,
+       CAST(MIN(cur) AS BIGINT) AS root_key
+FROM anc GROUP BY node
+"""
+    )
