@@ -127,6 +127,62 @@ def assign_cells(
     )
 
 
+def ivf_index_write(
+    corpus: DataFrame,
+    index_dir: str,
+    nlist: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: ``{index_dir}/cells`` partitioned by cid (so
+    a probe reads ONLY its cells' files — partition pruning, the point of
+    the inverted file) and ``{index_dir}/centroids`` (KB-scale).  Train
+    once, query many."""
+    centroids = train_centroids(corpus, nlist, iters, id_col, vec_col)
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    cells.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/cells")
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index.  The cid filter on the partitioned
+    cells table prunes to the probed cells' files — the scan is
+    nprobe/nlist of the corpus regardless of corpus size."""
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    qv = queries.select(
+        F.col(id_col).alias("__vid"), V.to_double_array(F.col(vec_col)).alias("v")
+    )
+    probes = _nearest(qv, centroids, keep=nprobe).select(
+        F.col("__vid").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    cells = spark.read.parquet(f"{index_dir}/cells").where(
+        F.col("cid").isin(probe_cids)
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("iv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(cells, "cid")
+        .where(F.col("query_id") != F.col("item_id"))
+        .select(
+            "query_id", F.col("item_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

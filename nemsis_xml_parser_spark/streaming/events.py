@@ -76,3 +76,24 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def dedup_stream_by_fingerprint(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact near-dup drop: normalized-text fingerprint +
+    dropDuplicatesWithinWatermark — the streaming twin of
+    operators.dedup.exact_dedup.  State is bounded by the watermark (a
+    fingerprint older than the horizon is evictable), so memory is
+    O(docs per watermark window), not O(stream)."""
+    from ..functions.text import fingerprint
+
+    return (
+        docs.withColumn("__fprint", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fprint"])
+        .drop("__fprint")
+    )

@@ -116,3 +116,27 @@ def test_ivf_recall_on_real_embeddings(spark):
     recall = len(brute & approx) / len(brute)
     assert recall > 0.2, f"recall {recall}"
     assert all(q != n for q, n in approx)
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    from nemsis_xml_parser_spark.operators import ivf as I
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    q = e.where(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivf_idx")
+    I.ivf_index_write(e, idx, nlist=4, iters=2)
+    persisted = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in I.ivf_index_topk(spark, idx, q, k=5, nprobe=2).collect()
+    }
+    # identical deterministic training -> identical results inline
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in I.ivf_topk(q, e, k=5, nlist=4, nprobe=2, iters=2).collect()
+    }
+    assert persisted == inline
+    # partition layout: one directory per cell -> probe-side pruning
+    import os
+
+    cid_dirs = [d for d in os.listdir(f"{idx}/cells") if d.startswith("cid=")]
+    assert 1 <= len(cid_dirs) <= 4

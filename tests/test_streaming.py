@@ -116,3 +116,27 @@ def test_sliding_counts_stream(spark, tmp_path):
     assert out[("2024-01-01 09:30:00", "click")] == 3
     assert out[("2024-01-01 10:00:00", "click")] == 3
     assert out[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_dedup_stream_by_fingerprint(spark, tmp_path):
+    from nemsis_xml_parser_spark.streaming.events import dedup_stream_by_fingerprint
+    import pandas as pd
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 10:00:00", "hello  world"),
+        (2, "2024-01-01 10:01:00", "Hello World"),   # same fingerprint (case/ws)
+        (3, "2024-01-01 10:02:00", "different doc"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "ts", "text"]).to_json(
+        src / "b.json", orient="records", lines=True
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    _run_to_memory(dedup_stream_by_fingerprint(stream), "docdedup")
+    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM docdedup").collect()}
+    assert kept == {1, 3}  # doc 2 is a near-dup of doc 1 (case/whitespace)
