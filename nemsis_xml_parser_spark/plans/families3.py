@@ -363,3 +363,32 @@ SELECT node AS c_custkey, CAST(MAX(depth) AS INT) AS depth,
 FROM anc GROUP BY node
 """
     )
+
+
+@register(
+    "join_range_interval_banded",
+    family="join",
+    doc="Fact-to-fact range join via the banded equi-join scale path "
+    "(operators/range_join.py): customers whose balance falls inside each "
+    "supplier's ±50 band — oracle is the NAIVE non-equi join, proving the "
+    "banding is result-identical while replacing the nested-loop join with "
+    "one shuffle on the band id.",
+    oracle="""
+SELECT s_suppkey, c_custkey
+FROM supplier JOIN customer
+  ON c_acctbal >= s_acctbal - 50.0 AND c_acctbal < s_acctbal + 50.0
+""",
+)
+def join_range_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import banded_range_join
+
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50.0).alias("lo"),
+        (F.col("s_acctbal") + 50.0).alias("hi"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = banded_range_join(
+        c, s, point_col="c_acctbal", lo_col="lo", hi_col="hi", band_width=100.0
+    )
+    return joined.select("s_suppkey", "c_custkey")

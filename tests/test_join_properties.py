@@ -66,3 +66,45 @@ def test_salted_join_identical_to_plain(spark, lrows, rrows):
         for r in salted_join(left, right, key="k", salt=4).collect()
     )
     assert salted == plain
+
+
+points_strat = st.lists(
+    st.tuples(st.integers(0, 20), st.floats(-10, 10, allow_nan=False)),
+    min_size=1, max_size=15,
+)
+intervals_strat = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.floats(-10, 10, allow_nan=False),
+        st.floats(0, 6, allow_nan=False),  # span (>=0; zero-width → empty)
+    ),
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(points_strat, intervals_strat)
+def test_banded_range_join_matches_naive(spark, prows, irows):
+    from nemsis_xml_parser_spark.operators.range_join import banded_range_join
+
+    points = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(prows)], "pid long, val double"
+    )
+    intervals = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (_, lo, span) in enumerate(irows)] or [(99, 5.0, 5.0)],
+        "iid long, lo double, hi double",
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points.val >= intervals.lo) & (points.val < intervals.hi),
+        ).collect()
+    )
+    banded = sorted(
+        (r["pid"], r["iid"])
+        for r in banded_range_join(
+            points, intervals, "val", "lo", "hi", band_width=2.5
+        ).collect()
+    )
+    assert banded == naive
