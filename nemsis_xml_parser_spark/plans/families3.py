@@ -392,3 +392,28 @@ def join_range_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, s, point_col="c_acctbal", lo_col="lo", hi_col="hi", band_width=100.0
     )
     return joined.select("s_suppkey", "c_custkey")
+
+
+@register(
+    "sketch_hll_mergeable",
+    family="agg",
+    doc="Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg / "
+    "hll_union_agg): per-segment distinct-customer sketches merged into a "
+    "global estimate WITHOUT re-scanning — the build-partial/merge pattern "
+    "that makes distinct counts tractable at 100 TB.  Rows-only (sketch "
+    "estimates are engine-specific); error bound asserted in "
+    "tests/test_sketches.py.",
+    oracle=None,
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_seg = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+            "est_distinct_custkeys"
+        ),
+        F.sum("n_orders").alias("n_orders_total"),
+    )

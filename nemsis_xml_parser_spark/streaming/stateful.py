@@ -60,3 +60,72 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", LongType(), False),  # epoch ms
+        StructField("session_end", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType(), False),
+        StructField("last_ms", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def sessionize_with_timeout(events: DataFrame, gap_seconds: int = 1800,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful sessionizer (applyInPandasWithState +
+    EventTimeTimeout): emits a session row once a user has been idle past
+    ``gap_seconds`` — either observed inside a batch (a later event beyond
+    the gap) or via state timeout when the watermark passes the horizon.
+    This is the shape ``session_window`` cannot express once per-session
+    custom state (counters, side lookups) is needed; state is evicted on
+    timeout so memory stays O(active users)."""
+    gap_ms = gap_seconds * 1000
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            closed.append((key[0], start_ms, last_ms, n))
+            state.remove()
+        else:
+            ts_ms: list[int] = []
+            for pdf in pdfs:
+                ts_ms.extend(int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"]))
+            ts_ms.sort()
+            if state.exists:
+                start_ms, last_ms, n = state.get
+            else:
+                start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
+            for t in ts_ms:
+                if t - last_ms > gap_ms:
+                    closed.append((key[0], start_ms, last_ms, n))
+                    start_ms, n = t, 0
+                last_ms = t
+                n += 1
+            state.update((start_ms, last_ms, n))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

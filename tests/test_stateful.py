@@ -2,6 +2,7 @@
 accumulate across microbatches and survive a checkpointed restart."""
 
 import pandas as pd
+import pyspark.sql.functions as F
 
 from nemsis_xml_parser_spark.streaming.stateful import running_totals
 
@@ -57,3 +58,45 @@ def test_running_totals_accumulate_across_restarts(spark, tmp_path):
     second = _run(spark, src, ckpt)
     assert second["click"] == (3, 8.0)  # 2+1 events, 3.0+5.0
     assert "view" not in second  # update mode: untouched keys not re-emitted
+
+
+def test_sessionize_with_timeout_closes_on_gap(spark, tmp_path):
+    from nemsis_xml_parser_spark.streaming.stateful import sessionize_with_timeout
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ckpt = tmp_path / "sess_ckpt"
+    # user 7: two events 5 min apart, then one 2h later (gap > 30 min closes
+    # the first session inside the batch)
+    _write_batch(src, "b1.json", [
+        (1, "2024-01-01 10:00:00", "click", 1.0),
+        (2, "2024-01-01 10:05:00", "click", 1.0),
+        (3, "2024-01-01 12:30:00", "click", 1.0),
+    ])
+
+    out = []
+
+    def sink(batch_df, _bid):
+        out.extend(batch_df.collect())
+
+    ev = (
+        spark.readStream.schema(SCHEMA)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumnRenamed("event_id", "user_id_src")
+        .withColumn("user_id", F.lit(7))
+    )
+    q = (
+        sessionize_with_timeout(ev, gap_seconds=1800)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sessions = [(r["session_start"], r["session_end"], r["n_events"]) for r in out]
+    # first session (10:00-10:05, 2 events) closed by the in-batch gap
+    ms = lambda s: int(pd.Timestamp(s).value // 1_000_000)  # noqa: E731
+    assert (ms("2024-01-01 10:00:00"), ms("2024-01-01 10:05:00"), 2) in sessions
