@@ -50,3 +50,28 @@ def random_projection_bucket(a: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket + (bit * F.lit(2**i).cast("long"))
     return bucket
+
+
+def cosine_similarity_pandas():
+    """Vectorized scalar ``@pandas_udf`` twin of ``cosine_similarity`` —
+    Arrow-batched numpy, the escape hatch when an expression outgrows
+    built-ins (here it hasn't; the JVM composition stays the default and
+    tests assert the two agree).  Returned from a factory so importing this
+    module never touches pandas/numpy or a SparkSession."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def cos(a, b):
+        def one(x, y):
+            xv = np.asarray(x, dtype=np.float64)
+            yv = np.asarray(y, dtype=np.float64)
+            denom = np.sqrt(xv @ xv) * np.sqrt(yv @ yv)
+            return float(xv @ yv / denom) if denom > 0 else 0.0
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    # annotations set explicitly (not inline) because pd is factory-local
+    # and pyspark resolves type hints from the function's globals
+    cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(cos, "double")

@@ -140,3 +140,21 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
 
     cid_dirs = [d for d in os.listdir(f"{idx}/cells") if d.startswith("cid=")]
     assert 1 <= len(cid_dirs) <= 4
+
+
+def test_pandas_udf_cosine_agrees_with_jvm(spark):
+    import pyspark.sql.functions as FF
+    from nemsis_xml_parser_spark.functions import vectors as V
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(50)
+        .select("vec_id", V.to_double_array(FF.col("embedding")).alias("v"))
+    )
+    pairs = e.alias("a").join(e.alias("b"), FF.col("a.vec_id") < FF.col("b.vec_id"))
+    cos_udf = V.cosine_similarity_pandas()
+    out = pairs.select(
+        FF.round(V.cosine_similarity(FF.col("a.v"), FF.col("b.v")), 9).alias("jvm"),
+        FF.round(cos_udf(FF.col("a.v"), FF.col("b.v")), 9).alias("py"),
+    ).collect()
+    assert all(abs(r["jvm"] - r["py"]) < 1e-9 for r in out)
