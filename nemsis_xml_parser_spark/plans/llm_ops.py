@@ -69,7 +69,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     family="dedup",
-    doc="3-gram shingle Jaccard similarity pairs (doc_id<120 sample; LSH is the scale path).",
+    doc="3-gram shingle Jaccard similarity pairs at 0.02 (the synthetic corpus has no true near-dups, so the threshold sits below its max observed 0.03 to keep the check non-trivial; LSH is the scale path).",
     oracle="""
 WITH sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -90,33 +90,106 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.1
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.02
 """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
-    return D.ngram_jaccard_pairs(d, n=3, threshold=0.1)
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.02)
+
+
+def _minhash_lsh_oracle() -> str:
+    """Generated oracle for the FULL MinHash+LSH pipeline: 16 Kirsch-
+    Mitzenmacher family members as MIN aggregates, 1-row bands, band-bucket
+    self-join, exact-Jaccard verification — signature-for-signature
+    identical to operators.dedup.minhash_lsh_pairs."""
+    m61 = (1 << 61) - 1
+    sig_cols = ", ".join(f"MIN((h1 + {k} * h2) % {m61}) AS s{k}" for k in range(16))
+    bands = ", ".join(
+        "{'band_idx': %d, 'band_hash': md5(CAST(s%d AS VARCHAR))}" % (b, b)
+        for b in range(16)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM docs)
+),
+hp AS (SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 17, 12)) AS BIGINT) AS h2
+       FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hp GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, u.b.band_idx AS band_idx, u.b.band_hash AS band_hash
+  FROM sig, UNNEST([{bands}]) AS u(b)
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM candidates c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.0
+"""
 
 
 @register(
     "dedup_minhash_lsh_candidates",
     family="dedup",
-    doc="MinHash(16)+LSH(4 bands) candidate pairs verified at Jaccard≥0.1 on the doc_id<120 "
-    "sample. Deterministic md5 hash family; non-SQL-expressible pipeline → rows-only check "
-    "(exactness vs brute-force asserted in tests/test_dedup.py).",
-    oracle=None,
+    doc="MinHash(16)+LSH(16 one-row bands) candidate pairs with exact "
+    "Jaccard verification on the doc_id<120 sample (threshold 0 — the "
+    "synthetic corpus has no true near-dups, so the candidate set itself "
+    "is the non-trivial output).  Oracle is GENERATED: the whole "
+    "signature/banding/verification pipeline reproduced in SQL.",
+    oracle=_minhash_lsh_oracle(),
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
-    return D.minhash_lsh_pairs(d, num_hashes=16, bands=4, n=3, threshold=0.1)
+    return D.minhash_lsh_pairs(d, num_hashes=16, bands=16, n=3, threshold=0.0)
+
+
+def _simhash_oracle() -> str:
+    """Generated oracle: per-bit ±1 vote sums over md5-derived token hashes
+    via list_transform/list_sum — byte-identical to functions.hashing.simhash64."""
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    ]
+    return (
+        "WITH t AS (\n"
+        "  SELECT doc_id,\n"
+        "         list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),\n"
+        "                        s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs\n"
+        "  FROM documents\n)\n"
+        "SELECT doc_id, " + "\n + ".join(terms) + " AS simhash\nFROM t"
+    )
 
 
 @register(
     "dedup_simhash_fingerprints",
     family="dedup",
-    doc="SimHash(32-bit) near-dup fingerprints + per-bucket counts (rows-only: bit-vote "
-    "loop is not reasonably SQL-expressible; determinism asserted in tests).",
-    oracle=None,
+    doc="SimHash(32-bit) near-dup fingerprints.  Oracle is GENERATED: the "
+    "per-bit ±1 vote loop unrolled into list_sum/list_transform terms, so "
+    "DuckDB reproduces every fingerprint bit-for-bit.",
+    oracle=_simhash_oracle(),
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -174,14 +247,37 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(queries, e, k=5)
 
 
+def _lsh_bucket_oracle() -> str:
+    """Generated oracle: the 8 seeded hyperplanes inlined as literal arrays,
+    sign-bit bucket id via list_dot_product — byte-identical bucketing to
+    functions.vectors.random_projection_bucket."""
+    from ..operators.similarity import _lcg_planes
+
+    terms = []
+    for i, p in enumerate(_lcg_planes(8, 64, 42)):
+        lst = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0"
+            f" THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return (
+        "WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)\n"
+        "SELECT bucket, COUNT(*) AS n_vectors FROM (\n  SELECT "
+        + "\n       + ".join(terms)
+        + " AS bucket\n  FROM e\n) GROUP BY bucket"
+    )
+
+
 @register(
     "ann_lsh_bucket_stats",
     family="similarity",
-    doc="Sign-random-projection LSH bucketing (8 fixed hyperplanes): bucket histogram. "
-    "The IVF/LSH scale path for ANN — candidates are compared only within buckets. "
-    "Rows-only (plane literals not reasonably SQL-expressible); recall vs brute force "
-    "asserted in tests/test_similarity.py.",
-    oracle=None,
+    doc="Sign-random-projection LSH bucketing (8 fixed hyperplanes): bucket "
+    "histogram.  The IVF/LSH scale path for ANN — candidates are compared "
+    "only within buckets.  Oracle is GENERATED: the seeded hyperplanes "
+    "inlined as SQL array literals, so DuckDB reproduces every bucket id; "
+    "recall vs brute force asserted in tests/test_similarity.py.",
+    oracle=_lsh_bucket_oracle(),
 )
 def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -341,9 +437,18 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_rolling_fingerprint",
     family="text",
-    doc="Polynomial rolling-hash document fingerprint over the first 64 chars "
-    "(rows-only: character-fold not reasonably SQL-expressible; determinism in tests).",
-    oracle=None,
+    doc="Polynomial rolling-hash document fingerprint over the first 64 "
+    "chars — the character fold is expressed with F.aggregate in Spark and "
+    "list_reduce in DuckDB: two higher-order-function dialects, same hash.",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, LENGTH(substr(text, 1, 64)) + 1),
+                          i -> CAST(ascii(substr(substr(text, 1, 64), CAST(i AS INTEGER), 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 2147483647) AS rhash
+FROM documents
+""",
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
