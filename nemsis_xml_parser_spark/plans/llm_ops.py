@@ -684,3 +684,36 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cleaned).alias("n_clean_chars"),
         (cleaned == F.trim(F.col("text"))).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "sample_hash_split",
+    family="dedup",
+    doc="Reproducible train/val/test split by content hash (80/10/10): "
+    "bucket = md5-derived value mod 100 — deterministic across runs, "
+    "engines, and cluster sizes, unlike rand()-based sampling; the "
+    "standard way to split training corpora so membership never drifts.",
+    oracle="""
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT n_chars,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        FROM documents)
+)
+GROUP BY split
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    b = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return d.select(split, "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
