@@ -543,3 +543,111 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "q11_important_stock",
+    family="agg",
+    doc="TPC-H Q11 analogue (no partsupp table — see TESTDATA.md): stock "
+    "value per part is adapted to shipped revenue per part for suppliers "
+    "of one nation; keep parts whose value exceeds 1/1000 of the nation "
+    "total.  Exercises the Q11 shape: semi-join-scoped aggregation plus a "
+    "scalar-subquery threshold over the SAME aggregate, implemented as a "
+    "1-row broadcast cross join (no driver collect, no recompute).  The "
+    "threshold compare is value*1000 > total in exact decimals — "
+    "deterministic in both engines (reference: query layer deferred to "
+    "PG, README.md:119-127).",
+    oracle=f"""
+WITH natsupp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+val AS (
+  SELECT l_partkey AS partkey, SUM({SQL_REV}) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM val, (SELECT SUM(value_dec) AS total_dec FROM val) tot
+WHERE value_dec * 1000 > total_dec
+""",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    natsupp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        l.join(F.broadcast(natsupp), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(rev()).alias("value_dec"))
+    )
+    tot = val.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        val.join(F.broadcast(tot))
+        .where(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .select("partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    family="join",
+    doc="TPC-H Q20 analogue (no partsupp availqty — see TESTDATA.md): the "
+    "'excess availability' predicate becomes supply dominance — suppliers "
+    "who in 1997 shipped MORE than half of some 'small%' part's total "
+    "shipped quantity.  Same nested shape as Q20: filtered part dim → "
+    "per-(part,supplier) aggregate vs per-part aggregate threshold → "
+    "DISTINCT qualifying suppliers → semi-join into supplier⋈nation.  "
+    "qty*2 > tot in exact decimals keeps the compare deterministic.",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_partkey, l_suppkey
+),
+parttot AS (
+  SELECT l_partkey AS pk, SUM(qty) AS tot FROM shipped GROUP BY l_partkey
+),
+qualifying AS (
+  SELECT DISTINCT s.l_suppkey AS qk
+  FROM shipped s JOIN parttot t ON t.pk = s.l_partkey AND s.qty * 2 > t.tot
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT qk FROM qualifying)
+""",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    shipped = (
+        l.where(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+    )
+    parttot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("tot")
+    )
+    qualifying = (
+        shipped.join(
+            parttot,
+            (F.col("pk") == F.col("l_partkey")) & (F.col("qty") * 2 > F.col("tot")),
+        )
+        .select(F.col("l_suppkey").alias("qk"))
+        .distinct()
+    )
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(qualifying), s.s_suppkey == F.col("qk"), "left_semi"
+    ).select("s_suppkey", "s_name", "n_name")
