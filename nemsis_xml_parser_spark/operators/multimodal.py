@@ -26,7 +26,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -128,3 +130,83 @@ def fake_frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         F.explode(offsets).alias("offset"),
         F.md5(F.substring_index(F.base64("content"), "=", 1)).alias("chunk_sig"),
     )
+
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("embedding", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def byte_histogram_embedding(
+    media: DataFrame,
+    dim: int = 64,
+    id_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Deterministic media feature extraction: L1-normalized ``dim``-bin
+    histogram of byte values (256 bins folded modulo ``dim``) as an
+    ARRAY<DOUBLE> embedding — the stand-in for a real image/audio encoder
+    (which plugs in at ``_embed_bytes``).  The plumbing is the production
+    shape: Arrow-batched ``mapInPandas``, numpy vectorized per batch, blobs
+    dropped on output so downstream ANN never re-reads media."""
+    import numpy as np
+
+    if 256 % dim != 0:
+        raise ValueError(f"dim must divide 256, got {dim}")
+
+    def _embed_bytes(buf: bytes) -> list[float]:
+        if not buf:
+            return [0.0] * dim
+        counts = np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
+        folded = counts.reshape(-1, dim).sum(axis=0)  # 256 % dim == 0 bins
+        return (folded / folded.sum()).tolist()
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf[id_col].astype(str),
+                    "embedding": [
+                        _embed_bytes(bytes(c) if c is not None else b"")
+                        for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(embed, schema=EMBED_SCHEMA)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: same mapInPandas/error-routing shape as
+    ``extract_media_metadata``; the pixel work itself requires an image
+    library not present in this container and is stubbed at
+    ``_resize_bytes`` (rows come back with status='unresized')."""
+
+    def _resize_bytes(buf: bytes) -> bytes:
+        raise NotImplementedError(
+            "pixel resize requires pillow/opencv — not present in this "
+            "container; stubbed by design"
+        )
+
+    out_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("content", BinaryType(), True),
+            StructField("status", StringType(), True),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rows.append((path, _resize_bytes(bytes(content)), "resized"))
+                except NotImplementedError:
+                    rows.append((path, content, "unresized"))
+            yield pd.DataFrame(rows, columns=["path", "content", "status"])
+
+    return media.mapInPandas(resize, schema=out_schema)

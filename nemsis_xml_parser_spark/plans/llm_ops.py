@@ -717,3 +717,30 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "multimodal_embed_knn",
+    family="multimodal",
+    doc="Media → embedding → ANN bridge: documents' text bytes stand in "
+    "for media blobs (binaryFile scan shape, operators/multimodal.py), "
+    "byte-histogram features via Arrow-batched mapInPandas, then exact "
+    "cosine top-3 neighbors for 3 probe docs via the shared similarity "
+    "operator.  Rows-only (the feature extractor is a pandas UDF — not "
+    "one SQL statement); determinism: L1-normalized histograms + rounded "
+    "cosine + id tie-break.",
+    oracle=None,
+)
+def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import byte_histogram_embedding
+    from ..operators.similarity import brute_force_topk
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    emb = byte_histogram_embedding(d).withColumn(
+        "vec_id", F.col("path").cast("bigint")
+    )
+    probes = emb.where(F.col("vec_id") < 3)
+    return brute_force_topk(probes, emb, k=3)
