@@ -97,3 +97,36 @@ def dedup_stream_by_fingerprint(
         .dropDuplicatesWithinWatermark(["__fprint"])
         .drop("__fprint")
     )
+
+
+def dedup_stream_by_minhash(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming MinHash near-dup drop: documents whose full k-hash MinHash
+    signature collides with one already seen inside the watermark horizon
+    are dropped.  Near-identical texts (reordered whitespace, small edits
+    below shingle resolution) collapse to the same signature with high
+    probability, so this is the streaming counterpart of the batch
+    banded-LSH pipeline (operators.dedup.minhash_lsh_pairs) with one
+    stateful operator and watermark-bounded state — the shape Structured
+    Streaming supports without chaining stateful stages.  The signature is
+    computed entirely with built-in expressions (md5 double hashing over
+    3-gram shingles), so the stream stays JVM-side until the dedup state
+    store."""
+    from ..functions import hashing as H
+    from ..functions import text as T
+
+    shingles = F.array_distinct(T.word_ngrams(F.col(text_col), 3))
+    sig = H.minhash_signature_from_pairs(
+        H.shingle_hash_pairs(shingles), num_hashes
+    )
+    return (
+        docs.withColumn("__sig", F.concat_ws(",", sig.cast("array<string>")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__sig"])
+        .drop("__sig")
+    )

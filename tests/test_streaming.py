@@ -140,3 +140,28 @@ def test_dedup_stream_by_fingerprint(spark, tmp_path):
     _run_to_memory(dedup_stream_by_fingerprint(stream), "docdedup")
     kept = {r["doc_id"] for r in spark.sql("SELECT * FROM docdedup").collect()}
     assert kept == {1, 3}  # doc 2 is a near-dup of doc 1 (case/whitespace)
+
+
+def test_dedup_stream_by_minhash(spark, tmp_path):
+    from nemsis_xml_parser_spark.streaming.events import dedup_stream_by_minhash
+    import pandas as pd
+
+    src = tmp_path / "mh_src"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "2024-01-01 10:00:00", base),
+        (2, "2024-01-01 10:01:00", base),            # identical → same signature
+        (3, "2024-01-01 10:02:00", "completely unrelated text about spark"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "ts", "text"]).to_json(
+        src / "b.json", orient="records", lines=True
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    _run_to_memory(dedup_stream_by_minhash(stream), "mhdedup")
+    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM mhdedup").collect()}
+    assert kept == {1, 3}  # doc 2 collapses to doc 1's signature
