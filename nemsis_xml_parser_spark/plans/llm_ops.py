@@ -744,3 +744,40 @@ def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = emb.where(F.col("vec_id") < 3)
     return brute_force_topk(probes, emb, k=3)
+
+
+@register(
+    "sample_stratified_hash",
+    family="dedup",
+    doc="Deterministic stratified downsampling for corpus curation: "
+    "per-language keep rates (en 50%, others 20%) applied by md5-bucket "
+    "threshold instead of rand() — membership is a pure function of "
+    "doc_id, so the sample is identical across runs, engines, and "
+    "cluster sizes, and a re-run after adding data keeps every "
+    "previously-selected doc (the property rand()-sampling lacks).  "
+    "Map-side filter, no shuffle until the audit aggregate.",
+    oracle="""
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS b
+  FROM documents
+)
+WHERE b < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+GROUP BY lang
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    b = md5_long(F.col("doc_id").cast("string")) % 1000
+    keep = b < F.when(F.col("lang") == "en", 500).otherwise(200)
+    return (
+        d.where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
