@@ -142,3 +142,40 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def cosine_pairs_above_lsh(
+    df: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with cosine ≥ threshold, candidates restricted to
+    same-sign-LSH-bucket — the scale path for ``cosine_pairs_above``: the
+    O(n²) cross join becomes an equi-join on ``bucket``, so at 100 TB the
+    shuffle co-locates each bucket and compares only within it (recall
+    <1 by design; tune with fewer planes → bigger buckets)."""
+    e = with_lsh_bucket(df, num_planes, dim, vec_col, seed).select(
+        F.col(id_col).alias("vid"),
+        V.to_double_array(F.col(vec_col)).alias("v"),
+        "bucket",
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = V.cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .where(cos >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

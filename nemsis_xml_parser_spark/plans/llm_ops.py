@@ -781,3 +781,46 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
     )
+
+
+def _lsh_pairs_oracle() -> str:
+    """Generated oracle: seeded hyperplanes inlined (as in
+    _lsh_bucket_oracle), bucket-equality self-join, cosine filter."""
+    from ..operators.similarity import _lcg_planes
+
+    terms = []
+    for i, p in enumerate(_lcg_planes(8, 64, 42)):
+        lst = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0"
+            f" THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = "\n       + ".join(terms)
+    cos = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.35
+"""
+
+
+@register(
+    "dedup_embedding_lsh_pairs",
+    family="dedup",
+    doc="Embedding near-dup pairs, LSH-bucketed scale path: the cross join "
+    "of dedup_embedding_cosine_pairs becomes an equi-join on the sign-LSH "
+    "bucket id (8 seeded hyperplanes) — candidates compared only within "
+    "buckets, shuffle keyed on bucket.  Oracle is GENERATED with the "
+    "hyperplanes inlined so DuckDB reproduces every bucket id; recall vs "
+    "the brute pairs asserted in tests/test_similarity.py.",
+    oracle=_lsh_pairs_oracle(),
+)
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_above_lsh(e, threshold=0.35)

@@ -158,3 +158,29 @@ def test_pandas_udf_cosine_agrees_with_jvm(spark):
         FF.round(cos_udf(FF.col("a.v"), FF.col("b.v")), 9).alias("py"),
     ).collect()
     assert all(abs(r["jvm"] - r["py"]) < 1e-9 for r in out)
+
+
+def test_lsh_pairs_subset_of_brute_pairs(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.cosine_pairs_above(e, threshold=0.3).collect()
+    }
+    # bucketing only prunes candidates — every surviving pair must exist in
+    # the brute result with the identical cosine; recall is governed by
+    # num_planes: P(pair at angle θ shares all planes) = (1 - θ/π)^planes,
+    # ≈ 0.36 at cosine 0.3 with 2 planes
+    lsh8 = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.cosine_pairs_above_lsh(e, threshold=0.3).collect()
+    }
+    lsh2 = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.cosine_pairs_above_lsh(e, threshold=0.3, num_planes=2).collect()
+    }
+    for lsh in (lsh8, lsh2):
+        assert set(lsh) <= set(brute)
+        assert all(brute[k] == v for k, v in lsh.items())
+    assert len(lsh2) > len(lsh8)  # fewer planes → bigger buckets → recall up
+    if brute:
+        assert len(lsh2) / len(brute) > 0.2
