@@ -824,3 +824,106 @@ WHERE {cos} >= 0.35
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return S.cosine_pairs_above_lsh(e, threshold=0.35)
+
+
+@register(
+    "embedding_quantization_error",
+    family="similarity",
+    doc="int8 scalar quantization for ANN memory (4x smaller vectors): "
+    "q = round(clamp(x,-1,1)*127), dequantized back and compared to the "
+    "original by cosine.  Per-language mean/min of the rounded cosine — "
+    "the acceptance metric for shipping quantized indexes.  Mean is an "
+    "exact DECIMAL sum of 6-dp cosines over a deterministic count, so "
+    "both engines agree bit-for-bit.  Map-side only until the final "
+    "aggregate; embeddings joined to documents on vec_id%n_docs to get "
+    "a language axis.",
+    oracle="""
+WITH recon AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding,
+           x -> round(least(greatest(CAST(x AS DOUBLE), -1.0), 1.0) * 127) / 127.0
+         ) AS dq
+  FROM embeddings
+),
+cos AS (
+  SELECT vec_id,
+         CAST(ROUND(list_dot_product(v, dq)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))),
+             6) AS DECIMAL(8,6)) AS c
+  FROM recon
+)
+SELECT d.lang,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_cosine,
+       CAST(MIN(c) AS DOUBLE) AS worst_cosine
+FROM cos JOIN documents d ON d.doc_id = cos.vec_id % (SELECT COUNT(*) FROM documents)
+GROUP BY d.lang
+""",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    v = V.to_double_array(F.col("embedding"))
+    dq = F.transform(
+        v,
+        lambda x: F.round(F.least(F.greatest(x, F.lit(-1.0)), F.lit(1.0)) * 127)
+        / 127.0,
+    )
+    cos = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.round(V.cosine_similarity(v, dq), 6).cast("decimal(8,6)").alias("c"),
+        )
+    )
+    return (
+        cos.join(F.broadcast(d), d.doc_id == cos.vec_id % n_docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_cosine"),
+            F.min("c").cast("double").alias("worst_cosine"),
+        )
+    )
+
+
+@register(
+    "skew_key_audit",
+    family="agg",
+    doc="Join-key skew audit — the diagnostic behind choosing salted vs "
+    "plain joins (operators/partitioning.py): per-key row counts on the "
+    "events user_id axis, top 10 heaviest keys with their share of total "
+    "rows in exact per-mille.  At 100 TB this runs as two partial/final "
+    "hash aggregates + a 10-row TakeOrdered — no full sort, no collect; "
+    "a key above ~50‰ is the signal to salt or let AQE split it.",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM per_key)
+SELECT user_id, n_rows,
+       CAST(FLOOR(n_rows * 1000 / total) AS BIGINT) AS share_permille
+FROM per_key, tot
+ORDER BY n_rows DESC, user_id ASC
+LIMIT 10
+""",
+)
+def skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per_key.agg(F.sum("n_rows").cast("bigint").alias("total"))
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.floor(F.col("n_rows") * 1000 / F.col("total"))
+            .cast("bigint")
+            .alias("share_permille"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
