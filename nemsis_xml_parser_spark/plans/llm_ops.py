@@ -927,3 +927,77 @@ def skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "decontaminate_split_overlap",
+    family="dedup",
+    doc="Train/test decontamination audit: test-split documents (same "
+    "md5-bucket split as sample_hash_split) that share at least one 3-gram "
+    "shingle with any train document, counted per language.  The canonical "
+    "benchmark-leakage check for training corpora: distinct (doc, shingle) "
+    "pairs, a distinct train shingle set, one equi semi-join on shingle — "
+    "all shuffle-by-shingle with map-side distinct, no cross join.  At "
+    "cluster scale hash the shingle to a LONG (xxhash64) to shrink the "
+    "shuffle; strings kept here for oracle parity.",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bkt
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM b)
+),
+train_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM b WHERE bkt < 80)
+),
+test_docs AS (SELECT doc_id, lang FROM b WHERE bkt >= 90),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s
+  WHERE s.doc_id IN (SELECT doc_id FROM test_docs)
+    AND s.shingle IN (SELECT shingle FROM train_sh)
+)
+SELECT t.lang,
+       COUNT(*) AS n_test_docs,
+       COUNT(c.doc_id) AS n_contaminated
+FROM test_docs t LEFT JOIN contaminated c ON c.doc_id = t.doc_id
+GROUP BY t.lang
+""",
+)
+def decontaminate_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", "text",
+        (md5_long(F.col("doc_id").cast("string")) % 100).alias("bkt"),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_ngrams(F.col("text"), 3))).alias("shingle"),
+    ).distinct()
+    train_ids = docs.where(F.col("bkt") < 80).select("doc_id")
+    train_sh = (
+        sh.join(train_ids, "doc_id", "left_semi").select("shingle").distinct()
+    )
+    test_docs = docs.where(F.col("bkt") >= 90).select("doc_id", "lang")
+    contaminated = (
+        sh.join(test_docs.select("doc_id"), "doc_id", "left_semi")
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        test_docs.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+    )
