@@ -1001,3 +1001,57 @@ def decontaminate_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__hit").alias("n_contaminated"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    family="text",
+    doc="Corpus-statistics quality scoring: unigram language-model "
+    "log-probability per document — ln(corpus frequency) of each token, "
+    "averaged over the document.  The classic cheap perplexity proxy for "
+    "filtering gibberish from training corpora (low avg log-prob = rare/"
+    "malformed tokens).  Determinism: each token's ln(freq) is rounded to "
+    "6 dp and cast to DECIMAL before the per-doc SUM, so the aggregate is "
+    "exact and order-independent in both engines.  Two shuffles at scale: "
+    "token-count aggregate, then score-join keyed on token (broadcast the "
+    "vocabulary when it fits).",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(LN(f.n / tot.total), 6) AS DECIMAL(12,6)) AS lp
+  FROM tok t JOIN freq f ON f.token = t.token, tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    scored = (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n") / F.col("total")), 6)
+            .cast("decimal(12,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logprob"
+        ),
+    )
