@@ -1038,7 +1038,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    # total from the vocab aggregate, not a second pass over the token stream
+    tot = freq.agg(F.sum("n").cast("double").alias("total"))
     scored = (
         tok.join(F.broadcast(freq), "token")
         .join(F.broadcast(tot))
