@@ -417,3 +417,66 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_orders").alias("n_orders_total"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    family="window",
+    doc="Sequential funnel: per user, first 'click' and the earliest "
+    "'purchase' that follows it within 1 hour — the A-then-B-within-T "
+    "shape behind conversion/retention analytics (no MATCH_RECOGNIZE in "
+    "either engine; expressed as aggregate + time-banded self-join, which "
+    "at scale is an equi-join on user_id with the band predicate applied "
+    "post-shuffle).  Totals as exact BIGINT second sums — no float "
+    "averaging, so both engines agree bit-for-bit.",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, MIN(ts) AS first_click FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT c.user_id, MIN(p.ts) AS conv_ts
+  FROM clicks c JOIN events p
+    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+   AND p.ts > c.first_click AND p.ts <= c.first_click + INTERVAL 1 HOUR
+  GROUP BY c.user_id
+)
+SELECT COUNT(*) AS n_clickers,
+       COUNT(conv_ts) AS n_converted,
+       CAST(COALESCE(SUM(date_diff('second', date_trunc('second', first_click),
+                                 date_trunc('second', conv_ts))), 0) AS BIGINT)
+         AS total_seconds_to_convert
+FROM clicks LEFT JOIN conv USING (user_id)
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        purchases.join(clicks, "user_id")
+        .where(
+            (F.col("pts") > F.col("first_click"))
+            & (F.col("pts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("conv_ts"))
+    )
+    joined = clicks.join(conv, "user_id", "left")
+    secs = F.expr(
+        "timestampdiff(SECOND, date_trunc('SECOND', first_click),"
+        " date_trunc('SECOND', conv_ts))"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.count("conv_ts").alias("n_converted"),
+        F.coalesce(F.sum(secs), F.lit(0))
+        .cast("bigint")
+        .alias("total_seconds_to_convert"),
+    )
