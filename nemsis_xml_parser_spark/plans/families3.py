@@ -480,3 +480,52 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_seconds_to_convert"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    family="window",
+    doc="Retention cohort matrix: users cohorted by the week of their "
+    "first 'signup', counted distinct in each subsequent activity week as "
+    "a week offset — the standard growth-analytics triangle.  Week "
+    "offsets derive from day-diffs of week-truncated timestamps (exact "
+    "multiples of 7), sidestepping engine differences in week-boundary "
+    "counting.  Plan: two hash aggregates + one equi-join on user_id + "
+    "a distinct-count — all shuffle-by-user/cohort, no window needed.",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active_users
+FROM cohort c JOIN activity a
+  ON a.user_id = c.user_id AND a.act_week >= c.cohort_week
+GROUP BY cohort_week, week_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .where(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
