@@ -529,3 +529,41 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+@register(
+    "join_lateral_topk",
+    family="join",
+    doc="LATERAL correlated subquery: per nation, its top-2 suppliers by "
+    "account balance — Spark plans the correlated LATERAL as a "
+    "LateralJoin (same SQL runs on DuckDB).  Equivalent to the window "
+    "top-k (topk_per_group) but exercises the lateral-join operator "
+    "surface; deterministic via acctbal DESC + suppkey tie-break.",
+    oracle="""
+SELECT n_name, s.s_suppkey, s.s_name, s.s_acctbal
+FROM nation,
+LATERAL (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier
+  WHERE s_nationkey = n_nationkey
+  ORDER BY s_acctbal DESC, s_suppkey ASC
+  LIMIT 2
+) s
+""",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_lat_v")
+    return spark.sql(
+        """
+        SELECT n_name, s.s_suppkey, s.s_name, s.s_acctbal
+        FROM nation_lat_v,
+        LATERAL (
+          SELECT s_suppkey, s_name, s_acctbal
+          FROM supplier_lat_v
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey ASC
+          LIMIT 2
+        ) s
+        """
+    )
