@@ -567,3 +567,52 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) s
         """
     )
+
+
+@register(
+    "array_hof_battery",
+    family="scalar",
+    doc="Higher-order array functions over the embedding column: "
+    "transform/filter/exists/aggregate/zip_with in one projection "
+    "(DuckDB twins: list_transform/list_filter/len>0/list_sum/"
+    "list_dot_product).  All JVM-side codegen in Spark — the HOF path "
+    "that keeps per-element logic out of Python at 100 TB.  Fold order "
+    "is left-to-right in both engines, so doubles agree before the "
+    "6-dp round.",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 50)
+SELECT vec_id,
+       len(list_filter(v, x -> x > 0)) AS n_pos,
+       len(list_filter(v, x -> x < -0.4)) > 0 AS any_strong_neg,
+       ROUND(list_max(v), 6) AS max_val,
+       ROUND(list_sum(list_transform(v, x -> x * x)), 6) AS sum_sq,
+       ROUND(list_dot_product(v, list_reverse(v)), 6) AS dot_reversed
+FROM e
+""",
+)
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import to_double_array
+
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    v = to_double_array(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x < -0.4).alias("any_strong_neg"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("sum_sq"),
+        F.round(
+            F.aggregate(
+                F.zip_with(v, F.reverse(v), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dot_reversed"),
+    )
