@@ -46,6 +46,9 @@ HEADLINE = [
     "q21_last_shipper_multi_supplier",
     "asof_join_last_signup",
     "events_gapfill_hourly",
+    "decontaminate_split_overlap",
+    "text_unigram_logprob",
+    "events_funnel_conversion",
 ]
 
 

@@ -83,16 +83,24 @@ def clean_text(col: Column) -> Column:
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
-    """ARRAY<STRING> of word n-gram shingles (space-joined)."""
-    toks = tokens(col)
-    count = F.size(toks) - F.lit(n - 1)
-    idxs = F.sequence(F.lit(0), F.greatest(count - 1, F.lit(-1)))
-    return F.when(count <= 0, F.array()).otherwise(
-        F.transform(
-            idxs,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    """ARRAY<STRING> of word n-gram shingles (space-joined).
+
+    The token array is bound once through a single-element-array transform
+    (Spark has no LET): referencing ``tokens(col)`` directly inside the
+    per-index lambda would re-run the regex split per SHINGLE — O(tokens²)
+    string work per document."""
+
+    def build(toks: Column) -> Column:
+        count = F.size(toks) - F.lit(n - 1)
+        idxs = F.sequence(F.lit(0), F.greatest(count - 1, F.lit(-1)))
+        return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                idxs,
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-    )
+
+    return F.flatten(F.transform(F.array(tokens(col)), build))
 
 
 def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:

@@ -977,17 +977,18 @@ def decontaminate_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text",
         (md5_long(F.col("doc_id").cast("string")) % 100).alias("bkt"),
     )
-    sh = docs.select(
+    # split BEFORE sharding into shingles: the train side needs only a
+    # distinct shingle SET (no doc_id — smaller shuffle rows), the test side
+    # only its own 10% of exploded shingles; per-doc array_distinct already
+    # dedups within a doc, so no full-corpus (doc, shingle) distinct exists
+    shingled = lambda df: df.select(  # noqa: E731
         "doc_id",
         F.explode(F.array_distinct(T.word_ngrams(F.col("text"), 3))).alias("shingle"),
-    ).distinct()
-    train_ids = docs.where(F.col("bkt") < 80).select("doc_id")
-    train_sh = (
-        sh.join(train_ids, "doc_id", "left_semi").select("shingle").distinct()
     )
+    train_sh = shingled(docs.where(F.col("bkt") < 80)).select("shingle").distinct()
     test_docs = docs.where(F.col("bkt") >= 90).select("doc_id", "lang")
     contaminated = (
-        sh.join(test_docs.select("doc_id"), "doc_id", "left_semi")
+        shingled(docs.where(F.col("bkt") >= 90))
         .join(train_sh, "shingle", "left_semi")
         .select("doc_id")
         .distinct()
