@@ -179,3 +179,68 @@ def cosine_pairs_above_lsh(
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+def lsh_index_write(
+    corpus: DataFrame,
+    index_dir: str,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the sign-LSH index partitioned by bucket — the hash-family
+    twin of ivf.ivf_index_write (train once, query many; no training step
+    since the hyperplanes are seeded).  A probe then reads ONLY its
+    bucket's files via partition pruning, nprobe-free."""
+    (
+        with_lsh_bucket(corpus, num_planes, dim, vec_col, seed)
+        .select(
+            "bucket",
+            F.col(id_col).alias("item_id"),
+            V.to_double_array(F.col(vec_col)).alias("iv"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/buckets")
+    )
+
+
+def lsh_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Search a persisted sign-LSH index: bucket each query with the same
+    seeded hyperplanes, filter the partitioned buckets table to the probed
+    bucket ids (partition pruning — the scan is |probed buckets| / 2^planes
+    of the corpus), exact cosine within candidates, deterministic top-k."""
+    qb = with_lsh_bucket(queries, num_planes, dim, vec_col, seed).select(
+        F.col(id_col).alias("query_id"),
+        V.to_double_array(F.col(vec_col)).alias("qv"),
+        "bucket",
+    )
+    probe_buckets = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
+    cells = spark.read.parquet(f"{index_dir}/buckets").where(
+        F.col("bucket").isin(probe_buckets)
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("iv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        qb.join(cells, "bucket")
+        .where(F.col("query_id") != F.col("item_id"))
+        .select(
+            "query_id", F.col("item_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -184,3 +184,23 @@ def test_lsh_pairs_subset_of_brute_pairs(spark):
     assert len(lsh2) > len(lsh8)  # fewer planes → bigger buckets → recall up
     if brute:
         assert len(lsh2) / len(brute) > 0.2
+
+
+def test_lsh_index_persisted_matches_inline(spark, tmp_path):
+    import os
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 3)
+    idx = str(tmp_path / "lshidx")
+    S.lsh_index_write(e, idx, num_planes=4)
+    persisted = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.lsh_index_topk(spark, idx, q, k=5, num_planes=4).collect()
+    }
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.lsh_topk(q, e, k=5, num_planes=4).collect()
+    }
+    assert persisted == inline
+    bucket_dirs = [d for d in os.listdir(f"{idx}/buckets") if d.startswith("bucket=")]
+    assert 1 <= len(bucket_dirs) <= 16
