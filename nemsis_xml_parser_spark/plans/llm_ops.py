@@ -726,10 +726,41 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for media blobs (binaryFile scan shape, operators/multimodal.py), "
     "byte-histogram features via Arrow-batched mapInPandas, then exact "
     "cosine top-3 neighbors for 3 probe docs via the shared similarity "
-    "operator.  Rows-only (the feature extractor is a pandas UDF — not "
-    "one SQL statement); determinism: L1-normalized histograms + rounded "
-    "cosine + id tie-break.",
-    oracle=None,
+    "operator.  Oracle-checked end-to-end: the corpus is pure ASCII "
+    "(byte ≡ codepoint), so DuckDB rebuilds every 64-bin L1-normalized "
+    "histogram from unicode(char) % 64 and reproduces the pandas-UDF "
+    "embeddings bit-for-bit — the strongest parity statement the stubbed "
+    "multimodal path can make.",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unicode(substr(text, i, 1)) % 64 AS bin
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+),
+hist AS (SELECT doc_id, bin, COUNT(*) AS n FROM chars GROUP BY doc_id, bin),
+binned AS (
+  SELECT d.doc_id, b.bin, COALESCE(h.n, 0) AS n
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT UNNEST(range(64)) AS bin) b
+  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = b.bin
+),
+emb AS (
+  SELECT doc_id, list(CAST(n AS DOUBLE) ORDER BY bin) AS nl, SUM(n) AS tot
+  FROM binned GROUP BY doc_id
+),
+vec AS (SELECT doc_id, list_transform(nl, x -> x / tot) AS v FROM emb)
+SELECT * FROM (
+  SELECT CAST(q.doc_id AS STRING) AS query_id,
+         CAST(c.doc_id AS STRING) AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY ROUND(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 CAST(c.doc_id AS STRING) ASC) AS rank
+  FROM vec q JOIN vec c ON q.doc_id < 3 AND c.doc_id != q.doc_id
+) WHERE rank <= 3
+""",
 )
 def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import byte_histogram_embedding
