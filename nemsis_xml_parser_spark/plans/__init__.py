@@ -14,3 +14,33 @@ from . import families3  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import etl_queries  # noqa: F401,E402
+
+# The driver's correctness run records queries in registration order and may
+# truncate (round 1 recorded only the first 50 of 118).  Rotate so queries
+# without a driver-green row yet register first; already-recorded names go to
+# the tail.  Extend ``_DRIVER_RECORDED`` with each round's CORRECTNESS keys.
+_DRIVER_RECORDED: frozenset[str] = frozenset({
+    # CORRECTNESS_r01.json
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items", "q4_order_priority_check",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q12_priority_by_linestatus", "q13_customer_order_distribution",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q21_last_shipper_multi_supplier",
+    "q22_dormant_high_balance", "q2_cheapest_supplier", "q11_important_stock",
+    "q20_dominant_suppliers", "filter_project", "join_inner",
+    "join_left_outer", "join_semi", "join_anti", "join_broadcast_decode",
+    "join_range_band", "agg_groupby_multi", "agg_count_distinct",
+    "agg_variance_manual", "agg_approx_distinct", "rollup_agg", "cube_agg",
+    "grouping_sets_agg", "window_rank_orders", "window_running_total",
+    "window_lag_gap", "topk_per_group", "sort_limit_topn",
+    "set_union_distinct", "set_intersect", "set_except",
+    "scalar_string_battery", "scalar_date_battery", "scalar_math_battery",
+    "json_extract_events", "case_when_bands", "events_hourly_rollup",
+    "subquery_scalar_avg", "subquery_in_list", "subquery_correlated_max",
+})
+
+_rotated = {n: q for n, q in QUERIES.items() if n not in _DRIVER_RECORDED}
+_rotated.update({n: q for n, q in QUERIES.items() if n in _DRIVER_RECORDED})
+QUERIES.clear()
+QUERIES.update(_rotated)
