@@ -15,15 +15,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 BOOKKEEPING_PREFIX = "_"
 
+# Scratch-directory suffixes used by the rewrite paths (bookkeeping EP1,
+# migration) — a crash between staging write and rename must not leave a
+# directory that later scans mistake for a real dynamic table.
+SCRATCH_SUFFIXES = ("__staging", "__migrating")
+
+
+def is_table_dir(name: str) -> bool:
+    return not name.startswith(BOOKKEEPING_PREFIX) and not name.endswith(
+        SCRATCH_SUFFIXES
+    )
+
+
+def list_table_dirs(warehouse_dir: str) -> list[str]:
+    """Dynamic-table directory names, excluding bookkeeping and scratch dirs
+    left behind by an interrupted staging rewrite."""
+    if not os.path.isdir(warehouse_dir):
+        return []
+    return sorted(d for d in os.listdir(warehouse_dir) if is_table_dir(d))
+
+
+def clean_scratch_dirs(warehouse_dir: str) -> list[str]:
+    """Remove leftover ``__staging``/``__migrating`` directories from a
+    crashed rewrite (the subsequent re-ingest regenerates them).  Returns the
+    removed names."""
+    import shutil
+
+    removed = []
+    if os.path.isdir(warehouse_dir):
+        for d in os.listdir(warehouse_dir):
+            if d.endswith(SCRATCH_SUFFIXES):
+                shutil.rmtree(os.path.join(warehouse_dir, d), ignore_errors=True)
+                removed.append(d)
+    return removed
+
 
 def list_tables(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     """Dynamic tables in the lake, excluding bookkeeping (C10 parity:
     main_ingest.py:296-305 excludes pg_% + SchemaVersions/XMLFilesProcessed)."""
-    names = sorted(
-        d
-        for d in (os.listdir(warehouse_dir) if os.path.isdir(warehouse_dir) else [])
-        if not d.startswith(BOOKKEEPING_PREFIX)
-    )
+    names = list_table_dirs(warehouse_dir)
     return spark.createDataFrame([(n,) for n in names], "table_name string")
 
 

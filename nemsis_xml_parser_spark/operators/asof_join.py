@@ -67,17 +67,17 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{c}")
-            for c in value_cols
-        ],
-    )
+    # Fill forward ONE struct carrying all value columns: the struct is
+    # non-null for every right row even when individual fields are NULL, so
+    # a NULL inside the matched row is preserved instead of falling back to
+    # an older row's non-NULL value (pd.merge_asof semantics).
+    carried = F.last(
+        F.when(F.col("__is_left") == 0, F.struct(*[F.col(c) for c in value_cols])),
+        ignorenulls=True,
+    ).over(w)
+    filled = unioned.select("*", carried.alias("__asof"))
     out = filled.where(F.col("__is_left") == 1).select(
-        *lcols, *[F.col(f"__asof_{c}").alias(c) for c in value_cols]
+        *lcols, *[F.col("__asof")[c].alias(c) for c in value_cols]
     )
     return out
 

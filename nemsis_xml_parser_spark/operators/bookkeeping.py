@@ -164,11 +164,12 @@ def ingest_xml_files(
         pcr_keys = (
             elements.select("pcr_uuid").where(F.col("pcr_uuid").isNotNull()).distinct()
         )
-        existing_tables = [
-            d
-            for d in (os.listdir(warehouse_dir) if os.path.isdir(warehouse_dir) else [])
-            if not d.startswith("_")
-        ]
+        # drop crashed-rewrite leftovers first so a '{table}__staging' dir is
+        # never treated as a real dynamic table, then list survivors
+        from ..catalog import clean_scratch_dirs, list_table_dirs
+
+        clean_scratch_dirs(warehouse_dir)
+        existing_tables = list_table_dirs(warehouse_dir)
 
         def write_table(t: str) -> None:
             path = os.path.join(warehouse_dir, t)

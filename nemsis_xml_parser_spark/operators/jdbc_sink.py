@@ -64,12 +64,19 @@ def widen_table_sql(
 
 def fk_pairs(elements: DataFrame) -> list[tuple[str, str]]:
     """Distinct (child_table, parent_table) pairs derived distributively
-    (parity: main_ingest.py:451-463 set-dedup, D4)."""
+    (parity: main_ingest.py:451-463 set-dedup, D4).
+
+    Pairs keep the ORIGINAL sanitized-tag case — the reference builds the
+    constraint name from raw-case tags (main_ingest.py:512-514,
+    ``fk_PatientCareReport_Header``) and lowercases only the table
+    identifiers inside the DDL; lowering here would change both the ideal
+    name and the MD5 truncation suffix.
+    """
     rows = (
         elements.where(F.col("parent_table_name").isNotNull())
         .select(
-            F.lower(F.col("table_name")).alias("c"),
-            F.lower(F.col("parent_table_name")).alias("p"),
+            F.col("table_name").alias("c"),
+            F.col("parent_table_name").alias("p"),
         )
         .distinct()
         .collect()
@@ -82,16 +89,23 @@ def fk_constraint_sql(
 ) -> tuple[str, str]:
     """(probe_sql, ddl_sql) for one FK: existence probe against
     information_schema (main_ingest.py:586-603) and the ADD CONSTRAINT with
-    the 63-char-safe name and ON DELETE CASCADE (main_ingest.py:605-618)."""
+    the 63-char-safe name and ON DELETE CASCADE (main_ingest.py:605-618).
+
+    ``child``/``parent`` are original-case sanitized tags; the constraint
+    name is derived from them verbatim (main_ingest.py:512-514) while the
+    table identifiers are lowercased in the probe and DDL
+    (main_ingest.py:509-510, ``.lower()`` on both tables).
+    """
     name = fk_constraint_name(child, parent)
+    child_l, parent_l = child.lower(), parent.lower()
     probe = (
         "SELECT constraint_name FROM information_schema.table_constraints "
-        f"WHERE table_schema = '{schema}' AND table_name = '{child}' "
+        f"WHERE table_schema = '{schema}' AND table_name = '{child_l}' "
         f"AND constraint_name = '{name}' AND constraint_type = 'FOREIGN KEY';"
     )
     ddl = (
-        f'ALTER TABLE "{schema}"."{child}" ADD CONSTRAINT "{name}" '
-        f'FOREIGN KEY ("parent_element_id") REFERENCES "{schema}"."{parent}" '
+        f'ALTER TABLE "{schema}"."{child_l}" ADD CONSTRAINT "{name}" '
+        f'FOREIGN KEY ("parent_element_id") REFERENCES "{schema}"."{parent_l}" '
         '("element_id") ON DELETE CASCADE;'
     )
     return probe, ddl

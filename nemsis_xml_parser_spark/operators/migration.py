@@ -83,11 +83,9 @@ def require_schema_version(
 def _dynamic_tables(warehouse_dir: str) -> list[str]:
     """Catalog scan excluding bookkeeping tables (C10 parity:
     main_ingest.py:296-305 excludes pg_% and the bookkeeping pair)."""
-    if not os.path.isdir(warehouse_dir):
-        return []
-    return sorted(
-        d for d in os.listdir(warehouse_dir) if not d.startswith("_")
-    )
+    from ..catalog import list_table_dirs
+
+    return list_table_dirs(warehouse_dir)
 
 
 def _rewrite(df: DataFrame, path: str) -> None:

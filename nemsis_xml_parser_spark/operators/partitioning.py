@@ -59,7 +59,18 @@ def salted_join(
     a random salt in [0, salt).  Output == plain ``left.join(right, key)``.
 
     Use when one key's row count dwarfs the rest; plain hash partitioning
-    would send that entire key to one reducer."""
+    would send that entire key to one reducer.
+
+    Only left-preserving joins are supported: the right side is replicated
+    ``salt`` times, so a right/full outer join would emit each unmatched
+    right row once per replica instead of once."""
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side is "
+            "replicated, so right/full outer semantics would duplicate "
+            "unmatched right rows"
+        )
     salted_l = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

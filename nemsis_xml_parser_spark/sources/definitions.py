@@ -19,13 +19,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+# Endpoints verbatim from the reference (create_definitions.py:5-6):
+# the pipe-delimited DEMEMS ancillary exports for release 3.5.1.
 ELEMENT_DEFINITIONS_URL = (
-    "https://nemsis.org/media/nemsis_v3/master/TranslationsAndDataDictionary/"
-    "ElementDefinitions.txt"
+    "https://nemsis.org/media/nemsis_v3/release-3.5.1/DataDictionary/"
+    "Ancillary/DEMEMS/Combined_ElementEnumerations.txt"
 )
 FIELD_DEFINITIONS_URL = (
-    "https://nemsis.org/media/nemsis_v3/master/TranslationsAndDataDictionary/"
-    "FieldDefinitions.txt"
+    "https://nemsis.org/media/nemsis_v3/release-3.5.1/DataDictionary/"
+    "Ancillary/DEMEMS/Combined_ElementAttributes.txt"
 )
 
 ELEMENT_DEFINITIONS_COLUMNS = [

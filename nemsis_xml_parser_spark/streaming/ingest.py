@@ -83,13 +83,10 @@ def start_warehouse_stream(
                 .distinct()
                 .withColumnRenamed("pcr_uuid", "pcr_uuid_context")
             )
-            existing = [
-                d
-                for d in (
-                    os.listdir(warehouse_dir) if os.path.isdir(warehouse_dir) else []
-                )
-                if not d.startswith("_")
-            ]
+            from ..catalog import clean_scratch_dirs, list_table_dirs
+
+            clean_scratch_dirs(warehouse_dir)
+            existing = list_table_dirs(warehouse_dir)
             for t in sorted(set(existing) | set(incoming)):
                 path = os.path.join(warehouse_dir, t)
                 new_rows = (

@@ -45,6 +45,19 @@ def test_asof_join_semantics(asof_frames):
     assert out[(2, 7)] == "r6"
 
 
+def test_asof_null_in_matched_row_preserved(spark):
+    """A NULL value column in the matched (latest) right row must surface as
+    NULL — not fall back to an older right row's non-NULL value."""
+    left = spark.createDataFrame([(1, 20, "l")], "k long, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, 1, "old"), (1, 15, 2, None)], "k long, t long, ord long, rv string"
+    )
+    comp = asof_join(left, right, "k", "t", "ord", ["rv"]).collect()
+    ref = asof_join_pandas(left, right, "k", "t", "ord", ["rv"]).collect()
+    assert comp[0]["rv"] is None
+    assert ref[0]["rv"] is None
+
+
 def test_asof_composition_matches_pandas_reference(asof_frames):
     left, right = asof_frames
     a = sorted(

@@ -77,3 +77,35 @@ def test_md5_matches_hashlib(tmp_path):
     import hashlib
 
     assert file_md5(str(p)) == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_crashed_staging_dir_not_treated_as_table(spark, tmp_path):
+    """A '{table}__staging' directory left by a crash between staging write
+    and rename must be cleaned up, not merged as a real dynamic table."""
+    from nemsis_xml_parser_spark.catalog import list_table_dirs
+
+    wh = str(tmp_path / "wh")
+    good = _write(tmp_path, "good.xml", NEMSIS_XML)
+    ingest_xml_files(spark, [good], wh, deterministic_ids=True)
+
+    # simulate a crash leftover
+    stale = os.path.join(wh, "evitals_01__staging")
+    os.makedirs(stale)
+    spark.range(1).write.mode("overwrite").parquet(stale)
+    stale_mig = os.path.join(wh, "header__migrating")
+    spark.range(1).write.mode("overwrite").parquet(stale_mig)
+
+    assert "evitals_01__staging" not in list_table_dirs(wh)
+    assert "header__migrating" not in list_table_dirs(wh)
+
+    good2 = _write(tmp_path, "good2.xml", NEMSIS_XML.replace(
+        "6e5d2c1a-0000-4000-8000-000000000001",
+        "6e5d2c1a-0000-4000-8000-00000000000a",
+    ))
+    statuses = ingest_xml_files(spark, [good2], wh, deterministic_ids=True)
+    assert statuses[good2] == STATUS_OK
+    # scratch dirs were cleaned on ingest, and no table named after them exists
+    assert not os.path.exists(stale)
+    assert not os.path.exists(stale_mig)
+    v = spark.read.parquet(os.path.join(wh, "evitals_01"))
+    assert v.count() == 2

@@ -73,9 +73,29 @@ def test_widen_and_fk_sql():
 def test_fk_pairs_derived(spark):
     els = flatten_xml_strings(spark, [("f.xml", NEMSIS_XML)])
     pairs = J.fk_pairs(els)
-    assert ("evitals_01", "evitals_vitalgroup") in pairs
-    assert ("patientcarereport", "header") in pairs
+    # original sanitized-tag case preserved (reference main_ingest.py:460-462)
+    assert ("eVitals_01", "eVitals_VitalGroup") in pairs
+    assert ("PatientCareReport", "Header") in pairs
     assert all(len(p) == 2 for p in pairs)
+
+
+def test_fk_constraint_name_original_case_parity():
+    """The reference builds the ideal name from raw-case sanitized tags and
+    lowercases only the table identifiers in the DDL
+    (main_ingest.py:509-514)."""
+    probe, ddl = J.fk_constraint_sql("PatientCareReport", "Header")
+    assert '"fk_PatientCareReport_Header"' in ddl
+    assert '"public"."patientcarereport"' in ddl
+    assert 'REFERENCES "public"."header"' in ddl
+    assert "table_name = 'patientcarereport'" in probe
+    assert "fk_PatientCareReport_Header" in probe
+    # truncation hash must also come from the raw-case ideal name
+    import hashlib
+    child, parent = "C" * 60, "P" * 60
+    _, ddl_long = J.fk_constraint_sql(child, parent)
+    name = ddl_long.split('ADD CONSTRAINT "')[1].split('"')[0]
+    assert len(name) <= 63
+    assert name.endswith(hashlib.md5(f"fk_{child}_{parent}".encode()).hexdigest()[:6])
 
 
 def test_stage_to_jdbc_transaction(spark):
