@@ -164,16 +164,16 @@ def ivf_index_topk(
     probes = _nearest(qv, centroids, keep=nprobe).select(
         F.col("__vid").alias("query_id"), F.col("v").alias("qv"), "cid"
     )
-    probe_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
-    cells = spark.read.parquet(f"{index_dir}/cells").where(
-        F.col("cid").isin(probe_cids)
-    )
+    # No driver round-trip: broadcasting the (small) probe side lets dynamic
+    # partition pruning reuse the broadcast to prune the cid-partitioned
+    # cells scan to the probed cells — fully lazy, no collect of cid list.
+    cells = spark.read.parquet(f"{index_dir}/cells")
     cos = F.round(V.cosine_similarity(F.col("qv"), F.col("iv")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        probes.join(cells, "cid")
+        F.broadcast(probes).join(cells, "cid")
         .where(F.col("query_id") != F.col("item_id"))
         .select(
             "query_id", F.col("item_id").alias("neighbor_id"), cos.alias("cosine")

@@ -227,16 +227,16 @@ def lsh_index_topk(
         V.to_double_array(F.col(vec_col)).alias("qv"),
         "bucket",
     )
-    probe_buckets = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
-    cells = spark.read.parquet(f"{index_dir}/buckets").where(
-        F.col("bucket").isin(probe_buckets)
-    )
+    # No driver round-trip: broadcasting the (small) query side lets dynamic
+    # partition pruning reuse the broadcast to prune the bucket-partitioned
+    # scan to the probed buckets — fully lazy, no collect of bucket ids.
+    cells = spark.read.parquet(f"{index_dir}/buckets")
     cos = F.round(V.cosine_similarity(F.col("qv"), F.col("iv")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        qb.join(cells, "bucket")
+        F.broadcast(qb).join(cells, "bucket")
         .where(F.col("query_id") != F.col("item_id"))
         .select(
             "query_id", F.col("item_id").alias("neighbor_id"), cos.alias("cosine")

@@ -896,7 +896,10 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # n_docs as a broadcast 1-row aggregate (no driver-side count — plan
+    # construction stays fully lazy; Catalyst folds the cross join into a
+    # BroadcastNestedLoopJoin over a single row)
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n_docs"))
     v = V.to_double_array(F.col("embedding"))
     dq = F.transform(
         v,
@@ -911,7 +914,8 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cos.join(F.broadcast(d), d.doc_id == cos.vec_id % n_docs)
+        cos.crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(d), d.doc_id == cos.vec_id % F.col("__n_docs"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
