@@ -16,14 +16,17 @@ Spark-first redesign:
   {table}_value`` + attribute columns, names lowercased, attr names that
   collide with the common columns silently dropped — parity with the
   column-intersection filter (/root/reference/main_ingest.py:479-483);
-* ``write_warehouse`` lays the lake out as one parquet (or any
-  ``saveAsTable``-able format) directory per tag, writes parents before
+* ``write_warehouse`` defaults to ONE shuffle-free write of the canonical
+  schema ``partitionBy("table_name")`` (single Spark job for the whole
+  fan-out); ``read_table`` projects any table back into the reference's
+  exact pivoted shape via a partition-pruned scan.  ``layout="per-table"``
+  keeps the one-directory-per-tag compat layout, writing parents before
   children using the flatten's ``depth`` (FK ordering, SURVEY §7.4).
 
-At 100 TB the fan-out is a single shuffle-free pass per tag when the
-elements DF is cached/checkpointed; each per-tag write is a partition-pruned
-filter on ``table_name``, and the lake can alternatively be stored as one
-dataset ``partitionBy("table_name")`` for single-write ingest.
+At 100 TB the partitioned layout is the one that holds: ingest cost is a
+single job regardless of tag count (NEMSIS has hundreds of tags — per-tag
+jobs would mean hundreds of scheduler round-trips per batch), and every
+consumer read is pruned to its table's directory.
 """
 
 from __future__ import annotations
@@ -119,19 +122,57 @@ def write_warehouse(
     lake_dir: str,
     mode: str = "overwrite",
     file_format: str = "parquet",
+    layout: str = "partitioned",
 ) -> dict[str, list[str]]:
     """Materialize the per-tag warehouse under ``lake_dir``.
 
-    Parents are written before children (ascending min-depth) so a
-    referential reader never sees a child table whose parent table is
-    missing — the Spark stand-in for the reference's FK-after-insert
-    ordering inside one transaction (main_ingest.py:500-642).
+    ``layout="partitioned"`` (default, the 100 TB path): ONE write job of
+    the canonical element schema ``partitionBy("table_name")`` — no per-tag
+    job fan-out, no shuffle (partitioning is directory layout, not an
+    Exchange), and every per-table read is partition-pruned.  The
+    reference's exact per-table shape (value column renamed, attributes
+    pivoted) is a lazy projection applied at read time by ``read_table``.
+    Atomicity of the whole fan-out is the single job commit — closer to the
+    reference's one-transaction-per-file guarantee (main_ingest.py:500-642)
+    than N independent per-tag jobs.
 
-    Returns {table: [columns...]} — the warehouse schema registry.
+    ``layout="per-table"`` (compat): one pivoted parquet directory per tag,
+    written parents-before-children (ascending min-depth) so a referential
+    reader never sees a child table whose parent is missing.
+
+    Returns {table: [columns...]} — the warehouse schema registry, in the
+    reference's pivoted shape for both layouts.
     """
     elements = elements.cache()
     try:
         attr_map = attribute_columns_per_table(elements)
+        registry: dict[str, list[str]] = {
+            t: COMMON_5_PREFIX
+            + [value_column_name(t)]
+            + attr_map.get(t, [])
+            for t in table_names(elements)
+        }
+
+        if layout == "partitioned":
+            (
+                elements.select(
+                    F.lower(F.col("table_name")).alias("table_name"),
+                    F.col("element_id"),
+                    F.col("parent_element_id"),
+                    F.col("pcr_uuid").alias("pcr_uuid_context"),
+                    F.col("element_tag").alias("original_tag_name"),
+                    F.col("value"),
+                    F.col("attributes"),
+                )
+                .write.mode(mode)
+                .format(file_format)
+                .partitionBy("table_name")
+                .save(lake_dir)
+            )
+            return registry
+        if layout != "per-table":
+            raise ValueError(f"unknown layout {layout!r}")
+
         depth_rows = (
             elements.groupBy(F.lower(F.col("table_name")).alias("t"))
             .agg(F.min("depth").alias("d"))
@@ -140,12 +181,10 @@ def write_warehouse(
         levels: dict[int, list[str]] = {}
         for r in depth_rows:
             levels.setdefault(r["d"], []).append(r["t"])
-        registry: dict[str, list[str]] = {}
 
-        def write_table(t: str) -> tuple[str, list[str]]:
+        def write_table(t: str) -> None:
             frame = table_frame(elements, t, attr_map.get(t, []))
             frame.write.mode(mode).format(file_format).save(os.path.join(lake_dir, t))
-            return t, frame.columns
 
         # parent-before-child across depth levels (barrier per level), but
         # concurrent write jobs within a level — sibling tags have no
@@ -158,11 +197,46 @@ def write_warehouse(
                 for fut in [
                     ex.submit(write_table, t) for t in sorted(levels[d])
                 ]:
-                    t, cols = fut.result()
-                    registry[t] = cols
+                    fut.result()
         return registry
     finally:
         elements.unpersist()
+
+
+def read_table(
+    spark, lake_dir: str, table: str, attr_cols: list[str] | None = None
+) -> DataFrame:
+    """Read one table from a ``layout="partitioned"`` lake in the
+    reference's exact pivoted shape (FIXTURES.md F3).
+
+    The ``table_name`` filter is partition pruning (a directory pick, zero
+    data read outside the table); the value-column rename and attribute
+    pivot are narrow projections — the whole thing stays a single
+    partition-pruned scan at any corpus size.
+    """
+    table = table_name_for_tag(table).lower()
+    part = spark.read.parquet(lake_dir).where(F.col("table_name") == table)
+    if attr_cols is None:
+        rows = (
+            part.select(F.explode_outer(F.map_keys("attributes")).alias("attr"))
+            .where(F.col("attr").isNotNull())
+            .select(F.lower(F.col("attr")).alias("attr"))
+            .distinct()
+            .collect()
+        )
+        reserved = set(COMMON_5_PREFIX) | {value_column_name(table)}
+        attr_cols = sorted(r["attr"] for r in rows if r["attr"] not in reserved)
+    lower_map = F.expr(
+        "map_from_entries(transform(map_entries(attributes), e -> struct(lower(e.key), e.value)))"
+    )
+    return part.select(
+        F.col("element_id"),
+        F.col("parent_element_id"),
+        F.col("pcr_uuid_context"),
+        F.col("original_tag_name"),
+        F.col("value").alias(value_column_name(table)),
+        *[lower_map.getItem(a).alias(a) for a in attr_cols],
+    )
 
 
 def orphan_check(child: DataFrame, parent: DataFrame) -> DataFrame:

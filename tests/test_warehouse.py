@@ -9,6 +9,7 @@ from nemsis_xml_parser_spark.operators.flatten import flatten_xml_strings
 from nemsis_xml_parser_spark.operators.warehouse import (
     attribute_columns_per_table,
     orphan_check,
+    read_table,
     table_comments,
     table_frame,
     table_names,
@@ -77,9 +78,36 @@ def test_table_comments(elements):
     assert comments["evitals_01"].endswith("eVitals/eVitals_VitalGroup/eVitals_01")
 
 
-def test_write_warehouse_and_orphans(elements, spark, tmp_path):
+def test_write_warehouse_partitioned_single_pass(elements, spark, tmp_path):
+    """Default layout: one partitionBy(table_name) write; read_table
+    projects the reference's pivoted shape through a pruned scan."""
     lake = str(tmp_path / "lake")
     registry = write_warehouse(elements, lake)
+    assert "evitals_01" in registry
+    dirs = sorted(
+        d.split("=", 1)[1] for d in os.listdir(lake) if d.startswith("table_name=")
+    )
+    assert dirs == sorted(registry.keys())
+    tf = read_table(spark, lake, "eVitals_01")
+    assert tf.columns == registry["evitals_01"]
+    row = tf.collect()[0]
+    assert row["evitals_01_value"] == "2025-02-15T12:15:00-05:00"
+    assert row["original_tag_name"] == "eVitals.01"
+    # attr pivot through read_table matches table_frame's
+    pat = read_table(spark, lake, "epatient_15")
+    assert pat.columns[-1] == "codetype"
+    assert pat.collect()[0]["codetype"] == "ICD10"
+    # the table_name filter must reach the scan as a partition filter
+    plan = pat._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    child = read_table(spark, lake, "evitals_vitalgroup")
+    parent = read_table(spark, lake, "evitals")
+    assert orphan_check(child, parent).count() == 0
+
+
+def test_write_warehouse_per_table_compat(elements, spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    registry = write_warehouse(elements, lake, layout="per-table")
     assert "evitals_01" in registry
     assert sorted(os.listdir(lake)) == sorted(registry.keys())
     child = spark.read.parquet(os.path.join(lake, "evitals_vitalgroup"))
