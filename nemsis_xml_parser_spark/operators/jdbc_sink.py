@@ -121,11 +121,18 @@ def delete_by_keys_sql(table: str, keys: list[str], schema: str = "public") -> s
     )
 
 
-def insert_sql(table: str, columns: list[str], schema: str = "public") -> str:
+#: DBAPI paramstyle → placeholder token (psycopg2 is "format", duckdb and
+#: most JDBC-bridged drivers are "qmark")
+_PLACEHOLDERS = {"format": "%s", "qmark": "?"}
+
+
+def insert_sql(
+    table: str, columns: list[str], schema: str = "public", paramstyle: str = "format"
+) -> str:
     """Parameterized batched INSERT template (executemany) — replaces the
     reference's statement-per-element (main_ingest.py:485-495)."""
     collist = ", ".join(f'"{c}"' for c in columns)
-    params = ", ".join(["%s"] * len(columns))
+    params = ", ".join([_PLACEHOLDERS[paramstyle]] * len(columns))
     return f'INSERT INTO "{schema}"."{table}" ({collist}) VALUES ({params});'
 
 
@@ -137,6 +144,7 @@ def stage_to_jdbc(
     comments: dict[str, str] | None = None,
     schema: str = "public",
     batch_size: int = 1000,
+    paramstyle: str = "format",
 ) -> dict[str, int]:
     """Execute the full staging transaction over a DBAPI connection:
     DDL → FK DDL → set-based DELETE → batched INSERTs → commit (rollback on
@@ -159,7 +167,7 @@ def stage_to_jdbc(
             if pcr_keys:
                 cur.execute(delete_by_keys_sql(table, pcr_keys, schema))
             rows = [tuple(r) for r in frames[table].collect()]
-            sql = insert_sql(table, cols, schema)
+            sql = insert_sql(table, cols, schema, paramstyle)
             for i in range(0, len(rows), batch_size):
                 cur.executemany(sql, rows[i : i + batch_size])
             inserted[table] = len(rows)

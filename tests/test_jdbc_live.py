@@ -1,0 +1,185 @@
+"""Live SQL round-trip for the JDBC sink (SURVEY B1-B4, D3/D6).
+
+No PostgreSQL server exists in the container, so the staging SQL is
+executed against DuckDB — a real SQL engine with a Postgres-flavored
+dialect and an information_schema — through a thin DBAPI adapter.  This
+covers what the fake-connection tests cannot: the DDL actually parses and
+runs, COMMENT ON TABLE persists, ALTER TABLE widening works on a live
+catalog, batched INSERT/DELETE round-trip real rows, and a mid-batch
+failure rolls back the whole per-file transaction (D6,
+/root/reference/main_ingest.py:644).  The one statement DuckDB cannot run
+is ALTER TABLE ADD CONSTRAINT (unsupported there); its information_schema
+existence probe is executed live instead.
+"""
+
+import duckdb
+import pytest
+
+import nemsis_xml_parser_spark.operators.jdbc_sink as J
+from nemsis_xml_parser_spark.operators.flatten import flatten_xml_strings
+from nemsis_xml_parser_spark.operators.warehouse import (
+    attribute_columns_per_table,
+    table_comments,
+    table_frame,
+)
+from nemsis_xml_parser_spark.naming import COMMON_COLUMNS, value_column_name
+from tests.conftest import NEMSIS_XML
+
+
+class DuckDBAPIConn:
+    """Adapter: DuckDB autocommits and `.cursor()` opens a separate
+    transaction context, so bridge to the psycopg2-style contract
+    stage_to_jdbc expects (shared transaction, commit/rollback on the
+    connection)."""
+
+    def __init__(self):
+        self._c = duckdb.connect()
+        self._c.execute("CREATE SCHEMA IF NOT EXISTS public;")
+        self._in_txn = False
+
+    def _begin(self):
+        if not self._in_txn:
+            self._c.execute("BEGIN TRANSACTION;")
+            self._in_txn = True
+
+    def cursor(self):
+        conn = self
+
+        class _Cur:
+            def execute(self, sql, params=None):
+                conn._begin()
+                conn._c.execute(sql, params)
+                return self
+
+            def executemany(self, sql, rows):
+                conn._begin()
+                conn._c.executemany(sql, rows)
+                return self
+
+            def fetchall(self):
+                return conn._c.fetchall()
+
+            def fetchone(self):
+                return conn._c.fetchone()
+
+        return _Cur()
+
+    def commit(self):
+        if self._in_txn:
+            self._c.execute("COMMIT;")
+            self._in_txn = False
+
+    def rollback(self):
+        if self._in_txn:
+            self._c.execute("ROLLBACK;")
+            self._in_txn = False
+
+    def q(self, sql):
+        return self._c.execute(sql).fetchall()
+
+
+@pytest.fixture()
+def staged(spark):
+    # fresh uuids per flatten, like the reference's per-ingest uuid4
+    # (main_ingest.py element_id generation) — a re-stage of the same file
+    # therefore never collides on the PRIMARY KEY
+    els = flatten_xml_strings(spark, [("f.xml", NEMSIS_XML)], deterministic_ids=False)
+    attr_map = attribute_columns_per_table(els)
+    tables = sorted(attr_map.keys() | {t for t in (
+        r["t"] for r in els.selectExpr("lower(table_name) t").distinct().collect()
+    )})
+    registry = {
+        t: list(COMMON_COLUMNS) + [value_column_name(t)] + attr_map.get(t, [])
+        for t in tables
+    }
+    frames = {t: table_frame(els, t, attr_map.get(t, [])) for t in tables}
+    keys = [r["pcr_uuid"] for r in els.select("pcr_uuid").where(
+        "pcr_uuid is not null").distinct().collect()]
+    return els, registry, frames, keys
+
+
+def test_stage_roundtrip_and_idempotent_restage(spark, staged):
+    els, registry, frames, keys = staged
+    conn = DuckDBAPIConn()
+    comments = table_comments(els)
+    inserted = J.stage_to_jdbc(
+        conn, registry, frames, keys, comments, paramstyle="qmark"
+    )
+    assert inserted["evitals_01"] >= 1
+    for t, n in inserted.items():
+        assert conn.q(f'SELECT COUNT(*) FROM "public"."{t}"')[0][0] == n
+    # attribute column landed with its value
+    assert conn.q(
+        'SELECT "codetype" FROM "public"."epatient_15"'
+    ) == [("ICD10",)]
+    # COMMENT ON TABLE persisted into the live catalog
+    [(comment,)] = conn.q(
+        "SELECT comment FROM duckdb_tables() WHERE table_name = 'evitals_01'"
+    )
+    assert comment == comments["evitals_01"]
+    # re-staging the same PCR keys: delete-by-key + reinsert is idempotent
+    # for every PCR-scoped row; rows with NULL pcr_uuid_context (demographic
+    # section) fall outside the delete predicate and accumulate — exact
+    # reference parity (main_ingest.py:276-325 deletes only matching
+    # pcr_uuid_context; file-level idempotency D5 is the guard upstream)
+    els2 = flatten_xml_strings(
+        spark, [("f.xml", NEMSIS_XML)], deterministic_ids=False
+    )  # fresh parse = fresh uuids, like the reference's second ingest
+    frames2 = {t: table_frame(els2, t, [c for c in registry[t] if c not in
+               COMMON_COLUMNS and c != value_column_name(t)]) for t in registry}
+    J.stage_to_jdbc(conn, registry, frames2, keys, comments, paramstyle="qmark")
+    for t in inserted:
+        [(total,)] = conn.q(f'SELECT COUNT(*) FROM "public"."{t}"')
+        [(nulls,)] = conn.q(
+            f'SELECT COUNT(*) FROM "public"."{t}" WHERE "pcr_uuid_context" IS NULL'
+        )
+        # PCR-scoped rows: unchanged count; NULL-context rows: doubled
+        assert nulls % 2 == 0
+        assert total - nulls == inserted[t] - nulls // 2
+
+
+def test_widen_table_executes_live():
+    conn = DuckDBAPIConn()
+    cur = conn.cursor()
+    for stmt in J.create_table_sql("header", [], path_comment="EMSDataSet/Header"):
+        cur.execute(stmt)
+    for stmt in J.widen_table_sql("header", ["newattr", "other"]):
+        cur.execute(stmt)
+    # idempotent re-widen (IF NOT EXISTS)
+    for stmt in J.widen_table_sql("header", ["newattr"]):
+        cur.execute(stmt)
+    cur.execute(
+        J.insert_sql("header", ["element_id", "newattr"], paramstyle="qmark"),
+        ("e1", "v1"),
+    )
+    conn.commit()
+    assert conn.q('SELECT "newattr" FROM "public"."header"') == [("v1",)]
+
+
+def test_midbatch_failure_rolls_back_everything(spark, staged):
+    els, registry, frames, keys = staged
+    # poison one table with a duplicate PRIMARY KEY row
+    t = "evitals_01"
+    bad = frames[t].union(frames[t].limit(1))
+    frames = dict(frames, **{t: bad})
+    conn = DuckDBAPIConn()
+    with pytest.raises(Exception):
+        J.stage_to_jdbc(conn, registry, frames, keys, paramstyle="qmark")
+    # transactional DDL: nothing from the failed file survives, matching the
+    # reference's conn.rollback() per-file guarantee
+    left = conn.q(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = 'public'"
+    )
+    assert left == []
+
+
+def test_fk_probe_runs_against_live_information_schema(staged):
+    els, registry, frames, keys = staged
+    conn = DuckDBAPIConn()
+    J.stage_to_jdbc(conn, registry, frames, keys, paramstyle="qmark")
+    for child, parent in J.fk_pairs(els):
+        probe, ddl = J.fk_constraint_sql(child, parent)
+        assert conn.q(probe) == []  # no FK yet — probe parses + runs
+        # DuckDB cannot execute ADD CONSTRAINT; assert the DDL shape instead
+        assert "ON DELETE CASCADE" in ddl and child.lower() in ddl
