@@ -80,19 +80,76 @@ def read_media_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame
     )
 
 
+def _jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
+    """Walk JPEG segment markers to the SOF (start-of-frame) header, which
+    stores height then width big-endian.  Pure byte arithmetic — no codec;
+    this is the same marker walk pillow performs before any pixel work."""
+    # SOF0-SOF15 carry dimensions, except DHT (C4), DNL (C8), DAC (CC)
+    sof = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+    pos = 2
+    n = len(content)
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            pos += 1  # fill bytes / entropy-coded data resync
+            continue
+        marker = content[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:  # RST/SOI/EOI: no length field
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
+        if marker in sof and pos + 9 <= n:
+            height, width = struct.unpack(">HH", content[pos + 5 : pos + 9])
+            return width, height
+        pos += 2 + seglen
+    return None
+
+
 def decode_image_meta(content: bytes) -> tuple[int | None, int | None, str | None]:
-    """Deterministic header-only decode: PNG IHDR width/height.  Real codec
-    decode (JPEG/video frames/audio samples) is intentionally NOT
-    implemented in this environment — plug pillow/ffmpeg in here."""
+    """Header-only decode: width/height for PNG (IHDR), JPEG (SOF marker
+    walk), GIF (logical screen descriptor), BMP (DIB header) — all pure
+    byte parsing, no image library.  Pixel-level decode (video frames,
+    audio samples, progressive rendering) still requires a real codec and
+    raises ``NotImplementedError`` at that seam."""
     if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
         width, height = struct.unpack(">II", content[16:24])
         return int(width), int(height), "png"
     if content[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires an image library (pillow) not present in "
-            "this container — stubbed by design"
-        )
+        dims = _jpeg_dimensions(content)
+        if dims is not None:
+            return dims[0], dims[1], "jpeg"
+        return None, None, "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
+        width, height = struct.unpack("<HH", content[6:10])
+        return int(width), int(height), "gif"
+    if content[:2] == b"BM" and len(content) >= 26:
+        width, height = struct.unpack("<ii", content[18:26])
+        return int(width), abs(int(height)), "bmp"  # negative height = top-down
+    if content[:2] == b"P6":
+        w, h, _ = _parse_ppm_header(content)
+        return w, h, "ppm"
     return None, None, None
+
+
+def _parse_ppm_header(content: bytes) -> tuple[int, int, int]:
+    """(width, height, data_offset) of a binary PPM (P6)."""
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(content):
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    return fields[0], fields[1], pos
 
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:
@@ -130,6 +187,60 @@ def fake_frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         F.explode(offsets).alias("offset"),
         F.md5(F.substring_index(F.base64("content"), "=", 1)).alias("chunk_sig"),
     )
+
+
+def make_image_bytes(fmt: str, width: int, height: int) -> bytes:
+    """Minimal valid header bytes for one image of the given format — the
+    deterministic media generator used to exercise the decode path without
+    fixture files (encode → decode must round-trip the dimensions)."""
+    if fmt == "png":
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", width, height)
+            + b"\x08\x02\x00\x00\x00"
+        )
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    if fmt == "jpeg":
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", height, width)
+            + b"\x03" + b"\x00" * 10
+            + b"\xff\xd9"
+        )
+    if fmt == "bmp":
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", width, height)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def synthesize_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic media corpus from an id column: format cycles
+    png/gif/jpeg by ``id % 3``, dimensions are fixed arithmetic on the id
+    (width = id*7 % 640 + 16, height = id*13 % 480 + 16) so an external
+    oracle can predict what the decoder must recover.  Arrow-batched
+    mapInPandas, MEDIA_SCHEMA output — same shape as read_media_dir."""
+    fmts = ["png", "gif", "jpeg"]
+    mtypes = {"png": "image/png", "gif": "image/gif", "jpeg": "image/jpeg"}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                fmt = fmts[i % 3]
+                buf = make_image_bytes(fmt, i * 7 % 640 + 16, i * 13 % 480 + 16)
+                rows.append((str(i), mtypes[fmt], buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 EMBED_SCHEMA = StructType(
@@ -179,16 +290,34 @@ def byte_histogram_embedding(
     return media.mapInPandas(embed, schema=EMBED_SCHEMA)
 
 
+def resize_ppm(buf: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize for binary PPM (P6) — uncompressed RGB,
+    so numpy indexing is the whole job.  This is the live half of the
+    resize seam; compressed codecs plug in at ``_resize_bytes``."""
+    import numpy as np
+
+    w0, h0, off = _parse_ppm_header(buf)
+    px = np.frombuffer(buf, dtype=np.uint8, count=w0 * h0 * 3, offset=off)
+    px = px.reshape(h0, w0, 3)
+    ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+    xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+    out = px[ys][:, xs]
+    return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
+
+
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: same mapInPandas/error-routing shape as
-    ``extract_media_metadata``; the pixel work itself requires an image
-    library not present in this container and is stubbed at
-    ``_resize_bytes`` (rows come back with status='unresized')."""
+    """Image resize over the standard mapInPandas/error-routing shape.
+    Uncompressed PPM resizes for real (``resize_ppm``); compressed codecs
+    (JPEG/PNG pixels) require an image library not present in this
+    container and are stubbed at ``_resize_bytes`` (rows come back with
+    status='unresized')."""
 
     def _resize_bytes(buf: bytes) -> bytes:
+        if buf[:2] == b"P6":
+            return resize_ppm(buf, width, height)
         raise NotImplementedError(
-            "pixel resize requires pillow/opencv — not present in this "
-            "container; stubbed by design"
+            "compressed-codec resize requires pillow/opencv — not present "
+            "in this container; stubbed by design"
         )
 
     out_schema = StructType(

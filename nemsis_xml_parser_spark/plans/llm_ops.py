@@ -778,6 +778,45 @@ def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_meta",
+    family="multimodal",
+    doc="Media metadata decode, end-to-end: a deterministic image corpus "
+    "(format cycling png/gif/jpeg by doc_id%3, dimensions fixed arithmetic "
+    "on doc_id) is synthesized as real header bytes via mapInPandas, then "
+    "decoded back by the REAL header parsers (PNG IHDR, JPEG SOF marker "
+    "walk, GIF screen descriptor — operators/multimodal.py:decode_image_"
+    "meta, no image library involved).  The oracle predicts the dimensions "
+    "from the same arithmetic, so any decode drift (endianness, offset, "
+    "marker-walk bug) breaks the hash match.  Blobs never leave the "
+    "pandas batch; the aggregate sees only the narrow typed rows.",
+    oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
+         AS format,
+       COUNT(*) AS n_images,
+       CAST(SUM(doc_id * 7 % 640 + 16) AS BIGINT) AS sum_width,
+       CAST(SUM(doc_id * 13 % 480 + 16) AS BIGINT) AS sum_height,
+       CAST(MIN(doc_id * 7 % 640 + 16) AS BIGINT) AS min_width,
+       CAST(MAX(doc_id * 13 % 480 + 16) AS BIGINT) AS max_height
+FROM documents
+GROUP BY 1
+""",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_media_metadata, synthesize_media
+
+    d = table(spark, sf_dir, "documents")
+    media = synthesize_media(d.select("doc_id"))
+    meta = extract_media_metadata(media)
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.min("width").cast("bigint").alias("min_width"),
+        F.max("height").cast("bigint").alias("max_height"),
+    )
+
+
+@register(
     "sample_stratified_hash",
     family="dedup",
     doc="Deterministic stratified downsampling for corpus curation: "

@@ -1,8 +1,10 @@
 """Multimodal plumbing: binaryFile scan, magic-byte sniffing, Arrow-batched
-metadata extraction (PNG header decode real; codec decode stubbed)."""
+metadata extraction.  Header decode (PNG/JPEG/GIF/BMP/PPM dimensions) is
+real pure-byte parsing; pixel-level codec work stays stubbed."""
 
 import struct
 
+import numpy as np
 import pytest
 
 from nemsis_xml_parser_spark.operators import multimodal as M
@@ -13,10 +15,16 @@ def _png(width, height):
     return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + ihdr + b"rest"
 
 
+def _ppm(width, height, seed=0):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (width, height) + px.tobytes()
+
+
 @pytest.fixture()
 def media_dir(tmp_path):
     (tmp_path / "a.png").write_bytes(_png(640, 480))
-    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0JFIFxxxx")
+    (tmp_path / "b.jpg").write_bytes(M.make_image_bytes("jpeg", 320, 240))
     (tmp_path / "c.bin").write_bytes(b"garbage-bytes")
     return str(tmp_path)
 
@@ -29,19 +37,41 @@ def test_media_scan_sniffs_types(spark, media_dir):
     assert types["c.bin"] == "application/octet-stream"
 
 
-def test_metadata_extraction_png_real_jpeg_stubbed(spark, media_dir):
+def test_metadata_extraction_decodes_headers(spark, media_dir):
     meta = M.extract_media_metadata(M.read_media_dir(spark, media_dir))
     rows = {r["path"].rsplit("/", 1)[-1]: r for r in meta.collect()}
     assert (rows["a.png"]["width"], rows["a.png"]["height"]) == (640, 480)
     assert rows["a.png"]["format"] == "png"
-    # JPEG decode is stubbed by design: marked undecoded, pipeline survives
-    assert rows["b.jpg"]["format"] == "undecoded"
+    assert (rows["b.jpg"]["width"], rows["b.jpg"]["height"]) == (320, 240)
+    assert rows["b.jpg"]["format"] == "jpeg"
     assert rows["c.bin"]["format"] is None
 
 
-def test_decode_stub_raises_for_jpeg():
-    with pytest.raises(NotImplementedError, match="stubbed by design"):
-        M.decode_image_meta(b"\xff\xd8\xff\xe0JFIF")
+def test_decode_image_meta_all_formats():
+    for fmt, w, h in [("png", 17, 3000), ("gif", 2, 65535), ("jpeg", 1920, 1080),
+                      ("bmp", 33, 44)]:
+        assert M.decode_image_meta(M.make_image_bytes(fmt, w, h)) == (w, h, fmt)
+    assert M.decode_image_meta(_ppm(12, 7)) == (12, 7, "ppm")
+    # top-down BMP stores negative height
+    bm = b"BM" + b"\x00" * 16 + struct.pack("<ii", 10, -20)
+    assert M.decode_image_meta(bm) == (10, 20, "bmp")
+    assert M.decode_image_meta(b"") == (None, None, None)
+
+
+def test_jpeg_marker_walk_robust():
+    # dimensions live in a later SOF segment, behind fill bytes and an RST
+    body = (
+        b"\xff\xd8"
+        + b"\xff\xe1" + struct.pack(">H", 6) + b"Exif"      # APP1 skipped
+        + b"\xff\xc4" + struct.pack(">H", 5) + b"\x00" * 3  # DHT: not a SOF
+        + b"\xff" + b"\xff\xd0"                              # fill byte + RST0
+        + b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"      # progressive SOF2
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 10
+        + b"\xff\xd9"
+    )
+    assert M.decode_image_meta(body) == (640, 480, "jpeg")
+    # truncated JPEG with no SOF: format known, dimensions unknown
+    assert M.decode_image_meta(b"\xff\xd8\xff\xe0JFIF") == (None, None, "jpeg")
 
 
 def test_frame_sample_shape(spark, media_dir):
@@ -76,9 +106,34 @@ def test_byte_histogram_embedding_rejects_bad_dim(spark, media_dir):
         M.byte_histogram_embedding(M.read_media_dir(spark, media_dir), dim=60)
 
 
-def test_resize_media_stub_routes_status(spark, media_dir):
-    out = M.resize_media(M.read_media_dir(spark, media_dir), 32, 32)
-    rows = out.collect()
-    # codec stubbed: every row survives with original bytes + status marker
-    assert {r["status"] for r in rows} == {"unresized"}
-    assert all(r["content"] is not None for r in rows)
+def test_resize_media_ppm_real_codecs_stubbed(spark, media_dir, tmp_path):
+    import shutil
+
+    media_src = tmp_path / "m"
+    media_src.mkdir()
+    for f in ("a.png", "b.jpg", "c.bin"):
+        shutil.copy(f"{media_dir}/{f}", media_src / f)
+    (media_src / "d.ppm").write_bytes(_ppm(8, 4, seed=7))
+    out = M.resize_media(M.read_media_dir(spark, str(media_src)), 4, 2)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    # compressed codecs stubbed: original bytes survive with status marker
+    assert rows["a.png"]["status"] == "unresized"
+    assert rows["b.jpg"]["status"] == "unresized"
+    # uncompressed PPM resizes for real
+    assert rows["d.ppm"]["status"] == "resized"
+    resized = bytes(rows["d.ppm"]["content"])
+    assert M.decode_image_meta(resized) == (4, 2, "ppm")
+    # nearest-neighbor: output pixels are a subsample of the input grid
+    w0, h0, off0 = M._parse_ppm_header(_ppm(8, 4, seed=7))
+    src = np.frombuffer(_ppm(8, 4, seed=7)[off0:], dtype=np.uint8).reshape(4, 8, 3)
+    _, _, off1 = M._parse_ppm_header(resized)
+    got = np.frombuffer(resized[off1:], dtype=np.uint8).reshape(2, 4, 3)
+    assert (got == src[::2, ::2]).all()
+
+
+def test_resize_ppm_upscale_roundtrip():
+    buf = _ppm(3, 2, seed=1)
+    up = M.resize_ppm(buf, 9, 4)
+    assert M.decode_image_meta(up) == (9, 4, "ppm")
+    down = M.resize_ppm(up, 3, 2)
+    assert down == buf  # nearest-neighbor up/down by integer factors
