@@ -7,9 +7,9 @@ row-wise.
 
 Spark-first: pandas reads the workbook driver-side (dimension-sized), rows
 become a Spark DataFrame with every cell stringified (NULL preserved), and
-the sink is one ``mode('overwrite')`` write.  Excel parsing (openpyxl) is
-gated behind an import-try — environments without it can still import this
-module and use ``frame_from_pandas`` with pre-parsed data.
+the sink is one ``mode('overwrite')`` write.  Excel parsing prefers
+pandas/openpyxl and falls back to the stdlib-only ``xlsx_lite`` reader
+(same sheet-by-name + usecols contract) when no Excel engine is installed.
 """
 
 from __future__ import annotations
@@ -81,13 +81,12 @@ def import_vendor_excel(
     for sheet, columns in VENDOR_SPECS[vendor]["sheets"].items():
         try:
             pdf = pd.read_excel(file_path, sheet_name=sheet, usecols=columns)
-        except ImportError as e:
-            # openpyxl not installed in this environment: surface a clear,
-            # gated error instead of failing at import time
-            raise ImportError(
-                "Excel engine (openpyxl) not available; use frame_from_pandas "
-                "with pre-parsed sheet data"
-            ) from e
+        except ImportError:
+            # openpyxl not installed: fall back to the stdlib-only reader,
+            # which implements the same sheet-by-name + usecols contract
+            from .xlsx_lite import read_xlsx
+
+            pdf = read_xlsx(file_path, sheet_name=sheet, usecols=columns)
         table = vendor_table_name(source, sheet)
         df = frame_from_pandas(spark, pdf, columns)
         if write_dir is not None:

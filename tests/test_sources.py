@@ -78,3 +78,71 @@ def test_vendor_frame_from_pandas(spark):
 def test_vendor_unknown_vendor_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="not supported"):
         V.import_vendor_excel(spark, str(tmp_path / "x.xlsx"), "nope", "src")
+
+
+def _vendor_workbook(path):
+    """Real .xlsx bytes (stdlib writer) matching the imagetrend spec:
+    extra columns to prove usecols projection, an all-null data row, mixed
+    numeric/string cells, plus an unconfigured sheet that must be ignored."""
+    from nemsis_xml_parser_spark.sources.xlsx_lite import write_xlsx
+
+    write_xlsx(
+        str(path),
+        {
+            "DataSetFields": [
+                ["Field Code", "Field Name", "Default Label", "Data Type",
+                 "Active", "Specific Module", "IgnoredExtra"],
+                ["F1", "Incident Number", "Incident #", "Text", True, "EMS", "zzz"],
+                [None, None, None, None, None, None, None],
+                [42, "Unit Call Sign", None, "Text", False, None, "zzz"],
+            ],
+            "Procedure (eProcedures.03)": [
+                ["Code", "Value", "Label", "Sort Order", "Resource Type"],
+                [89, "Airway", "Airway - Oral", 1.5, "ALS"],
+            ],
+            "NotConfigured": [["A"], ["x"]],
+        },
+    )
+
+
+def test_import_vendor_excel_real_workbook(spark, tmp_path):
+    wb = tmp_path / "imagetrend.xlsx"
+    _vendor_workbook(wb)
+    out = V.import_vendor_excel(
+        spark, str(wb), "imagetrend", "it", write_dir=str(tmp_path / "lake")
+    )
+    assert set(out) == {"it_datasetfields", "it_procedure_(eprocedures_03)"}
+    fields = out["it_datasetfields"].collect()
+    # all-null row dropped; usecols projected (IgnoredExtra gone); every
+    # cell stringified with NULL preserved — vendor_import.py:222-237 parity
+    assert len(fields) == 2
+    assert out["it_datasetfields"].columns == [
+        "Field Code", "Field Name", "Default Label", "Data Type",
+        "Active", "Specific Module",
+    ]
+    assert fields[0]["Field Code"] == "F1"
+    assert fields[0]["Active"] == "True"
+    assert fields[1]["Field Code"] == "42"
+    assert fields[1]["Default Label"] is None
+    proc = out["it_procedure_(eprocedures_03)"].collect()
+    assert proc[0]["Code"] == "89"
+    assert proc[0]["Sort Order"] == "1.5"
+    # parquet landed
+    assert (tmp_path / "lake" / "it_datasetfields").exists()
+
+
+def test_xlsx_lite_reader_features(tmp_path):
+    from nemsis_xml_parser_spark.sources import xlsx_lite as X
+
+    wb = tmp_path / "t.xlsx"
+    X.write_xlsx(str(wb), {"S1": [["H1", "H2"], ["a", 1], [None, 2.25]]})
+    pdf = X.read_xlsx(str(wb), "S1")
+    assert list(pdf.columns) == ["H1", "H2"]
+    assert pdf["H2"].tolist() == [1, 2.25]
+    assert pdf["H1"].tolist()[1] is None
+    with pytest.raises(ValueError, match="Worksheet named"):
+        X.read_xlsx(str(wb), "missing")
+    with pytest.raises(KeyError, match="usecols"):
+        X.read_xlsx(str(wb), "S1", usecols=["H1", "nope"])
+    with pytest.raises(ValueError, match="invalid sheet name"):
+        X.write_xlsx(str(wb), {"bad[name]": [["A"]]})
