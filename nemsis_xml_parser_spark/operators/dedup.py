@@ -109,6 +109,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     n: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>) MinHash signatures.
 
@@ -119,7 +120,7 @@ def minhash_signatures(
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            H.shingle_hash_pairs(shingles).alias("_hp"),
+            H.shingle_hash_pairs(shingles, fast).alias("_hp"),
         )
         .select(
             "doc_id",
@@ -136,6 +137,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.1,
+    fast: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -145,20 +147,23 @@ def minhash_lsh_pairs(
     (small) signature relation — never the corpus text.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, fast)
+
+    def band_key(parts):
+        joined = F.concat_ws(",", *parts)
+        if fast:
+            return F.xxhash64(joined).cast("string")
+        return F.md5(joined)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[i].cast("string")
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ],
-                        )
+                    band_key(
+                        [
+                            F.col("sig")[i].cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ]
                     )
                     for b in range(bands)
                 ]
@@ -202,12 +207,16 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    fast: bool = False,
 ) -> DataFrame:
     """(doc_id, simhash) — near-dups have small Hamming distance."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        H.simhash64(T.tokens(F.col(text_col)), bits=bits).alias("simhash"),
+        H.simhash64(T.tokens(F.col(text_col)), bits=bits, fast=fast).alias("simhash"),
     )
 
 

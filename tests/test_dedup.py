@@ -87,3 +87,37 @@ def test_simhash_near_pairs(docs):
     }
     assert (0, 5) in pairs  # hamming 0
     assert (0, 4) not in pairs
+
+
+def test_fast_hash_mode_equivalent_shape(docs):
+    """xxhash64 fast mode: same schema and structural behavior as the
+    md5 family (identical docs → identical signatures, near-dup pairs
+    found), different hash values (it's a different family)."""
+    slow = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(docs).collect()}
+    fast = {r["doc_id"]: r["sig"] for r in
+            D.minhash_signatures(docs, fast=True).collect()}
+    assert set(slow) == set(fast)
+    assert all(len(v) == 16 for v in fast.values())
+    assert all(all(x >= 0 for x in v) for v in fast.values())
+    assert fast[0] == fast[5]  # exact dup: identical signature
+    assert fast[0] != slow[0]  # genuinely a different family
+    # deterministic across evaluations
+    again = {r["doc_id"]: r["sig"] for r in
+             D.minhash_signatures(docs, fast=True).collect()}
+    assert again == fast
+
+    pairs_slow = {(r["doc_a"], r["doc_b"]) for r in
+                  D.minhash_lsh_pairs(docs, threshold=0.1).collect()}
+    pairs_fast = {(r["doc_a"], r["doc_b"]) for r in
+                  D.minhash_lsh_pairs(docs, threshold=0.1, fast=True).collect()}
+    # the high-overlap cluster {0,1,5} must surface in ANY hash family
+    # (exact dups share every band; 0/1 share nearly all shingles);
+    # borderline pairs like (2,3) may differ between families — candidate
+    # recall is family-dependent, verification is exact in both modes
+    assert {(0, 1), (0, 5), (1, 5)} <= pairs_fast
+    assert pairs_fast <= pairs_slow | {(2, 3)}
+
+    fp_fast = {r["doc_id"]: r["simhash"] for r in
+               D.simhash_fingerprints(docs, fast=True).collect()}
+    assert fp_fast[0] == fp_fast[5]
+    assert all(v >= 0 for v in fp_fast.values())
