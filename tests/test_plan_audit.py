@@ -1,0 +1,89 @@
+"""Physical-plan regression gate over EVERY registered query.
+
+tools/plan_budgets.json records, per query, the number of Exchanges
+(shuffles), CartesianProducts, and BroadcastNestedLoopJoins in the
+executed plan at sf0.001.  This test rebuilds each plan and fails if any
+query grew beyond its recorded budget — catching an accidentally
+introduced shuffle, a broadcast that regressed to cartesian, or a join
+that lost its equi-condition.  After an INTENTIONAL plan change, re-run
+``python tools/gen_plan_budgets.py`` and commit the diff (the review of
+that diff is the point).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from nemsis_xml_parser_spark.plans import QUERIES  # noqa: E402
+from tools.gen_plan_budgets import BUDGET_PATH, plan_stats  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BNLJ is legitimate only for broadcast-scalar cross joins, range/band
+# joins, and the intentionally tiny cross join — never for an equi-join
+# that lost its keys.  Budgets > 0 must stay justified here.
+JUSTIFIED_BNLJ = {
+    "ann_ivf_topk",          # broadcast centroid set (nlist rows)
+    "cross_join_small",      # intentional 25x5 cross join
+    "dedup_embedding_cosine_pairs",  # bounded all-pairs verification tier
+    "embedding_quantization_error",  # broadcast 1-row n_docs scalar
+    "events_gapfill_hourly",         # hour spine x key set (small)
+    "join_range_band",       # non-equi range predicate
+    "knn_cosine_topk",       # broadcast query set vs corpus
+    "multimodal_embed_knn",  # broadcast probe set
+    "q11_important_stock",   # broadcast 1-row threshold scalar
+    "q22_dormant_high_balance",  # broadcast 1-row avg-balance scalar
+    "skew_key_audit",        # broadcast 1-row total scalar
+    "text_unigram_logprob",  # broadcast 1-row corpus-size scalar
+}
+
+
+@pytest.fixture(scope="module")
+def budgets():
+    assert BUDGET_PATH.exists(), (
+        "tools/plan_budgets.json missing - run python tools/gen_plan_budgets.py"
+    )
+    return json.loads(BUDGET_PATH.read_text())
+
+
+def test_every_query_has_a_budget(budgets):
+    missing = sorted(set(QUERIES) - set(budgets))
+    assert not missing, (
+        f"queries with no plan budget: {missing} - "
+        "run python tools/gen_plan_budgets.py and review the diff"
+    )
+
+
+def test_plans_within_budget(spark, budgets):
+    failures = []
+    for name, q in sorted(QUERIES.items()):
+        if name not in budgets:
+            continue  # caught by test_every_query_has_a_budget
+        stats = plan_stats(q.spark(spark, SF_DIR))
+        budget = budgets[name]
+        if stats["cartesian"] > 0:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if stats["exchanges"] > budget["exchanges"]:
+            failures.append(
+                f"{name}: {stats['exchanges']} exchanges > "
+                f"budget {budget['exchanges']}"
+            )
+        if stats["bnlj"] > budget["bnlj"]:
+            failures.append(
+                f"{name}: {stats['bnlj']} BroadcastNestedLoopJoin > "
+                f"budget {budget['bnlj']}"
+            )
+        if stats["bnlj"] > 0 and name not in JUSTIFIED_BNLJ:
+            failures.append(f"{name}: unjustified BroadcastNestedLoopJoin")
+    assert not failures, "\n".join(failures)
+
+
+def test_budgeted_bnlj_all_justified(budgets):
+    with_bnlj = {n for n, b in budgets.items() if b["bnlj"] > 0}
+    assert with_bnlj <= JUSTIFIED_BNLJ, (
+        f"BNLJ without justification entry: {sorted(with_bnlj - JUSTIFIED_BNLJ)}"
+    )
