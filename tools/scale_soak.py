@@ -1,0 +1,157 @@
+"""Scale-soak the dedup/ANN tier: 1× (sf0.1) vs 10× synthetic corpus.
+
+Generates a 10× corpus under /tmp/soak10x (each document replicated 10
+times with a perturbed tail token — replicas are near-dups of their
+original, the realistic dedup workload; each embedding replicated with
+per-replica deterministic noise), then runs the bucketed dedup/ANN
+operators at both scales and reports wall-clock, scaling ratio, band-key
+skew, and a no-cartesian assertion on every executed plan.
+
+Usage: python tools/scale_soak.py [--regen]
+Prints one JSON line per operator and a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from nemsis_xml_parser_spark.operators import dedup as D  # noqa: E402
+from nemsis_xml_parser_spark.operators import ivf as I  # noqa: E402
+from nemsis_xml_parser_spark.operators import similarity as S  # noqa: E402
+from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/soak10x"
+REPLICAS = 10
+
+
+def generate(spark) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            # replica 0 keeps the original text; others perturb the tail so
+            # each cluster of 10 is a genuine near-dup family
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))))
+            .alias("text"),
+            "lang",
+            "source",
+            F.length(F.col("text")).alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{DST}/documents.parquet")
+    )
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("rep") * 0.001) * F.when(i % 2 == 0, 1.0).otherwise(-1.0),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{DST}/embeddings.parquet")
+    )
+
+
+def no_cartesian(df) -> None:
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, "plan flipped to cartesian!"
+
+
+def band_skew(docs) -> float:
+    """Max share of one (band_idx, band_hash) bucket among banded sig rows."""
+    sigs = D.minhash_signatures(docs)
+    banded = sigs.select(
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws(",", *[F.col("sig")[i].cast("string")
+                                         for i in range(b * 4, (b + 1) * 4)]))
+                for b in range(4)
+            ])
+        ).alias("band_idx", "band_hash")
+    )
+    top = (
+        banded.groupBy("band_idx", "band_hash").count()
+        .agg((F.max("count") / F.sum("count")).alias("share"))
+        .collect()[0]["share"]
+    )
+    return float(top)
+
+
+def run_tier(spark, sf_dir: str, scale: str) -> dict:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = {"scale": scale, "n_docs": docs.count(), "n_vecs": emb.count()}
+
+    t = time.time()
+    q = D.minhash_lsh_pairs(docs, threshold=0.5, fast=True)
+    out["minhash_lsh_pairs"] = q.count()
+    no_cartesian(q)
+    out["minhash_lsh_sec"] = round(time.time() - t, 2)
+
+    t = time.time()
+    fps = D.simhash_fingerprints(docs, fast=True)
+    q = D.simhash_near_pairs(docs, max_hamming=3)
+    out["simhash_pairs"] = q.count()
+    no_cartesian(q)
+    out["simhash_sec"] = round(time.time() - t, 2)
+    del fps
+
+    t = time.time()
+    q = S.cosine_pairs_above_lsh(emb, threshold=0.999)
+    out["cosine_lsh_pairs"] = q.count()
+    no_cartesian(q)
+    out["cosine_lsh_sec"] = round(time.time() - t, 2)
+
+    t = time.time()
+    queries = emb.where(F.col("vec_id") < 10)
+    q = I.ivf_topk(queries, emb, k=5, nlist=16, nprobe=4)
+    out["ivf_topk_rows"] = q.count()
+    no_cartesian(q)
+    out["ivf_topk_sec"] = round(time.time() - t, 2)
+
+    out["band_skew_max_share"] = round(band_skew(docs), 6)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-soak")
+    if "--regen" in sys.argv or not os.path.isdir(f"{DST}/documents.parquet"):
+        generate(spark)
+    r1 = run_tier(spark, SRC, "1x")
+    print(json.dumps(r1))
+    r10 = run_tier(spark, DST, "10x")
+    print(json.dumps(r10))
+    ratios = {
+        k.replace("_sec", "_ratio"): round(r10[k] / max(r1[k], 1e-9), 2)
+        for k in r1
+        if k.endswith("_sec")
+    }
+    print(json.dumps({"summary": ratios}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
