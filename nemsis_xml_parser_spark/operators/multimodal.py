@@ -189,6 +189,102 @@ def fake_frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     )
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("duration_ms", DoubleType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+
+def decode_wav_meta(
+    content: bytes,
+) -> tuple[int | None, int | None, int | None, float | None, str | None]:
+    """RIFF/WAVE header parse: (sample_rate, channels, bits, duration_ms,
+    format).  Walks the chunk list to fmt/data — pure byte arithmetic,
+    no audio library; sample-level decode stays a codec seam."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None, None, None, None, None
+    pos = 12
+    rate = chans = bits = None
+    data_size = None
+    n = len(content)
+    while pos + 8 <= n:
+        cid = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= n:
+            chans, rate = struct.unpack("<HI", content[pos + 10 : pos + 16])
+            (bits,) = struct.unpack("<H", content[pos + 22 : pos + 24])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None:
+        return None, None, None, None, "wav"
+    dur = None
+    if data_size is not None and rate and chans and bits:
+        dur = data_size * 1000.0 / (rate * chans * (bits // 8))
+    return rate, chans, bits, dur, "wav"
+
+
+def make_wav_bytes(sample_rate: int, channels: int, n_samples: int,
+                   bits: int = 16) -> bytes:
+    """Minimal valid PCM WAV with silent samples."""
+    block = channels * (bits // 8)
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def extract_audio_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV header extraction — same plumbing shape as
+    ``extract_media_metadata``, audio-typed output."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rate, chans, bits, dur, fmt = decode_wav_meta(
+                    bytes(content) if content is not None else b""
+                )
+                out.append((path, rate, chans, bits, dur, fmt))
+            yield pd.DataFrame(
+                out,
+                columns=["path", "sample_rate", "channels", "bits",
+                         "duration_ms", "format"],
+            )
+
+    return media.mapInPandas(extract, schema=AUDIO_META_SCHEMA)
+
+
+def synthesize_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV corpus from an id column: sample rate cycles
+    8000/16000/44100 by ``id % 3``, channels = ``id % 2 + 1``, length =
+    ``id % 100 + 1`` samples — all predictable arithmetic for an external
+    oracle."""
+    rates = [8000, 16000, 44100]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                buf = make_wav_bytes(rates[i % 3], i % 2 + 1, i % 100 + 1)
+                rows.append((str(i), "audio/wav", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def make_image_bytes(fmt: str, width: int, height: int) -> bytes:
     """Minimal valid header bytes for one image of the given format — the
     deterministic media generator used to exercise the decode path without

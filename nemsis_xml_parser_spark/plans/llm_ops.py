@@ -1131,3 +1131,184 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+@register(
+    "text_pii_scrub",
+    family="text",
+    doc="PII scrubbing for training corpora: deterministic emails/phones "
+    "are injected by doc_id arithmetic (so the workload is non-trivial and "
+    "fully predictable), then redacted with the two standard patterns "
+    "(RE2-compatible: no backrefs, so Spark's Java regex and DuckDB's RE2 "
+    "agree) and audited per language: docs touched, redactions applied, "
+    "characters removed.  Pure map-side regexp until the final aggregate "
+    "- scrubbing 100 TB is embarrassingly parallel.",
+    oracle="""
+WITH injected AS (
+  SELECT lang,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id || '@example.com now'
+              WHEN doc_id % 7 = 0
+              THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT lang, t,
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                          '<EMAIL>', 'g'),
+           '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g'
+         ) AS s
+  FROM injected
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN s != t THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_scrubbed,
+       CAST(SUM(CASE WHEN contains(s, '<EMAIL>') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_email_docs,
+       CAST(SUM(CASE WHEN contains(s, '<PHONE>') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_phone_docs,
+       CAST(SUM(LENGTH(t) - LENGTH(s)) AS BIGINT) AS chars_delta
+FROM scrubbed
+GROUP BY lang
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com now"),
+        ),
+    ).when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"), F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    phone = r"[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    s = d.select(
+        "lang", injected.alias("t"), scrubbed.alias("s")
+    )
+    return s.groupBy("lang").agg(
+        F.sum((F.col("s") != F.col("t")).cast("int")).cast("bigint")
+        .alias("n_docs_scrubbed"),
+        F.sum(F.col("s").contains("<EMAIL>").cast("int")).cast("bigint")
+        .alias("n_email_docs"),
+        F.sum(F.col("s").contains("<PHONE>").cast("int")).cast("bigint")
+        .alias("n_phone_docs"),
+        F.sum(F.length("t") - F.length("s")).cast("bigint").alias("chars_delta"),
+    )
+
+
+@register(
+    "pack_sequences_cumsum",
+    family="text",
+    doc="Training-batch sequence packing (cumulative-fill): docs stream "
+    "per language in doc_id order into 2048-token packs; pack_id = "
+    "floor(preceding-cumsum / 2048) - the closed-form packing both "
+    "engines compute with one window.  Per-language partitioning keeps "
+    "the window parallel (one stream per partition at 100 TB - per-shard "
+    "packing; a global order-by window would serialize).  Output: "
+    "per-lang pack audit (packs, docs/pack, fill vs the 2048 budget).",
+    oracle="""
+WITH toks AS (
+  SELECT lang, doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LENGTH(TRIM(text)) - LENGTH(replace(TRIM(text), ' ', '')) + 1
+         END AS tok
+  FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, tok,
+         CAST(FLOOR(COALESCE(SUM(tok) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+           AS BIGINT) AS pack_id
+  FROM toks
+),
+packs AS (
+  SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(tok) AS tokens
+  FROM packed GROUP BY lang, pack_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(n_docs AS DOUBLE)), 6) AS avg_docs_per_pack,
+       ROUND(AVG(CAST(tokens AS DOUBLE) / 2048.0), 6) AS avg_fill,
+       CAST(MAX(tokens) AS BIGINT) AS max_pack_tokens
+FROM packs
+GROUP BY lang
+""",
+)
+def pack_sequences_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "doc_id", T.token_count(F.col("text")).alias("tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("tok").over(w), F.lit(0)) / 2048.0).cast("bigint"),
+    )
+    packs = packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens")
+    )
+    return packs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.avg(F.col("n_docs").cast("double")), 6).alias("avg_docs_per_pack"),
+        F.round(F.avg(F.col("tokens").cast("double") / 2048.0), 6).alias("avg_fill"),
+        F.max("tokens").cast("bigint").alias("max_pack_tokens"),
+    )
+
+
+@register(
+    "multimodal_audio_meta",
+    family="multimodal",
+    doc="Audio metadata decode, end-to-end: a deterministic WAV corpus "
+    "(rate cycling 8000/16000/44100 by doc_id%3, channels doc_id%2+1, "
+    "doc_id%100+1 samples) is synthesized as real RIFF bytes via "
+    "mapInPandas and decoded back by the REAL chunk-walking header parser "
+    "(operators/multimodal.py:decode_wav_meta).  The oracle predicts "
+    "rate/channels/duration from the same arithmetic; duration_ms = "
+    "samples*1000/rate exercises the fmt-chunk byte-rate math.",
+    oracle="""
+SELECT CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+         AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(doc_id % 2 + 1) AS BIGINT) AS sum_channels,
+       ROUND(SUM((doc_id % 100 + 1) * 1000.0
+             / CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END), 4)
+         AS sum_duration_ms
+FROM documents
+GROUP BY 1
+""",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_audio_metadata, synthesize_audio
+
+    d = table(spark, sf_dir, "documents")
+    meta = extract_audio_metadata(synthesize_audio(d.select("doc_id")))
+    return meta.groupBy(F.col("sample_rate").cast("bigint").alias("sample_rate")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("channels").cast("bigint").alias("sum_channels"),
+        F.round(F.sum("duration_ms"), 4).alias("sum_duration_ms"),
+    )

@@ -137,3 +137,25 @@ def test_resize_ppm_upscale_roundtrip():
     assert M.decode_image_meta(up) == (9, 4, "ppm")
     down = M.resize_ppm(up, 3, 2)
     assert down == buf  # nearest-neighbor up/down by integer factors
+
+
+def test_wav_decode_roundtrip():
+    buf = M.make_wav_bytes(16000, 2, 1600)  # 1600 stereo samples @16k
+    rate, chans, bits, dur, fmt = M.decode_wav_meta(buf)
+    assert (rate, chans, bits, fmt) == (16000, 2, 16, "wav")
+    assert dur == 100.0  # 1600/16000 s = 100 ms
+    # chunk walk survives an extra chunk before fmt (odd size → word align)
+    extra = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"LIST" + bytes([3, 0, 0, 0]) + b"abc\x00" + buf[12:]
+    rate2, chans2, _, dur2, _ = M.decode_wav_meta(extra)
+    assert (rate2, chans2, dur2) == (16000, 2, 100.0)
+    assert M.decode_wav_meta(b"RIFFxxxxAVI ") == (None, None, None, None, None)
+
+
+def test_extract_audio_metadata(spark, tmp_path):
+    (tmp_path / "a.wav").write_bytes(M.make_wav_bytes(8000, 1, 80))
+    (tmp_path / "b.bin").write_bytes(b"not audio")
+    meta = M.extract_audio_metadata(M.read_media_dir(spark, str(tmp_path)))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in meta.collect()}
+    assert rows["a.wav"]["sample_rate"] == 8000
+    assert rows["a.wav"]["duration_ms"] == 10.0
+    assert rows["b.bin"]["format"] is None
