@@ -1312,3 +1312,122 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("channels").cast("bigint").alias("sum_channels"),
         F.round(F.sum("duration_ms"), 4).alias("sum_duration_ms"),
     )
+
+
+@register(
+    "text_repetition_ratio",
+    family="text",
+    doc="Repetition quality signal for corpus filtering: per doc, the "
+    "share of the most frequent token (degenerate/boilerplate docs "
+    "repeat); per language, average share and the count of docs above "
+    "the 0.5 repetition threshold.  Explode -> two-level aggregate; "
+    "at 100 TB this is the standard token-frequency shuffle bounded by "
+    "vocabulary per doc, and the doc-level reduce is a partial agg.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         UNNEST(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS token
+  FROM documents
+),
+per_tok AS (
+  SELECT doc_id, lang, token, COUNT(*) AS n FROM tok GROUP BY ALL
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_share
+  FROM per_tok GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(top_share), 6) AS avg_top_share,
+       CAST(SUM(CASE WHEN top_share > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive
+FROM per_doc
+GROUP BY lang
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    per_tok = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        (F.max("n").cast("double") / F.sum("n")).alias("top_share")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("top_share"), 6).alias("avg_top_share"),
+        F.sum((F.col("top_share") > 0.5).cast("int")).cast("bigint")
+        .alias("n_repetitive"),
+    )
+
+
+@register(
+    "pack_greedy_audit",
+    family="text",
+    doc="Boundary-respecting first-fit packing (operators/packing.py:"
+    "greedy_pack, applyInPandas per language shard - a doc is never "
+    "split; a pack closes when the next doc would overflow 2048).  The "
+    "sequential fold is genuinely non-relational, yet still fully "
+    "oracle-checked: the DuckDB twin replays the same first-fit walk "
+    "with a recursive CTE stepping one doc at a time per shard.  Audit "
+    "output per language: packs, overflow-free fill, oversized docs.",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LENGTH(TRIM(text)) - LENGTH(replace(TRIM(text), ' ', '')) + 1
+         END AS tok
+  FROM documents
+),
+seq AS (
+  SELECT lang, doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM toks
+),
+walk AS (
+  SELECT lang, rn, tok, tok AS cur, CAST(0 AS BIGINT) AS pack_id
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.lang, s.rn, s.tok,
+         CASE WHEN w.cur + s.tok > 2048 THEN s.tok ELSE w.cur + s.tok END,
+         CASE WHEN w.cur + s.tok > 2048 THEN w.pack_id + 1 ELSE w.pack_id END
+  FROM walk w JOIN seq s ON s.lang = w.lang AND s.rn = w.rn + 1
+),
+packs AS (
+  SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(tok) AS tokens
+  FROM walk GROUP BY lang, pack_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       ROUND(AVG(CASE WHEN tokens <= 2048 THEN CAST(tokens AS DOUBLE) / 2048.0 END), 6)
+         AS avg_fill_ok,
+       CAST(SUM(CASE WHEN tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize
+FROM packs
+GROUP BY lang
+""",
+)
+def pack_greedy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+    from ..operators.packing import greedy_pack
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "doc_id", T.token_count(F.col("text")).alias("tok")
+    )
+    packs = greedy_pack(toks, budget=2048, shard_col="lang")
+    return packs.groupBy(F.col("shard").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.avg(F.when(~F.col("oversize"), F.col("fill"))), 6
+        ).alias("avg_fill_ok"),
+        F.sum(F.col("oversize").cast("int")).cast("bigint").alias("n_oversize"),
+    )
