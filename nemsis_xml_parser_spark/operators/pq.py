@@ -1,0 +1,206 @@
+"""Product quantization (PQ) — ANN memory compression, completing the
+similarity tier (brute force → LSH buckets → IVF cells → PQ codes).
+
+A dim-float vector becomes ``m`` small codes (one byte each at ksub ≤
+256): the vector is split into ``m`` subvectors, each quantized to its
+nearest centroid in a per-subspace codebook.  At 100 TB this is the
+difference between holding 256 GB of float32 vectors and 16 GB of codes
+per billion vectors; search uses asymmetric distance (ADC) — exact query
+subvectors against codebook entries — so only KB-scale lookup tables are
+computed per query.
+
+Spark-first: ALL subspaces train in ONE distributed Lloyd's loop (the
+subspace index is just another grouping key — m separate k-means jobs
+would be m× the scheduler round-trips), assignment is the same
+broadcast-argmin hash aggregate as IVF (operators/ivf.py:_nearest), and
+ADC search is two equi-joins (LUT build, code lookup) plus a window
+top-k.  No driver-side math; only the m×ksub codebook (KB-scale) is ever
+broadcast or checkpointed.
+
+Iterative k-means is not one SQL statement, so the registered query is
+rows-only by design; determinism (seeded init, rounded distances, id
+tie-breaks) and self-retrieval/recall are pytest-asserted
+(tests/test_pq.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions import vectors as V
+
+
+def _subvectors(
+    corpus: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(__vid, sub_idx, sv ARRAY<DOUBLE>[dim/m]) — narrow projection."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    v = V.to_double_array(F.col(vec_col))
+    return corpus.select(F.col(id_col).alias("__vid"), v.alias("__v")).select(
+        "__vid",
+        F.posexplode(
+            F.array(*[F.slice("__v", i * sub + 1, sub) for i in range(m)])
+        ).alias("sub_idx", "sv"),
+    )
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_code(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (__vid, sub_idx): broadcast the m×ksub
+    codebook, hash-aggregate min(struct(dist, code)) — no sort, map-side
+    combine, the IVF assignment pattern."""
+    d = F.round(_sq_dist(F.col("sv"), F.col("centroid")), 6)
+    expanded = subs.join(F.broadcast(codebooks), "sub_idx").withColumn("dist", d)
+    best = expanded.groupBy("__vid", "sub_idx").agg(
+        F.min(F.struct("dist", "code")).alias("best"),
+        F.first("sv").alias("sv"),
+    )
+    return best.select(
+        "__vid",
+        "sub_idx",
+        "sv",
+        F.col("best.code").alias("code"),
+        F.col("best.dist").alias("dist"),
+    )
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Joint distributed Lloyd's over all m subspaces →
+    DataFrame(sub_idx INT, code INT, centroid ARRAY<DOUBLE>).
+
+    Deterministic seeding per subspace: the subvector of the smallest
+    ``__vid`` in each ``__vid % ksub`` stratum (IVF's scheme, one per
+    (sub_idx, stratum)).  Each iteration shuffles only (sub_idx, code,
+    dim)-sized aggregates, never raw vectors by key."""
+    subs = _subvectors(corpus, m, dim, id_col, vec_col)
+    seed_ids = (
+        subs.withColumn("g", (F.col("__vid") % ksub).cast("int"))
+        .groupBy("sub_idx", "g")
+        .agg(F.min("__vid").alias("__vid"))
+    )
+    codebooks = seed_ids.join(subs, ["__vid", "sub_idx"]).select(
+        "sub_idx", F.col("g").alias("code"), F.col("sv").alias("centroid")
+    )
+    for _ in range(iters):
+        assigned = _nearest_code(subs, codebooks)
+        codebooks = (
+            assigned.select(
+                "sub_idx", "code", F.posexplode("sv").alias("dim", "val")
+            )
+            .groupBy("sub_idx", "code", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("sub_idx", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("centroid")
+            )
+        )
+        # KB-scale table; checkpoint so each Lloyd round doesn't deepen the
+        # lineage into iters× corpus re-scans (same rationale as ivf.py)
+        codebooks = codebooks.localCheckpoint(eager=True)
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes ARRAY<INT>[m]) — the compressed corpus.  At scale
+    this is the table you persist (and optionally partition by an IVF cid
+    for IVF-PQ)."""
+    subs = _subvectors(corpus, m, dim, id_col, vec_col)
+    return (
+        _nearest_code(subs, codebooks)
+        .groupBy("__vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .select(F.col("__vid").alias(id_col), "codes")
+    )
+
+
+def pq_reconstruction_error(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sq_error) — total squared quantization error per vector
+    (the sum of per-subspace assignment distances; trains' objective)."""
+    subs = _subvectors(corpus, m, dim, id_col, vec_col)
+    return (
+        _nearest_code(subs, codebooks)
+        .groupBy("__vid")
+        .agg(F.round(F.sum("dist"), 6).alias("sq_error"))
+        .select(F.col("__vid").alias(id_col), "sq_error")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: exact query subvectors against codebook centroids build
+    a per-query lookup table (|Q|·m·ksub rows, KB-scale — broadcast);
+    the compressed corpus then needs only an equi-join on (sub_idx, code)
+    and a sum — vectors are never decompressed.  Compose with IVF cells
+    to prune candidates (IVF-PQ) when |corpus|·|Q| partials is too much."""
+    qsubs = _subvectors(queries, m, dim, id_col, vec_col).withColumnRenamed(
+        "__vid", "query_id"
+    )
+    lut = qsubs.join(F.broadcast(codebooks), "sub_idx").select(
+        "query_id",
+        "sub_idx",
+        "code",
+        F.round(_sq_dist(F.col("sv"), F.col("centroid")), 6).alias("pdist"),
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_idx", "code"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exploded.join(F.broadcast(lut), ["sub_idx", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("pdist"), 6).alias("adc_dist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

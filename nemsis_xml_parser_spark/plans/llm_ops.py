@@ -1431,3 +1431,97 @@ def pack_greedy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_fill_ok"),
         F.sum(F.col("oversize").cast("int")).cast("bigint").alias("n_oversize"),
     )
+
+
+@register(
+    "pq_adc_seeded_topk",
+    family="similarity",
+    doc="Product-quantization ADC search with the deterministic SEEDED "
+    "codebook (operators/pq.py, iters=0 - seeding, encoding and "
+    "asymmetric-distance search are all closed-form, so the whole "
+    "compress-then-search path is oracle-checked bit-for-bit; only "
+    "Lloyd's refinement is iterative and lives in the rows-only twin "
+    "ann_pq_topk).  8 subspaces x 16 codes over dim-64: the corpus "
+    "shrinks 32x and search touches only codes + a KB-scale LUT.",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, s.sub_idx, list_slice(v, s.sub_idx * 8 + 1, s.sub_idx * 8 + 8) AS sv
+  FROM vecs, (SELECT UNNEST(range(8)) AS sub_idx) s
+),
+seed_ids AS (
+  SELECT sub_idx, vec_id % 16 AS code, MIN(vec_id) AS svid
+  FROM subs GROUP BY sub_idx, vec_id % 16
+),
+codebook AS (
+  SELECT si.sub_idx, si.code, s.sv AS centroid
+  FROM seed_ids si JOIN subs s ON s.vec_id = si.svid AND s.sub_idx = si.sub_idx
+),
+dists AS (
+  SELECT s.vec_id, s.sub_idx, cb.code,
+         ROUND(list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, cb.centroid)
+               + list_dot_product(cb.centroid, cb.centroid), 6) AS d
+  FROM subs s JOIN codebook cb ON cb.sub_idx = s.sub_idx
+),
+assigned AS (
+  SELECT vec_id, sub_idx, code, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                                 ORDER BY d ASC, code ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT d.vec_id AS query_id, d.sub_idx, d.code, d.d AS pdist
+  FROM dists d WHERE d.vec_id < 3
+),
+adc AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id,
+         ROUND(SUM(l.pdist), 6) AS adc_dist
+  FROM assigned a JOIN lut l ON l.sub_idx = a.sub_idx AND l.code = a.code
+  WHERE l.query_id != a.vec_id
+  GROUP BY l.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 3
+""",
+)
+def pq_adc_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as P
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebooks = P.train_pq(emb, m=8, ksub=16, iters=0, dim=64)
+    codes = P.pq_encode(emb, codebooks, m=8, dim=64)
+    queries = emb.where(F.col("vec_id") < 3)
+    out = P.pq_topk(queries, codes, codebooks, k=3, m=8, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "ann_pq_topk",
+    family="similarity",
+    doc="PQ ADC top-3 with the TRAINED codebook (3 joint Lloyd's "
+    "iterations across all 8 subspaces - one distributed loop, not m "
+    "separate k-means jobs).  Iterative training is not one SQL "
+    "statement, so rows-only by design (same contract as ann_ivf_topk); "
+    "the closed-form seeded twin pq_adc_seeded_topk carries the full "
+    "oracle, and recall/determinism/objective-decrease are asserted in "
+    "tests/test_pq.py.",
+    oracle=None,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as P
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebooks = P.train_pq(emb, m=8, ksub=16, iters=3, dim=64)
+    codes = P.pq_encode(emb, codebooks, m=8, dim=64)
+    queries = emb.where(F.col("vec_id") < 3)
+    return P.pq_topk(queries, codes, codebooks, k=3, m=8, dim=64)
