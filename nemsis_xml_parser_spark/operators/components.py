@@ -1,0 +1,126 @@
+"""Connected components over a candidate-pair edge list (dedup clustering).
+
+Near-dup pair generators (``operators.dedup.minhash_lsh_pairs``,
+``simhash_near_pairs``, the cosine-LSH pair query) emit *pairs*; a
+production dedup pass needs *clusters* — every document mapped to a
+canonical component id so exactly one survivor per near-dup group can
+be elected.  Pairs → clusters is transitive closure, i.e. graph
+connected components.
+
+Algorithm: iterative min-label propagation with pointer jumping
+(path compression), the DataFrame rendering of the alternating-
+algorithm family (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14).  Per round every node takes the minimum label
+in its closed neighborhood, then labels are compressed one hop
+(``L(v) := L(L(v))``), cutting convergence from O(diameter) to
+O(log diameter) rounds.  Each round is two equi-joins that shuffle on
+node id — no ``collect_set`` of neighborhoods, so a giant star (one
+hub with 10^9 spokes) never materializes a single huge row.  Lineage
+is cut per round with ``localCheckpoint`` (same pattern as
+``operators/ivf.py``: without it round N's plan re-executes rounds
+1..N-1); on a real cluster swap for reliable ``checkpoint()`` so
+executor loss cannot lose the round state.
+
+The reference has no graph operators at all — this extends the engine
+for the LLM-dedup pipeline the brief makes first-class.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node BIGINT, component BIGINT) — component is the min node id
+    reachable from ``node`` over the undirected edge set.
+
+    Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
+    (pointer jumping needs ~log2(diameter) rounds, so 25 covers any
+    graph with diameter < 2^25 — in practice every dedup graph).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).where(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # 1. propagate: every node offers its label to each neighbor
+        msgs = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # 2. pointer jump: comp := label(comp).  Labels only ever
+        # decrease and label(c) <= c, so least() == the jumped label.
+        jump = new.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp_jump")
+        )
+        new = (
+            new.join(jump, "comp", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("comp_jump"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+        )
+        labels = new
+        if changed.isEmpty():
+            return labels.select("node", F.col("comp").alias("component"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) from near-dup pairs.
+
+    ``nodes`` (optional, one ``id_col`` column) is the document
+    universe: ids appearing in no pair become singleton clusters of
+    themselves — so the output is a total assignment usable directly
+    for survivor election (``min(doc_id) per cluster_id`` keeps one
+    canonical copy per group).
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    if nodes is None:
+        base = comp.select(F.col("node").alias(id_col), "component")
+    else:
+        base = nodes.select(F.col(id_col).cast("long").alias(id_col)).join(
+            comp, F.col(id_col) == F.col("node"), "left"
+        ).select(id_col, "component")
+    out = base.select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("cluster_id")
+    )
+    return out.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )

@@ -1525,3 +1525,59 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = P.pq_encode(emb, codebooks, m=8, dim=64)
     queries = emb.where(F.col("vec_id") < 3)
     return P.pq_topk(queries, codes, codebooks, k=3, m=8, dim=64)
+
+
+@register(
+    "dedup_cluster_components",
+    family="dedup",
+    doc="Near-dup pairs -> duplicate CLUSTERS via distributed connected "
+    "components (min-label propagation + pointer jumping, "
+    "operators/components.py).  Edges are 3-gram Jaccard >= 0.01 pairs on "
+    "doc_id < 120 (one 104-doc giant component, several small ones, "
+    "singletons), so the oracle's recursive CTE exercises real multi-hop "
+    "transitive closure.  cluster_id = min doc_id in the component; "
+    "survivor election is then min(doc_id) per cluster.",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM documents WHERE doc_id < 120
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.01
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 120
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import components as C
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.01)
+    return C.dedup_clusters(pairs, nodes=d.select("doc_id"))

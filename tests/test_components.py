@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from nemsis_xml_parser_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp: dict[int, list[int]] = {}
+    for v in range(n_nodes):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _uf_components(n, edges)
+    touched = {v for e in edges for v in e if e[0] != e[1]}
+    assert got == {v: want[v] for v in touched}
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # a 64-node path has diameter 63; pointer jumping must close it in
+    # far fewer than 63 rounds — max_iter=12 would fail plain propagation
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = connected_components(df, max_iter=12).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 64
+
+
+def test_no_convergence_raises(spark):
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_clusters_includes_singletons(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs, nodes=nodes).collect()}
+    assert {k: r["cluster_id"] for k, r in rows.items()} == {
+        0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5,
+    }
+    assert rows[2]["cluster_size"] == 3
+    assert rows[0]["cluster_size"] == 1
