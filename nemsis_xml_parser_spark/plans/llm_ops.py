@@ -1581,3 +1581,81 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.01)
     return C.dedup_clusters(pairs, nodes=d.select("doc_id"))
+
+
+@register(
+    "text_bm25_score",
+    family="text",
+    doc="Okapi BM25 relevance score per document for probe query "
+    "{spark, join, window} (k1=1.2, b=0.75) — operators/ranking.py: "
+    "tf filtered before the shuffle, df/corpus stats broadcast, all "
+    "arithmetic codegen-side.  avgdl is exact BIGINT-sum / count so "
+    "both engines divide the same integers.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * (1.2 + 1.0))
+         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, ROUND(SUM(s), 6) AS bm25 FROM scored GROUP BY doc_id
+""",
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranking as R
+
+    d = table(spark, sf_dir, "documents")
+    return R.bm25_scores(d, terms=("spark", "join", "window"))
+
+
+@register(
+    "profile_documents_columns",
+    family="profiling",
+    doc="One-pass ANALYZE-style column profile of the documents table "
+    "(operators/profiling.py): null count, exact distinct count, "
+    "min/max per column — the table is scanned once and the single "
+    "aggregate row is unpivoted with stack().",
+    oracle="""
+SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(doc_id) AS n_null, COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+       MIN(text), MAX(text) FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+       MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+""",
+)
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profiling as PF
+
+    return PF.profile_columns(table(spark, sf_dir, "documents"))
