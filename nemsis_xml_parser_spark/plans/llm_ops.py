@@ -1659,3 +1659,29 @@ def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import profiling as PF
 
     return PF.profile_columns(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_ivfpq_topk",
+    family="similarity",
+    doc="IVF-PQ composed ANN (operators/ivfpq.py): coarse cells prune "
+    "WHICH vectors are scored (nprobe/nlist of the corpus via a cid "
+    "equi-join), residual PQ compresses WHAT is stored (m codes vs dim "
+    "floats, ADC lookup tables per probed cell).  Iterative double "
+    "Lloyd's training is not one SQL statement, so rows-only by design "
+    "(same contract as ann_ivf_topk/ann_pq_topk); pruning, determinism "
+    "and recall vs exact L2 are asserted in tests/test_ivfpq.py.",
+    oracle=None,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ivfpq as X
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, codebooks, codes = X.train_ivfpq(
+        emb, nlist=8, m=8, ksub=16, iters_coarse=2, iters_pq=1, dim=64
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    out = X.ivfpq_topk(queries, centroids, codebooks, codes, k=3, nprobe=3, m=8, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
+    )
