@@ -49,6 +49,10 @@ HEADLINE = [
     "decontaminate_split_overlap",
     "text_unigram_logprob",
     "events_funnel_conversion",
+    # round 2 flagships
+    "dedup_cluster_components",
+    "text_bm25_score",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -1685,3 +1685,105 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    family="text",
+    doc="Bigram language-model quality scoring with add-one smoothing: "
+    "avg ln((c(w1,w2)+1)/(c(w1)+V)) per document — the next step up "
+    "from text_unigram_logprob as a perplexity proxy (catches shuffled/"
+    "unnatural token order that unigram stats cannot).  Same determinism "
+    "contract: per-bigram logprob rounded and cast to DECIMAL before the "
+    "per-doc SUM, so aggregation is exact and order-independent.  Scale: "
+    "two count aggregates (bigram, context) + one vocab scalar, then a "
+    "score join keyed on the bigram — broadcast when the model fits, "
+    "shuffle-join otherwise.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT token) AS v FROM (SELECT UNNEST(t) AS token FROM toks)),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN((n2 + 1.0) / (n1 + v)), 6) AS DECIMAL(12,6)) AS lp
+  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    big = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(0, size(t) - 2),"
+            " i -> struct(t[i] AS w1, t[i + 1] AS w2)))"
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = toks.select(F.explode("t").alias("token")).agg(
+        F.count_distinct("token").alias("v")
+    )
+    scored = (
+        big.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(F.log((F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.col("v"))), 6)
+            .cast("decimal(12,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )
+
+
+@register(
+    "sample_topk_per_source",
+    family="dedup",
+    doc="Fixed-SIZE deterministic sampling: exactly k=10 docs per source, "
+    "chosen by md5-hash ranking (the distributed reservoir-sample "
+    "equivalent — same uniform-without-replacement marginal, but "
+    "reproducible across runs/engines, unlike rand() reservoirs).  "
+    "Complements sample_stratified_hash (fixed RATE): caps over-"
+    "represented sources at a hard per-group budget.  One shuffle on "
+    "source for the window rank; the hash is computed map-side.",
+    oracle="""
+SELECT source, doc_id, lang
+FROM (
+  SELECT source, doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 10
+""",
+)
+def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("source", "doc_id", "lang")
+    )
