@@ -51,15 +51,26 @@ def connected_components(
         & F.col("dst").isNotNull()
         & (F.col("src") != F.col("dst"))
     )
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Materialize the symmetrized edge list ONCE: every propagation round
+    # joins against it, and without the checkpoint each round would
+    # re-execute the upstream candidate-generation pipeline (at scale:
+    # re-running MinHash/LSH per iteration).  On a cluster, persist or
+    # reliable-checkpoint instead.
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Convergence probe: labels only ever decrease, so sum(comp) strictly
+    # decreases until the fixpoint — one scalar aggregate per round on the
+    # checkpointed (node, comp) table, cheaper than a change-detection join.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         # 1. propagate: every node offers its label to each neighbor
         msgs = sym.join(labels, sym["src"] == labels["node"]).select(
@@ -85,14 +96,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-        )
         labels = new
-        if changed.isEmpty():
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
             return labels.select("node", F.col("comp").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 

@@ -1787,3 +1787,57 @@ def sample_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("source", "doc_id", "lang")
     )
+
+
+@register(
+    "text_boilerplate_ratio",
+    family="text",
+    doc="Cross-document repeated-span (boilerplate) detection: the share "
+    "of each document's distinct 5-token spans that occur in >= 5 "
+    "distinct documents — the span-level curation metric for stripping "
+    "templates/navigation from web corpora (word-shingle approximation "
+    "of the suffix-array exact-substring method of Lee et al. 2022).  "
+    "Two shuffles: span document-frequency aggregate, then the "
+    "span-keyed join back; both keyed on the span hash at scale.",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 3),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+4], ' '))) AS shingle
+    FROM documents
+  )
+),
+spans AS (SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       COUNT(*) AS n_spans,
+       COUNT(*) FILTER (WHERE spans.n_docs >= 5) AS n_boilerplate,
+       ROUND(CAST(COUNT(*) FILTER (WHERE spans.n_docs >= 5) AS DOUBLE) / COUNT(*), 6)
+         AS boilerplate_ratio
+FROM sh JOIN spans USING (shingle)
+GROUP BY sh.doc_id
+""",
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(T.word_ngrams(F.col("text"), 5))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    spans = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(spans, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_if(F.col("n_docs") >= 5).alias("n_boilerplate"),
+            F.round(
+                F.count_if(F.col("n_docs") >= 5).cast("double") / F.count(F.lit(1)), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )

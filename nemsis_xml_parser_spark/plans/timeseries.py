@@ -89,3 +89,38 @@ def events_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "events_view_click_attribution",
+    family="timeseries",
+    doc="Interval-join attribution: every click within 30 minutes after a "
+    "view by the same user (streaming/joins.py — the batch twin of the "
+    "watermarked stream-stream join; same condition builder, parity "
+    "tested in tests/test_stream_joins.py).  Equi half (user_id) drives "
+    "the shuffle; the interval half filters within partitions.",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.ts AS view_ts,
+       c.ts AS click_ts,
+       c.value AS click_value
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view'
+ AND c.event_type = 'click'
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+)
+def events_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import attribute_clicks_batch
+
+    ev = table(spark, sf_dir, "events")
+    return attribute_clicks_batch(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        horizon="30 minutes",
+    )

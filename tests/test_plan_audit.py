@@ -39,6 +39,9 @@ JUSTIFIED_BNLJ = {
     "q22_dormant_high_balance",  # broadcast 1-row avg-balance scalar
     "skew_key_audit",        # broadcast 1-row total scalar
     "text_unigram_logprob",  # broadcast 1-row corpus-size scalar
+    "text_bigram_logprob",   # broadcast 1-row vocab-size scalar
+    "text_bm25_score",       # broadcast 1-row (n_docs, avgdl) scalar
+    "ann_ivfpq_topk",        # broadcast centroid/codebook sets (KB-scale)
 }
 
 
