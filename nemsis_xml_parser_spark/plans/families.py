@@ -678,3 +678,43 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "agg_corr_manual",
+    family="agg",
+    doc="Pearson correlation via exact decimal moments (sx, sy, sxy, sxx, "
+    "syy summed as DECIMAL — order-independent — then one identical "
+    "double expression on both engines; builtin corr() accumulates in "
+    "float and is not reproducible across engines/partitionings).",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+             / SQRT((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+                    * (COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(dec2("l_quantity")).cast("double")
+    sy = F.sum(dec2("l_extendedprice")).cast("double")
+    sxy = F.sum(dec2("l_quantity") * dec2("l_extendedprice")).cast("double")
+    sxx = F.sum(dec2("l_quantity") * dec2("l_quantity")).cast("double")
+    syy = F.sum(dec2("l_extendedprice") * dec2("l_extendedprice")).cast("double")
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+    )

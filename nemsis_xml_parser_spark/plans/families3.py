@@ -616,3 +616,42 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dot_reversed"),
     )
+
+
+@register(
+    "join_fuzzy_name_match",
+    family="join",
+    doc="Entity-resolution fuzzy join (operators/fuzzy.py): customer-name "
+    "pairs within edit distance 1 via FastSS deletion-neighborhood "
+    "blocking — an equi-join on deletion variants replaces the O(n^2) "
+    "levenshtein cross join; exact levenshtein verifies only the "
+    "candidates.  Input bounded to c_custkey < 400 to keep the checked "
+    "output compact.",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer WHERE c_custkey < 400
+),
+keys AS (
+  SELECT id, name,
+         UNNEST(list_prepend(name,
+                list_transform(range(1, len(name) + 1),
+                               i -> substr(name, 1, i - 1) || substr(name, i + 1)))) AS key
+  FROM base
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+  FROM keys a JOIN keys b ON a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, name_a, name_b, levenshtein(name_a, name_b) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+""",
+)
+def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_pairs
+
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") < 400)
+    out = fuzzy_pairs(c, id_col="c_custkey", text_col="c_name", max_dist=1)
+    return out.select(
+        "id_a", "id_b", "name_a", "name_b", F.col("dist").cast("bigint").alias("dist")
+    )

@@ -22,8 +22,11 @@ sys.path.insert(0, "/root/repo")
 
 import pyspark.sql.functions as F  # noqa: E402
 
+from nemsis_xml_parser_spark.operators import components as C  # noqa: E402
 from nemsis_xml_parser_spark.operators import dedup as D  # noqa: E402
 from nemsis_xml_parser_spark.operators import ivf as I  # noqa: E402
+from nemsis_xml_parser_spark.operators import ivfpq as X  # noqa: E402
+from nemsis_xml_parser_spark.operators import ranking as R  # noqa: E402
 from nemsis_xml_parser_spark.operators import similarity as S  # noqa: E402
 from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
 
@@ -131,6 +134,30 @@ def run_tier(spark, sf_dir: str, scale: str) -> dict:
     out["ivf_topk_rows"] = q.count()
     no_cartesian(q)
     out["ivf_topk_sec"] = round(time.time() - t, 2)
+
+    # round-2 tier: clusters from pairs, BM25, boilerplate spans, IVF-PQ
+    t = time.time()
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, fast=True)
+    comp = C.dedup_clusters(pairs, nodes=docs.select("doc_id"))
+    out["components_clusters"] = comp.select("cluster_id").distinct().count()
+    no_cartesian(comp)
+    out["components_sec"] = round(time.time() - t, 2)
+
+    t = time.time()
+    q = R.bm25_scores(docs, terms=("spark", "join", "window"))
+    out["bm25_rows"] = q.count()
+    no_cartesian(q)
+    out["bm25_sec"] = round(time.time() - t, 2)
+
+    t = time.time()
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids, codebooks, codes = X.train_ivfpq(
+        emb, nlist=16, m=8, ksub=16, iters_coarse=2, iters_pq=1
+    )
+    q = X.ivfpq_topk(queries, centroids, codebooks, codes, k=5, nprobe=4)
+    out["ivfpq_rows"] = q.count()
+    no_cartesian(q)
+    out["ivfpq_sec"] = round(time.time() - t, 2)
 
     out["band_skew_max_share"] = round(band_skew(docs), 6)
     return out
