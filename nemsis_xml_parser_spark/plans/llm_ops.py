@@ -1841,3 +1841,111 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    family="similarity",
+    doc="SPARSE vector similarity: document-pair cosine over tf-idf "
+    "weighted token vectors (doc_id < 80), computed as a token-keyed "
+    "join of postings — the sparse twin of the dense embedding cosine "
+    "operators (no dim-length arrays; cost scales with nonzeros).  "
+    "Determinism: idf is rounded to DECIMAL(12,6) once, weights and "
+    "their products stay DECIMAL (exact, order-independent sums); the "
+    "single double division + sqrt at the end is identical on both "
+    "engines.  Scale: postings join shuffles on token; stop-token skew "
+    "is bounded by the idf weight itself (high-df tokens carry ~zero "
+    "weight) and AQE skew splitting.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE doc_id < 80 GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf AS DECIMAL(12,0))
+           * CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / (1 + df)), 6) AS DECIMAL(12,6))
+           AS wt
+  FROM tf JOIN dfreq USING (term), n
+),
+norms AS (
+  SELECT doc_id, SQRT(CAST(SUM(CAST(wt AS DECIMAL(18,6)) * CAST(wt AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CAST(a.wt AS DECIMAL(18,6)) * CAST(b.wt AS DECIMAL(18,6))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.75
+""",
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+    tf = (
+        tok.where(F.col("doc_id") < 80)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("decimal(12,0)")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / (F.lit(1) + F.col("df"))), 6
+                ).cast("decimal(12,6)")
+            ).alias("wt"),
+        )
+    )
+    w18 = F.col("wt").cast("decimal(18,6)")
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(w18 * w18).cast("double")).alias("nrm")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(
+                F.col("a.wt").cast("decimal(18,6)") * F.col("b.wt").cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .where(cos >= 0.75)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )
