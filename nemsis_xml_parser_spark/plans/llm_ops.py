@@ -1949,3 +1949,55 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.75)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@register(
+    "sample_temperature_rebalance",
+    family="dedup",
+    doc="Multilingual corpus rebalancing by inverse-sqrt frequency "
+    "(temperature-0.5 smoothing a la multilingual-BERT exponent "
+    "sampling): keep-rate(lang) = sqrt(n_min/n_lang), so the most "
+    "over-represented language is downsampled hardest and the rarest "
+    "kept whole.  Rates derive only from exact integer counts + one "
+    "sqrt (bit-identical across engines); membership is the md5-bucket "
+    "threshold — deterministic, re-runnable, monotone under corpus "
+    "growth.  One count aggregate + one broadcast join; acceptance is "
+    "a map-side filter.",
+    oracle="""
+WITH counts AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n_before) AS n_min FROM counts),
+rates AS (
+  SELECT lang, n_before,
+         CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE) / n_before) * 1000000) AS BIGINT)
+           AS threshold
+  FROM counts, mn
+)
+SELECT r.lang, r.n_before, r.threshold, COUNT(*) AS n_after
+FROM documents d
+JOIN rates r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 1000000 < r.threshold
+GROUP BY r.lang, r.n_before, r.threshold
+""",
+)
+def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    mn = counts.agg(F.min("n_before").alias("n_min"))
+    rates = counts.join(F.broadcast(mn)).select(
+        "lang",
+        "n_before",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_before")) * 1000000
+        )
+        .cast("bigint")
+        .alias("threshold"),
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(md5_long(F.col("doc_id").cast("string")) % 1000000 < F.col("threshold"))
+        .groupBy("lang", "n_before", "threshold")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )

@@ -124,3 +124,59 @@ def events_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.where(F.col("event_type") == "click"),
         horizon="30 minutes",
     )
+
+
+@register(
+    "events_anomaly_mad",
+    family="timeseries",
+    doc="Robust anomaly detection over the hourly event-count series: "
+    "per event_type, median and MAD (median absolute deviation) of "
+    "hourly counts, then the robust z-score (n - med)/(1.4826*MAD) per "
+    "hour, keeping |z| >= 2 — the outlier monitor that mean/stddev "
+    "cannot provide under heavy tails (Spark percentile ≡ DuckDB "
+    "quantile_cont gives exact cross-engine medians).  Two small "
+    "aggregates over the already-reduced hourly rollup; the raw event "
+    "scan happens once.",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+med AS (
+  SELECT event_type, CAST(quantile_cont(n, 0.5) AS DOUBLE) AS med
+  FROM hourly GROUP BY event_type
+),
+mad AS (
+  SELECT hourly.event_type,
+         CAST(quantile_cont(ABS(n - med), 0.5) AS DOUBLE) AS mad
+  FROM hourly JOIN med USING (event_type)
+  GROUP BY hourly.event_type
+)
+SELECT hourly.event_type, h, n,
+       ROUND((n - med) / (1.4826 * mad), 6) AS robust_z
+FROM hourly
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+WHERE mad > 0 AND ABS((n - med) / (1.4826 * mad)) >= 2
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n", 0.5).alias("med")
+    )
+    mad = (
+        hourly.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("n") - F.col("med")), 0.5).alias("mad"))
+    )
+    z = (F.col("n") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        hourly.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) >= 2))
+        .select("event_type", "h", "n", F.round(z, 6).alias("robust_z"))
+    )

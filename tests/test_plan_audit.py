@@ -42,6 +42,7 @@ JUSTIFIED_BNLJ = {
     "text_bigram_logprob",   # broadcast 1-row vocab-size scalar
     "text_bm25_score",       # broadcast 1-row (n_docs, avgdl) scalar
     "text_tfidf_cosine_pairs",  # broadcast 1-row n_docs scalar
+    "sample_temperature_rebalance",  # broadcast 1-row n_min scalar
     "ann_ivfpq_topk",        # broadcast centroid/codebook sets (KB-scale)
 }
 
