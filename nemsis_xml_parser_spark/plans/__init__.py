@@ -38,6 +38,26 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "scalar_string_battery", "scalar_date_battery", "scalar_math_battery",
     "json_extract_events", "case_when_bands", "events_hourly_rollup",
     "subquery_scalar_avg", "subquery_in_list", "subquery_correlated_max",
+    # CORRECTNESS_r02.json
+    "agg_corr_manual", "agg_filter_clause", "agg_having",
+    "agg_percentile_approx", "agg_percentile_exact", "ann_ivf_topk",
+    "ann_lsh_bucket_stats", "array_agg_battery", "array_hof_battery",
+    "asof_join_last_signup", "cross_join_small", "date_arithmetic_battery",
+    "dedup_embedding_cosine_pairs", "dedup_exact_fingerprint",
+    "dedup_exact_survivors", "dedup_minhash_lsh_candidates",
+    "dedup_ngram_jaccard_pairs", "dedup_simhash_fingerprints",
+    "events_anomaly_mad", "events_funnel_conversion", "events_gapfill_hourly",
+    "events_retention_cohorts", "events_sessionize",
+    "events_time_rollup_hierarchy", "events_view_click_attribution",
+    "explode_tokens", "join_fuzzy_name_match", "join_lateral_topk",
+    "join_nullsafe_eq", "join_range_interval_banded", "join_salted_skew",
+    "knn_cosine_topk", "map_build_battery", "multimodal_binary_roundtrip",
+    "pivot_status_by_segment", "q14_promo_revenue_share", "q18_large_orders",
+    "q19_disjunctive_filter_join", "recursive_cte_key_depth",
+    "scalar_conditional_battery", "set_except_all", "set_intersect_all",
+    "set_union_all", "sketch_hll_mergeable", "text_langid_confusion",
+    "text_token_stats", "unpivot_stack", "window_analytic_battery",
+    "window_locf_fill", "window_range_frame",
 })
 
 _rotated = {n: q for n, q in QUERIES.items() if n not in _DRIVER_RECORDED}
