@@ -70,7 +70,11 @@ def connected_components(
     # Convergence probe: labels only ever decrease, so sum(comp) strictly
     # decreases until the fixpoint — one scalar aggregate per round on the
     # checkpointed (node, comp) table, cheaper than a change-detection join.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # Summed as decimal(38,0): a BIGINT sum over huge node ids can wrap
+    # (non-ANSI Spark), and a wrapped sum equal to prev_sum would falsely
+    # report convergence.
+    _probe = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_probe).collect()[0][0]
     for _ in range(max_iter):
         # 1. propagate: every node offers its label to each neighbor
         msgs = sym.join(labels, sym["src"] == labels["node"]).select(
@@ -97,7 +101,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         labels = new
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        cur_sum = labels.agg(_probe).collect()[0][0]
         if cur_sum == prev_sum:
             return labels.select("node", F.col("comp").alias("component"))
         prev_sum = cur_sum

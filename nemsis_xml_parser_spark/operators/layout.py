@@ -39,6 +39,12 @@ def morton_key(norm_cols: Sequence[Column], bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of already-normalized integer
     columns into one Z-order key (codegen-side shifts/masks)."""
     n = len(norm_cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"morton_key: {n} cols x {bits} bits = {n * bits} bits exceeds the"
+            " 63 usable bits of a signed long (keys would wrap/collide);"
+            " lower bits or index fewer columns"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(norm_cols):
@@ -54,7 +60,7 @@ def zorder_write(
     path: str,
     cols: Sequence[str],
     num_files: int = 8,
-    bits: int = 12,
+    bits: int | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered by the Z-order of ``cols``.
 
@@ -63,6 +69,8 @@ def zorder_write(
     output file covers a compact hyper-rectangle of the indexed space,
     so min-max pruning works for predicates on ANY of ``cols``.
     """
+    if bits is None:
+        bits = min(16, 63 // max(len(cols), 1))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]

@@ -32,17 +32,25 @@ def profile_columns(
     """
     cols = list(cols) if cols is not None else df.columns
     distinct = F.count_distinct if exact else F.approx_count_distinct
+    # Internal aliases are positional (_null_0, _dist_0, ...) so arbitrary
+    # source column names (quotes, commas, dots) can never break or inject
+    # into the stack() expression; the user-visible name appears only as an
+    # escaped string literal.
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        col = df[c]
         aggs += [
-            F.count_if(F.col(c).isNull()).alias(f"_null_{c}"),
-            distinct(F.col(c)).alias(f"_dist_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            F.count_if(col.isNull()).alias(f"_null_{i}"),
+            distinct(col).alias(f"_dist_{i}"),
+            F.min(col).cast("string").alias(f"_min_{i}"),
+            F.max(col).cast("string").alias(f"_max_{i}"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in cols
+        "'{lit}', _null_{i}, _dist_{i}, _min_{i}, _max_{i}".format(
+            lit=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(

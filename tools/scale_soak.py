@@ -43,13 +43,19 @@ def generate(spark) -> None:
     reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
     (
         docs.crossJoin(F.broadcast(reps))
+        # replica 0 keeps the original text; others perturb the tail so
+        # each cluster of 10 is a genuine near-dup family.  The perturbed
+        # text must exist before n_chars is derived, else replicas carry
+        # the original length.
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep")))
+            ),
+        )
         .select(
             (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-            # replica 0 keeps the original text; others perturb the tail so
-            # each cluster of 10 is a genuine near-dup family
-            F.when(F.col("rep") == 0, F.col("text"))
-            .otherwise(F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))))
-            .alias("text"),
+            "text",
             "lang",
             "source",
             F.length(F.col("text")).alias("n_chars"),
