@@ -133,7 +133,8 @@ def insert_sql(
     reference's statement-per-element (main_ingest.py:485-495)."""
     collist = ", ".join(f'"{c}"' for c in columns)
     params = ", ".join([_PLACEHOLDERS[paramstyle]] * len(columns))
-    return f'INSERT INTO "{schema}"."{table}" ({collist}) VALUES ({params});'
+    qual = f'"{schema}"."{table}"' if schema else f'"{table}"'
+    return f'INSERT INTO {qual} ({collist}) VALUES ({params});'
 
 
 def stage_to_jdbc(
@@ -151,9 +152,10 @@ def stage_to_jdbc(
     any error — D6 parity).  Returns rows inserted per table.
 
     ``frames`` values must be per-tag table frames (warehouse.table_frame
-    shape).  At scale, run per-partition with connection pooling via
-    ``df.foreachPartition``; here the driver iterates because dynamic-table
-    row counts in NEMSIS files are small.
+    shape).  This single-connection form funnels rows through the driver —
+    acceptable for NEMSIS-file-sized batches only; at scale use
+    ``stage_to_jdbc_distributed`` (per-partition executor connections, same
+    transaction guarantee).
     """
     inserted: dict[str, int] = {}
     cur = conn.cursor()
@@ -176,3 +178,141 @@ def stage_to_jdbc(
     except Exception:
         conn.rollback()
         raise
+
+
+def stage_table_name(table: str, pid: int) -> str:
+    """Scratch table holding one partition's staged rows."""
+    return f"{table}__stg{pid}"
+
+
+def stage_table_ddl(stage: str, columns: list[str], schema: str | None) -> list[str]:
+    """Self-contained DDL for a partition's stage table (all TEXT, like the
+    warehouse — main_ingest.py:210-246 types every column TEXT).  DROP+CREATE
+    makes a Spark task retry idempotent: a re-run partition rebuilds its
+    scratch table from zero instead of double-inserting."""
+    qual = f'"{schema}"."{stage}"' if schema else f'"{stage}"'
+    cols = ", ".join(f'"{c}" TEXT' for c in columns)
+    return [f"DROP TABLE IF EXISTS {qual};", f"CREATE TABLE {qual} ({cols});"]
+
+
+_SAME_AS_TARGET = object()  # sentinel: stage_schema=None means "unqualified"
+
+
+def stage_to_jdbc_distributed(
+    driver_conn,
+    connect_fn,
+    registry: dict[str, list[str]],
+    frames: dict[str, DataFrame],
+    pcr_keys: list[str],
+    comments: dict[str, str] | None = None,
+    schema: str = "public",
+    batch_size: int = 1000,
+    paramstyle: str = "format",
+    stage_schema: str | None = _SAME_AS_TARGET,
+    stage_ref=None,
+    prepare_promote=None,
+    cleanup: bool = True,
+) -> dict[str, int]:
+    """Distributed two-phase staging — the 100 TB replacement for
+    ``stage_to_jdbc``'s driver-side ``collect()``.
+
+    Phase 1 (executors): every partition of every table frame opens its OWN
+    DBAPI connection via ``connect_fn(partition_id)``, rebuilds its scratch
+    stage table (DROP+CREATE, so task retries are idempotent), bulk-inserts
+    its rows with ``executemany`` batches, and commits the scratch only.
+    No data row ever passes through the driver — the driver collects one
+    (table, partition_id, n_rows) metadata triple per partition.
+
+    Phase 2 (driver, ONE transaction): target DDL → set-based DELETE by PCR
+    keys → ``INSERT INTO target SELECT .. FROM stage`` per staged partition
+    → single commit.  A failure anywhere rolls the target back untouched —
+    the same per-file all-or-nothing guarantee as the reference
+    (/root/reference/main_ingest.py:644) and as ``stage_to_jdbc``, but the
+    data motion is executor-parallel server-side set operations.
+
+    Hooks for engines whose scratch lives outside the target database
+    (the DuckDB live test stages into per-partition files):
+
+    * ``stage_ref(table, pid) -> str`` — FROM-able identifier for a staged
+      partition as seen by ``driver_conn`` (default: the same-database
+      ``"{schema}"."{table}__stg{pid}"``, the PostgreSQL shape);
+    * ``prepare_promote(driver_conn, staged) -> None`` — driver-side setup
+      before the promote transaction (e.g. ``ATTACH`` scratch files);
+    * ``cleanup`` — drop same-database stage tables after commit (skipped
+      automatically when ``stage_ref`` is overridden).
+    """
+    if stage_schema is _SAME_AS_TARGET:
+        stage_schema = schema
+    if stage_ref is None:
+        _default_ref = True
+
+        def stage_ref(table: str, pid: int) -> str:
+            return f'"{stage_schema}"."{stage_table_name(table, pid)}"'
+
+    else:
+        _default_ref = False
+
+    staged: list[tuple[str, int, int]] = []
+    for table, cols in registry.items():
+        df = frames[table].select(*cols)
+
+        def _stage_partition(pid, it, _table=table, _cols=tuple(cols)):
+            rows = [tuple(r) for r in it]
+            conn = connect_fn(pid)
+            try:
+                cur = conn.cursor()
+                stg = stage_table_name(_table, pid)
+                for stmt in stage_table_ddl(stg, list(_cols), stage_schema):
+                    cur.execute(stmt)
+                sql = insert_sql(stg, list(_cols), stage_schema, paramstyle)
+                for i in range(0, len(rows), batch_size):
+                    cur.executemany(sql, rows[i : i + batch_size])
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                if hasattr(conn, "close"):
+                    conn.close()
+            yield (_table, pid, len(rows))
+
+        staged += df.rdd.mapPartitionsWithIndex(_stage_partition).collect()
+
+    if prepare_promote is not None:
+        prepare_promote(driver_conn, staged)
+
+    inserted: dict[str, int] = dict.fromkeys(registry, 0)
+    cur = driver_conn.cursor()
+    try:
+        for table, cols in registry.items():
+            attr_cols = [
+                c for c in cols
+                if c not in COMMON_COLUMNS and c != value_column_name(table)
+            ]
+            for stmt in create_table_sql(
+                table, attr_cols, schema, (comments or {}).get(table)
+            ):
+                cur.execute(stmt)
+            if pcr_keys:
+                cur.execute(delete_by_keys_sql(table, pcr_keys, schema))
+        collists = {
+            table: ", ".join(f'"{c}"' for c in cols)
+            for table, cols in registry.items()
+        }
+        for table, pid, n in staged:
+            if n == 0:
+                continue
+            cur.execute(
+                f'INSERT INTO "{schema}"."{table}" ({collists[table]}) '
+                f"SELECT {collists[table]} FROM {stage_ref(table, pid)};"
+            )
+            inserted[table] += n
+        driver_conn.commit()
+    except Exception:
+        driver_conn.rollback()
+        raise
+    if cleanup and _default_ref:
+        for table, pid, _ in staged:
+            cur.execute(f"DROP TABLE IF EXISTS {stage_ref(table, pid)};")
+        driver_conn.commit()
+    return inserted

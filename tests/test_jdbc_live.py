@@ -174,6 +174,117 @@ def test_midbatch_failure_rolls_back_everything(spark, staged):
     assert left == []
 
 
+def _duckdb_file_hooks(tmp_path):
+    """Distributed-staging hooks for DuckDB, whose single-writer file model
+    forces each partition's scratch into its OWN database file (on
+    PostgreSQL the defaults apply verbatim: every partition connection hits
+    the same server and stages into same-database scratch tables)."""
+    stage_dir = str(tmp_path)
+
+    def connect_fn(pid):
+        import duckdb as _duck
+
+        return _duck.connect(f"{stage_dir}/stg_{pid}.db")
+
+    def stage_ref(table, pid):
+        return f'stg{pid}."{J.stage_table_name(table, pid)}"'
+
+    def prepare_promote(conn, staged):
+        # ATTACH outside the promote transaction, on the raw connection
+        for pid in sorted({pid for _, pid, n in staged if n}):
+            conn._c.execute(
+                f"ATTACH '{stage_dir}/stg_{pid}.db' AS stg{pid} (READ_ONLY);"
+            )
+
+    return dict(
+        connect_fn=connect_fn,
+        stage_schema=None,
+        stage_ref=stage_ref,
+        prepare_promote=prepare_promote,
+        paramstyle="qmark",
+    )
+
+
+def test_distributed_stage_roundtrip_no_driver_collect(
+    spark, staged, tmp_path, monkeypatch
+):
+    els, registry, frames, keys = staged
+    comments = table_comments(els)
+    conn = DuckDBAPIConn()
+
+    # Prove no data row passes through the driver: any DataFrame.collect
+    # inside the staging path blows up (the path collects only the
+    # per-partition metadata triples, via RDD.collect).
+    import pyspark.sql as psql
+
+    def _no_collect(self):
+        raise AssertionError("driver-side DataFrame.collect in staging path")
+
+    monkeypatch.setattr(psql.DataFrame, "collect", _no_collect)
+    inserted = J.stage_to_jdbc_distributed(
+        conn, registry=registry, frames=frames, pcr_keys=keys,
+        comments=comments, **_duckdb_file_hooks(tmp_path),
+    )
+    monkeypatch.undo()
+
+    assert inserted["evitals_01"] >= 1
+    for t, n in inserted.items():
+        assert conn.q(f'SELECT COUNT(*) FROM "public"."{t}"')[0][0] == n
+    assert conn.q('SELECT "codetype" FROM "public"."epatient_15"') == [("ICD10",)]
+    [(comment,)] = conn.q(
+        "SELECT comment FROM duckdb_tables() WHERE table_name = 'evitals_01'"
+    )
+    assert comment == comments["evitals_01"]
+    # parity with the single-connection path on identical input
+    ref_conn = DuckDBAPIConn()
+    ref = J.stage_to_jdbc(
+        ref_conn, registry, frames, keys, comments, paramstyle="qmark"
+    )
+    assert inserted == ref
+
+
+def test_distributed_promote_failure_rolls_back(spark, staged, tmp_path):
+    els, registry, frames, keys = staged
+    t = "evitals_01"
+    bad = frames[t].union(frames[t].limit(1))  # duplicate PRIMARY KEY row
+    frames = dict(frames, **{t: bad})
+    conn = DuckDBAPIConn()
+    with pytest.raises(Exception):
+        J.stage_to_jdbc_distributed(
+            conn, registry=registry, frames=frames, pcr_keys=keys,
+            **_duckdb_file_hooks(tmp_path),
+        )
+    # staging succeeded (scratch files committed) but the single promote
+    # transaction rolled back — the target shows nothing at all
+    left = conn.q(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = 'public'"
+    )
+    assert left == []
+
+
+def test_distributed_executor_failure_leaves_target_untouched(
+    spark, staged, tmp_path
+):
+    els, registry, frames, keys = staged
+    hooks = _duckdb_file_hooks(tmp_path)
+
+    def poisoned_connect(pid):
+        raise RuntimeError("partition connection refused")
+
+    hooks["connect_fn"] = poisoned_connect
+    conn = DuckDBAPIConn()
+    with pytest.raises(Exception):
+        J.stage_to_jdbc_distributed(
+            conn, registry=registry, frames=frames, pcr_keys=keys, **hooks
+        )
+    left = conn.q(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = 'public'"
+    )
+    assert left == []
+
+
 def test_fk_probe_runs_against_live_information_schema(staged):
     els, registry, frames, keys = staged
     conn = DuckDBAPIConn()
