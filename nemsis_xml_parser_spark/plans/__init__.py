@@ -40,7 +40,7 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "subquery_scalar_avg", "subquery_in_list", "subquery_correlated_max",
     # CORRECTNESS_r02.json
     "agg_corr_manual", "agg_filter_clause", "agg_having",
-    "agg_percentile_approx", "agg_percentile_exact", "ann_ivf_topk",
+    "agg_percentile_approx", "agg_percentile_exact", 
     "ann_lsh_bucket_stats", "array_agg_battery", "array_hof_battery",
     "asof_join_last_signup", "cross_join_small", "date_arithmetic_battery",
     "dedup_embedding_cosine_pairs", "dedup_exact_fingerprint",
@@ -58,6 +58,22 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "set_union_all", "sketch_hll_mergeable", "text_langid_confusion",
     "text_token_stats", "unpivot_stack", "window_analytic_battery",
     "window_locf_fill", "window_range_frame",
+    # CORRECTNESS_r03.json
+    "ann_pq_topk", "curation_survivor_stats",
+    "decontaminate_split_overlap", "dedup_cluster_components",
+    "dedup_embedding_lsh_pairs", "embedding_quantization_error",
+    "etl_distinct_pairs", "etl_file_md5", "etl_namespace_strip",
+    "etl_sanitize_identifiers", "etl_trim_nullify", "multimodal_audio_meta",
+    "multimodal_decode_meta", "multimodal_embed_knn", "pack_greedy_audit",
+    "pack_sequences_cumsum", "pq_adc_seeded_topk",
+    "profile_documents_columns", "sample_hash_split",
+    "sample_stratified_hash", "sample_temperature_rebalance",
+    "sample_topk_per_source", "skew_key_audit", "text_bigram_logprob",
+    "text_bm25_score", "text_boilerplate_ratio", "text_bpe_token_stats",
+    "text_clean_normalize", "text_doc_idf", "text_pii_scrub",
+    "text_quality_by_source", "text_repetition_ratio",
+    "text_rolling_fingerprint", "text_stopword_ratio", "text_term_frequency",
+    "text_tfidf_cosine_pairs", "text_unigram_logprob", "text_zscore_by_lang",
 })
 
 _rotated = {n: q for n, q in QUERIES.items() if n not in _DRIVER_RECORDED}

@@ -291,18 +291,69 @@ def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     family="similarity",
-    doc="IVF approximate top-5 neighbors for query vectors vec_id<3: "
-    "distributed Lloyd's k-means (nlist=8, 3 iters, deterministic seeding) "
-    "partitions the corpus into cells; each query probes its 3 nearest "
-    "cells only — the equi-join scale path that replaces the cross join. "
-    "Rows-only (iterative k-means is not one SQL statement); recall vs "
-    "brute_force_topk asserted in tests/test_similarity.py.",
-    oracle=None,
+    doc="IVF approximate top-5 neighbors for query vectors vec_id<3 with "
+    "the deterministic SEEDED coarse quantizer (operators/ivf.py, iters=0 "
+    "— centroids are the min-vec_id member of each vec_id%nlist stratum, "
+    "so cell assignment, probe selection and candidate search are all "
+    "closed-form and the whole prune-then-score path is oracle-checked "
+    "hash-for-hash; Lloyd's refinement is the iterative part and its "
+    "recall/objective-decrease contract is asserted against "
+    "brute_force_topk in tests/test_similarity.py).  Each query probes "
+    "its 3 nearest of 8 cells only — the equi-join scale path that "
+    "replaces the cross join.",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT s.cid, v.v AS c
+  FROM (SELECT vec_id % 8 AS cid, MIN(vec_id) AS svid FROM vecs GROUP BY 1) s
+  JOIN vecs v ON v.vec_id = s.svid
+),
+asgn_d AS (
+  SELECT v.vec_id, ce.cid,
+         ROUND(sqrt(list_sum(list_transform(range(64),
+               i -> (v.v[i+1] - ce.c[i+1]) * (v.v[i+1] - ce.c[i+1])))), 6) AS d
+  FROM vecs v CROSS JOIN cents ce
+),
+cells AS (
+  SELECT vec_id AS item_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d WHERE vec_id < 3
+  ) WHERE rn <= 3
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT p.query_id, cl.item_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY ROUND(list_dot_product(q.v, n.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(n.v, n.v))), 6) DESC,
+                 cl.item_id ASC) AS rank
+  FROM probes p
+  JOIN cells cl USING (cid)
+  JOIN vecs q ON q.vec_id = p.query_id
+  JOIN vecs n ON n.vec_id = cl.item_id
+  WHERE cl.item_id != p.query_id
+) WHERE rank <= 5
+""",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 3)
-    return I.ivf_topk(queries, e, k=5, nlist=8, nprobe=3, iters=3)
+    return I.ivf_topk(queries, e, k=5, nlist=8, nprobe=3, iters=0)
 
 
 # ----------------------------------------------------------- text analysis
@@ -1667,18 +1718,113 @@ def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF-PQ composed ANN (operators/ivfpq.py): coarse cells prune "
     "WHICH vectors are scored (nprobe/nlist of the corpus via a cid "
     "equi-join), residual PQ compresses WHAT is stored (m codes vs dim "
-    "floats, ADC lookup tables per probed cell).  Iterative double "
-    "Lloyd's training is not one SQL statement, so rows-only by design "
-    "(same contract as ann_ivf_topk/ann_pq_topk); pruning, determinism "
-    "and recall vs exact L2 are asserted in tests/test_ivfpq.py.",
-    oracle=None,
+    "floats, ADC lookup tables per probed cell).  Runs the deterministic "
+    "SEEDED quantizers (iters=0 for both Lloyd's loops), so coarse "
+    "assignment, residual computation, PQ encoding and per-cell ADC "
+    "search are all closed-form — the oracle replays the ENTIRE "
+    "compressed index build + search in SQL and any drift in residual "
+    "math, code assignment tie-breaks, or per-cell LUT joins breaks the "
+    "hash.  Lloyd's refinement (the iterative part) keeps its recall/"
+    "determinism/pruning contract in tests/test_ivfpq.py.",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT s.cid, v.v AS c
+  FROM (SELECT vec_id % 8 AS cid, MIN(vec_id) AS svid FROM vecs GROUP BY 1) s
+  JOIN vecs v ON v.vec_id = s.svid
+),
+asgn_d AS (
+  SELECT v.vec_id, ce.cid,
+         ROUND(sqrt(list_sum(list_transform(range(64),
+               i -> (v.v[i+1] - ce.c[i+1]) * (v.v[i+1] - ce.c[i+1])))), 6) AS d
+  FROM vecs v CROSS JOIN cents ce
+),
+cells AS (
+  SELECT vec_id AS item_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT cl.item_id, cl.cid,
+         list_transform(range(64), i -> v.v[i+1] - ce.c[i+1]) AS rv
+  FROM cells cl
+  JOIN vecs v ON v.vec_id = cl.item_id
+  JOIN cents ce ON ce.cid = cl.cid
+),
+rsubs AS (
+  SELECT item_id, cid, s.sub_idx,
+         list_slice(rv, s.sub_idx * 8 + 1, s.sub_idx * 8 + 8) AS sv
+  FROM resid, (SELECT UNNEST(range(8)) AS sub_idx) s
+),
+seed_cb AS (
+  SELECT r.sub_idx, si.code, r.sv AS centroid
+  FROM (SELECT sub_idx, item_id % 16 AS code, MIN(item_id) AS svid
+        FROM rsubs GROUP BY sub_idx, item_id % 16) si
+  JOIN rsubs r ON r.item_id = si.svid AND r.sub_idx = si.sub_idx
+),
+enc_d AS (
+  SELECT r.item_id, r.cid, r.sub_idx, cb.code,
+         ROUND(list_sum(list_transform(range(8),
+               i -> (r.sv[i+1] - cb.centroid[i+1])
+                    * (r.sv[i+1] - cb.centroid[i+1]))), 6) AS d
+  FROM rsubs r JOIN seed_cb cb ON cb.sub_idx = r.sub_idx
+),
+codes AS (
+  SELECT item_id, cid, sub_idx, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id, sub_idx
+                                 ORDER BY d ASC, code ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d WHERE vec_id < 3
+  ) WHERE rn <= 3
+),
+qsubs AS (
+  SELECT p.query_id, p.cid, s.sub_idx,
+         list_slice(list_transform(range(64), i -> v.v[i+1] - ce.c[i+1]),
+                    s.sub_idx * 8 + 1, s.sub_idx * 8 + 8) AS sv
+  FROM probes p
+  JOIN vecs v ON v.vec_id = p.query_id
+  JOIN cents ce ON ce.cid = p.cid,
+       (SELECT UNNEST(range(8)) AS sub_idx) s
+),
+lut AS (
+  SELECT q.query_id, q.cid, q.sub_idx, cb.code,
+         ROUND(list_sum(list_transform(range(8),
+               i -> (q.sv[i+1] - cb.centroid[i+1])
+                    * (q.sv[i+1] - cb.centroid[i+1]))), 6) AS pdist
+  FROM qsubs q JOIN seed_cb cb ON cb.sub_idx = q.sub_idx
+),
+adc AS (
+  SELECT l.query_id, c.item_id AS neighbor_id,
+         ROUND(SUM(l.pdist), 6) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.cid = c.cid AND l.sub_idx = c.sub_idx AND l.code = c.code
+  WHERE l.query_id != c.item_id
+  GROUP BY l.query_id, c.item_id
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 3
+""",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import ivfpq as X
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, codebooks, codes = X.train_ivfpq(
-        emb, nlist=8, m=8, ksub=16, iters_coarse=2, iters_pq=1, dim=64
+        emb, nlist=8, m=8, ksub=16, iters_coarse=0, iters_pq=0, dim=64
     )
     queries = emb.where(F.col("vec_id") < 3)
     out = X.ivfpq_topk(queries, centroids, codebooks, codes, k=3, nprobe=3, m=8, dim=64)
@@ -2001,3 +2147,49 @@ def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_before", "threshold")
         .agg(F.count(F.lit(1)).alias("n_after"))
     )
+
+
+@register(
+    "multimodal_pixel_stats",
+    family="multimodal",
+    doc="REAL pixel-level PNG decode with nothing but stdlib zlib + numpy "
+    "(operators/multimodal.py:decode_png_pixels — chunk walk, IDAT "
+    "inflate, per-scanline unfilter for all five PNG filter types): a "
+    "deterministic corpus of genuine zlib-compressed PNGs is synthesized "
+    "from doc_id (pixel(x,y,c) = (id*7+3x+5y+11c) mod 256, filters "
+    "cycling None/Sub/Up/Average/Paeth by scanline), decoded back "
+    "pixel-for-pixel inside Arrow-batched mapInPandas, and reduced to "
+    "narrow per-image statistics.  The oracle recomputes the same "
+    "statistics from the closed-form pixel arithmetic without ever "
+    "touching a PNG byte — any drift in deflate framing, filter "
+    "reconstruction (incl. Paeth tie-breaks), stride math, or channel "
+    "order breaks the hash.  Closes the one pixel-codec seam that needs "
+    "no external library; blobs never leave the executor batch.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7 + 3 * xs.x + 5 * ys.y + 11 * cs.c) % 256 AS v
+  FROM dims,
+       UNNEST(range(0, w)) AS xs(x),
+       UNNEST(range(0, h)) AS ys(y),
+       UNNEST(range(0, 3)) AS cs(c)
+)
+SELECT doc_id AS image_id,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_subpixels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px
+GROUP BY doc_id
+""",
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import png_pixel_stats, synthesize_png_media
+
+    d = table(spark, sf_dir, "documents")
+    return png_pixel_stats(synthesize_png_media(d.select("doc_id")))

@@ -159,3 +159,74 @@ def test_extract_audio_metadata(spark, tmp_path):
     assert rows["a.wav"]["sample_rate"] == 8000
     assert rows["a.wav"]["duration_ms"] == 10.0
     assert rows["b.bin"]["format"] is None
+
+
+# --------------------------------------------------------------- PNG codec
+
+
+def test_png_roundtrip_all_filters():
+    # filter_mode='cycle' puts every filter type (0..4) in the stream, so
+    # the round-trip proves the whole unfilter table incl. Paeth ties.
+    rng = np.random.RandomState(7)
+    for h, w in [(5, 4), (7, 31), (12, 1)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = M.encode_png(px)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        out = M.decode_png_pixels(buf)
+        np.testing.assert_array_equal(out, px)
+
+
+def test_png_decode_greyscale_and_errors():
+    import zlib
+
+    # hand-build a 2x2 8-bit grey PNG (colortype 0), filter 0 rows
+    raw = b"\x00\x0a\x14" + b"\x00\x1e\x28"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(raw))
+        + M._png_chunk(b"IEND", b"")
+    )
+    out = M.decode_png_pixels(buf)
+    assert out.shape == (2, 2, 1)
+    assert out.ravel().tolist() == [10, 20, 30, 40]
+    with pytest.raises(ValueError):
+        M.decode_png_pixels(b"nope")
+    # 16-bit depth must hit the NotImplementedError seam, not mis-decode
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    buf16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr16)
+        + M._png_chunk(b"IDAT", zlib.compress(raw))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_png_pixels(buf16)
+
+
+def test_make_png_image_closed_form():
+    # pixel(x, y, c) = (id*7 + 3x + 5y + 11c) % 256 — the oracle's contract
+    for image_id in [0, 17, 123]:
+        px = M.decode_png_pixels(M.make_png_image(image_id))
+        h, w, ch = px.shape
+        assert (w, h, ch) == (image_id % 24 + 4, image_id % 16 + 4, 3)
+        x = np.arange(w).reshape(1, w, 1)
+        y = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        expect = (image_id * 7 + 3 * x + 5 * y + 11 * c) % 256
+        np.testing.assert_array_equal(px, expect.astype(np.uint8))
+
+
+def test_png_pixel_stats_spark(spark):
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    stats = M.png_pixel_stats(M.synthesize_png_media(ids)).collect()
+    assert len(stats) == 40
+    by_id = {r["image_id"]: r for r in stats}
+    for image_id in (0, 13, 39):
+        px = M.decode_png_pixels(M.make_png_image(image_id))
+        r = by_id[image_id]
+        assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+        assert r["n_subpixels"] == px.size
+        assert r["px_sum"] == int(px.sum())
+        assert (r["px_min"], r["px_max"]) == (int(px.min()), int(px.max()))
