@@ -56,19 +56,20 @@ HEADLINE = [
 ]
 
 
-def run_query(name: str, spark, sf_dir: str) -> float:
+def run_query(name: str, spark, sf_dir: str) -> list[float]:
     # plan construction is inside the timing: operators that eagerly
     # materialize sub-results (e.g. IVF centroid training) are charged for
     # them — nothing escapes the measured window.  Best of 2 runs: the first
     # execution of a query shape pays whole-stage codegen compilation, which
-    # is a per-JVM one-time cost, not a property of the plan.
-    best = float("inf")
+    # is a per-JVM one-time cost, not a property of the plan.  Both samples
+    # are reported so noise is separable from regression after the fact.
+    samples = []
     for _ in range(2):
         t0 = time.time()
         df = QUERIES[name].spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    return best
+        samples.append(round(time.time() - t0, 3))
+    return samples
 
 
 def main() -> None:
@@ -81,8 +82,10 @@ def main() -> None:
     run_query("q1_pricing_summary", spark, sf_dir)
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
-        timings[name] = round(run_query(name, spark, sf_dir), 3)
+        samples[name] = run_query(name, spark, sf_dir)
+        timings[name] = min(samples[name])
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +95,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             }
         )

@@ -718,3 +718,77 @@ def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
         ).alias("corr_qty_price"),
     )
+
+
+@register(
+    "agg_regression_battery",
+    family="agg",
+    doc="Covariance / least-squares regression battery over exact decimal "
+    "moments (the agg_corr_manual pattern extended): covar_pop, "
+    "covar_samp, regr_slope, regr_intercept and r² of extendedprice on "
+    "quantity per returnflag.  The five moments (sx, sy, sxy, sxx, syy) "
+    "are summed as DECIMAL — order-independent across partitionings — "
+    "then every statistic is ONE identical double expression on both "
+    "engines (intercept in closed form (sy·sxx − sx·sxy)/(n·sxx − sx²), "
+    "never via a chained slope reference; builtin covar_*/regr_* "
+    "accumulate in float and are not reproducible across engines).  "
+    "Scale: one hash aggregate, map-side partials, no second pass.",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)), 6) AS covar_pop_qp,
+       ROUND((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)), 6) AS covar_samp_qp,
+       ROUND((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)), 6) AS regr_slope_pq,
+       ROUND((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)), 6) AS regr_intercept_pq,
+       ROUND(((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+              * (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)))
+             / ((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+                * (COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))), 6) AS r2_pq
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(dec2("l_quantity")).cast("double")
+    sy = F.sum(dec2("l_extendedprice")).cast("double")
+    sxy = F.sum(dec2("l_quantity") * dec2("l_extendedprice")).cast("double")
+    sxx = F.sum(dec2("l_quantity") * dec2("l_quantity")).cast("double")
+    syy = F.sum(dec2("l_extendedprice") * dec2("l_extendedprice")).cast("double")
+    cov_num = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(cov_num / (n.cast("double") * n), 6).alias("covar_pop_qp"),
+        F.round(cov_num / (n.cast("double") * (n - 1)), 6).alias("covar_samp_qp"),
+        F.round(cov_num / var_x, 6).alias("regr_slope_pq"),
+        F.round((sy * sxx - sx * sxy) / var_x, 6).alias("regr_intercept_pq"),
+        F.round((cov_num * cov_num) / (var_x * var_y), 6).alias("r2_pq"),
+    )
