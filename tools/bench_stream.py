@@ -1,0 +1,134 @@
+"""Streaming microbatch throughput bench (SCALING.md streaming tier).
+
+Measures the three streaming flagships end-to-end with the file source
+split into many microbatches (``maxFilesPerTrigger``), draining with
+``trigger(availableNow=True)`` into the noop sink:
+
+* ``windowed_rollup``  — watermarked tumbling count/sum per event_type
+  (streaming/events.py:tumbling_counts) over the events table;
+* ``minhash_dedup``    — streaming MinHash near-dup drop with
+  watermark-bounded signature state
+  (streaming/events.py:dedup_stream_by_minhash) over documents;
+* ``stream_join``      — watermarked stream-stream interval join
+  (streaming/joins.py:attribute_clicks_stream), views x clicks.
+
+Per pipeline it reports rows/s (total source rows / wall-clock to drain),
+microbatch count, and the peak state-store row count from the progress
+metrics — the number that decides whether the watermark actually bounds
+memory.  Prints ONE JSON line; numbers are recorded in SCALING.md.
+
+Usage: python tools/bench_stream.py [sf_dir]   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from nemsis_xml_parser_spark.plans.registry import table  # noqa: E402
+from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
+
+N_SOURCE_FILES = 16
+FILES_PER_TRIGGER = 2  # -> ~8 microbatches per run
+
+
+def _drain(stream_df, checkpoint: str) -> dict:
+    """Run to completion on the noop sink; return progress rollup."""
+    q = (
+        stream_df.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.time()
+    q.awaitTermination()
+    wall = time.time() - t0
+    rows = 0
+    batches = 0
+    peak_state = 0
+    for p in q.recentProgress:
+        rows += p["numInputRows"]
+        batches += 1
+        for so in p.get("stateOperators") or []:
+            peak_state = max(peak_state, so.get("numRowsTotal", 0))
+    return {
+        "rows": rows,
+        "batches": batches,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+        "peak_state_rows": peak_state,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("bench-stream")
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_"))
+    out: dict[str, dict] = {}
+    try:
+        # stage sources as many-file parquet so the file source yields
+        # multiple microbatches (the shape a real drop-directory produces)
+        ev_dir, doc_dir = str(work / "events"), str(work / "docs")
+        (
+            table(spark, sf_dir, "events")
+            # watermarks need TIMESTAMP (LTZ); session tz is pinned UTC so
+            # the NTZ->LTZ cast is the identity
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .repartition(N_SOURCE_FILES)
+            .write.parquet(ev_dir)
+        )
+        (
+            table(spark, sf_dir, "documents")
+            # synthesize an arrival timestamp: one doc per second
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+            )
+            .repartition(N_SOURCE_FILES)
+            .write.parquet(doc_dir)
+        )
+        ev_schema = spark.read.parquet(ev_dir).schema
+        doc_schema = spark.read.parquet(doc_dir).schema
+
+        def source(path, schema):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+                .parquet(path)
+            )
+
+        from nemsis_xml_parser_spark.streaming.events import (
+            dedup_stream_by_minhash,
+            tumbling_counts,
+        )
+        from nemsis_xml_parser_spark.streaming.joins import attribute_clicks_stream
+
+        out["windowed_rollup"] = _drain(
+            tumbling_counts(source(ev_dir, ev_schema)), str(work / "cp1")
+        )
+        out["minhash_dedup"] = _drain(
+            dedup_stream_by_minhash(source(doc_dir, doc_schema)),
+            str(work / "cp2"),
+        )
+        views = source(ev_dir, ev_schema).where(F.col("event_type") == "view")
+        clicks = source(ev_dir, ev_schema).where(F.col("event_type") == "click")
+        out["stream_join"] = _drain(
+            attribute_clicks_stream(views, clicks), str(work / "cp3")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    print(json.dumps({"metric": "stream_microbatch_throughput", "sf_dir": sf_dir,
+                      "pipelines": out}))
+
+
+if __name__ == "__main__":
+    main()
