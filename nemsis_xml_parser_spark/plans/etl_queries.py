@@ -116,3 +116,81 @@ def etl_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("child_key"),
         F.col("l_linestatus").alias("parent_key"),
     ).distinct()
+
+
+@register(
+    "etl_snapshot_diff",
+    family="etl",
+    doc="Keyed snapshot diff — the incremental-publish / CDC audit between "
+    "two table versions: rows only in the old version (removed), only in "
+    "the new (added), in both with a different row fingerprint (changed), "
+    "or identical (unchanged).  Versions are simulated deterministically "
+    "from orders (old drops key % 97 == 0, new drops key % 89 == 0 and "
+    "bumps totalprice on key % 13 == 0); comparison is a full outer join "
+    "on the key with md5 row fingerprints, so wide rows never ship twice.  "
+    "Scale: one co-partitioned full outer join on the key — with both "
+    "versions bucketed by key this is shuffle-free; fingerprints cut the "
+    "compare to one column.",
+    oracle="""
+WITH old_v AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)) AS fp
+  FROM orders WHERE o_orderkey % 97 != 0
+),
+new_v AS (
+  SELECT o_orderkey AS k,
+         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(CAST(CASE WHEN o_orderkey % 13 = 0
+                               THEN o_totalprice + 1.00
+                               ELSE o_totalprice END AS DECIMAL(12,2))
+                     AS VARCHAR)) AS fp
+  FROM orders WHERE o_orderkey % 89 != 0
+)
+SELECT CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN o.fp != n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(COALESCE(o.k, n.k)) AS BIGINT) AS min_key,
+       CAST(MAX(COALESCE(o.k, n.k)) AS BIGINT) AS max_key
+FROM old_v o FULL OUTER JOIN new_v n ON o.k = n.k
+GROUP BY 1
+""",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def fingerprint(price):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                price.cast("decimal(12,2)").cast("string"),
+            )
+        )
+
+    old_v = o.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"), fingerprint(F.col("o_totalprice")).alias("fp")
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.00
+    ).otherwise(F.col("o_totalprice"))
+    new_v = o.where(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"), fingerprint(new_price).alias("fp")
+    )
+    joined = old_v.alias("o").join(
+        new_v.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.k").isNull(), F.lit("added"))
+        .when(F.col("n.k").isNull(), F.lit("removed"))
+        .when(F.col("o.fp") != F.col("n.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.coalesce(F.col("o.k"), F.col("n.k"))).cast("bigint").alias("min_key"),
+        F.max(F.coalesce(F.col("o.k"), F.col("n.k"))).cast("bigint").alias("max_key"),
+    )

@@ -2193,3 +2193,364 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return png_pixel_stats(synthesize_png_media(d.select("doc_id")))
+
+
+@register(
+    "curation_chunk_sequences",
+    family="text",
+    doc="Fixed-size token chunking with stride — the split-documents-into-"
+    "training-sequences op every LLM data pipeline runs before packing: "
+    "per document, windows of 64 whitespace tokens at stride 48 (16-token "
+    "overlap), final short window kept.  One map-side explode over a "
+    "sequence column (no shuffle until the audit aggregate); per chunk "
+    "the id, bounds, token count and an md5 content fingerprint (join key "
+    "for chunk-level dedup downstream).  Aggregated per source for a "
+    "compact deterministic result; the oracle rebuilds every window with "
+    "list_slice over the same token split.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS tok
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, g.chunk_idx,
+         list_slice(tok, g.chunk_idx * 48 + 1, g.chunk_idx * 48 + 64) AS ctoks
+  FROM toks,
+       UNNEST(range(CASE WHEN len(tok) <= 64 THEN 1
+                         ELSE CAST(CEIL((len(tok) - 64) / 48.0) AS BIGINT) + 1
+                    END)) AS g(chunk_idx)
+),
+stats AS (
+  SELECT doc_id, source, chunk_idx, len(ctoks) AS n_tokens,
+         md5(array_to_string(ctoks, ' ')) AS chunk_md5
+  FROM chunks
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks
+FROM stats
+GROUP BY source
+""",
+)
+def curation_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    size, stride = 64, 48
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("tok"))
+    n_chunks = F.when(F.size("tok") <= size, F.lit(1)).otherwise(
+        F.ceil((F.size("tok") - size) / F.lit(float(stride))).cast("bigint") + 1
+    )
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.sequence(F.lit(0), n_chunks.cast("bigint") - 1)).alias(
+            "_i", "chunk_idx"
+        ),
+        F.col("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.slice("tok", F.col("chunk_idx").cast("int") * stride + 1, size).alias(
+            "ctoks"
+        ),
+    )
+    stats = chunks.select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.size("ctoks").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("ctoks"))).alias("chunk_md5"),
+    )
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
+    )
+
+
+@register(
+    "decontaminate_passage_containment",
+    family="dedup",
+    doc="Asymmetric shingle CONTAINMENT — the substring-dedup / passage-"
+    "contamination primitive Jaccard misses: a short passage inside a "
+    "long document scores near-zero Jaccard but containment "
+    "|S(p) ∩ S(d)| / |S(p)| ≈ 1.  Probe passages are the first-40-token "
+    "prefixes of every doc_id % 10 == 7 (a held-out benchmark sample); "
+    "the postings join on distinct 3-gram shingles finds every corpus "
+    "document containing ≥ 80% of a passage's shingles (each passage "
+    "finds at least its own source at 1.0).  Scale shape: token-keyed "
+    "equi-join (the text_tfidf_cosine_pairs posting-list pattern) — "
+    "never all-pairs; at 100 TB add a shingle-df stop-list cap to bound "
+    "hot posting rows before the join.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+passages AS (
+  SELECT doc_id AS passage_id, list_slice(t, 1, 40) AS pt
+  FROM tok WHERE doc_id % 10 = 7
+),
+pshingles AS (
+  SELECT DISTINCT passage_id,
+         array_to_string(list_slice(pt, g.i + 1, g.i + 3), ' ') AS shingle
+  FROM passages, UNNEST(range(GREATEST(len(pt) - 2, 0))) AS g(i)
+),
+pcount AS (
+  SELECT passage_id, COUNT(*) AS n_p FROM pshingles GROUP BY passage_id
+),
+dshingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, g.i + 1, g.i + 3), ' ') AS shingle
+  FROM tok, UNNEST(range(GREATEST(len(t) - 2, 0))) AS g(i)
+),
+hits AS (
+  SELECT p.passage_id, d.doc_id, COUNT(*) AS n_shared
+  FROM pshingles p JOIN dshingles d USING (shingle)
+  GROUP BY p.passage_id, d.doc_id
+)
+SELECT h.passage_id, h.doc_id,
+       ROUND(CAST(h.n_shared AS DOUBLE) / c.n_p, 6) AS containment
+FROM hits h JOIN pcount c USING (passage_id)
+WHERE CAST(h.n_shared AS DOUBLE) / c.n_p >= 0.8
+""",
+)
+def decontaminate_passage_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens, word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    pshingles = (
+        tok.where(F.col("doc_id") % 10 == 7)
+        .select(
+            F.col("doc_id").alias("passage_id"),
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(F.concat_ws(" ", F.slice("t", 1, 40)), 3)
+                )
+            ).alias("shingle"),
+        )
+    )
+    pcount = pshingles.groupBy("passage_id").agg(F.count(F.lit(1)).alias("n_p"))
+    dshingles = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("shingle"),
+    )
+    hits = (
+        pshingles.join(dshingles, "shingle")
+        .groupBy("passage_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared").cast("double") / F.col("n_p")
+    return (
+        hits.join(F.broadcast(pcount), "passage_id")
+        .where(cont >= 0.8)
+        .select("passage_id", "doc_id", F.round(cont, 6).alias("containment"))
+    )
+
+
+@register(
+    "split_cluster_safe",
+    family="dedup",
+    doc="Cluster-safe train/val/test split: whole near-dup CLUSTERS are "
+    "assigned atomically to a split by md5-bucket of cluster_id (80/10/10), "
+    "so near-duplicate documents can never straddle train and eval — the "
+    "leakage mode plain hash-splitting (sample_hash_split) cannot prevent.  "
+    "Clusters come from the dedup_cluster_components pipeline (3-gram "
+    "Jaccard edges on doc_id < 120, distributed min-label components); the "
+    "audit output counts, per split, docs, clusters and near-dup pairs "
+    "escaping to another split — provably zero rows of leakage, computed "
+    "from the edge list rather than asserted.  Scale: the split column is "
+    "one broadcast-free map-side hash on the component label; the leakage "
+    "audit is two joins of the (small) pair list against the assignment.",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM documents WHERE doc_id < 120
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.01
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 120
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 10 < 8 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM comp
+),
+leaks AS (
+  SELECT sa.split, COUNT(*) AS n
+  FROM pairs p
+  JOIN assigned sa ON sa.doc_id = p.doc_a
+  JOIN assigned sb ON sb.doc_id = p.doc_b
+  WHERE sa.split != sb.split
+  GROUP BY sa.split
+)
+SELECT a.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COALESCE(MAX(l.n), 0) AS BIGINT) AS n_leak_pairs
+FROM assigned a LEFT JOIN leaks l ON l.split = a.split
+GROUP BY a.split
+""",
+)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+    from ..operators import components as C
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.01)
+    comp = C.dedup_clusters(pairs, nodes=d.select("doc_id"))
+    bucket = md5_long(F.col("cluster_id").cast("string")) % 10
+    assigned = comp.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sa = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .join(leaks, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_leak_pairs"),
+        )
+    )
+
+
+@register(
+    "text_entropy_score",
+    family="text",
+    doc="Character-entropy quality signal (low entropy = degenerate/"
+    "repetitive text, a standard corpus filter next to repetition ratio): "
+    "per document, Shannon entropy -Σ p_c ln p_c over characters; per "
+    "language, document count, exact mean entropy and the count of "
+    "low-entropy docs (< 3 nats).  Determinism contract: each per-char "
+    "term is rounded and cast to DECIMAL before the per-doc SUM, and each "
+    "per-doc entropy is rounded/DECIMAL-cast before the per-language "
+    "mean — both aggregations exact and order-independent across "
+    "partitionings.  Scale: one explode + two hash aggregates, all "
+    "codegen-side expressions.",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, substr(text, g.i, 1) AS ch
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS g(i)
+),
+freq AS (
+  SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY doc_id, ch
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS total FROM freq GROUP BY doc_id
+),
+terms AS (
+  SELECT f.doc_id,
+         CAST(ROUND((f.n / t.total) * LN(f.n / t.total), 12)
+              AS DECIMAL(20, 12)) AS term
+  FROM freq f JOIN tot t USING (doc_id)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(ROUND(-CAST(SUM(term) AS DOUBLE), 6) AS DECIMAL(18, 6)) AS ent
+  FROM terms GROUP BY doc_id
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(p.ent) AS DOUBLE) / COUNT(*), 6) AS avg_entropy,
+       CAST(SUM(CASE WHEN p.ent < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), ""), lambda c: c != "")).alias(
+            "ch"
+        ),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").cast("double").alias("total"))
+    p = F.col("n") / F.col("total")
+    terms = freq.join(tot, "doc_id").select(
+        "doc_id",
+        F.round(p * F.log(p), 12).cast("decimal(20,12)").alias("term"),
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.round(-F.sum("term").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("ent")
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("ent").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_entropy"),
+            F.sum(F.when(F.col("ent") < 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_entropy"),
+        )
+    )

@@ -32,7 +32,24 @@ from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/soak10x"
+HOT = "/tmp/soakhot"
 REPLICAS = 10
+
+# Adversarial stop-shingle skew: one boilerplate template shared by 20% of
+# the corpus.  ~60 words, so for hot docs the shared shingles are ~55% of
+# each doc's distinct-shingle universe — hot enough that a visible share of
+# band minima come from the template (hot band buckets), cold enough that
+# cross-family pairs fail the exact-Jaccard verify (the realistic web-crawl
+# shape: license headers, cookie banners, forum signatures).
+BOILERPLATE = (
+    "this website uses cookies to ensure you get the best experience on "
+    "our website by continuing to browse the site you are agreeing to our "
+    "use of cookies and our terms of service all rights reserved copyright "
+    "notice the content of this page is provided for informational purposes "
+    "only and is subject to change without notice please review our privacy "
+    "policy and legal disclaimer before using this site contact support for "
+    "questions about your account subscription billing or technical issues"
+)
 
 
 def generate(spark) -> None:
@@ -77,6 +94,47 @@ def generate(spark) -> None:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{DST}/embeddings.parquet")
+    )
+
+
+def generate_hot(spark) -> None:
+    """10x corpus with adversarial template skew: docs with base
+    doc_id % 5 == 0 (20%) have their text replaced by the shared
+    BOILERPLATE + a ~50-token unique tail from the original, then the
+    same 10-replica near-dup fan-out as ``generate``."""
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    (
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat_ws(
+                    " ",
+                    F.lit(BOILERPLATE),
+                    F.concat(F.lit("doc"), F.col("doc_id")),
+                    F.substring(F.col("text"), 1, 300),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .crossJoin(F.broadcast(reps))
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep")))
+            ),
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            F.length(F.col("text")).alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{HOT}/documents.parquet")
     )
 
 
@@ -169,10 +227,44 @@ def run_tier(spark, sf_dir: str, scale: str) -> dict:
     return out
 
 
+def run_doc_tier(spark, sf_dir: str, scale: str) -> dict:
+    """Document-skew subset of the tier: the three operators whose shuffle
+    keys a hot template can poison (band buckets, simhash chunk buckets,
+    the near-dup component graph)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {"scale": scale, "n_docs": docs.count()}
+
+    t = time.time()
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, fast=True)
+    out["minhash_lsh_pairs"] = pairs.count()
+    no_cartesian(pairs)
+    out["minhash_lsh_sec"] = round(time.time() - t, 2)
+
+    t = time.time()
+    q = D.simhash_near_pairs(docs, max_hamming=3)
+    out["simhash_pairs"] = q.count()
+    no_cartesian(q)
+    out["simhash_sec"] = round(time.time() - t, 2)
+
+    t = time.time()
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, fast=True)
+    comp = C.dedup_clusters(pairs, nodes=docs.select("doc_id"))
+    clusters = comp.groupBy("cluster_id").count()
+    out["components_clusters"] = clusters.count()
+    out["largest_cluster"] = clusters.agg(F.max("count")).collect()[0][0]
+    no_cartesian(comp)
+    out["components_sec"] = round(time.time() - t, 2)
+
+    out["band_skew_max_share"] = round(band_skew(docs), 6)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-soak")
     if "--regen" in sys.argv or not os.path.isdir(f"{DST}/documents.parquet"):
         generate(spark)
+    if "--regen" in sys.argv or not os.path.isdir(f"{HOT}/documents.parquet"):
+        generate_hot(spark)
     r1 = run_tier(spark, SRC, "1x")
     print(json.dumps(r1))
     r10 = run_tier(spark, DST, "10x")
@@ -183,6 +275,25 @@ def main() -> None:
         if k.endswith("_sec")
     }
     print(json.dumps({"summary": ratios}))
+
+    # adversarial skew: same 10x volume, 20% of docs share one template.
+    # The honest signal is hot-vs-uniform at equal volume: how much do hot
+    # band buckets inflate candidates/wall-clock, and does the component
+    # step absorb the bigger near-dup families without a giant-star stall.
+    rhot = run_doc_tier(spark, HOT, "10x-hot")
+    print(json.dumps(rhot))
+    skew_ratios = {
+        k.replace("_sec", "_hot_vs_uniform"): round(rhot[k] / max(r10[k], 1e-9), 2)
+        for k in rhot
+        if k.endswith("_sec")
+    }
+    # generous blowup bound: a quadratic flip on the 20% hot family would
+    # be >100x; bucketed candidates + AQE skew split keep it single-digit
+    for k, v in skew_ratios.items():
+        assert v < 25, f"adversarial skew blowup: {k} = {v}x"
+    print(json.dumps({"skew_summary": skew_ratios,
+                      "band_skew_uniform": r10["band_skew_max_share"],
+                      "band_skew_hot": rhot["band_skew_max_share"]}))
     spark.stop()
 
 
