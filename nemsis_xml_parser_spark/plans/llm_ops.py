@@ -2554,3 +2554,224 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_low_entropy"),
         )
     )
+
+
+@register(
+    "graph_pagerank_centrality",
+    family="dedup",
+    doc="Fixed-iteration PageRank (operators/pagerank.py, 3 unrolled power "
+    "iterations, d=0.85) over the near-dup graph from "
+    "dedup_cluster_components' edge set — centrality as a survivor-"
+    "election prior: inside a duplicate cluster the highest-PR doc is the "
+    "one most other near-dups point at, a better keep policy than "
+    "min-id.  Deterministic/oracle-matched end-to-end: per-edge "
+    "contributions DECIMAL-cast before the sum, per-iteration ranks "
+    "rounded to 12, the oracle replays all three iterations as chained "
+    "CTEs.  Scale: per iteration one dst-keyed aggregate shuffle; edge "
+    "list localCheckpointed once, rank vector is (node, pr).",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM documents WHERE doc_id < 120
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.01
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+pr1 AS (
+  SELECT n2.node,
+         ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(CAST(SUM(CAST(ROUND(p.pr / dg.d, 12)
+                     AS DECIMAL(20,12))) AS DOUBLE), 0.0), 12) AS pr
+  FROM nodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN pr0 p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n2.node
+),
+pr2 AS (
+  SELECT n2.node,
+         ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(CAST(SUM(CAST(ROUND(p.pr / dg.d, 12)
+                     AS DECIMAL(20,12))) AS DOUBLE), 0.0), 12) AS pr
+  FROM nodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN pr1 p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n2.node
+),
+pr3 AS (
+  SELECT n2.node,
+         ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(CAST(SUM(CAST(ROUND(p.pr / dg.d, 12)
+                     AS DECIMAL(20,12))) AS DOUBLE), 0.0), 12) AS pr
+  FROM nodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN pr2 p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n2.node
+)
+SELECT p.node AS doc_id,
+       CAST(dg.d AS BIGINT) AS degree,
+       ROUND(p.pr, 6) AS pagerank
+FROM pr3 p JOIN deg dg ON dg.src = p.node
+""",
+)
+def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.01)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.round(F.col("pr"), 6).alias("pagerank"),
+    )
+
+
+@register(
+    "mine_bitext_margin",
+    family="similarity",
+    doc="Margin-based bitext mining (the ratio-margin criterion of "
+    "Artetxe & Schwenk, 'Margin-based Parallel Corpus Mining', ACL 2019 "
+    "— the method behind CCMatrix-style aligned-pair curation): label-0 "
+    "vectors are the source side, label-1 the target side; each source's "
+    "best target is scored by cos(x,y) normalized by the mean of both "
+    "directions' top-4 neighborhoods, which suppresses hubs that plain "
+    "cosine thresholds mis-mine.  Determinism: cosines rounded to 6, "
+    "neighborhood means via DECIMAL sums (order-independent), one "
+    "identical margin expression both engines.  Scale: the cross-side "
+    "score matrix here is the bounded brute-force tier; at 100 TB "
+    "candidates come from the LSH/IVF bucket joins and the margin "
+    "normalization is unchanged (per-id top-k aggregates).",
+    oracle="""
+WITH va AS (
+  SELECT vec_id AS src_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE label = 0
+),
+vb AS (
+  SELECT vec_id AS tgt_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE label = 1
+),
+scores AS (
+  SELECT a.src_id, b.tgt_id,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM va a CROSS JOIN vb b
+),
+fwd AS (
+  SELECT src_id,
+         CAST(SUM(CAST(cosine AS DECIMAL(10,6))) AS DOUBLE) / 4 AS fwd_avg
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                 ORDER BY cosine DESC, tgt_id ASC) AS rn
+    FROM scores
+  ) WHERE rn <= 4 GROUP BY src_id
+),
+bwd AS (
+  SELECT tgt_id,
+         CAST(SUM(CAST(cosine AS DECIMAL(10,6))) AS DOUBLE) / 4 AS bwd_avg
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                 ORDER BY cosine DESC, src_id ASC) AS rn
+    FROM scores
+  ) WHERE rn <= 4 GROUP BY tgt_id
+),
+margins AS (
+  SELECT s.src_id, s.tgt_id, s.cosine,
+         ROUND(s.cosine / ((f.fwd_avg + b.bwd_avg) / 2), 6) AS margin
+  FROM scores s
+  JOIN fwd f USING (src_id)
+  JOIN bwd b USING (tgt_id)
+)
+SELECT src_id, tgt_id, cosine, margin FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, tgt_id ASC) AS rn
+  FROM margins
+) WHERE rn = 1 AND margin >= 1.0
+""",
+)
+def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    e = table(spark, sf_dir, "embeddings")
+    va = e.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"),
+        V.to_double_array(F.col("embedding")).alias("v"),
+    )
+    vb = e.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        V.to_double_array(F.col("embedding")).alias("w"),
+    )
+    scores = F.broadcast(va).crossJoin(vb).select(
+        "src_id",
+        "tgt_id",
+        F.round(V.cosine_similarity(F.col("v"), F.col("w")), 6).alias("cosine"),
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id").asc()
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), F.col("src_id").asc()
+    )
+    fwd = (
+        scores.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= 4)
+        .groupBy("src_id")
+        .agg(
+            (F.sum(F.col("cosine").cast("decimal(10,6)")).cast("double") / 4).alias(
+                "fwd_avg"
+            )
+        )
+    )
+    bwd = (
+        scores.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= 4)
+        .groupBy("tgt_id")
+        .agg(
+            (F.sum(F.col("cosine").cast("decimal(10,6)")).cast("double") / 4).alias(
+                "bwd_avg"
+            )
+        )
+    )
+    margin = F.round(
+        F.col("cosine") / ((F.col("fwd_avg") + F.col("bwd_avg")) / 2), 6
+    )
+    wtop = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        scores.join(fwd, "src_id")
+        .join(bwd, "tgt_id")
+        .withColumn("margin", margin)
+        .withColumn("rn", F.row_number().over(wtop))
+        .where((F.col("rn") == 1) & (F.col("margin") >= 1.0))
+        .select("src_id", "tgt_id", "cosine", "margin")
+    )

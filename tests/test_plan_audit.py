@@ -44,6 +44,7 @@ JUSTIFIED_BNLJ = {
     "text_tfidf_cosine_pairs",  # broadcast 1-row n_docs scalar
     "sample_temperature_rebalance",  # broadcast 1-row n_min scalar
     "ann_ivfpq_topk",        # broadcast centroid/codebook sets (KB-scale)
+    "mine_bitext_margin",    # bounded cross-side brute tier (broadcast side A)
 }
 
 
