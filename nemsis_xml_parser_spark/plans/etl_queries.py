@@ -194,3 +194,103 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.coalesce(F.col("o.k"), F.col("n.k"))).cast("bigint").alias("min_key"),
         F.max(F.coalesce(F.col("o.k"), F.col("n.k"))).cast("bigint").alias("max_key"),
     )
+
+
+@register(
+    "etl_incremental_rollup",
+    family="etl",
+    doc="Incremental materialized-rollup maintenance: instead of "
+    "recomputing per-status totals from the full new snapshot, apply the "
+    "keyed delta (added rows contribute +new, removed -old, changed "
+    "new-old) to the old rollup — the 100 TB pattern where the delta is "
+    "MB-scale against a PB-scale base.  Versions are the etl_snapshot_diff "
+    "simulation; the result carries BOTH the delta-maintained total and "
+    "the direct recompute, so the audit (maintained == direct, drift 0) "
+    "is part of the hash-checked answer.  All sums are exact DECIMAL "
+    "(order-independent) cast to DOUBLE at the edge.",
+    oracle="""
+WITH old_v AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 97 != 0
+),
+new_v AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.00
+                   ELSE o_totalprice END AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 89 != 0
+),
+old_agg AS (
+  SELECT status, SUM(price) AS total, COUNT(*) AS n FROM old_v GROUP BY status
+),
+delta AS (
+  SELECT COALESCE(o.status, n.status) AS status,
+         SUM(COALESCE(n.price, 0) - COALESCE(o.price, 0)) AS dtotal,
+         SUM(CASE WHEN o.k IS NULL THEN 1
+                  WHEN n.k IS NULL THEN -1 ELSE 0 END) AS dn
+  FROM old_v o FULL OUTER JOIN new_v n ON o.k = n.k
+  GROUP BY COALESCE(o.status, n.status)
+),
+direct AS (
+  SELECT status, SUM(price) AS total, COUNT(*) AS n FROM new_v GROUP BY status
+)
+SELECT d.status,
+       CAST(oa.n + dl.dn AS BIGINT) AS n_rows_maintained,
+       CAST(d.n AS BIGINT) AS n_rows_direct,
+       CAST(oa.total + dl.dtotal AS DOUBLE) AS total_maintained,
+       CAST(d.total AS DOUBLE) AS total_direct,
+       CAST(oa.total + dl.dtotal - d.total AS DOUBLE) AS drift
+FROM direct d
+JOIN old_agg oa ON oa.status = d.status
+JOIN delta dl ON dl.status = d.status
+""",
+)
+def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    old_v = o.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.00
+    ).otherwise(F.col("o_totalprice"))
+    new_v = o.where(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        new_price.cast("decimal(12,2)").alias("price"),
+    )
+    old_agg = old_v.groupBy("status").agg(
+        F.sum("price").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    j = old_v.alias("o").join(new_v.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer")
+    delta = j.groupBy(
+        F.coalesce(F.col("o.status"), F.col("n.status")).alias("status")
+    ).agg(
+        F.sum(
+            F.coalesce(F.col("n.price"), F.lit(0).cast("decimal(12,2)"))
+            - F.coalesce(F.col("o.price"), F.lit(0).cast("decimal(12,2)"))
+        ).alias("dtotal"),
+        F.sum(
+            F.when(F.col("o.k").isNull(), 1)
+            .when(F.col("n.k").isNull(), -1)
+            .otherwise(0)
+        ).alias("dn"),
+    )
+    direct = new_v.groupBy("status").agg(
+        F.sum("price").alias("dtotal_direct"), F.count(F.lit(1)).alias("n_direct")
+    )
+    return (
+        direct.join(old_agg, "status")
+        .join(delta, "status")
+        .select(
+            "status",
+            (F.col("n") + F.col("dn")).cast("bigint").alias("n_rows_maintained"),
+            F.col("n_direct").cast("bigint").alias("n_rows_direct"),
+            (F.col("total") + F.col("dtotal")).cast("double").alias("total_maintained"),
+            F.col("dtotal_direct").cast("double").alias("total_direct"),
+            (F.col("total") + F.col("dtotal") - F.col("dtotal_direct"))
+            .cast("double")
+            .alias("drift"),
+        )
+    )

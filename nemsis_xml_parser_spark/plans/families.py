@@ -792,3 +792,121 @@ def agg_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy * sxx - sx * sxy) / var_x, 6).alias("regr_intercept_pq"),
         F.round((cov_num * cov_num) / (var_x * var_y), 6).alias("r2_pq"),
     )
+
+
+@register(
+    "agg_histogram_fixed_bins",
+    family="agg",
+    doc="Fixed-width histogram (width_bucket semantics): l_extendedprice "
+    "into 10 equal bins over [0, 60000) per returnflag, out-of-range "
+    "clamped to the edge bins.  The profiling primitive behind "
+    "distribution drift checks; one hash aggregate, bin id computed "
+    "map-side with integer arithmetic (identical FLOOR expression both "
+    "engines).",
+    oracle="""
+SELECT l_returnflag,
+       CAST(LEAST(GREATEST(FLOOR(l_extendedprice / 6000.0), 0), 9) AS BIGINT)
+         AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    bin_id = F.least(
+        F.greatest(F.floor(F.col("l_extendedprice") / 6000.0), F.lit(0)),
+        F.lit(9),
+    ).cast("bigint")
+    return l.groupBy("l_returnflag", bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "quality_expectations_audit",
+    family="etl",
+    doc="Declarative data-quality expectations in ONE aggregate pass "
+    "(the Deequ/expectations pattern): completeness (non-null rate), "
+    "domain membership, value ranges, and cross-column rules over "
+    "lineitem, emitted as one row per rule via stack() so downstream "
+    "alerting joins on rule_name.  Referential integrity (orphan "
+    "orderkeys) rides the same result as an anti-join count.  Scale: "
+    "every rule is a conditional SUM in a single scan — adding a rule "
+    "adds zero passes; the RI check is one broadcast-free semi-join.",
+    oracle="""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_shipdate,
+         CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_returnflag,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_quantity,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_discount,
+         CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_tax
+  FROM lineitem
+),
+orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT rule_name, n_violations, total_rows FROM (
+  SELECT 'shipdate_not_null' AS rule_name, null_shipdate AS n_violations,
+         total AS total_rows FROM base
+  UNION ALL
+  SELECT 'returnflag_in_domain', bad_returnflag, total FROM base
+  UNION ALL
+  SELECT 'quantity_in_range', bad_quantity, total FROM base
+  UNION ALL
+  SELECT 'discount_in_range', bad_discount, total FROM base
+  UNION ALL
+  SELECT 'tax_in_range', bad_tax, total FROM base
+  UNION ALL
+  SELECT 'orderkey_ri', o.n, b.total FROM orphans o, base b
+)
+""",
+)
+def quality_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    base = l.agg(
+        F.count(F.lit(1)).alias("total"),
+        viol(F.col("l_shipdate").isNull()).alias("shipdate_not_null"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias(
+            "returnflag_in_domain"
+        ),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "quantity_in_range"
+        ),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "discount_in_range"
+        ),
+        viol((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08)).alias(
+            "tax_in_range"
+        ),
+    )
+    orphans = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orderkey_ri"))
+    )
+    wide = base.crossJoin(F.broadcast(orphans))
+    rules = [
+        "shipdate_not_null", "returnflag_in_domain", "quantity_in_range",
+        "discount_in_range", "tax_in_range", "orderkey_ri",
+    ]
+    stack_expr = ", ".join(f"'{r}', {r}" for r in rules)
+    return wide.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_expr}) AS (rule_name, n_violations)"
+        ),
+        F.col("total").alias("total_rows"),
+    )

@@ -2775,3 +2775,93 @@ def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("margin") >= 1.0))
         .select("src_id", "tgt_id", "cosine", "margin")
     )
+
+
+@register(
+    "text_pmi_collocations",
+    family="text",
+    doc="PMI collocation mining — the classic corpus-linguistics signal "
+    "for multiword expressions (Church & Hanks 1990), used in tokenizer "
+    "and phrase-vocabulary induction: pmi(w1,w2) = ln((c12/Nb) / "
+    "((c1/Nu)(c2/Nu))) over whitespace bigrams, pairs seen ≥ 5 times, "
+    "deterministic top-50 by (pmi desc, w1, w2).  All inputs to the one "
+    "ln expression are exact integer counts, so the double is "
+    "bit-identical across engines and partitionings.  Scale: two count "
+    "aggregates (unigram, bigram) + two broadcast joins of the pair list "
+    "against the unigram model; corpus totals are broadcast scalars.",
+    oracle="""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT u.w, COUNT(*) AS c FROM toks, UNNEST(t) AS u(w) GROUP BY u.w
+),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+bi AS (
+  SELECT t[g.i + 1] AS w1, t[g.i + 2] AS w2, COUNT(*) AS c12
+  FROM toks, UNNEST(range(GREATEST(len(t) - 1, 0))) AS g(i)
+  GROUP BY 1, 2
+),
+nb AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM bi),
+scored AS (
+  SELECT b.w1, b.w2, b.c12,
+         ROUND(LN((b.c12 / (SELECT n FROM nb))
+               / ((u1.c / (SELECT n FROM nu)) * (u2.c / (SELECT n FROM nu)))), 6)
+           AS pmi
+  FROM bi b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  WHERE b.c12 >= 5
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS n_pair, pmi FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rn
+  FROM scored
+) WHERE rn <= 50
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens, word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nu = uni.agg(F.sum("c").cast("double").alias("nu"))
+    bi = (
+        d.select(F.explode(word_ngrams(F.col("text"), 2)).alias("bg"))
+        .select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= 5)
+    )
+    # Nb is the ALL-bigram total (the c12 >= 5 cut applies to candidates,
+    # not to the probability denominator)
+    nb = (
+        d.select(F.explode(word_ngrams(F.col("text"), 2)).alias("bg"))
+        .agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("nb"))
+            / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+        ),
+        6,
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn("pmi", pmi)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("w1", "w2", F.col("c12").cast("bigint").alias("n_pair"), "pmi")
+    )

@@ -45,6 +45,8 @@ JUSTIFIED_BNLJ = {
     "sample_temperature_rebalance",  # broadcast 1-row n_min scalar
     "ann_ivfpq_topk",        # broadcast centroid/codebook sets (KB-scale)
     "mine_bitext_margin",    # bounded cross-side brute tier (broadcast side A)
+    "text_pmi_collocations", # broadcast 1-row corpus-total scalars (Nu, Nb)
+    "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
 }
 
 
