@@ -2865,3 +2865,178 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("w1", "w2", F.col("c12").cast("bigint").alias("n_pair"), "pmi")
     )
+
+
+@register(
+    "curation_url_canonicalize",
+    family="etl",
+    doc="Crawl-URL canonicalization battery — the normalization every "
+    "URL-level dedup runs before hashing: lowercase scheme+host, strip "
+    "default port, strip tracking query params (utm_*), drop fragments, "
+    "collapse trailing slash.  URLs are synthesized deterministically "
+    "from doc_id (scheme/host/port/path/params all arithmetic), so the "
+    "oracle rebuilds input AND expected output from the same closed "
+    "form; the dedup effect (distinct canonical vs raw) is part of the "
+    "hash-checked answer.  Pure string expressions, map-side, no "
+    "shuffle until the audit aggregate.",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+              ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.org' END ||
+         CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+         '/path' || CAST(doc_id % 5 AS VARCHAR) ||
+         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
+         CASE WHEN doc_id % 6 = 2 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_replace(regexp_replace(url, '#.*$', ''),
+                       '\\?utm_[^#]*$', '')),
+                 ':80/', '/'),
+               ':80$', ''),
+             '/$', ''),
+           '^http://', 'https://') AS curl
+  FROM raw
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+       CAST(SUM(CASE WHEN curl LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_https,
+       CAST(SUM(CASE WHEN curl LIKE '%utm%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tracking_left,
+       MIN(curl) AS sample_min,
+       MAX(curl) AS sample_max
+FROM canon
+""",
+)
+def curation_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("WWW.Example"), (k % 7).cast("string"), F.lit(".COM")),
+        ).otherwise(F.concat(F.lit("site"), (k % 7).cast("string"), F.lit(".org"))),
+        F.when(k % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/path"),
+        (k % 5).cast("string"),
+        F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 3 == 1, F.lit("?utm_source=feed&utm_campaign=x")).otherwise(
+            F.lit("")
+        ),
+        F.when(k % 6 == 2, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(
+                        F.regexp_replace(
+                            F.regexp_replace(url, r"#.*$", ""), r"\?utm_[^#]*$", ""
+                        )
+                    ),
+                    ":80/",
+                    "/",
+                ),
+                ":80$",
+                "",
+            ),
+            "/$",
+            "",
+        ),
+        "^http://",
+        "https://",
+    )
+    return d.select(curl.alias("curl")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("curl").alias("n_canonical"),
+        F.sum(F.when(F.col("curl").startswith("https://"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_https"),
+        F.sum(F.when(F.col("curl").contains("utm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tracking_left"),
+        F.min("curl").alias("sample_min"),
+        F.max("curl").alias("sample_max"),
+    )
+
+
+@register(
+    "curation_pareto_coverage",
+    family="text",
+    doc="Pareto coverage audit — 'how concentrated is the corpus': sources "
+    "ranked by total characters contributed, cumulative share via a "
+    "running-sum window, and per source its rank, exact share and "
+    "cumulative share, flagged with the smallest prefix reaching 50% and "
+    "90% coverage.  The dashboard behind source-mix rebalancing "
+    "decisions (pairs with sample_temperature_rebalance).  Exact "
+    "DECIMAL char sums; shares are one identical double division, "
+    "cumulative share accumulated over DECIMAL then divided once — "
+    "order-independent.  One aggregate + one tiny window over "
+    "n_sources rows.",
+    oracle="""
+WITH per_source AS (
+  SELECT source, CAST(SUM(n_chars) AS DECIMAL(18,0)) AS chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(chars) AS DOUBLE) AS t FROM per_source),
+ranked AS (
+  SELECT source, chars,
+         ROW_NUMBER() OVER (ORDER BY chars DESC, source ASC) AS rnk,
+         SUM(chars) OVER (ORDER BY chars DESC, source ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_chars
+  FROM per_source
+)
+SELECT source,
+       CAST(rnk AS INTEGER) AS rank,
+       CAST(chars AS BIGINT) AS n_chars,
+       ROUND(CAST(chars AS DOUBLE) / (SELECT t FROM tot), 6) AS share,
+       ROUND(CAST(cum_chars AS DOUBLE) / (SELECT t FROM tot), 6) AS cum_share,
+       CAST(CASE WHEN CAST(cum_chars AS DOUBLE) / (SELECT t FROM tot) >= 0.5
+                  AND (CAST(cum_chars - chars AS DOUBLE) / (SELECT t FROM tot)) < 0.5
+                 THEN 1 ELSE 0 END AS INTEGER) AS crosses_p50,
+       CAST(CASE WHEN CAST(cum_chars AS DOUBLE) / (SELECT t FROM tot) >= 0.9
+                  AND (CAST(cum_chars - chars AS DOUBLE) / (SELECT t FROM tot)) < 0.9
+                 THEN 1 ELSE 0 END AS INTEGER) AS crosses_p90
+FROM ranked
+""",
+)
+def curation_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("chars")
+    )
+    tot = per_source.agg(F.sum("chars").cast("double").alias("t"))
+    w = Window.orderBy(F.col("chars").desc(), F.col("source").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_source.select(
+        "source",
+        "chars",
+        F.row_number().over(w).alias("rank"),
+        F.sum("chars").over(wcum).alias("cum_chars"),
+    ).crossJoin(F.broadcast(tot))
+    share = F.col("chars").cast("double") / F.col("t")
+    cum = F.col("cum_chars").cast("double") / F.col("t")
+    prev = (F.col("cum_chars") - F.col("chars")).cast("double") / F.col("t")
+    return ranked.select(
+        "source",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("chars").cast("bigint").alias("n_chars"),
+        F.round(share, 6).alias("share"),
+        F.round(cum, 6).alias("cum_share"),
+        F.when((cum >= 0.5) & (prev < 0.5), 1).otherwise(0).cast("int")
+        .alias("crosses_p50"),
+        F.when((cum >= 0.9) & (prev < 0.9), 1).otherwise(0).cast("int")
+        .alias("crosses_p90"),
+    )

@@ -47,6 +47,7 @@ JUSTIFIED_BNLJ = {
     "mine_bitext_margin",    # bounded cross-side brute tier (broadcast side A)
     "text_pmi_collocations", # broadcast 1-row corpus-total scalars (Nu, Nb)
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
+    "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
 }
 
 
