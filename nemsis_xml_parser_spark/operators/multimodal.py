@@ -664,3 +664,49 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=["path", "content", "status"])
 
     return media.mapInPandas(resize, schema=out_schema)
+
+
+THUMB_STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType(), False),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("thumb_sum", LongType(), True),
+        StructField("thumb_min", IntegerType(), True),
+        StructField("thumb_max", IntegerType(), True),
+    ]
+)
+
+
+def png_thumbnail_stats(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Decode PNG pixels (REAL inflate+unfilter path) then nearest-neighbor
+    resize to ``out_w``x``out_h`` with the same integer index mapping as
+    ``resize_ppm`` (src = out_idx * src_dim // out_dim) and reduce to
+    narrow per-thumbnail statistics — the decode→transform→feature shape
+    of an image-pipeline pre-processing stage, blobs never leaving the
+    Arrow batch."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_png_pixels(bytes(content))
+                h, w, _ = px.shape
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                th = px[ys][:, xs]
+                rows.append(
+                    (int(path), w, h, int(th.sum()), int(th.min()), int(th.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "src_width", "src_height",
+                    "thumb_sum", "thumb_min", "thumb_max",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=THUMB_STATS_SCHEMA)

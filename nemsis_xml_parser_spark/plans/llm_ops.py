@@ -3040,3 +3040,46 @@ def curation_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((cum >= 0.9) & (prev < 0.9), 1).otherwise(0).cast("int")
         .alias("crosses_p90"),
     )
+
+
+@register(
+    "multimodal_thumbnail_stats",
+    family="multimodal",
+    doc="Decode → transform → feature, the image-preprocessing pipeline "
+    "shape: REAL PNG pixel decode (stdlib zlib inflate + unfilter), "
+    "nearest-neighbor resize to an 8x8 thumbnail with the integer index "
+    "map src = out_idx * src_dim // out_dim (resize_ppm's convention), "
+    "then per-thumbnail statistics.  The oracle samples the closed-form "
+    "pixel arithmetic at exactly the mapped coordinates — any drift in "
+    "the decode OR the resize index math breaks the hash.  Blobs stay "
+    "inside the Arrow batch; the aggregate sees 6 narrow columns.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7
+          + 3 * ((xs.x * w) // 8)
+          + 5 * ((ys.y * h) // 8)
+          + 11 * cs.c) % 256 AS v
+  FROM dims,
+       UNNEST(range(0, 8)) AS xs(x),
+       UNNEST(range(0, 8)) AS ys(y),
+       UNNEST(range(0, 3)) AS cs(c)
+)
+SELECT doc_id AS image_id,
+       CAST(MIN(w) AS INT) AS src_width,
+       CAST(MIN(h) AS INT) AS src_height,
+       CAST(SUM(v) AS BIGINT) AS thumb_sum,
+       CAST(MIN(v) AS INT) AS thumb_min,
+       CAST(MAX(v) AS INT) AS thumb_max
+FROM px
+GROUP BY doc_id
+""",
+)
+def multimodal_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import png_thumbnail_stats, synthesize_png_media
+
+    d = table(spark, sf_dir, "documents")
+    return png_thumbnail_stats(synthesize_png_media(d.select("doc_id")))

@@ -230,3 +230,20 @@ def test_png_pixel_stats_spark(spark):
         assert r["n_subpixels"] == px.size
         assert r["px_sum"] == int(px.sum())
         assert (r["px_min"], r["px_max"]) == (int(px.min()), int(px.max()))
+
+
+def test_png_thumbnail_stats_spark(spark):
+    ids = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    out = {r["image_id"]: r for r in
+           M.png_thumbnail_stats(M.synthesize_png_media(ids)).collect()}
+    assert len(out) == 20
+    for image_id in (0, 7, 19):
+        px = M.decode_png_pixels(M.make_png_image(image_id))
+        h, w, _ = px.shape
+        ys = (np.arange(8) * h // 8).clip(0, h - 1)
+        xs = (np.arange(8) * w // 8).clip(0, w - 1)
+        th = px[ys][:, xs]
+        r = out[image_id]
+        assert (r["src_width"], r["src_height"]) == (w, h)
+        assert r["thumb_sum"] == int(th.sum())
+        assert (r["thumb_min"], r["thumb_max"]) == (int(th.min()), int(th.max()))
