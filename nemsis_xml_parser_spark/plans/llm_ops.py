@@ -3083,3 +3083,175 @@ def multimodal_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return png_thumbnail_stats(synthesize_png_media(d.select("doc_id")))
+
+
+@register(
+    "embedding_centroid_fisher",
+    family="similarity",
+    doc="Per-label centroid + Fisher separation diagnostic — the "
+    "embedding-quality check run before trusting a space for clustering "
+    "or ANN: per label, the mean vector (exact DECIMAL per-dimension "
+    "sums over posexplode, order-independent) and mean squared distance "
+    "to the own centroid (within-class scatter); plus each label's "
+    "distance to the global centroid (between-class signal).  Labels "
+    "whose between/within ratio is low are entangled in the space.  "
+    "Scale: one posexplode shuffle keyed (label, dim) — nlabels*dim "
+    "aggregate rows, vectors never collected.",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+flat AS (
+  SELECT label, vec_id, d.i AS dim, v[d.i + 1] AS val
+  FROM vecs, UNNEST(range(64)) AS d(i)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           / COUNT(*) AS mu
+  FROM flat GROUP BY label, dim
+),
+gcent AS (
+  SELECT dim,
+         CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           / COUNT(*) AS gmu
+  FROM flat GROUP BY dim
+),
+within AS (
+  SELECT f.label, f.vec_id,
+         CAST(SUM(CAST(ROUND((f.val - c.mu) * (f.val - c.mu), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS sqd
+  FROM flat f JOIN cent c ON c.label = f.label AND c.dim = f.dim
+  GROUP BY f.label, f.vec_id
+),
+between_d AS (
+  SELECT c.label,
+         CAST(SUM(CAST(ROUND((c.mu - g.gmu) * (c.mu - g.gmu), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS bsq
+  FROM cent c JOIN gcent g ON g.dim = c.dim
+  GROUP BY c.label
+)
+SELECT w.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ROUND(w.sqd, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS within_msd,
+       ROUND(MIN(b.bsq), 6) AS between_sq,
+       ROUND(MIN(b.bsq) / (CAST(SUM(CAST(ROUND(w.sqd, 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / COUNT(*)), 6) AS fisher_ratio
+FROM within w JOIN between_d b ON b.label = w.label
+GROUP BY w.label
+""",
+)
+def embedding_centroid_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(V.to_double_array(F.col("embedding"))).alias("dim", "val"),
+    )
+    dec9 = lambda c: F.round(c, 9).cast("decimal(20,9)")  # noqa: E731
+    cent = flat.groupBy("label", "dim").agg(
+        (F.sum(dec9(F.col("val"))).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    gcent = flat.groupBy("dim").agg(
+        (F.sum(dec9(F.col("val"))).cast("double") / F.count(F.lit(1))).alias("gmu")
+    )
+    within = (
+        flat.join(cent, ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(dec9((F.col("val") - F.col("mu")) * (F.col("val") - F.col("mu"))))
+            .cast("double")
+            .alias("sqd")
+        )
+    )
+    between_d = (
+        cent.join(F.broadcast(gcent), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(dec9((F.col("mu") - F.col("gmu")) * (F.col("mu") - F.col("gmu"))))
+            .cast("double")
+            .alias("bsq")
+        )
+    )
+    wmsd = F.sum(F.round(F.col("sqd"), 6).cast("decimal(18,6)")).cast(
+        "double"
+    ) / F.count(F.lit(1))
+    return (
+        within.join(F.broadcast(between_d), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(wmsd, 6).alias("within_msd"),
+            F.round(F.min("bsq"), 6).alias("between_sq"),
+            F.round(F.min("bsq") / wmsd, 6).alias("fisher_ratio"),
+        )
+    )
+
+
+@register(
+    "text_keyword_extraction",
+    family="text",
+    doc="TF-IDF keyword extraction — deterministic top-3 keywords per "
+    "document for doc_id < 50 (the summarization/indexing primitive "
+    "composing text_term_frequency and text_doc_idf): tf = in-doc term "
+    "count, idf = ln(N / df) over the full corpus, score rounded and "
+    "ranked with full tie-breaks.  Scale: the token-count aggregate and "
+    "the df aggregate are the only shuffles; the probe-doc restriction "
+    "is a map-side filter pushed below both.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x != '')) AS w
+  FROM documents
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE doc_id < 50
+  GROUP BY doc_id, w
+),
+scored AS (
+  SELECT t.doc_id, t.w AS keyword, CAST(t.tf AS BIGINT) AS tf,
+         ROUND(t.tf * LN((SELECT n FROM nd) / d.df), 6) AS score
+  FROM tf t JOIN df d ON d.w = t.w
+)
+SELECT doc_id, keyword, tf, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, keyword ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    nd = tok.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        tok.where(F.col("doc_id") < 50)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("keyword").asc()
+    )
+    return (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("w").alias("keyword"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "keyword", "tf", "score", F.col("rank").cast("int").alias("rank"))
+    )

@@ -48,6 +48,7 @@ JUSTIFIED_BNLJ = {
     "text_pmi_collocations", # broadcast 1-row corpus-total scalars (Nu, Nb)
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
+    "text_keyword_extraction",     # broadcast 1-row corpus-size scalar
 }
 
 
