@@ -3255,3 +3255,110 @@ def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "keyword", "tf", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    family="dedup",
+    doc="Weighted sampling without replacement, exactly k per group, "
+    "deterministic (Efraimidis-Spirakis A-ES keys): per doc u = "
+    "(md5-bucket + 0.5) / 1e6 in (0,1), key = ln(u) / n_chars, top-20 "
+    "per language by key DESC — longer documents win proportionally to "
+    "weight, yet the draw is a pure function of doc_id, so the sample "
+    "is reproducible across runs, engines and partitionings (the "
+    "property rand()-weighted sampling lacks; pairs with the unweighted "
+    "sample_topk_per_source).  Key arithmetic is one identical "
+    "ln-and-divide on both engines; selection is one per-group top-k "
+    "window.",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+           / n_chars AS es_key
+  FROM documents
+)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(es_key * 1000000, 6) AS key_scaled,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, doc_id ASC) AS rank
+  FROM keyed
+) WHERE rank <= 20
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    u = (md5_long(F.col("doc_id").cast("string")) % 1000000 + 0.5) / 1000000.0
+    es_key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(F.col("es_key") * 1000000, 6).alias("key_scaled"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "text_fertility_stats",
+    family="text",
+    doc="Tokenizer fertility diagnostics per language — the eval behind "
+    "choosing/retraining a tokenizer for multilingual corpora: "
+    "whitespace tokens vs BPE-ish pre-tokens per doc, chars-per-token "
+    "and subtoken-inflation ratios aggregated with exact DECIMAL sums "
+    "(order-independent), languages whose inflation is highest pay the "
+    "most sequence length per character of signal.  Two map-side token "
+    "counts per doc (no explode — size(array) only), one aggregate.",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(LENGTH(text) AS DECIMAL(18,2)) AS n_chars,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x != '')) AS DECIMAL(18,2)) AS n_ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+              AS DECIMAL(18,2)) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(SUM(n_ws) AS DOUBLE) AS BIGINT) AS total_ws_tokens,
+       CAST(CAST(SUM(n_bpe) AS DOUBLE) AS BIGINT) AS total_bpe_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE), 6)
+         AS chars_per_bpe_token,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE), 6)
+         AS subtoken_inflation
+FROM per_doc
+GROUP BY lang
+""",
+)
+def text_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_tokens, tokens
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("decimal(18,2)").alias("n_chars"),
+        F.size(tokens(F.col("text"))).cast("decimal(18,2)").alias("n_ws"),
+        F.size(bpe_tokens(F.col("text"))).cast("decimal(18,2)").alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("double").cast("bigint").alias("total_ws_tokens"),
+        F.sum("n_bpe").cast("double").cast("bigint").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double"), 6
+        ).alias("chars_per_bpe_token"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double"), 6
+        ).alias("subtoken_inflation"),
+    )
