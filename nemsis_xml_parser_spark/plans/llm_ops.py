@@ -3362,3 +3362,75 @@ def text_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double"), 6
         ).alias("subtoken_inflation"),
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    family="dedup",
+    doc="SemDeDup-style semantic deduplication end-to-end: embedding "
+    "cosine pairs (>= 0.35, the dedup_embedding_cosine_pairs edge set) "
+    "fed through distributed connected components "
+    "(operators/components.py) and reduced to per-cluster facts — id, "
+    "size, member span, survivor (min vec_id).  This is the "
+    "embedding-space twin of dedup_cluster_components (shingle space): "
+    "semantically redundant groups collapse to one representative even "
+    "when their surface text shares no shingles.  Oracle replays the "
+    "transitive closure as a recursive CTE over the same SQL edge set.  "
+    "Scale: LSH-bucketed candidate generation replaces the bounded brute "
+    "edge set (dedup_embedding_lsh_pairs), CC cost is O(E log d).",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+),
+edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION ALL SELECT vb, va FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(MIN(node) AS BIGINT) AS member_min,
+       CAST(MAX(node) AS BIGINT) AS member_max
+FROM comp
+GROUP BY cluster_id
+HAVING COUNT(*) >= 2
+""",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import components as C
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_above(e, threshold=0.35).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = C.dedup_clusters(
+        pairs, nodes=e.select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        comp.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").cast("bigint").alias("member_min"),
+            F.max("doc_id").cast("bigint").alias("member_max"),
+        )
+        .where(F.col("cluster_size") >= 2)
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "member_min",
+            "member_max",
+        )
+    )

@@ -13,7 +13,7 @@ of a TimescaleDB continuous-aggregate backfill.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .registry import register, table
 
@@ -179,4 +179,61 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mad), "event_type")
         .where((F.col("mad") > 0) & (F.abs(z) >= 2))
         .select("event_type", "h", "n", F.round(z, 6).alias("robust_z"))
+    )
+
+
+@register(
+    "events_trending_rank_delta",
+    family="timeseries",
+    doc="Trending analysis — per day, event types ranked by count with the "
+    "rank CHANGE vs the previous day (lag over the per-type daily "
+    "series): the movers dashboard shape (new entries surface with NULL "
+    "prev_rank).  Two shuffles total: the daily count aggregate and the "
+    "per-type lag window; the final per-day rank is a tiny window over "
+    "days x types rows.",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY day
+                            ORDER BY n DESC, event_type ASC) AS rnk
+  FROM daily
+),
+with_prev AS (
+  SELECT day, event_type, n, rnk,
+         LAG(rnk) OVER (PARTITION BY event_type ORDER BY day) AS prev_rnk
+  FROM ranked
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(rnk AS INTEGER) AS rank,
+       CAST(prev_rnk AS INTEGER) AS prev_rank,
+       CAST(prev_rnk - rnk AS INTEGER) AS rank_gain
+FROM with_prev
+WHERE rnk <= 3
+""",
+)
+def events_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    ranked = daily.withColumn("rnk", F.row_number().over(wr))
+    wl = Window.partitionBy("event_type").orderBy("day")
+    return (
+        ranked.withColumn("prev_rnk", F.lag("rnk").over(wl))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("rnk").cast("int").alias("rank"),
+            F.col("prev_rnk").cast("int").alias("prev_rank"),
+            (F.col("prev_rnk") - F.col("rnk")).cast("int").alias("rank_gain"),
+        )
     )
