@@ -3434,3 +3434,114 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "member_max",
         )
     )
+
+
+_HOT_TEMPLATE = (
+    "the shared boilerplate template text repeated for the hot family of"
+    " documents v"
+)
+
+
+def _minhash_star_capped_oracle() -> str:
+    """Generated oracle for the max_bucket STAR-CAP path: same
+    signature/banding SQL as _minhash_lsh_oracle, but candidate
+    generation replicates the capped logic — per-bucket size +
+    representative, all-pairs for buckets <= 8, star edges to the
+    min-doc_id representative above — over a corpus with a PLANTED
+    30-doc hot family (one unique shingle each, 12 shared), so the
+    oversized-bucket branch actually executes under the driver's gate."""
+    m61 = (1 << 61) - 1
+    sig_cols = ", ".join(f"MIN((h1 + {k} * h2) % {m61}) AS s{k}" for k in range(16))
+    bands = ", ".join(
+        "{'band_idx': %d, 'band_hash': md5(CAST(s%d AS VARCHAR))}" % (b, b)
+        for b in range(16)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT 10000 + t.i AS doc_id,
+         '{_HOT_TEMPLATE}' || CAST(t.i AS VARCHAR) AS text
+  FROM UNNEST(range(30)) AS t(i)
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM docs)
+),
+hp AS (SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 17, 12)) AS BIGINT) AS h2
+       FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hp GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, u.b.band_idx AS band_idx, u.b.band_hash AS band_hash
+  FROM sig, UNNEST([{bands}]) AS u(b)
+),
+bstats AS (
+  SELECT band_idx, band_hash, COUNT(*) AS bsz, MIN(doc_id) AS rep
+  FROM banded GROUP BY band_idx, band_hash
+),
+bb AS (
+  SELECT b.doc_id, b.band_idx, b.band_hash, s.bsz, s.rep
+  FROM banded b JOIN bstats s USING (band_idx, band_hash)
+),
+small_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN bb b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id AND a.bsz <= 8
+),
+star_pairs AS (
+  SELECT rep AS doc_a, doc_id AS doc_b FROM bb
+  WHERE bsz > 8 AND doc_id != rep
+),
+candidates AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM candidates c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.0
+"""
+
+
+@register(
+    "dedup_minhash_star_capped",
+    family="dedup",
+    doc="The adversarial-skew guard under the driver's gate: MinHash(16)+"
+    "LSH(16 one-row bands) with max_bucket=8 star-capping "
+    "(operators/dedup.py) over the doc_id<120 sample PLUS a planted "
+    "30-doc hot-template family (12 shared shingles, 1 unique each) "
+    "whose band buckets overflow the cap — so the oversized-bucket star "
+    "branch (edges to the min-id representative, O(bucket) not "
+    "O(bucket²)) actually executes and is hash-verified.  Oracle is "
+    "GENERATED: the full pipeline incl. per-bucket size/representative "
+    "logic reproduced in SQL.  Motivation measured in SCALING.md "
+    "('Adversarial stop-shingle skew': 762s -> 28s at 10x-hot).",
+    oracle=_minhash_star_capped_oracle(),
+)
+def dedup_minhash_star_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    hot = spark.range(30).select(
+        (F.col("id") + 10000).alias("doc_id"),
+        F.concat(F.lit(_HOT_TEMPLATE), F.col("id").cast("string")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(hot)
+    return D.minhash_lsh_pairs(
+        corpus, num_hashes=16, bands=16, n=3, threshold=0.0, max_bucket=8
+    )
