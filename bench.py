@@ -53,6 +53,12 @@ HEADLINE = [
     "dedup_cluster_components",
     "text_bm25_score",
     "ann_ivfpq_topk",
+    # round 4 flagships (subtract when comparing totals vs earlier rounds)
+    "multimodal_pixel_stats",
+    "curation_chunk_sequences",
+    "decontaminate_passage_containment",
+    "graph_pagerank_centrality",
+    "dedup_minhash_star_capped",
 ]
 
 
