@@ -910,3 +910,143 @@ def quality_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("total").alias("total_rows"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    family="agg",
+    doc="Exact weighted median (and p25/p75 weighted quantiles) of "
+    "l_extendedprice weighted by l_quantity, per returnflag — the "
+    "robust-stats positional selection plain percentile_cont cannot "
+    "express (each row counts quantity times).  Lower weighted quantile: "
+    "the smallest value whose running weight reaches q * total, via one "
+    "cumulative-sum window over the per-value aggregate and a min-filter "
+    "— identical selection rule on both engines, exact DECIMAL weights.  "
+    "Scale: the per-value pre-aggregate bounds the window input to "
+    "distinct values per group.",
+    oracle="""
+WITH vals AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS val,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, val, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY val ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM vals
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.25 * CAST(tw AS DOUBLE)
+                     THEN val END) AS DOUBLE) AS wp25,
+       CAST(MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.50 * CAST(tw AS DOUBLE)
+                     THEN val END) AS DOUBLE) AS wmedian,
+       CAST(MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.75 * CAST(tw AS DOUBLE)
+                     THEN val END) AS DOUBLE) AS wp75
+FROM cum
+GROUP BY flag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    vals = l.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("val")
+    ).agg(F.sum(dec2("l_quantity")).cast("decimal(18,2)").alias("w"))
+    wc = Window.partitionBy("flag").orderBy(F.col("val").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("flag")
+    cum = vals.select(
+        "flag",
+        "val",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+
+    def wq(q):
+        return F.min(
+            F.when(
+                F.col("cw").cast("double") >= q * F.col("tw").cast("double"),
+                F.col("val"),
+            )
+        ).cast("double")
+
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        wq(0.25).alias("wp25"), wq(0.50).alias("wmedian"), wq(0.75).alias("wp75")
+    )
+
+
+@register(
+    "join_scd2_point_in_time",
+    family="join",
+    doc="Slowly-changing-dimension type 2, built and probed in one query: "
+    "a per-customer change log (the day's last order priority, "
+    "deduplicated per date) becomes validity intervals via lead() over "
+    "the date sequence — [valid_from, valid_to), last interval open — "
+    "and each order is then joined to the version valid 30 days BEFORE "
+    "it was placed (the as-of-the-past lookup every feature-engineering "
+    "pipeline needs to avoid label leakage).  Probes before a "
+    "customer's first change resolve to 'none' via the left join.  "
+    "Scale: interval build is one lag-free window per customer; the "
+    "point-in-time join is equi on custkey with a range residual — "
+    "sort-merge, no cartesian.",
+    oracle="""
+WITH day_last AS (
+  SELECT o_custkey AS ck, o_orderdate AS d, MAX(o_orderpriority) AS prio
+  FROM orders GROUP BY 1, 2
+),
+intervals AS (
+  SELECT ck, prio, d AS valid_from,
+         LEAD(d) OVER (PARTITION BY ck ORDER BY d ASC) AS valid_to
+  FROM day_last
+),
+probes AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status,
+         o_orderdate - INTERVAL 30 DAY AS asof_d
+  FROM orders
+)
+SELECT COALESCE(i.prio, 'none') AS priority_30d_before,
+       p.status AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT p.ck) AS BIGINT) AS n_customers
+FROM probes p
+LEFT JOIN intervals i
+  ON i.ck = p.ck AND p.asof_d >= i.valid_from
+ AND (i.valid_to IS NULL OR p.asof_d < i.valid_to)
+GROUP BY 1, 2
+""",
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    day_last = o.groupBy(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d")
+    ).agg(F.max("o_orderpriority").alias("prio"))
+    w = Window.partitionBy("ck").orderBy(F.col("d").asc())
+    intervals = day_last.select(
+        "ck",
+        "prio",
+        F.col("d").alias("valid_from"),
+        F.lead("d").over(w).alias("valid_to"),
+    )
+    probes = o.select(
+        F.col("o_custkey").alias("pck"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        F.date_sub(F.col("o_orderdate"), 30).alias("asof_d"),
+    )
+    cond = (
+        (F.col("ck") == F.col("pck"))
+        & (F.col("asof_d") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("asof_d") < F.col("valid_to")))
+    )
+    return (
+        probes.join(intervals, cond, "left")
+        .groupBy(
+            F.coalesce(F.col("prio"), F.lit("none")).alias("priority_30d_before"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("pck").alias("n_customers"),
+        )
+    )

@@ -237,3 +237,65 @@ def events_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prev_rnk") - F.col("rnk")).cast("int").alias("rank_gain"),
         )
     )
+
+
+@register(
+    "events_session_paths",
+    family="timeseries",
+    doc="Path analysis — the 'what do sessions look like' shape: per "
+    "user, events ordered by (ts, event_id) and the first three event "
+    "types concatenated into a path string, then the top-10 paths by "
+    "frequency with deterministic tie-breaks.  Ordering inside the "
+    "collect is made unambiguous by sorting structs of (ts, event_id, "
+    "type) — never bare collect_list order, which is partitioning-"
+    "dependent.  One window-free aggregate per user + one count.",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT path, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) AS rank
+  FROM paths GROUP BY path
+) t(path, cnt, rank)
+JOIN paths p USING (path)
+GROUP BY path, rank
+HAVING rank <= 10
+""",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first3 = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    wr = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return (
+        first3.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 10)
+        .select("path", F.col("n_users").cast("bigint").alias("n_users"),
+                F.col("rank").cast("int").alias("rank"))
+    )
