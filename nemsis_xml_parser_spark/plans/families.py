@@ -1050,3 +1050,83 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("pck").alias("n_customers"),
         )
     )
+
+
+@register(
+    "scalar_bitwise_battery",
+    family="scalar",
+    doc="Bitwise expression battery — the codegen-side primitives the "
+    "hash/sketch family builds on (simhash chunks, LSH band masks, "
+    "Z-order interleave): AND/OR/XOR, shifts, popcount (bit_count), and "
+    "a mask-extract roundtrip, all over deterministic integer columns "
+    "and aggregated so the result is compact.  Identical two's-"
+    "complement semantics asserted across engines.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(xor(l_orderkey, l_partkey) % 1000) AS BIGINT) AS sum_xor_mod,
+       CAST(SUM(l_orderkey & 255) AS BIGINT) AS sum_and_mask,
+       CAST(SUM(l_orderkey | 15) % 1000000007 AS BIGINT) AS sum_or_mod,
+       CAST(SUM((l_orderkey << 3) % 4096) AS BIGINT) AS sum_shl_mod,
+       CAST(SUM(l_orderkey >> 2) % 1000000007 AS BIGINT) AS sum_shr_mod,
+       CAST(SUM(bit_count(CAST(l_orderkey AS BIGINT))) AS BIGINT) AS sum_popcount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    p = F.col("l_partkey")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k.bitwiseXOR(p) % 1000).cast("bigint").alias("sum_xor_mod"),
+        F.sum(k.bitwiseAND(F.lit(255))).cast("bigint").alias("sum_and_mask"),
+        (F.sum(k.bitwiseOR(F.lit(15))) % 1000000007)
+        .cast("bigint")
+        .alias("sum_or_mod"),
+        F.sum(F.shiftleft(k, 3) % 4096).cast("bigint").alias("sum_shl_mod"),
+        (F.sum(F.shiftright(k, 2)) % 1000000007)
+        .cast("bigint")
+        .alias("sum_shr_mod"),
+        F.sum(F.bit_count(k.cast("bigint"))).cast("bigint").alias("sum_popcount"),
+    )
+
+
+@register(
+    "agg_argmax_battery",
+    family="agg",
+    doc="Argmax/argmin semantics per group — 'the value of column A at "
+    "the row where B is extreme', with deterministic tie-breaks encoded "
+    "as struct ordering (max of (B, tiebreak, A) structs) rather than "
+    "engine-specific max_by, whose tie behavior differs between Spark "
+    "and DuckDB: per returnflag, the orderkey and quantity of the "
+    "highest-priced lineitem and the shipdate of the earliest-shipped "
+    "one.  One hash aggregate, no window, no self-join.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(MAX(ROW(l_extendedprice, l_orderkey))[2] AS BIGINT)
+         AS top_price_orderkey,
+       CAST(MAX(ROW(l_extendedprice, l_orderkey, l_quantity))[3]
+            AS DOUBLE) AS top_price_qty,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS top_price,
+       strftime(CAST(MIN(ROW(l_shipdate, l_orderkey))[1] AS DATE), '%Y-%m-%d')
+         AS first_ship_date
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.max(F.struct("l_extendedprice", "l_orderkey"))["l_orderkey"]
+        .cast("bigint")
+        .alias("top_price_orderkey"),
+        F.max(F.struct("l_extendedprice", "l_orderkey", "l_quantity"))["l_quantity"]
+        .cast("double")
+        .alias("top_price_qty"),
+        F.max("l_extendedprice").cast("double").alias("top_price"),
+        F.date_format(
+            F.min(F.struct("l_shipdate", "l_orderkey"))["l_shipdate"], "yyyy-MM-dd"
+        ).alias("first_ship_date"),
+    )

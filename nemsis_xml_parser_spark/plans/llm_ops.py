@@ -3545,3 +3545,72 @@ def dedup_minhash_star_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         corpus, num_hashes=16, bands=16, n=3, threshold=0.0, max_bucket=8
     )
+
+
+@register(
+    "text_ngram_novelty",
+    family="text",
+    doc="Corpus redundancy curve — per doc_id-ordered bucket of 50 "
+    "documents, the share of its distinct 3-gram shingles whose FIRST "
+    "corpus occurrence (min doc_id owning the shingle) falls inside "
+    "that bucket: high novelty early, declining as the corpus "
+    "saturates — the measurement behind 'more data stops helping' "
+    "curation calls and dedup-threshold tuning.  Two aggregates "
+    "(first-owner per shingle, then per-bucket rollup) + one join, all "
+    "keyed on the shingle hash at scale.",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM documents)
+),
+first_owner AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh s JOIN first_owner f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS novel_shingles,
+       ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_shingles), 6) AS novelty
+FROM per_doc
+GROUP BY 1
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("shingle"),
+    )
+    first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy(
+        (F.col("doc_id") / 50).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+        F.sum("n_novel").cast("bigint").alias("novel_shingles"),
+        F.round(
+            F.sum("n_novel").cast("double") / F.sum("n_shingles"), 6
+        ).alias("novelty"),
+    )

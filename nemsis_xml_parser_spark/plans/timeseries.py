@@ -299,3 +299,46 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("path", F.col("n_users").cast("bigint").alias("n_users"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "events_rate_limited_sample",
+    family="timeseries",
+    doc="Rate-limited log sampling — keep at most 3 events per (user, "
+    "hour), earliest-first with event_id tie-breaks: the throttling "
+    "shape every high-volume event pipeline applies before expensive "
+    "enrichment.  Deterministic membership (pure function of the data, "
+    "no rand()), one window; audited per event_type with kept/dropped "
+    "counts so the sampling loss is part of the checked answer.",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       ROUND(CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate
+FROM ranked
+GROUP BY event_type
+""",
+)
+def events_rate_limited_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    kept = F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0))
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        kept.cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.round(kept.cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+    )
