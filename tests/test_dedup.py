@@ -157,3 +157,43 @@ def test_minhash_max_bucket_noop_when_buckets_small(docs):
               for r in D.minhash_lsh_pairs(docs, threshold=0.5,
                                            max_bucket=1000).collect()}
     assert full == capped
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "shared", "template", "tokens",
+     "corpus", "sample", "words"]
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.lists(_words, min_size=4, max_size=10), min_size=4, max_size=12),
+    st.integers(min_value=1, max_value=4),
+)
+def test_star_cap_refines_uncapped_clusters(spark, texts, cap):
+    """For ANY corpus and cap: capped star candidates are a subset of the
+    uncapped candidate set, so capped components always REFINE uncapped
+    components (every capped cluster is contained in one uncapped
+    cluster) — the guarantee the skew guard rests on."""
+    from nemsis_xml_parser_spark.operators import components as C
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nodes = df.select("doc_id")
+    full = C.dedup_clusters(
+        D.minhash_lsh_pairs(df, threshold=0.2), nodes=nodes
+    ).collect()
+    capped = C.dedup_clusters(
+        D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=cap), nodes=nodes
+    ).collect()
+    full_of = {r["doc_id"]: r["cluster_id"] for r in full}
+    by_capped: dict = {}
+    for r in capped:
+        by_capped.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    for members in by_capped.values():
+        assert len({full_of[m] for m in members}) == 1, (
+            f"capped cluster {members} spans multiple uncapped clusters"
+        )
