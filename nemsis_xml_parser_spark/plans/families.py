@@ -1130,3 +1130,56 @@ def agg_argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.struct("l_shipdate", "l_orderkey"))["l_shipdate"], "yyyy-MM-dd"
         ).alias("first_ship_date"),
     )
+
+
+@register(
+    "agg_skewness_kurtosis",
+    family="agg",
+    doc="Third and fourth standardized moments per returnflag from exact "
+    "decimal power sums (s1..s4) — skewness and excess kurtosis with "
+    "the same engine-reproducibility contract as agg_variance_manual/"
+    "agg_corr_manual (builtin skewness()/kurtosis() accumulate in float "
+    "and drift across partitionings): every moment is summed as DECIMAL "
+    "then ONE identical double expression computes m2/m3/m4 and the "
+    "standardized ratios.  One hash aggregate, map-side partials.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+              - 3 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+              + 2 * POW(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 3))
+             / POW(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2), 1.5), 6)
+         AS skewness_qty,
+       ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+              - 4 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+              + 6 * POW(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2)
+                  * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+              - 3 * POW(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4))
+             / POW(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2), 2) - 3, 6)
+         AS excess_kurtosis_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    q = dec2("l_quantity")
+    m1 = F.sum(q).cast("double") / n
+    m2r = F.sum(q * q).cast("double") / n
+    m3r = F.sum(q * q * q).cast("double") / n
+    m4r = F.sum(q * q * q * q).cast("double") / n
+    var = m2r - F.pow(m1, 2)
+    skew = (m3r - 3 * m1 * m2r + 2 * F.pow(m1, 3)) / F.pow(var, 1.5)
+    kurt = (m4r - 4 * m1 * m3r + 6 * F.pow(m1, 2) * m2r - 3 * F.pow(m1, 4)) / F.pow(
+        var, 2
+    ) - 3
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(skew, 6).alias("skewness_qty"),
+        F.round(kurt, 6).alias("excess_kurtosis_qty"),
+    )

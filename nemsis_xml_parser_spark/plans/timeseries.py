@@ -342,3 +342,62 @@ def events_rate_limited_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         F.round(kept.cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
     )
+
+
+@register(
+    "events_cumulative_users",
+    family="timeseries",
+    doc="Cumulative-distinct growth curve — daily new vs returning users "
+    "and the running total of users ever seen: the windowed COUNT "
+    "(DISTINCT) that engines cannot evaluate directly, rewritten as the "
+    "first-touch transform (min day per user, then a cumulative sum "
+    "over the daily new-user counts).  Distinct-per-day joins back for "
+    "the returning split.  Two aggregates + one tiny window over days.",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
+  GROUP BY user_id
+),
+daily_new AS (
+  SELECT d0 AS day, COUNT(*) AS n_new FROM first_day GROUP BY d0
+),
+daily_active AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS n_active
+  FROM events GROUP BY 1
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(a.n_active - COALESCE(n.n_new, 0) AS BIGINT) AS n_returning,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily_active a LEFT JOIN daily_new n ON n.day = a.day
+""",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    first_day = e.groupBy("user_id").agg(F.min(day).alias("d0"))
+    daily_new = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    daily_active = e.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = daily_active.join(daily_new, "day", "left").select(
+        "day",
+        "n_active",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )
