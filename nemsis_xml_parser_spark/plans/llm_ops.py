@@ -3364,31 +3364,35 @@ def text_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_semantic_clusters",
-    family="dedup",
-    doc="SemDeDup-style semantic deduplication end-to-end: embedding "
-    "cosine pairs (>= 0.35, the dedup_embedding_cosine_pairs edge set) "
-    "fed through distributed connected components "
-    "(operators/components.py) and reduced to per-cluster facts — id, "
-    "size, member span, survivor (min vec_id).  This is the "
-    "embedding-space twin of dedup_cluster_components (shingle space): "
-    "semantically redundant groups collapse to one representative even "
-    "when their surface text shares no shingles.  Oracle replays the "
-    "transitive closure as a recursive CTE over the same SQL edge set.  "
-    "Scale: LSH-bucketed candidate generation replaces the bounded brute "
-    "edge set (dedup_embedding_lsh_pairs), CC cost is O(E log d).",
-    oracle="""
+def _semantic_clusters_oracle() -> str:
+    """Generated oracle composing the LSH pair SQL (seeded hyperplanes
+    inlined, as in _lsh_pairs_oracle) with the recursive-CTE transitive
+    closure — the full bucketed-pairs → components pipeline in one
+    statement."""
+    from ..operators.similarity import _lcg_planes
+
+    terms = []
+    for i, p in enumerate(_lcg_planes(8, 64, 42)):
+        lst = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lst}) >= 0"
+            f" THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    bucket = "\n       + ".join(terms)
+    cos = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
 WITH RECURSIVE e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
+bk AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
 pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v))
-           * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.35
 ),
 edges AS (
   SELECT va AS src, vb AS dst FROM pairs
@@ -3407,13 +3411,32 @@ SELECT cluster_id,
 FROM comp
 GROUP BY cluster_id
 HAVING COUNT(*) >= 2
-""",
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    family="dedup",
+    doc="SemDeDup-style semantic deduplication end-to-end ON THE SCALE "
+    "PATH: sign-LSH bucketed cosine pairs (>= 0.35, the "
+    "dedup_embedding_lsh_pairs edge set — equi-join on bucket, never "
+    "all-pairs) fed through distributed connected components "
+    "(operators/components.py) and reduced to per-cluster facts — id, "
+    "size, member span.  The embedding-space twin of "
+    "dedup_cluster_components: semantically redundant groups collapse "
+    "to one representative even when their surface text shares no "
+    "shingles.  Oracle is GENERATED: inlined hyperplanes + bucket join "
+    "+ recursive-CTE closure replay the whole pipeline in SQL.  "
+    "(Edge recall vs brute force is the LSH trade, asserted in "
+    "tests/test_similarity.py; the brute twin stays available as "
+    "cosine_pairs_above for bounded tiers.)",
+    oracle=_semantic_clusters_oracle(),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import components as C
 
     e = table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_pairs_above(e, threshold=0.35).select(
+    pairs = S.cosine_pairs_above_lsh(e, threshold=0.35).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     comp = C.dedup_clusters(
