@@ -1183,3 +1183,56 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness_qty"),
         F.round(kurt, 6).alias("excess_kurtosis_qty"),
     )
+
+
+@register(
+    "agg_benford_digit_audit",
+    family="etl",
+    doc="Benford first-digit audit — the forensic data-quality check for "
+    "fabricated or truncated numeric columns: observed first-significant-"
+    "digit distribution of o_totalprice vs the Benford expectation "
+    "log10(1 + 1/d), with per-digit deviation and a chi-square-style "
+    "contribution.  First digit extracted arithmetically "
+    "(value / 10^floor(log10(value))) — no string round-trip.  One "
+    "scan, one 9-row aggregate.",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(FLOOR(o_totalprice / POW(10, FLOOR(LOG10(o_totalprice))))
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM digits)
+SELECT d AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(COUNT(*) / (SELECT n FROM tot), 6) AS p_obs,
+       ROUND(LOG10(1 + 1.0 / d), 6) AS p_benford,
+       ROUND(COUNT(*) / (SELECT n FROM tot) - LOG10(1 + 1.0 / d), 6)
+         AS deviation,
+       ROUND(POW(COUNT(*) / (SELECT n FROM tot) - LOG10(1 + 1.0 / d), 2)
+             / LOG10(1 + 1.0 / d), 6) AS chi2_term
+FROM digits
+GROUP BY d
+""",
+)
+def agg_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(10, F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    digits = o.select(d.alias("digit"))
+    tot = digits.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    p_obs = F.count(F.lit(1)) / F.col("n")
+    p_ben = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("digit", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(p_obs, 6).alias("p_obs"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round(p_obs - p_ben, 6).alias("deviation"),
+            F.round(F.pow(p_obs - p_ben, 2) / p_ben, 6).alias("chi2_term"),
+        )
+        .drop("n")
+        .select("digit", "n_obs", "p_obs", "p_benford", "deviation", "chi2_term")
+    )

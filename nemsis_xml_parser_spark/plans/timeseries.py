@@ -401,3 +401,73 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
         F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@register(
+    "events_error_bursts",
+    family="timeseries",
+    doc="Gaps-and-islands — consecutive-run detection, the classic shape "
+    "no single window function expresses: per user, maximal runs of "
+    "consecutive error events (island id = row_number over all events "
+    "minus row_number over errors, constant within a run), keeping "
+    "bursts of length >= 3 with their bounds — the alerting primitive "
+    "for error storms and bot-like behavior.  Two windows + one "
+    "aggregate; both windows share the (user_id, ts, event_id) sort so "
+    "Catalyst plans ONE exchange+sort.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn_all,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn_type
+  FROM events
+),
+islands AS (
+  SELECT user_id, event_id, ts,
+         rn_all - rn_type AS island
+  FROM seq WHERE event_type = 'error'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS burst_len,
+       CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS last_event_id
+FROM islands
+GROUP BY user_id, island
+HAVING COUNT(*) >= 3
+""",
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    islands = seq.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", (F.col("rn_all") - F.col("rn_type")).alias("island")
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("burst_len"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+            F.max("event_id").cast("bigint").alias("last_event_id"),
+        )
+        .where(F.col("burst_len") >= 3)
+        .select(
+            "user_id",
+            F.col("burst_len").cast("bigint").alias("burst_len"),
+            "first_event_id",
+            "last_event_id",
+        )
+    )

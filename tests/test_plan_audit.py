@@ -49,6 +49,7 @@ JUSTIFIED_BNLJ = {
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
     "text_keyword_extraction",     # broadcast 1-row corpus-size scalar
+    "agg_benford_digit_audit",     # broadcast 1-row total scalar
 }
 
 
