@@ -710,3 +710,113 @@ def png_thumbnail_stats(
             )
 
     return media.mapInPandas(stats, schema=THUMB_STATS_SCHEMA)
+
+
+def make_wav_pcm_bytes(audio_id: int) -> bytes:
+    """Deterministic REAL-PCM WAV from an integer id: rate cycles
+    8000/16000/44100 by id%3, channels = id%2+1, n = id%100+1 samples,
+    sample(i, ch) = ((id*13 + 7i + 3ch) mod 2003) - 1001 as int16 LE —
+    closed-form arithmetic an external SQL oracle reproduces without
+    touching a byte."""
+    import numpy as np
+
+    rate = [8000, 16000, 44100][audio_id % 3]
+    channels = audio_id % 2 + 1
+    n = audio_id % 100 + 1
+    i = np.arange(n).reshape(n, 1)
+    ch = np.arange(channels).reshape(1, channels)
+    samples = ((audio_id * 13 + 7 * i + 3 * ch) % 2003 - 1001).astype("<i2")
+    block = channels * 2
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(content: bytes):
+    """REAL sample-level PCM decode: chunk walk to fmt/data, int16 LE →
+    (n_samples, channels) numpy array.  The audio twin of
+    decode_png_pixels; non-PCM or non-16-bit WAVs raise
+    NotImplementedError (the remaining codec seam)."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, n = 12, len(content)
+    chans = bits = codec = None
+    data = None
+    while pos + 8 <= n:
+        cid = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            codec, chans = struct.unpack("<HH", content[pos + 8 : pos + 12])
+            (bits,) = struct.unpack("<H", content[pos + 22 : pos + 24])
+        elif cid == b"data":
+            data = content[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if codec != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV decode is implemented")
+    if data is None or not chans:
+        raise ValueError("WAV missing data/fmt")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(len(arr) // chans, chans)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("audio_id", LongType(), False),
+        StructField("n_samples", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_sum", LongType(), True),
+        StructField("sample_min", IntegerType(), True),
+        StructField("sample_max", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_pcm_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of REAL-PCM WAVs (MEDIA_SCHEMA, Arrow-batched)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_wav_pcm_bytes(int(i))
+                rows.append((str(int(i)), "audio/wav", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """Sample statistics via the REAL PCM decode path — narrow rows out,
+    blobs never leave the batch.  ``path`` carries the integer audio id
+    (synthesize_pcm_audio's contract)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                s = decode_wav_samples(bytes(content))
+                rows.append(
+                    (
+                        int(path),
+                        int(s.shape[0]),
+                        int(s.shape[1]),
+                        int(s.sum()),
+                        int(s.min()),
+                        int(s.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "n_channels",
+                    "sample_sum", "sample_min", "sample_max",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)

@@ -3637,3 +3637,43 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_novel").cast("double") / F.sum("n_shingles"), 6
         ).alias("novelty"),
     )
+
+
+@register(
+    "multimodal_audio_sample_stats",
+    family="multimodal",
+    doc="REAL sample-level PCM audio decode — the audio twin of "
+    "multimodal_pixel_stats: a deterministic corpus of genuine 16-bit "
+    "PCM WAVs (sample(i,ch) = ((id*13+7i+3ch) mod 2003) - 1001) is "
+    "synthesized, decoded back sample-for-sample by the chunk-walking "
+    "PCM reader (operators/multimodal.py:decode_wav_samples — byte "
+    "arithmetic + numpy, no audio library), and reduced to per-clip "
+    "statistics.  The oracle recomputes the same statistics from the "
+    "closed-form sample arithmetic; drift in chunk offsets, LE int16 "
+    "interpretation, or channel interleave breaks the hash.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 100 + 1 AS n, doc_id % 2 + 1 AS ch FROM documents
+),
+samples AS (
+  SELECT doc_id, n, ch,
+         (doc_id * 13 + 7 * si.i + 3 * ci.c) % 2003 - 1001 AS s
+  FROM dims,
+       UNNEST(range(0, n)) AS si(i),
+       UNNEST(range(0, ch)) AS ci(c)
+)
+SELECT doc_id AS audio_id,
+       CAST(MIN(n) AS INT) AS n_samples,
+       CAST(MIN(ch) AS INT) AS n_channels,
+       CAST(SUM(s) AS BIGINT) AS sample_sum,
+       CAST(MIN(s) AS INT) AS sample_min,
+       CAST(MAX(s) AS INT) AS sample_max
+FROM samples
+GROUP BY doc_id
+""",
+)
+def multimodal_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthesize_pcm_audio, wav_sample_stats
+
+    d = table(spark, sf_dir, "documents")
+    return wav_sample_stats(synthesize_pcm_audio(d.select("doc_id")))

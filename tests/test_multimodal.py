@@ -247,3 +247,24 @@ def test_png_thumbnail_stats_spark(spark):
         assert (r["src_width"], r["src_height"]) == (w, h)
         assert r["thumb_sum"] == int(th.sum())
         assert (r["thumb_min"], r["thumb_max"]) == (int(th.min()), int(th.max()))
+
+
+def test_wav_pcm_roundtrip_and_errors():
+    for audio_id in (0, 5, 42):
+        buf = M.make_wav_pcm_bytes(audio_id)
+        s = M.decode_wav_samples(buf)
+        n, ch = audio_id % 100 + 1, audio_id % 2 + 1
+        assert s.shape == (n, ch)
+        i = np.arange(n).reshape(n, 1)
+        c = np.arange(ch).reshape(1, ch)
+        expect = (audio_id * 13 + 7 * i + 3 * c) % 2003 - 1001
+        np.testing.assert_array_equal(s, expect)
+        # header metadata agrees with the old header-only decoder
+        rate, chans, bits, _, fmt = M.decode_wav_meta(buf)
+        assert (chans, bits, fmt) == (ch, 16, "wav")
+    with pytest.raises(ValueError):
+        M.decode_wav_samples(b"RIFFxxxxAVI mov")
+    # 8-bit PCM must hit the NotImplementedError seam
+    bad = M.make_wav_bytes(8000, 1, 10, bits=8)
+    with pytest.raises(NotImplementedError):
+        M.decode_wav_samples(bad)
