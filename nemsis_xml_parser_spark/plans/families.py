@@ -1236,3 +1236,148 @@ def agg_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n")
         .select("digit", "n_obs", "p_obs", "p_benford", "deviation", "chi2_term")
     )
+
+
+@register(
+    "join_prorate_quarters",
+    family="join",
+    doc="Temporal proration — splitting a value across the calendar "
+    "periods an interval overlaps (revenue recognition, capacity "
+    "accounting): each order opens a 90-day service window and its "
+    "total is prorated across 1995 quarters by exact overlap-day "
+    "count, overlap = greatest(0, least(ends) - greatest(starts) + 1) "
+    "against a generated quarter spine.  The join is a range predicate "
+    "against a 4-row broadcast dimension; proration shares are exact "
+    "integer-day ratios applied to DECIMAL totals.",
+    oracle="""
+WITH quarters AS (
+  SELECT q,
+         CAST('1995-01-01' AS DATE) + INTERVAL (3 * (q - 1)) MONTH AS q_start,
+         CAST('1995-01-01' AS DATE) + INTERVAL (3 * q) MONTH - INTERVAL 1 DAY
+           AS q_end
+  FROM UNNEST(range(1, 5)) AS t(q)
+),
+svc AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+         CAST(o_orderdate AS DATE) AS s_start,
+         CAST(o_orderdate AS DATE) + INTERVAL 89 DAY AS s_end
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1994-10-03' AND DATE '1995-12-31'
+),
+overlap AS (
+  SELECT s.o_orderstatus, q.q,
+         GREATEST(0, date_diff('day',
+             GREATEST(s.s_start, q.q_start),
+             LEAST(s.s_end, q.q_end)) + 1) AS o_days,
+         s.total
+  FROM svc s JOIN quarters q
+    ON s.s_start <= q.q_end AND s.s_end >= q.q_start
+)
+SELECT o_orderstatus, CAST(q AS INTEGER) AS quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_days) AS BIGINT) AS sum_overlap_days,
+       ROUND(CAST(SUM(total * o_days / 90) AS DOUBLE), 2) AS prorated_revenue
+FROM overlap
+WHERE o_days > 0
+GROUP BY o_orderstatus, q
+""",
+)
+def join_prorate_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    quarters = (
+        spark.range(1, 5)
+        .withColumnRenamed("id", "q")
+        .select(
+            "q",
+            F.add_months(F.lit("1995-01-01").cast("date"),
+                         (3 * (F.col("q") - 1)).cast("int")).alias("q_start"),
+            F.date_sub(
+                F.add_months(F.lit("1995-01-01").cast("date"),
+                             (3 * F.col("q")).cast("int")), 1
+            ).alias("q_end"),
+        )
+    )
+    svc = o.where(
+        F.col("o_orderdate").cast("date").between("1994-10-03", "1995-12-31")
+    ).select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total"),
+        F.col("o_orderdate").cast("date").alias("s_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 89).alias("s_end"),
+    )
+    joined = svc.join(
+        F.broadcast(quarters),
+        (F.col("s_start") <= F.col("q_end")) & (F.col("s_end") >= F.col("q_start")),
+    )
+    o_days = F.greatest(
+        F.lit(0),
+        F.datediff(
+            F.least(F.col("s_end"), F.col("q_end")),
+            F.greatest(F.col("s_start"), F.col("q_start")),
+        )
+        + 1,
+    )
+    return (
+        joined.select("o_orderstatus", "q", "total", o_days.alias("o_days"))
+        .where(F.col("o_days") > 0)
+        .groupBy("o_orderstatus", F.col("q").cast("int").alias("quarter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_days").cast("bigint").alias("sum_overlap_days"),
+            F.round(
+                F.sum(F.col("total") * F.col("o_days") / 90).cast("double"), 2
+            ).alias("prorated_revenue"),
+        )
+    )
+
+
+@register(
+    "agg_gini_concentration",
+    family="agg",
+    doc="Gini concentration of order value per market segment — the "
+    "inequality measure behind 'whale' analyses (revenue concentration, "
+    "corpus-source dominance; pairs with curation_pareto_coverage): "
+    "G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n over values ranked ascending "
+    "with full tie-breaks.  Rank weights are exact integers, value sums "
+    "exact DECIMAL, one identical double expression at the end.  One "
+    "join + one rank window per segment partition.",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DECIMAL(12,2)) AS x,
+         o.o_orderkey AS k
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+ranked AS (
+  SELECT seg, x,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY x ASC, k ASC) AS i
+  FROM j
+)
+SELECT seg AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(x) AS DOUBLE) AS DOUBLE) AS total_value,
+       ROUND(2.0 * CAST(SUM(x * i) AS DOUBLE)
+             / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+GROUP BY seg
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = Window.partitionBy("seg").orderBy(F.col("x").asc(), F.col("k").asc())
+    ranked = j.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sxi = F.sum(F.col("x") * F.col("i")).cast("double")
+    return ranked.groupBy(F.col("seg").alias("c_mktsegment")).agg(
+        n.alias("n_orders"),
+        sx.alias("total_value"),
+        F.round(2.0 * sxi / (n * sx) - (n + 1.0) / n, 6).alias("gini"),
+    )

@@ -471,3 +471,59 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_event_id",
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    family="timeseries",
+    doc="First-order Markov transition matrix between event types — the "
+    "behavioral model behind next-action prediction and anomalous-flow "
+    "detection: per user, each event paired with its successor via "
+    "lead() over (ts, event_id), then P(next | current) as exact counts "
+    "over the per-current total.  One window + two aggregates; the "
+    "conditional probability is one identical division, and transitions "
+    "below 1% are folded out to keep the matrix sparse and the result "
+    "stable.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+),
+totals AS (SELECT cur, SUM(n) AS tot FROM trans GROUP BY cur)
+SELECT t.cur AS current_type, t.nxt AS next_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       ROUND(CAST(t.n AS DOUBLE) / ttl.tot, 6) AS p_next
+FROM trans t JOIN totals ttl ON ttl.cur = t.cur
+WHERE CAST(t.n AS DOUBLE) / ttl.tot >= 0.01
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("cur").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        trans.join(totals, "cur")
+        .where(p >= 0.01)
+        .select(
+            F.col("cur").alias("current_type"),
+            F.col("nxt").alias("next_type"),
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.round(p, 6).alias("p_next"),
+        )
+    )

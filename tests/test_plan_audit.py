@@ -50,6 +50,7 @@ JUSTIFIED_BNLJ = {
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
     "text_keyword_extraction",     # broadcast 1-row corpus-size scalar
     "agg_benford_digit_audit",     # broadcast 1-row total scalar
+    "join_prorate_quarters",       # range join vs broadcast 4-row quarter spine
 }
 
 
