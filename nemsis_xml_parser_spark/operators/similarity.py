@@ -86,12 +86,21 @@ def brute_force_topk(
     are stable across engines/float orderings."""
     q = queries.select(
         F.col(id_col).alias("query_id"), V.to_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", V.norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         V.to_double_array(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", V.norm(F.col("cv")))
+    # norms hoisted out of the pair loop (see cosine_pairs_above): same
+    # arithmetic — dot / (sqrt(dot(q,q)) * sqrt(dot(c,c))) — fewer
+    # interpreted HOF evaluations per candidate
+    _den = F.col("qn") * F.col("cn")
+    cos = F.round(
+        F.when(_den > 0, V.dot(F.col("qv"), F.col("cv")) / _den).otherwise(
+            F.lit(0.0)
+        ),
+        6,
     )
-    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("cv")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -136,13 +145,19 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         V.to_double_array(F.col(vec_col)).alias("qv"),
         "bucket",
-    )
+    ).withColumn("qn", V.norm(F.col("qv")))
     cb = with_lsh_bucket(corpus, num_planes, dim, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         V.to_double_array(F.col(vec_col)).alias("cv"),
         "bucket",
+    ).withColumn("cn", V.norm(F.col("cv")))
+    _den = F.col("qn") * F.col("cn")
+    cos = F.round(
+        F.when(_den > 0, V.dot(F.col("qv"), F.col("cv")) / _den).otherwise(
+            F.lit(0.0)
+        ),
+        6,
     )
-    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("cv")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
