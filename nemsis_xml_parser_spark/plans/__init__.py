@@ -15,68 +15,109 @@ from . import timeseries  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import etl_queries  # noqa: F401,E402
 
-# The driver's correctness run records queries in registration order and may
-# truncate (round 1 recorded only the first 50 of 118).  Rotate so queries
-# without a driver-green row yet register first; already-recorded names go to
-# the tail.  Extend ``_DRIVER_RECORDED`` with each round's CORRECTNESS keys.
-_DRIVER_RECORDED: frozenset[str] = frozenset({
-    # CORRECTNESS_r01.json
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q10_returned_items", "q4_order_priority_check",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "q12_priority_by_linestatus", "q13_customer_order_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q21_last_shipper_multi_supplier",
-    "q22_dormant_high_balance", "q2_cheapest_supplier", "q11_important_stock",
-    "q20_dominant_suppliers", "filter_project", "join_inner",
-    "join_left_outer", "join_semi", "join_anti", "join_broadcast_decode",
-    "join_range_band", "agg_groupby_multi", "agg_count_distinct",
-    "agg_variance_manual", "agg_approx_distinct", "rollup_agg", "cube_agg",
-    "grouping_sets_agg", "window_rank_orders", "window_running_total",
-    "window_lag_gap", "topk_per_group", "sort_limit_topn",
-    "set_union_distinct", "set_intersect", "set_except",
-    "scalar_string_battery", "scalar_date_battery", "scalar_math_battery",
-    "json_extract_events", "case_when_bands", "events_hourly_rollup",
-    "subquery_scalar_avg", "subquery_in_list", "subquery_correlated_max",
-    # CORRECTNESS_r02.json
-    "agg_corr_manual", "agg_filter_clause", "agg_having",
-    "agg_percentile_approx", "agg_percentile_exact", 
-    "ann_lsh_bucket_stats", "array_agg_battery", "array_hof_battery",
-    "asof_join_last_signup", "cross_join_small", "date_arithmetic_battery",
-    "dedup_embedding_cosine_pairs", "dedup_exact_fingerprint",
-    "dedup_exact_survivors", "dedup_minhash_lsh_candidates",
-    "dedup_ngram_jaccard_pairs", "dedup_simhash_fingerprints",
-    "events_anomaly_mad", "events_funnel_conversion", "events_gapfill_hourly",
-    "events_retention_cohorts", "events_sessionize",
-    "events_time_rollup_hierarchy", "events_view_click_attribution",
-    "explode_tokens", "join_fuzzy_name_match", "join_lateral_topk",
-    "join_nullsafe_eq", "join_range_interval_banded", "join_salted_skew",
-    "knn_cosine_topk", "map_build_battery", "multimodal_binary_roundtrip",
-    "pivot_status_by_segment", "q14_promo_revenue_share", "q18_large_orders",
-    "q19_disjunctive_filter_join", "recursive_cte_key_depth",
-    "scalar_conditional_battery", "set_except_all", "set_intersect_all",
-    "set_union_all", "sketch_hll_mergeable", "text_langid_confusion",
-    "text_token_stats", "unpivot_stack", "window_analytic_battery",
-    "window_locf_fill", "window_range_frame",
-    # CORRECTNESS_r03.json
-    "ann_pq_topk", "curation_survivor_stats",
-    "decontaminate_split_overlap", "dedup_cluster_components",
-    "dedup_embedding_lsh_pairs", "embedding_quantization_error",
-    "etl_distinct_pairs", "etl_file_md5", "etl_namespace_strip",
-    "etl_sanitize_identifiers", "etl_trim_nullify", "multimodal_audio_meta",
-    "multimodal_decode_meta", "multimodal_embed_knn", "pack_greedy_audit",
-    "pack_sequences_cumsum", "pq_adc_seeded_topk",
-    "profile_documents_columns", "sample_hash_split",
-    "sample_stratified_hash", "sample_temperature_rebalance",
-    "sample_topk_per_source", "skew_key_audit", "text_bigram_logprob",
-    "text_bm25_score", "text_boilerplate_ratio", "text_bpe_token_stats",
-    "text_clean_normalize", "text_doc_idf", "text_pii_scrub",
-    "text_quality_by_source", "text_repetition_ratio",
-    "text_rolling_fingerprint", "text_stopword_ratio", "text_term_frequency",
-    "text_tfidf_cosine_pairs", "text_unigram_logprob", "text_zscore_by_lang",
-})
+# The driver's correctness run records the first ~50 queries in registration
+# order.  Track, per query, the most recent round whose CORRECTNESS_r0N.json
+# carries a green row for it, and register stalest-first (never-recorded
+# queries at the very front) so each round's run refreshes the oldest rows
+# against current code.  Extend the newest-round block each round.
+_RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
+    1: frozenset({
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q10_returned_items", "q4_order_priority_check",
+        "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+        "q12_priority_by_linestatus", "q13_customer_order_distribution",
+        "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_quantity_revenue", "q21_last_shipper_multi_supplier",
+        "q22_dormant_high_balance", "q2_cheapest_supplier",
+        "q11_important_stock",
+        "q20_dominant_suppliers", "filter_project", "join_inner",
+        "join_left_outer", "join_semi", "join_anti", "join_broadcast_decode",
+        "join_range_band", "agg_groupby_multi", "agg_count_distinct",
+        "agg_variance_manual", "agg_approx_distinct", "rollup_agg", "cube_agg",
+        "grouping_sets_agg", "window_rank_orders", "window_running_total",
+        "window_lag_gap", "topk_per_group", "sort_limit_topn",
+        "set_union_distinct", "set_intersect", "set_except",
+        "scalar_string_battery", "scalar_date_battery", "scalar_math_battery",
+        "json_extract_events", "case_when_bands", "events_hourly_rollup",
+        "subquery_scalar_avg", "subquery_in_list", "subquery_correlated_max",
+    }),
+    2: frozenset({
+        "agg_corr_manual", "agg_filter_clause", "agg_having",
+        "agg_percentile_approx", "agg_percentile_exact",
+        "ann_lsh_bucket_stats", "array_agg_battery", "array_hof_battery",
+        "asof_join_last_signup", "cross_join_small", "date_arithmetic_battery",
+        "dedup_embedding_cosine_pairs", "dedup_exact_fingerprint",
+        "dedup_exact_survivors", "dedup_minhash_lsh_candidates",
+        "dedup_ngram_jaccard_pairs", "dedup_simhash_fingerprints",
+        "events_anomaly_mad", "events_funnel_conversion",
+        "events_gapfill_hourly",
+        "events_retention_cohorts", "events_sessionize",
+        "events_time_rollup_hierarchy", "events_view_click_attribution",
+        "explode_tokens", "join_fuzzy_name_match", "join_lateral_topk",
+        "join_nullsafe_eq", "join_range_interval_banded", "join_salted_skew",
+        "knn_cosine_topk", "map_build_battery", "multimodal_binary_roundtrip",
+        "pivot_status_by_segment", "q14_promo_revenue_share",
+        "q18_large_orders",
+        "q19_disjunctive_filter_join", "recursive_cte_key_depth",
+        "scalar_conditional_battery", "set_except_all", "set_intersect_all",
+        "set_union_all", "sketch_hll_mergeable", "text_langid_confusion",
+        "text_token_stats", "unpivot_stack", "window_analytic_battery",
+        "window_locf_fill", "window_range_frame",
+    }),
+    3: frozenset({
+        "ann_pq_topk", "curation_survivor_stats",
+        "decontaminate_split_overlap", "dedup_cluster_components",
+        "dedup_embedding_lsh_pairs", "embedding_quantization_error",
+        "etl_distinct_pairs", "etl_file_md5", "etl_namespace_strip",
+        "etl_sanitize_identifiers", "etl_trim_nullify",
+        "multimodal_audio_meta",
+        "multimodal_decode_meta", "multimodal_embed_knn", "pack_greedy_audit",
+        "pack_sequences_cumsum", "pq_adc_seeded_topk",
+        "profile_documents_columns", "sample_hash_split",
+        "sample_stratified_hash", "sample_temperature_rebalance",
+        "sample_topk_per_source", "skew_key_audit", "text_bigram_logprob",
+        "text_bm25_score", "text_boilerplate_ratio", "text_bpe_token_stats",
+        "text_clean_normalize", "text_doc_idf", "text_pii_scrub",
+        "text_quality_by_source", "text_repetition_ratio",
+        "text_rolling_fingerprint", "text_stopword_ratio",
+        "text_term_frequency",
+        "text_tfidf_cosine_pairs", "text_unigram_logprob",
+        "text_zscore_by_lang",
+    }),
+    4: frozenset({
+        "agg_argmax_battery", "agg_benford_digit_audit",
+        "agg_gini_concentration", "agg_histogram_fixed_bins",
+        "agg_regression_battery", "agg_skewness_kurtosis",
+        "agg_weighted_median", "ann_ivf_topk", "ann_ivfpq_topk",
+        "curation_chunk_sequences", "curation_pareto_coverage",
+        "curation_url_canonicalize", "decontaminate_passage_containment",
+        "dedup_minhash_star_capped", "dedup_semantic_clusters",
+        "embedding_centroid_fisher", "etl_incremental_rollup",
+        "etl_snapshot_diff", "events_cumulative_users", "events_error_bursts",
+        "events_markov_transitions", "events_rate_limited_sample",
+        "events_session_paths", "events_trending_rank_delta",
+        "graph_pagerank_centrality", "join_prorate_quarters",
+        "join_scd2_point_in_time", "mine_bitext_margin",
+        "multimodal_audio_sample_stats", "multimodal_pixel_stats",
+        "multimodal_thumbnail_stats", "q10_returned_items",
+        "q12_priority_by_linestatus", "q1_pricing_summary",
+        "q3_shipping_priority", "q4_order_priority_check",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+        "quality_expectations_audit", "sample_weighted_reservoir",
+        "scalar_bitwise_battery", "split_cluster_safe", "text_entropy_score",
+        "text_fertility_stats", "text_keyword_extraction",
+        "text_ngram_novelty", "text_pmi_collocations",
+    }),
+}
 
-_rotated = {n: q for n, q in QUERIES.items() if n not in _DRIVER_RECORDED}
-_rotated.update({n: q for n, q in QUERIES.items() if n in _DRIVER_RECORDED})
+_vintage: dict[str, int] = {}
+for _round in sorted(_RECORDED_BY_ROUND):
+    for _name in _RECORDED_BY_ROUND[_round]:
+        _vintage[_name] = _round  # later rounds overwrite: latest wins
+
+_order = sorted(QUERIES, key=lambda n: _vintage.get(n, 0))  # stable: keeps
+_rotated = {n: QUERIES[n] for n in _order}                  # registration order
 QUERIES.clear()
 QUERIES.update(_rotated)

@@ -2854,15 +2854,18 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    # Top-k via orderBy().limit() → TakeOrderedAndProject (per-partition
+    # partial top-k, no single-partition window shuffle).  Bigram vocabulary
+    # grows with corpus size, so a global row_number window here would funnel
+    # the whole vocab through one partition at scale.
     return (
         bi.join(u1, "w1")
         .join(u2, "w2")
         .crossJoin(F.broadcast(nu))
         .crossJoin(F.broadcast(nb))
         .withColumn("pmi", pmi)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 50)
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(50)
         .select("w1", "w2", F.col("c12").cast("bigint").alias("n_pair"), "pmi")
     )
 

@@ -290,14 +290,21 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
-    wr = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
-    return (
+    # Distinct-path cardinality grows with corpus size, so take the top 10
+    # first via orderBy().limit() (TakeOrderedAndProject — per-partition
+    # partial top-k); the rank column the result surfaces is then computed
+    # by a window over the bounded ≤10-row survivor set only.
+    top10 = (
         first3.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= 10)
-        .select("path", F.col("n_users").cast("bigint").alias("n_users"),
-                F.col("rank").cast("int").alias("rank"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(10)
+    )
+    wr = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return top10.select(
+        "path",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.row_number().over(wr).cast("int").alias("rank"),
     )
 
 

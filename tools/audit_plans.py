@@ -1,7 +1,19 @@
 """Physical-plan audit: print pushdown/broadcast/shuffle evidence for
 registered queries (the SCALING.md evidence trail).
 
-Usage: python tools/audit_plans.py [sf_dir] [query ...]   (default: flagships)
+Usage:
+  python tools/audit_plans.py [sf_dir] [query ...]     (default: flagships)
+  python tools/audit_plans.py --assert-windows [sf_dir]
+
+``--assert-windows`` walks every registered query's optimized logical plan
+and fails (exit 1) on any unpartitioned ranking/agg Window whose input is
+not provably bounded: a global window funnels its whole input through one
+partition, which is the classic 100 TB scale-killer when the input
+cardinality grows with the corpus.  A window counts as bounded when a
+Limit sits below it in the plan, or when the query is in
+``BOUNDED_GLOBAL_WINDOWS`` with a documented reason (input is an
+aggregate over a dimension whose cardinality does not grow with corpus
+size — days, sources, digits, buckets).
 """
 
 from __future__ import annotations
@@ -12,6 +24,74 @@ sys.path.insert(0, "/root/repo")
 
 from nemsis_xml_parser_spark.plans import QUERIES  # noqa: E402
 from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
+
+# Queries allowed to keep an unpartitioned window, with the boundedness
+# argument.  Every entry must name a dimension whose cardinality is fixed
+# by the schema or the time horizon, NOT by corpus size.
+BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
+    "events_cumulative_users": (
+        "running total over per-DAY aggregates — window input cardinality "
+        "= time horizon in days (thousands over years), fixed by the "
+        "calendar, not by event volume"
+    ),
+    "curation_pareto_coverage": (
+        "rank + cumulative share over per-SOURCE aggregates — source is a "
+        "schema dimension (data-source tag), not corpus-sized; if source "
+        "were an open domain (e.g. crawl hostnames) the scale path is a "
+        "range-partitioned two-pass prefix sum"
+    ),
+}
+
+
+def _iter_nodes(node):
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _iter_nodes(children.apply(i))
+
+
+def _has_limit_below(window_node) -> bool:
+    children = window_node.children()
+    for i in range(children.length()):
+        for n in _iter_nodes(children.apply(i)):
+            if n.nodeName() in ("GlobalLimit", "LocalLimit", "Limit"):
+                return True
+    return False
+
+
+def assert_windows(sf_dir: str) -> int:
+    spark = get_spark("audit-windows")
+    violations: list[str] = []
+    allow_used: set[str] = set()
+    for name, q in QUERIES.items():
+        df = q.spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in _iter_nodes(plan):
+            if node.nodeName() != "Window":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            if _has_limit_below(node):
+                continue
+            if name in BOUNDED_GLOBAL_WINDOWS:
+                allow_used.add(name)
+                continue
+            violations.append(name)
+            break
+    spark.stop()
+    for name in sorted(allow_used):
+        print(f"ALLOW {name}: {BOUNDED_GLOBAL_WINDOWS[name]}")
+    stale = set(BOUNDED_GLOBAL_WINDOWS) - allow_used
+    for name in sorted(stale):
+        print(f"STALE ALLOWLIST ENTRY (no global window found): {name}")
+    if violations:
+        print("FAIL — unpartitioned Window over unbounded input in:")
+        for name in violations:
+            print(f"  {name}")
+        return 1
+    print(f"OK — {len(QUERIES)} plans audited, 0 unbounded global windows "
+          f"({len(allow_used)} documented-bounded)")
+    return 1 if stale else 0
 
 DEFAULT = [
     "q1_pricing_summary",
@@ -35,6 +115,9 @@ MARKERS = (
 
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "--assert-windows":
+        sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+        sys.exit(assert_windows(sf_dir))
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or DEFAULT
     spark = get_spark("audit")
