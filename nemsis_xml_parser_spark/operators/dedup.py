@@ -153,15 +153,20 @@ def minhash_lsh_pairs(
     uniform case — tools/scale_soak.py '10x-hot' tier).  Buckets larger
     than ``max_bucket`` emit STAR edges (every member → the bucket's min
     doc_id) instead of all pairs: O(bucket) candidates instead of
-    O(bucket²), still exact-verified.  Guarantee: members whose verified
-    similarity to the representative clears ``threshold`` stay connected,
-    so clusters of true near-dups survive intact
-    (tests/test_dedup.py:star-mode cluster equality); what is given up is
-    transitive linkage through BORDERLINE members of an oversized bucket
-    — pairs that would only connect via an A-B-C chain where the hub edge
-    fails verify (measured on the 10x-hot corpus: the 8.8k-doc giant
-    cluster splits into template-family clusters ≤ 1.3k, while wall-clock
-    drops 762 s → 28 s).  That trade — bounded recall loss on
+    O(bucket²), still exact-verified.  Guarantee (precisely): within an
+    oversized bucket, members whose verified similarity TO THE
+    REPRESENTATIVE (min doc_id) clears ``threshold`` stay connected — a
+    REFINEMENT of the uncapped clustering, not equality.  A cluster
+    linked only through non-representative edges (chain/hub-shaped: A~B
+    and B~C clear the threshold but neither clears it against the
+    representative) MAY split under capping even though its members are
+    pairwise near-dups.  The hypothesis test
+    (tests/test_dedup.py:star-mode) asserts the refinement property in
+    general, plus cluster EQUALITY on template-family corpora — the case
+    where every member is similar to the representative (measured on the
+    10x-hot corpus: the 8.8k-doc giant cluster splits into
+    template-family clusters ≤ 1.3k, while wall-clock drops
+    762 s → 28 s).  That trade — bounded recall loss on
     stop-shingle collisions for a 27x speedup — is the standard
     production posture for web-scale dedup."""
     rows_per_band = num_hashes // bands

@@ -38,13 +38,22 @@ def pagerank(
 ) -> DataFrame:
     """-> DataFrame(node, degree, pagerank) for every node in ``edges``.
 
-    ``edges`` is directed; pass both directions for an undirected graph
-    (then every node has out-degree ≥ 1, so no dangling-mass term).
+    ``edges`` is directed.  The node set is src ∪ dst, so sink nodes
+    (appearing only as dst) hold rank; their out-mass is dangling mass,
+    redistributed uniformly each iteration (standard PageRank treatment).
+    For an undirected graph pass both directions — then every node has
+    out-degree ≥ 1, the dangling term is identically zero, and the
+    computation reduces to the simple form.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # bound lineage once: every iteration re-scans the edge list
     e = e.localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = nodes.count()  # driver scalar, same footprint as CC probe
     base = (1.0 - damping) / n_nodes
@@ -61,23 +70,41 @@ def pagerank(
                 .alias("c"),
             )
         )
+        # dangling mass: rank held by sink nodes (no out-edges); a 1-row
+        # aggregate broadcast back in — no driver collect per iteration
+        dangling = (
+            pr.join(deg, pr["node"] == deg["src"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("pr").cast("decimal(20,12)")), F.lit(0)
+                )
+                .cast("double")
+                .alias("dm")
+            )
+        )
         pr = (
             nodes.join(
                 contrib.groupBy("dst").agg(F.sum("c").alias("s")),
                 nodes["node"] == contrib["dst"],
                 "left",
             )
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 F.round(
                     F.lit(base)
                     + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    * (
+                        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    ),
                     12,
                 ).alias("pr"),
             )
             .localCheckpoint(eager=True)
         )
-    return pr.join(deg, pr["node"] == deg["src"]).select(
-        "node", F.col("deg").alias("degree"), "pr"
+    return pr.join(deg, pr["node"] == deg["src"], "left").select(
+        "node",
+        F.coalesce(F.col("deg"), F.lit(0)).alias("degree"),
+        "pr",
     )

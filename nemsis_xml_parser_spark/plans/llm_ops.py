@@ -2523,11 +2523,18 @@ GROUP BY d.lang
 )
 def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    chars = d.select(
+    # Code-point-exact mirror of the oracle's substr/length enumeration:
+    # Spark's length()/substring() count Unicode code points (probed: len
+    # of 'a😀b' = 3, substring(.,2,1) = the full emoji), so this stays
+    # aligned with DuckDB on non-BMP text where a code-UNIT split would
+    # diverge.
+    # (sequence(1, 0) infers step -1 → [1, 0], so guard empty text; the
+    # oracle's range(1, 1) is empty there)
+    chars = d.where(F.length("text") > 0).select(
         "doc_id",
-        F.explode(F.filter(F.split(F.col("text"), ""), lambda c: c != "")).alias(
-            "ch"
-        ),
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
     )
     freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
     tot = freq.groupBy("doc_id").agg(F.sum("n").cast("double").alias("total"))

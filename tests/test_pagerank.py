@@ -36,3 +36,27 @@ def test_degree_column(spark):
     out = {r["node"]: r["degree"] for r in
            pagerank(_edges(spark, [(0, 1), (0, 2)])).collect()}
     assert out == {0: 2, 1: 1, 2: 1}
+
+
+def test_directed_sinks_hold_rank(spark):
+    # directed chain 0→1→2: node 2 is a sink (dst-only).  It must appear
+    # in the output with degree 0, accumulate rank, and its dangling mass
+    # must be redistributed so total mass stays 1.
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    rows = pagerank(edges, iters=5).collect()
+    pr = {r["node"]: r["pr"] for r in rows}
+    deg = {r["node"]: r["degree"] for r in rows}
+    assert set(pr) == {0, 1, 2}
+    assert deg == {0: 1, 1: 1, 2: 0}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6  # dangling mass conserved
+    # downstream accumulation: 2 receives from 1 plus dangling share
+    assert pr[2] > pr[0]
+
+
+def test_directed_sink_heavy_graph(spark):
+    # two sources pointing at one sink: sink out-ranks both sources and
+    # mass is still conserved despite most mass going dangling each round
+    edges = spark.createDataFrame([(0, 2), (1, 2)], ["src", "dst"])
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iters=4).collect()}
+    assert pr[2] > pr[0] == pr[1]
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
