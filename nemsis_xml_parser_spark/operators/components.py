@@ -136,3 +136,63 @@ def dedup_clusters(
     return out.withColumn(
         "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     )
+
+
+def elect_survivors(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_col: str = "doc_id",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Survivor election: near-dup pairs → one kept document per cluster.
+
+    Composes ``dedup_clusters`` (the partition of the near-dup graph)
+    with ``operators.pagerank`` (the ordering inside each part): for
+    every cluster of size ≥ 2 the survivor is the member with the
+    highest PageRank on the symmetrized pair graph — the document most
+    other near-dups point at — with ties broken by min ``id_col``
+    (deterministic; ranks are compared rounded to 6, matching the
+    centrality query's surfaced precision).  Singleton clusters are
+    excluded: with no duplicate to drop there is no election to run.
+
+    Returns (cluster_id, cluster_size, survivor_doc_id,
+    survivor_pagerank, n_dropped).
+
+    Scale shape: clusters ⋈ ranks is one doc_id-keyed equi-join; the
+    election itself is a single struct-max aggregate keyed on
+    cluster_id — no per-cluster window, no driver-side loop.  Both
+    inputs reuse the same symmetrized edge list.
+    """
+    from .pagerank import pagerank
+
+    clusters = dedup_clusters(pairs, nodes=nodes, src=src, dst=dst, id_col=id_col)
+    edges = pairs.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=iters, damping=damping).select(
+        F.col("node"), F.round(F.col("pr"), 6).alias("pr6")
+    )
+    joined = clusters.where(F.col("cluster_size") >= 2).join(
+        ranks, F.col(id_col) == F.col("node")
+    )
+    winner = joined.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("cluster_size"),
+        F.max(
+            F.struct(
+                F.col("pr6").alias("pr"), (-F.col(id_col)).alias("neg_id")
+            )
+        ).alias("win"),
+    )
+    return winner.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (-F.col("win.neg_id")).cast("long").alias("survivor_doc_id"),
+        F.col("win.pr").alias("survivor_pagerank"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+    )

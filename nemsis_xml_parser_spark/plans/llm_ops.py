@@ -2663,6 +2663,119 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_survivor_election",
+    family="dedup",
+    doc="End-to-end survivor election (operators/components.py:"
+    "elect_survivors): near-dup pairs → connected components → per-"
+    "cluster PageRank argmax — the full 'which copy do we KEEP' "
+    "decision a production dedup pass ends with.  Components give the "
+    "partition (cluster_id = min reachable doc_id), 3-iteration "
+    "PageRank on the same symmetrized edge set gives the in-cluster "
+    "ordering, and the survivor is the highest-centrality member with "
+    "deterministic min-doc_id tie-break at 6-decimal rank precision.  "
+    "Clusters of size ≥ 2 only (singletons have no election).  The "
+    "oracle replays the whole composition: recursive-CTE transitive "
+    "closure + 3 unrolled power iterations + a ROW_NUMBER argmax.  "
+    "Scale: one doc_id equi-join + one struct-max aggregate on "
+    "cluster_id on top of the two component operators' own shapes; no "
+    "per-cluster window over corpus-sized input.",
+    oracle="""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM documents WHERE doc_id < 120
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.01
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 120
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
+gnodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM gnodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM gnodes),
+pr1 AS (
+  SELECT n2.node,
+         ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(CAST(SUM(CAST(ROUND(p.pr / dg.d, 12)
+                     AS DECIMAL(20,12))) AS DOUBLE), 0.0), 12) AS pr
+  FROM gnodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN pr0 p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n2.node
+),
+pr2 AS (
+  SELECT n2.node,
+         ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(CAST(SUM(CAST(ROUND(p.pr / dg.d, 12)
+                     AS DECIMAL(20,12))) AS DOUBLE), 0.0), 12) AS pr
+  FROM gnodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN pr1 p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n2.node
+),
+pr3 AS (
+  SELECT n2.node,
+         ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(CAST(SUM(CAST(ROUND(p.pr / dg.d, 12)
+                     AS DECIMAL(20,12))) AS DOUBLE), 0.0), 12) AS pr
+  FROM gnodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN pr2 p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n2.node
+),
+elect AS (
+  SELECT c.cluster_id, s.cluster_size, c.doc_id, ROUND(p.pr, 6) AS pr,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY ROUND(p.pr, 6) DESC, c.doc_id ASC) AS rn
+  FROM comp c
+  JOIN csize s USING (cluster_id)
+  JOIN pr3 p ON p.node = c.doc_id
+  WHERE s.cluster_size >= 2
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(doc_id AS BIGINT) AS survivor_doc_id,
+       pr AS survivor_pagerank,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM elect WHERE rn = 1
+""",
+)
+def dedup_survivor_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import elect_survivors
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold=0.01)
+    return elect_survivors(pairs, nodes=d.select("doc_id"))
+
+
+@register(
     "mine_bitext_margin",
     family="similarity",
     doc="Margin-based bitext mining (the ratio-margin criterion of "

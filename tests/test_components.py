@@ -7,6 +7,7 @@ import pytest
 from nemsis_xml_parser_spark.operators.components import (
     connected_components,
     dedup_clusters,
+    elect_survivors,
 )
 
 
@@ -70,3 +71,32 @@ def test_dedup_clusters_includes_singletons(spark):
     }
     assert rows[2]["cluster_size"] == 3
     assert rows[0]["cluster_size"] == 1
+
+
+def test_elect_survivors_picks_central_member(spark):
+    # cluster A: star 1—{2,3,4} (hub 1 has highest centrality);
+    # cluster B: pair 10—11 (symmetric ranks → min-id tie-break);
+    # node 20 is a singleton → no election row.
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long"
+    )
+    rows = {r["cluster_id"]: r for r in elect_survivors(pairs, nodes=nodes).collect()}
+    assert set(rows) == {1, 10}  # singleton 20 excluded
+    star = rows[1]
+    assert star["survivor_doc_id"] == 1  # the hub
+    assert star["cluster_size"] == 4 and star["n_dropped"] == 3
+    pair = rows[10]
+    assert pair["survivor_doc_id"] == 10  # equal rank → min doc_id
+    assert pair["cluster_size"] == 2 and pair["n_dropped"] == 1
+
+
+def test_elect_survivors_deterministic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)], "doc_a long, doc_b long"
+    )
+    a = sorted(map(tuple, elect_survivors(pairs).collect()))
+    b = sorted(map(tuple, elect_survivors(pairs).collect()))
+    assert a == b and len(a) == 1
