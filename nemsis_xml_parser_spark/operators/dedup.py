@@ -139,8 +139,20 @@ def minhash_lsh_pairs(
     threshold: float = 0.1,
     fast: bool = False,
     max_bucket: int | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
+
+    The defaults (16 hashes, 4 bands of 4 rows) are the planner choice
+    ``lsh_planner.plan_minhash_lsh(0.9, num_hashes=16, fp_jaccard=0.2)``:
+    ≥95% collision recall for near-dup families (J ≥ 0.9) with ≤5%
+    candidate rate at J ≤ 0.2 — derive (bands, rows) for other operating
+    points from that helper instead of hand-tuning.
+
+    ``candidates_only=True`` returns the distinct candidate pair list
+    (doc_a, doc_b) BEFORE exact-Jaccard verification — the quantity the
+    band-bucket expansion actually inflates under skew, which the soak
+    regression gate (tests/test_soak.py) counts directly.
 
     signature → ``bands`` bands of ``num_hashes//bands`` rows → band-bucket
     join on (band_idx, md5(band)) → candidate pairs → exact Jaccard filter.
@@ -228,6 +240,8 @@ def minhash_lsh_pairs(
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
+    if candidates_only:
+        return candidates
     # exact verification on candidates only
     shingles = _distinct_shingles(df, text_col, id_col, n)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

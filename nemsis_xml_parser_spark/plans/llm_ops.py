@@ -160,8 +160,17 @@ WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.0
     oracle=_minhash_lsh_oracle(),
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lsh_planner import plan_minhash_lsh
+
+    # catch ≥95% of J≥0.3 pairs within a 16-hash budget → the planner's
+    # only feasible split is 16 one-row bands (verify-everything posture;
+    # no FP budget because threshold=0 verifies every candidate anyway)
+    plan = plan_minhash_lsh(0.3, num_hashes=16, fn_budget=0.05)
+    assert (plan.bands, plan.rows_per_band) == (16, 1)
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
-    return D.minhash_lsh_pairs(d, num_hashes=16, bands=16, n=3, threshold=0.0)
+    return D.minhash_lsh_pairs(
+        d, num_hashes=plan.num_hashes, bands=plan.bands, n=3, threshold=0.0
+    )
 
 
 def _simhash_oracle() -> str:
@@ -3682,6 +3691,13 @@ WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.0
     oracle=_minhash_star_capped_oracle(),
 )
 def dedup_minhash_star_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lsh_planner import plan_minhash_lsh
+
+    # same max-recall plan as dedup_minhash_lsh_candidates; the planner
+    # bounds the EXPECTED candidate rate, max_bucket bounds the
+    # adversarial worst case the planted hot family creates
+    plan = plan_minhash_lsh(0.3, num_hashes=16, fn_budget=0.05)
+    assert (plan.bands, plan.rows_per_band) == (16, 1)
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     hot = spark.range(30).select(
         (F.col("id") + 10000).alias("doc_id"),
@@ -3689,7 +3705,12 @@ def dedup_minhash_star_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.select("doc_id", "text").unionAll(hot)
     return D.minhash_lsh_pairs(
-        corpus, num_hashes=16, bands=16, n=3, threshold=0.0, max_bucket=8
+        corpus,
+        num_hashes=plan.num_hashes,
+        bands=plan.bands,
+        n=3,
+        threshold=0.0,
+        max_bucket=8,
     )
 
 

@@ -34,6 +34,7 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/soak10x"
 HOT = "/tmp/soakhot"
 REPLICAS = 10
+BASELINES = "/root/repo/tools/soak_baselines.json"
 
 # Adversarial stop-shingle skew: one boilerplate template shared by 20% of
 # the corpus.  ~60 words, so for hot docs the shared shingles are ~55% of
@@ -52,18 +53,15 @@ BOILERPLATE = (
 )
 
 
-def generate(spark) -> None:
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    n_docs = docs.count()
-    n_emb = emb.count()
-    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
-    (
+def uniform_replicas(docs, n_docs: int, replicas: int = REPLICAS):
+    """Near-dup fan-out: each doc replicated ``replicas`` times with a
+    perturbed tail token (replica 0 keeps the original text), so every
+    base doc becomes a genuine near-dup family.  The perturbed text must
+    exist before n_chars is derived, else replicas carry the original
+    length.  Shared by the soak tool and the fast pytest soak gate."""
+    reps = docs.sparkSession.range(replicas).withColumnRenamed("id", "rep")
+    return (
         docs.crossJoin(F.broadcast(reps))
-        # replica 0 keeps the original text; others perturb the tail so
-        # each cluster of 10 is a genuine near-dup family.  The perturbed
-        # text must exist before n_chars is derived, else replicas carry
-        # the original length.
         .withColumn(
             "text",
             F.when(F.col("rep") == 0, F.col("text")).otherwise(
@@ -77,6 +75,35 @@ def generate(spark) -> None:
             "source",
             F.length(F.col("text")).alias("n_chars"),
         )
+    )
+
+
+def hot_replicas(docs, n_docs: int, replicas: int = REPLICAS):
+    """``uniform_replicas`` with adversarial template skew first: docs
+    with base doc_id % 5 == 0 (20%) get BOILERPLATE + a unique tail."""
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(
+                " ",
+                F.lit(BOILERPLATE),
+                F.concat(F.lit("doc"), F.col("doc_id")),
+                F.substring(F.col("text"), 1, 300),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return uniform_replicas(skewed, n_docs, replicas)
+
+
+def generate(spark) -> None:
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    (
+        uniform_replicas(docs, n_docs)
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{DST}/documents.parquet")
@@ -104,34 +131,8 @@ def generate_hot(spark) -> None:
     same 10-replica near-dup fan-out as ``generate``."""
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     n_docs = docs.count()
-    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
     (
-        docs.withColumn(
-            "text",
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat_ws(
-                    " ",
-                    F.lit(BOILERPLATE),
-                    F.concat(F.lit("doc"), F.col("doc_id")),
-                    F.substring(F.col("text"), 1, 300),
-                ),
-            ).otherwise(F.col("text")),
-        )
-        .crossJoin(F.broadcast(reps))
-        .withColumn(
-            "text",
-            F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep")))
-            ),
-        )
-        .select(
-            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-            "text",
-            "lang",
-            "source",
-            F.length(F.col("text")).alias("n_chars"),
-        )
+        hot_replicas(docs, n_docs)
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{HOT}/documents.parquet")
@@ -269,10 +270,29 @@ def main() -> None:
     if "--regen" in sys.argv or not os.path.isdir(f"{HOT}/documents.parquet"):
         generate_hot(spark)
     if "--skew-only" in sys.argv:
-        # reuse the last recorded uniform-10x numbers (SCALING.md) so the
-        # hot tier can be iterated without the ~20 min uniform re-run
-        r10 = {"minhash_lsh_sec": 24.9, "simhash_sec": 31.36,
-               "components_sec": 49.13, "band_skew_max_share": 0.00095}
+        # reuse the last MEASURED uniform-10x numbers so the hot tier can
+        # be iterated without the ~20 min uniform re-run.  Baselines are
+        # persisted by the last full run, not hardcoded — hardcoded
+        # constants go stale as code or host change and make the <10x
+        # assertion pass/fail for the wrong reason.
+        try:
+            with open(BASELINES) as fh:
+                saved = json.load(fh)
+            r10 = saved["uniform_10x"]
+            age_days = (time.time() - saved["recorded_at"]) / 86400
+            print(json.dumps({
+                "baseline_source": BASELINES,
+                "baseline_age_days": round(age_days, 1),
+                "warning": ("baseline older than 14 days — re-run the full "
+                            "soak to refresh") if age_days > 14 else None,
+            }))
+        except (OSError, KeyError, ValueError):
+            print(json.dumps({
+                "error": f"no persisted baselines at {BASELINES}; run the "
+                         "full soak (no --skew-only) once to record them"
+            }))
+            spark.stop()
+            sys.exit(2)
     else:
         r1 = run_tier(spark, SRC, "1x")
         print(json.dumps(r1))
@@ -284,6 +304,9 @@ def main() -> None:
             if k.endswith("_sec")
         }
         print(json.dumps({"summary": ratios}))
+        with open(BASELINES, "w") as fh:
+            json.dump({"recorded_at": time.time(), "uniform_10x": r10}, fh,
+                      indent=2)
 
     # adversarial skew: same 10x volume, 20% of docs share one template.
     # The honest signal is hot-vs-uniform at equal volume: how much do hot
