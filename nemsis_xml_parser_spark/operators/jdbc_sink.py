@@ -180,6 +180,117 @@ def stage_to_jdbc(
         raise
 
 
+def read_jdbc_table(
+    spark,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    fetch_size: int = 10_000,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound=None,
+    upper_bound=None,
+) -> DataFrame:
+    """Warehouse-reader direction of the JDBC adapter (the first thing a
+    PostgreSQL user runs against the staged warehouse): a ``spark.read``
+    JDBC scan with pushdown-friendly defaults.
+
+    Filters and projections applied on the returned DataFrame reach the
+    database as WHERE clauses / narrowed SELECT lists (Catalyst's
+    JDBCRelation pushdown — ``PushedFilters`` in the plan; asserted live
+    in tests/test_jdbc_read_pushdown.py), so a 3-column probe of one key
+    never ships the whole table.  ``fetch_size`` keeps the driver-side
+    JDBC cursor streaming instead of buffering entire result sets
+    (PostgreSQL defaults to all-rows without it).  For large tables pass
+    ``partition_column``/``num_partitions``/bounds so the scan issues one
+    range-predicated query per partition — executor-parallel reads, the
+    read-side mirror of ``stage_to_jdbc_distributed``.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetch_size))
+    )
+    if driver is not None:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        if num_partitions is None or lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC read needs num_partitions, lower_bound "
+                "and upper_bound along with partition_column"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
+#: Above this many total batch rows the pipeline refuses the driver-side
+#: collect path: 100k TEXT rows is already tens of MB through one driver
+#: connection, and every NEMSIS file the reference ingests is far below it.
+DISTRIBUTED_ROW_THRESHOLD = 100_000
+
+
+def stage_to_warehouse(
+    conn,
+    registry: dict[str, list[str]],
+    frames: dict[str, DataFrame],
+    pcr_keys: list[str],
+    comments: dict[str, str] | None = None,
+    schema: str = "public",
+    batch_size: int = 1000,
+    paramstyle: str = "format",
+    connect_fn=None,
+    row_threshold: int = DISTRIBUTED_ROW_THRESHOLD,
+    **distributed_hooks,
+) -> dict[str, int]:
+    """The pipeline's staging entry point: route to the right path by size.
+
+    Batches at or above ``row_threshold`` total rows take
+    ``stage_to_jdbc_distributed`` (per-partition executor connections, one
+    promote transaction) — ``connect_fn`` is REQUIRED there, and a large
+    batch without one raises instead of silently funnelling everything
+    through the driver.  Smaller batches take the single-connection
+    ``stage_to_jdbc`` compat path, whose driver-side collect is fine at
+    NEMSIS-file size and avoids per-partition connection overhead.  Pass
+    ``row_threshold=0`` to force the distributed path regardless of size.
+
+    Sizing runs one count per table frame — a metadata-cheap parallel
+    scan next to the staging work itself, and the frames are typically
+    already cached by the ingest pipeline.  ``distributed_hooks`` forward
+    to ``stage_to_jdbc_distributed`` (``stage_schema``, ``stage_ref``,
+    ``prepare_promote``, ``cleanup``).
+    """
+    total_rows = sum(frames[t].count() for t in registry)
+    if connect_fn is not None and total_rows >= row_threshold:
+        return stage_to_jdbc_distributed(
+            conn,
+            connect_fn,
+            registry,
+            frames,
+            pcr_keys,
+            comments,
+            schema,
+            batch_size,
+            paramstyle,
+            **distributed_hooks,
+        )
+    if total_rows >= row_threshold:
+        raise ValueError(
+            f"batch of {total_rows} rows >= {row_threshold} needs the "
+            "distributed staging path — pass connect_fn (per-partition "
+            "DBAPI connections); the single-connection path would collect "
+            "every row through the driver"
+        )
+    return stage_to_jdbc(
+        conn, registry, frames, pcr_keys, comments, schema, batch_size, paramstyle
+    )
+
+
 def stage_table_name(table: str, pid: int) -> str:
     """Scratch table holding one partition's staged rows."""
     return f"{table}__stg{pid}"

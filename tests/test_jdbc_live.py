@@ -285,6 +285,67 @@ def test_distributed_executor_failure_leaves_target_untouched(
     assert left == []
 
 
+def test_stage_to_warehouse_routes_large_batches_distributed(
+    spark, staged, tmp_path, monkeypatch
+):
+    """The pipeline default: at or above the row threshold the dispatcher
+    must take the distributed path end-to-end — proven by poisoning
+    DataFrame.collect (the single-connection path's first move) — and a
+    promote failure must roll the target back to empty."""
+    els, registry, frames, keys = staged
+    comments = table_comments(els)
+    conn = DuckDBAPIConn()
+    hooks = _duckdb_file_hooks(tmp_path)
+
+    import pyspark.sql as psql
+
+    real_collect = psql.DataFrame.collect
+
+    def _no_collect(self):
+        raise AssertionError("driver-side DataFrame.collect in staging path")
+
+    # threshold=0: any batch counts as "at size" → distributed required
+    monkeypatch.setattr(psql.DataFrame, "collect", _no_collect)
+    inserted = J.stage_to_warehouse(
+        conn, registry, frames, keys, comments,
+        row_threshold=0, **hooks,
+    )
+    monkeypatch.setattr(psql.DataFrame, "collect", real_collect)
+    assert inserted["evitals_01"] >= 1
+    for t, n in inserted.items():
+        assert conn.q(f'SELECT COUNT(*) FROM "public"."{t}"')[0][0] == n
+
+    # rollback through the dispatcher: poisoned promote leaves nothing
+    bad = frames["evitals_01"].union(frames["evitals_01"].limit(1))
+    conn2 = DuckDBAPIConn()
+    with pytest.raises(Exception):
+        J.stage_to_warehouse(
+            conn2, registry, dict(frames, evitals_01=bad), keys,
+            row_threshold=0, **_duckdb_file_hooks(tmp_path),
+        )
+    assert conn2.q(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = 'public'"
+    ) == []
+
+
+def test_stage_to_warehouse_small_batch_compat_and_large_guard(
+    spark, staged, tmp_path
+):
+    els, registry, frames, keys = staged
+    # small batch, no connect_fn: the single-connection compat path
+    conn = DuckDBAPIConn()
+    inserted = J.stage_to_warehouse(conn, registry, frames, keys,
+                                    paramstyle="qmark")
+    assert inserted["evitals_01"] >= 1
+    # large batch without connect_fn must refuse, not silently collect
+    with pytest.raises(ValueError, match="distributed staging path"):
+        J.stage_to_warehouse(
+            DuckDBAPIConn(), registry, frames, keys,
+            row_threshold=0, paramstyle="qmark",
+        )
+
+
 def test_fk_probe_runs_against_live_information_schema(staged):
     els, registry, frames, keys = staged
     conn = DuckDBAPIConn()
