@@ -17,7 +17,10 @@ microbatch count, and the peak state-store row count from the progress
 metrics — the number that decides whether the watermark actually bounds
 memory.  Prints ONE JSON line; numbers are recorded in SCALING.md.
 
-Usage: python tools/bench_stream.py [sf_dir]   (default /root/testdata/sf0.1)
+Usage: python tools/bench_stream.py [sf_dir] [--out FILE]
+(default sf dir /root/testdata/sf0.1; --out also writes the JSON line to
+FILE — each round records BENCH_stream_r{N}.json at the repo root so
+microbatch throughput is diffable across rounds like the batch bench)
 """
 
 from __future__ import annotations
@@ -69,7 +72,13 @@ def _drain(stream_df, checkpoint: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("bench-stream")
     work = Path(tempfile.mkdtemp(prefix="bench_stream_"))
     out: dict[str, dict] = {}
@@ -126,8 +135,12 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
-    print(json.dumps({"metric": "stream_microbatch_throughput", "sf_dir": sf_dir,
-                      "pipelines": out}))
+    line = json.dumps({"metric": "stream_microbatch_throughput",
+                       "sf_dir": sf_dir, "pipelines": out})
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
 
 
 if __name__ == "__main__":
