@@ -534,3 +534,86 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p, 6).alias("p_next"),
         )
     )
+
+
+@register(
+    "join_interval_coalesce",
+    family="join",
+    doc="Interval coalescing (temporal normalization) — merge each "
+    "customer's overlapping/adjacent 30-day order-activity windows into "
+    "maximal disjoint intervals: the PACK/NORMALIZE operation of SQL:2016 "
+    "temporal databases, and the contract-period step ahead of any "
+    "duration rollup.  Classic two-window gaps-and-islands: running "
+    "max(end) over prior rows flags island starts, a running sum of the "
+    "flags numbers islands, then one aggregate per (custkey, island).  "
+    "Both windows are PARTITIONED by custkey with a deterministic "
+    "(start, end, orderkey) tie-break — scale-safe, no global ordering "
+    "anywhere.  Restricted to o_custkey < 200 to keep the checked answer "
+    "small; semantics identical at any key range.",
+    oracle="""
+WITH iv AS (
+  SELECT o_custkey AS custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS e
+  FROM orders WHERE o_custkey < 200
+),
+flagged AS (
+  SELECT custkey, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY custkey ORDER BY s, e, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= s THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT custkey, s, e,
+         SUM(new_island) OVER (PARTITION BY custkey ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+)
+SELECT CAST(custkey AS BIGINT) AS custkey,
+       CAST(island AS BIGINT) AS island,
+       strftime(MIN(s), '%Y-%m-%d') AS start_date,
+       strftime(MAX(CAST(e AS DATE)), '%Y-%m-%d') AS end_date,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM islands GROUP BY custkey, island
+""",
+)
+def join_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("custkey")
+        .orderBy(F.col("s").asc(), F.col("e").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "custkey",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias(
+            "new_island"
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("custkey")
+        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
+    return islands.groupBy("custkey", "island").agg(
+        F.date_format(F.min("s"), "yyyy-MM-dd").alias("start_date"),
+        F.date_format(F.max("e"), "yyyy-MM-dd").alias("end_date"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+    ).select(
+        F.col("custkey").cast("bigint").alias("custkey"),
+        F.col("island").cast("bigint").alias("island"),
+        "start_date",
+        "end_date",
+        "n_merged",
+    )

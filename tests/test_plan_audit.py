@@ -51,6 +51,10 @@ JUSTIFIED_BNLJ = {
     "text_keyword_extraction",     # broadcast 1-row corpus-size scalar
     "agg_benford_digit_audit",     # broadcast 1-row total scalar
     "join_prorate_quarters",       # range join vs broadcast 4-row quarter spine
+    "quality_psi_drift",           # broadcast 1-row totals scalar
+    "quality_ks_drift",            # broadcast bounded bin frame + 1-row scalars
+    "quality_mutual_information",  # broadcast 1-row entropy/total scalars
+    "embedding_pca_power",         # broadcast 1-row iterate/mean vectors
 }
 
 
