@@ -820,3 +820,45 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
+
+
+LUMA_HIST_SCHEMA = StructType(
+    [
+        StructField("bin", IntegerType(), False),
+        StructField("n_px", LongType(), False),
+    ]
+)
+
+
+def png_luminance_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Corpus luminance histogram via the REAL decode path — the exposure/
+    contrast audit an image-curation pipeline runs before filtering: per
+    image, integer BT.601 luma ``(299·R + 587·G + 114·B) // 1000`` (all
+    integer arithmetic, so an external SQL oracle reproduces it exactly;
+    float luma weights would round differently across engines), binned to
+    ``256 // bins``-wide buckets and bincounted with numpy inside the
+    Arrow batch.  Emits (bin, n_px) partials per image — 16 narrow rows,
+    blobs never leave the executor — ready for the global per-bin
+    aggregate."""
+    width = 256 // bins
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            counts = np.zeros(bins, dtype=np.int64)
+            for content in pdf["content"]:
+                px = decode_png_pixels(bytes(content)).astype(np.int64)
+                luma = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                counts += np.bincount(luma.ravel() // width, minlength=bins)
+            yield pd.DataFrame(
+                {"bin": np.arange(bins, dtype=np.int32), "n_px": counts}
+            )
+
+    return (
+        media.mapInPandas(hist, schema=LUMA_HIST_SCHEMA)
+        .groupBy("bin")
+        .agg(F.sum("n_px").alias("n_px"))
+    )

@@ -3821,3 +3821,50 @@ def multimodal_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = table(spark, sf_dir, "documents")
     return wav_sample_stats(synthesize_pcm_audio(d.select("doc_id")))
+
+
+@register(
+    "multimodal_luminance_histogram",
+    family="multimodal",
+    doc="Corpus exposure audit over the REAL PNG decode path "
+    "(operators/multimodal.py:png_luminance_histogram): per image, "
+    "integer BT.601 luma (299R + 587G + 114B) // 1000 — all-integer "
+    "arithmetic so the closed-form oracle reproduces it without "
+    "float-weight rounding hazards — binned into 16 16-wide buckets, "
+    "numpy-bincounted inside the Arrow batch, per-image partials "
+    "aggregated globally with shares against the broadcast pixel "
+    "total.  The curation gate for over/under-exposed image shards; "
+    "blobs never leave the executor, the aggregate sees 16 rows per "
+    "batch.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h FROM documents
+),
+px AS (
+  SELECT ((299 * ((doc_id * 7 + 3 * xs.x + 5 * ys.y) % 256)
+         + 587 * ((doc_id * 7 + 3 * xs.x + 5 * ys.y + 11) % 256)
+         + 114 * ((doc_id * 7 + 3 * xs.x + 5 * ys.y + 22) % 256)) // 1000)
+         // 16 AS bin
+  FROM dims, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM px)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       ROUND(COUNT(*) / t, 6) AS share
+FROM px, tot GROUP BY bin, t
+""",
+)
+def multimodal_luminance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        png_luminance_histogram,
+        synthesize_png_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    hist = png_luminance_histogram(synthesize_png_media(d.select("doc_id")))
+    tot = hist.agg(F.sum("n_px").cast("double").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_px").cast("bigint").alias("n_px"),
+        F.round(F.col("n_px") / F.col("t"), 6).alias("share"),
+    )

@@ -617,3 +617,64 @@ def join_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_date",
         "n_merged",
     )
+
+
+@register(
+    "events_dwell_time_stats",
+    family="timeseries",
+    doc="Inter-event dwell-time distribution — per event type, the gap in "
+    "seconds to the user's NEXT event (lead over the per-user stream, "
+    "deterministic event_id tie-break): count, exact mean (integer-"
+    "second sums over a deterministic count), and interpolated "
+    "median/p90 (Spark percentile ≡ DuckDB quantile_cont on integer "
+    "gaps — the agg_percentile_exact cross-engine contract).  The "
+    "engagement metric behind session-depth dashboards.  One "
+    "user-partitioned window + one hash aggregate; second-granularity "
+    "gaps via epoch casts, which both engines floor identically.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         CAST(date_diff('second', date_trunc('second', ts),
+                        date_trunc('second', nxt)) AS BIGINT) AS gap
+  FROM seq WHERE nxt IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_sec,
+       CAST(quantile_cont(gap, 0.5) AS DOUBLE) AS median_gap_sec,
+       CAST(quantile_cont(gap, 0.9) AS DOUBLE) AS p90_gap_sec
+FROM gaps GROUP BY event_type
+""",
+)
+def events_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "event_type", "ts", F.lead("ts").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    # whole-second truncation on BOTH engines before the diff: the data
+    # carries sub-second parts, and truncate-then-diff is the one shape
+    # whose integer result no epoch/timezone/boundary convention can bend
+    gaps = seq.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', ts), "
+            "date_trunc('second', nxt))"
+        ).cast("long").alias("gap"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum("gap").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_gap_sec"),
+        F.percentile("gap", 0.5).cast("double").alias("median_gap_sec"),
+        F.percentile("gap", 0.9).cast("double").alias("p90_gap_sec"),
+    )

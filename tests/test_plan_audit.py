@@ -55,6 +55,7 @@ JUSTIFIED_BNLJ = {
     "quality_ks_drift",            # broadcast bounded bin frame + 1-row scalars
     "quality_mutual_information",  # broadcast 1-row entropy/total scalars
     "embedding_pca_power",         # broadcast 1-row iterate/mean vectors
+    "multimodal_luminance_histogram",  # broadcast 1-row pixel-total scalar
 }
 
 
