@@ -59,6 +59,11 @@ HEADLINE = [
     "decontaminate_passage_containment",
     "graph_pagerank_centrality",
     "dedup_minhash_star_capped",
+    # round 5 flagships (subtract when comparing totals vs earlier rounds)
+    "dedup_survivor_election",
+    "embedding_pca_power",
+    "quality_ks_drift",
+    "multimodal_luminance_histogram",
 ]
 
 

@@ -168,6 +168,11 @@ def elect_survivors(
     """
     from .pagerank import pagerank
 
+    # materialize the pair list ONCE: both consumers (components, PageRank)
+    # checkpoint their own derived edge lists, and without this the
+    # candidate-generation pipeline upstream (e.g. MinHash/LSH or a shingle
+    # self-join) would re-execute for each
+    pairs = pairs.localCheckpoint(eager=True)
     clusters = dedup_clusters(pairs, nodes=nodes, src=src, dst=dst, id_col=id_col)
     edges = pairs.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
