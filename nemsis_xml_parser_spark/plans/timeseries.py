@@ -678,3 +678,86 @@ def events_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap", 0.5).cast("double").alias("median_gap_sec"),
         F.percentile("gap", 0.9).cast("double").alias("p90_gap_sec"),
     )
+
+
+@register(
+    "etl_scd2_build",
+    family="etl",
+    doc="SCD Type-2 dimension BUILD — the complement of "
+    "join_scd2_point_in_time: collapse each user's event-type stream "
+    "into validity intervals [valid_from, valid_to) that open at every "
+    "state CHANGE (lag-based change detection with deterministic "
+    "ts/event_id ordering), version-numbered per user, open-ended "
+    "current row flagged.  The construction half of every warehouse's "
+    "type-2 history table.  Interval bounds surface as whole-second "
+    "epochs (both engines truncate-then-diff — no timezone/format "
+    "surface).  Three partitioned windows per user, one corpus scan; "
+    "restricted to user_id < 100 to bound the checked answer.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events WHERE user_id < 100
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM seq WHERE prev IS NULL OR prev <> event_type
+),
+versioned AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS version,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS next_ts
+  FROM changes
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       CAST(version AS INT) AS version,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_s,
+       CAST(epoch(date_trunc('second', next_ts)) AS BIGINT) AS valid_to_s,
+       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM versioned
+""",
+)
+def etl_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    changes = seq.where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    versioned = changes.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    epoch_s = (
+        lambda c: F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"date_trunc('second', {c}))"
+        ).cast("bigint")
+    )
+    return versioned.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        F.col("version").cast("int").alias("version"),
+        epoch_s("ts").alias("valid_from_s"),
+        F.when(F.col("next_ts").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(epoch_s("next_ts"))
+        .alias("valid_to_s"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+    )
