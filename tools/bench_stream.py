@@ -132,6 +132,12 @@ def main() -> None:
         out["stream_join"] = _drain(
             attribute_clicks_stream(views, clicks), str(work / "cp3")
         )
+
+        from nemsis_xml_parser_spark.streaming.drift import windowed_counts
+
+        out["drift_histogram"] = _drain(
+            windowed_counts(source(doc_dir, doc_schema)), str(work / "cp4")
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
