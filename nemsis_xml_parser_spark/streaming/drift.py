@@ -92,13 +92,25 @@ def psi_from_counts(counts: DataFrame, reference: DataFrame) -> DataFrame:
         "bucket",
         F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
     )
-    joined = full.join(F.broadcast(reference), "bucket", "left").select(
-        "window_start",
-        "window_end",
-        "bucket",
-        "n_cur",
-        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
-        "t_ref",
+    # t_ref rides every reference row, but a bucket seen ONLY in the
+    # stream has no reference row to carry it — attach the global total
+    # by cross join so novel buckets contribute their (0 + 0.5)-smoothed
+    # reference mass instead of a NULL term that silently drops from the
+    # sum (novel buckets are precisely the strongest drift signal)
+    ref_tot = reference.select("t_ref").distinct()
+    joined = (
+        full.join(
+            F.broadcast(reference.select("bucket", "n_ref")), "bucket", "left"
+        )
+        .crossJoin(F.broadcast(ref_tot))
+        .select(
+            "window_start",
+            "window_end",
+            "bucket",
+            "n_cur",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            "t_ref",
+        )
     )
     tot = joined.groupBy("window_start", "window_end").agg(
         F.sum("n_cur").cast("double").alias("t_cur"),

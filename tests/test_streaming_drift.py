@@ -107,6 +107,27 @@ def test_windowed_monitor_alerts_on_drifted_window(spark, tmp_path):
     assert by_start[starts[2]]["psi"] > 0.2
 
 
+def test_novel_stream_buckets_contribute_drift_mass(spark):
+    """A bucket seen only in the stream (outside the reference domain) is
+    the strongest drift signal — its term must enter the PSI sum, not
+    vanish as NULL arithmetic."""
+    ref = reference_profile(
+        spark.range(100).select((F.lit(100) + F.col("id") % 3).alias("n_chars"))
+    )
+    # all mass lands in bucket 40 — far outside the reference's bucket 2
+    novel = spark.range(100).select(
+        F.lit("w0").alias("window_start"),
+        F.lit("w1").alias("window_end"),
+        F.lit(40).alias("bucket"),
+        F.lit(1).alias("n_cur"),
+    ).groupBy("window_start", "window_end", "bucket").agg(
+        F.sum("n_cur").alias("n_cur")
+    )
+    [row] = psi_from_counts(novel, ref).collect()
+    assert row["psi"] is not None and row["psi"] > 1.0  # massive divergence
+    assert row["alert"] == 1
+
+
 def test_windowed_counts_state_is_bucket_bounded(spark, tmp_path):
     """The stateful half emits (window, bucket) rows — cardinality bound =
     windows x buckets, independent of row volume."""
