@@ -40,6 +40,77 @@ def _as_vector(per_dim: DataFrame, col: str) -> DataFrame:
     ).select(F.transform("s", lambda e: e[col]).alias("v"))
 
 
+def power_iteration_components(
+    emb: DataFrame,
+    dim: int,
+    k: int = 2,
+    iters: int = 6,
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> DataFrame:
+    """Top-``k`` principal components via power iteration + deflation:
+    after each component converges, its projection is subtracted from
+    every vector (x ← x − (x·v)·v) and the next component is extracted
+    from the deflated cloud — the classic sequential eigenextraction,
+    kept matrix-free and DataFrame-shaped throughout.
+
+    Returns (comp_idx INT, i INT, component DOUBLE, eigenvalue DOUBLE,
+    n_vectors BIGINT) — k × dim rows.  Deflation hoists the per-row
+    projection scalar into a materialized column BEFORE the zip_with
+    (the HOF-lambda re-evaluation landmine: a computed expression
+    captured in the lambda would re-evaluate per element, turning the
+    deflation into O(dim²) work per row).  Each deflated frame is
+    localCheckpointed so component j+1 does not replay extractions
+    1..j.
+    """
+    x = V.to_double_array(F.col(vec_col))
+    base = emb.select(x.alias("embedding"))
+    if center:
+        # center ONCE, before any extraction: deflation preserves the
+        # centroid at zero, so later components see correctly-centered
+        # data; centering per-component inside the subroutine would
+        # re-shift the deflated cloud and bend components 2..k
+        stats = (
+            base.select(F.posexplode("embedding").alias("i", "xi"))
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("xi"), 12).cast("decimal(38,12)")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("i", (F.col("sx").cast("double") / F.col("n")).alias("m"))
+        )
+        mu = _as_vector(stats.withColumnRenamed("m", "c"), "c")
+        base = base.crossJoin(F.broadcast(mu)).select(
+            F.zip_with("embedding", "v", lambda a, b: a - b).alias("embedding")
+        ).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for comp_idx in range(k):
+        comp = power_iteration_top_component(
+            base, dim=dim, iters=iters, center=False
+        ).select(
+            F.lit(comp_idx).cast("int").alias("comp_idx"),
+            "i",
+            "component",
+            "eigenvalue",
+            "n_vectors",
+        )
+        out = comp if out is None else out.unionByName(comp)
+        if comp_idx == k - 1:
+            break
+        v_df = comp.agg(
+            F.array_sort(F.collect_list(F.struct("i", "component"))).alias("s")
+        ).select(F.transform("s", lambda e: e["component"]).alias("vd"))
+        scored = base.crossJoin(F.broadcast(v_df)).select(
+            "embedding", "vd", V.dot(F.col("embedding"), F.col("vd")).alias("s")
+        )
+        base = scored.select(
+            F.zip_with(
+                "embedding", "vd", lambda xi, vi: xi - F.col("s") * vi
+            ).alias("embedding")
+        ).localCheckpoint(eager=True)
+    return out
+
+
 def power_iteration_top_component(
     emb: DataFrame,
     dim: int,

@@ -52,3 +52,55 @@ def banded_range_join(
         .where((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("__band")
     )
+
+
+def coalesce_intervals(
+    df,
+    key: str,
+    start: str,
+    end: str,
+    tiebreak: str | None = None,
+):
+    """Temporal PACK (SQL:2016 normalization): merge overlapping or
+    touching [start, end) intervals per ``key`` into maximal disjoint
+    islands — (key, island, start, end, n_merged).
+
+    Classic two-window gaps-and-islands, both windows PARTITIONED by the
+    key (scale-safe, no global ordering): the running max of prior ends
+    flags island openers, a running sum of the flags numbers islands,
+    one aggregate per (key, island) closes them.  ``tiebreak`` (extra
+    ordering column) makes runs deterministic when identical intervals
+    repeat.  Touching intervals (prev_end == start) merge; a zero-width
+    interval at an island edge therefore extends nothing but still
+    counts as a member.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(start).asc(), F.col(end).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.select(
+        key,
+        start,
+        end,
+        *( [tiebreak] if tiebreak is not None else [] ),
+        F.when(F.max(end).over(w_prev) >= F.col(start), 0)
+        .otherwise(1)
+        .alias("__new_island"),
+    )
+    islands = flagged.withColumn("island", F.sum("__new_island").over(w_cum))
+    return islands.groupBy(key, "island").agg(
+        F.min(start).alias(start),
+        F.max(end).alias(end),
+        F.count(F.lit(1)).alias("n_merged"),
+    )

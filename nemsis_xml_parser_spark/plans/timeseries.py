@@ -558,7 +558,7 @@ WITH iv AS (
   FROM orders WHERE o_custkey < 200
 ),
 flagged AS (
-  SELECT custkey, s, e,
+  SELECT custkey, s, e, o_orderkey,
          CASE WHEN MAX(e) OVER (PARTITION BY custkey ORDER BY s, e, o_orderkey
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    >= s THEN 0 ELSE 1 END AS new_island
@@ -566,7 +566,7 @@ flagged AS (
 ),
 islands AS (
   SELECT custkey, s, e,
-         SUM(new_island) OVER (PARTITION BY custkey ORDER BY s, e
+         SUM(new_island) OVER (PARTITION BY custkey ORDER BY s, e, o_orderkey
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS island
   FROM flagged
@@ -580,6 +580,8 @@ FROM islands GROUP BY custkey, island
 """,
 )
 def join_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import coalesce_intervals
+
     o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
     iv = o.select(
         F.col("o_custkey").alias("custkey"),
@@ -587,35 +589,13 @@ def join_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("s"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("custkey")
-        .orderBy(F.col("s").asc(), F.col("e").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.select(
-        "custkey",
-        "s",
-        "e",
-        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias(
-            "new_island"
-        ),
-    )
-    w_cum = (
-        Window.partitionBy("custkey")
-        .orderBy(F.col("s").asc(), F.col("e").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
-    return islands.groupBy("custkey", "island").agg(
-        F.date_format(F.min("s"), "yyyy-MM-dd").alias("start_date"),
-        F.date_format(F.max("e"), "yyyy-MM-dd").alias("end_date"),
-        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
-    ).select(
+    packed = coalesce_intervals(iv, "custkey", "s", "e", tiebreak="o_orderkey")
+    return packed.select(
         F.col("custkey").cast("bigint").alias("custkey"),
         F.col("island").cast("bigint").alias("island"),
-        "start_date",
-        "end_date",
-        "n_merged",
+        F.date_format("s", "yyyy-MM-dd").alias("start_date"),
+        F.date_format("e", "yyyy-MM-dd").alias("end_date"),
+        F.col("n_merged").cast("bigint").alias("n_merged"),
     )
 
 

@@ -51,6 +51,39 @@ def test_deterministic_across_runs(spark):
     assert a[0].tolist() == b[0].tolist() and a[1] == b[1]
 
 
+def test_topk_deflation_matches_numpy(spark):
+    # distinct spectral gaps: with a degenerate tail (equal eigenvalues)
+    # the trailing eigenVECTOR is not unique and the comparison would be
+    # ill-posed, so separate the top three scales explicitly
+    rng = np.random.default_rng(7)
+    basis = np.linalg.qr(rng.normal(size=(8, 8)))[0]
+    scales = np.array([5.0, 2.5, 1.2] + [0.3] * 5)
+    X = rng.normal(size=(150, 8)) @ (basis * scales).T + rng.normal(size=8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    from nemsis_xml_parser_spark.operators.pca import power_iteration_components
+
+    rows = power_iteration_components(df, dim=8, k=3, iters=8).collect()
+    comps = {}
+    lams = {}
+    for r in rows:
+        comps.setdefault(r["comp_idx"], {})[r["i"]] = r["component"]
+        lams[r["comp_idx"]] = r["eigenvalue"]
+    V3 = np.array([[comps[c][i] for i in range(8)] for c in range(3)])
+    w, U = np.linalg.eigh(np.cov(X.T, bias=True))
+    for c in range(3):
+        ref = U[:, -1 - c]
+        assert abs(float(np.dot(V3[c], ref))) > 0.99, f"component {c} off-axis"
+        assert math.isclose(lams[c], float(w[-1 - c]), rel_tol=0.05)
+    # extracted directions are mutually orthogonal (deflation worked)
+    gram = V3 @ V3.T
+    assert np.allclose(gram, np.eye(3), atol=1e-3)
+    # eigenvalues strictly decreasing for this anisotropic cloud
+    assert lams[0] > lams[1] > lams[2]
+
+
 def test_uncentered_tracks_second_moment(spark):
     # with a large mean offset, the UNcentered dominant direction aligns
     # with the mean, not the covariance axis — proves center=False is a
