@@ -64,6 +64,10 @@ HEADLINE = [
     "embedding_pca_power",
     "quality_ks_drift",
     "multimodal_luminance_histogram",
+    # round 5 mining-family flagships (subtract when comparing vs earlier)
+    "dedup_duplicate_spans",
+    "text_inverted_index",
+    "graph_triangle_count",
 ]
 
 

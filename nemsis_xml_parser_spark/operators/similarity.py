@@ -113,6 +113,52 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: per query vector, the top-k most-similar
+    corpus vectors carrying a DIFFERENT label — the contrastive-training
+    counterpart of ``brute_force_topk`` (a hard negative is a high-
+    similarity cross-class neighbor).  Same determinism contract: ranking
+    on the 6-dp rounded cosine with id tie-break; same hoisted-norm
+    discipline; the label filter rides the join condition so mismatched
+    pairs never materialize.  Scale path: swap the broadcast cross join
+    for the LSH bucket join exactly as in ``lsh_topk``."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        V.to_double_array(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", V.norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        V.to_double_array(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", V.norm(F.col("cv")))
+    _den = F.col("qn") * F.col("cn")
+    cos = F.round(
+        F.when(_den > 0, V.dot(F.col("qv"), F.col("cv")) / _den).otherwise(F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def with_lsh_bucket(
     df: DataFrame,
     num_planes: int = 8,

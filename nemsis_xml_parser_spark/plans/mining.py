@@ -568,3 +568,847 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled corpus mixture weights
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA_DOC = "sqrt"  # alpha = 0.5 — sqrt() on both engines, bit-identical
+
+
+@register(
+    "curation_mixture_weights",
+    family="curation",
+    doc="Temperature-scaled source mixture weights (the multilingual-"
+    "sampling recipe from GPT-3/XLM-R: p_i ∝ n_i^α with α = 0.5, "
+    "computed as sqrt so both engines share one intrinsic): per source "
+    "token totals, the α-scaled sampling weight, the natural share "
+    "n_i/Σn, and the boost factor weight/natural that shows how much "
+    "the temperature flattens head sources and lifts tail ones.  Σw is "
+    "a 20-term double sum, so each sqrt is rounded to 12 dp and "
+    "DECIMAL-cast before summing (order-independent); one corpus scan, "
+    "one 20-key aggregate, totals broadcast back.",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(CAST(ROUND(sqrt(n_tokens), 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS w_sum,
+         CAST(SUM(n_tokens) AS DOUBLE) AS t_sum
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(sqrt(n_tokens) / tot.w_sum, 6) AS weight,
+       ROUND(n_tokens / tot.t_sum, 6) AS nat_share,
+       ROUND((sqrt(n_tokens) / tot.w_sum) / (n_tokens / tot.t_sum), 6) AS boost
+FROM s, tot
+""",
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum(F.round(F.sqrt(F.col("n_tokens")), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("w_sum"),
+        F.sum("n_tokens").cast("double").alias("t_sum"),
+    )
+    weight = F.sqrt(F.col("n_tokens")) / F.col("w_sum")
+    nat = F.col("n_tokens") / F.col("t_sum")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("weight"),
+        F.round(nat, 6).alias("nat_share"),
+        F.round(weight / nat, 6).alias("boost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed drift: PSI per day against the corpus-wide baseline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_psi_by_day",
+    family="quality",
+    doc="Windowed drift monitoring — the batch twin of streaming/drift.py "
+    "run at daily grain: per-day event_type distribution vs the "
+    "corpus-wide baseline, smoothed PSI per day (additive 0.5 on the "
+    "full day×type grid so zero-count cells contribute finite terms — "
+    "the grid is a cross join of two TINY distinct frames, then a left "
+    "join back onto cell counts).  PSI terms are rounded to 12 dp and "
+    "DECIMAL-cast before the ≤|types|-term per-day sum.  One corpus "
+    "scan onto the bounded (day, type) domain; everything after is "
+    "broadcast-sized.  Surfaces the drift gate: psi > 0.2 → drifted.",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT day, SUM(n) AS n_day FROM cells GROUP BY day),
+types AS (SELECT event_type, SUM(n) AS n_type FROM cells GROUP BY event_type),
+tot AS (
+  SELECT CAST(SUM(n_type) AS DOUBLE) AS gn,
+         CAST(COUNT(*) AS DOUBLE) AS t
+  FROM types
+),
+grid AS (
+  SELECT d.day, d.n_day, ty.event_type, ty.n_type, COALESCE(c.n, 0) AS n
+  FROM days d CROSS JOIN types ty
+  LEFT JOIN cells c ON c.day = d.day AND c.event_type = ty.event_type
+),
+terms AS (
+  SELECT day, n_day,
+         CAST(ROUND(((n + 0.5) / (n_day + 0.5 * tot.t)
+                     - (n_type + 0.5) / (tot.gn + 0.5 * tot.t))
+                    * LN(((n + 0.5) / (n_day + 0.5 * tot.t))
+                         / ((n_type + 0.5) / (tot.gn + 0.5 * tot.t))), 12)
+              AS DECIMAL(38,12)) AS term
+  FROM grid, tot
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_day AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+       CASE WHEN CAST(SUM(term) AS DOUBLE) > 0.2 THEN 1 ELSE 0 END AS drifted
+FROM terms GROUP BY day, n_day
+""",
+)
+def quality_psi_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    days = cells.groupBy("day").agg(F.sum("n").alias("n_day"))
+    types = cells.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    tot = types.agg(
+        F.sum("n_type").cast("double").alias("gn"),
+        F.count(F.lit(1)).cast("double").alias("t"),
+    )
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(F.broadcast(cells), ["day", "event_type"], "left")
+        .select(
+            "day",
+            "n_day",
+            "event_type",
+            "n_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    p_d = (F.col("n") + 0.5) / (F.col("n_day") + 0.5 * F.col("t"))
+    p_b = (F.col("n_type") + 0.5) / (F.col("gn") + 0.5 * F.col("t"))
+    term = F.round((p_d - p_b) * F.log(p_d / p_b), 12).cast("decimal(38,12)")
+    return (
+        grid.select("day", "n_day", term.alias("term"))
+        .groupBy("day", "n_day")
+        .agg(F.sum("term").cast("double").alias("psi_raw"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_day").cast("bigint").alias("n_events"),
+            F.round("psi_raw", 6).alias("psi"),
+            F.when(F.col("psi_raw") > 0.2, 1).otherwise(0).alias("drifted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mine_hard_negatives",
+    family="similarity",
+    doc="Hard-negative mining for contrastive training (the DPR/sentence-"
+    "transformers recipe): per probe vector (vec_id < 5), the top-3 "
+    "most-cosine-similar corpus vectors with a DIFFERENT label — high-"
+    "similarity cross-class neighbors are the negatives that actually "
+    "teach the margin.  operators/similarity.py::hard_negative_topk: "
+    "probes broadcast, norms hoisted out of the pair loop, ranking on "
+    "the 6-dp rounded cosine with vec_id tie-break (engine-neutral), "
+    "label filter in the join condition so same-class pairs never "
+    "materialize.  The window partitions by probe id — bounded "
+    "partition count, allowlisted shape.  Scale path: the LSH bucket "
+    "join, exactly as knn_cosine_topk → ann_lsh.",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 c.vec_id ASC) AS rank
+  FROM e q JOIN e c ON q.vec_id < 5 AND c.label != q.label
+) WHERE rank <= 3
+""",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 5)
+    return S.hard_negative_topk(probes, e, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key / uniqueness profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_key_candidates",
+    family="profiling",
+    doc="Candidate-key discovery audit — the schema-inference pass a "
+    "warehouse loader runs before declaring primary keys (the query-"
+    "side twin of the reference's FK bookkeeping, "
+    "/root/reference/main_ingest.py:605-618): for each declared key "
+    "expression (single-column keys plus lineitem's composite "
+    "(l_orderkey, l_linenumber) via an engine-neutral string encoding) "
+    "report row count, distinct count, uniqueness ratio, and the "
+    "is-key verdict.  One count-distinct aggregate per table — six "
+    "independent scans unioned into the 6-row report; at scale each is "
+    "a single partial-aggregated pass.",
+    oracle="""
+SELECT 'orders' AS table_name, 'o_orderkey' AS key_expr,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), 6) AS unique_ratio,
+       CASE WHEN COUNT(DISTINCT o_orderkey) = COUNT(*) THEN 1 ELSE 0 END AS is_key
+FROM orders
+UNION ALL
+SELECT 'customer', 'c_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+       ROUND(CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / COUNT(*), 6),
+       CASE WHEN COUNT(DISTINCT c_custkey) = COUNT(*) THEN 1 ELSE 0 END
+FROM customer
+UNION ALL
+SELECT 'part', 'p_partkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+       ROUND(CAST(COUNT(DISTINCT p_partkey) AS DOUBLE) / COUNT(*), 6),
+       CASE WHEN COUNT(DISTINCT p_partkey) = COUNT(*) THEN 1 ELSE 0 END
+FROM part
+UNION ALL
+SELECT 'lineitem', 'l_orderkey||_||l_linenumber', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '_'
+                  || CAST(l_linenumber AS VARCHAR)) AS BIGINT),
+       ROUND(CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '_'
+                  || CAST(l_linenumber AS VARCHAR)) AS DOUBLE) / COUNT(*), 6),
+       CASE WHEN COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '_'
+                  || CAST(l_linenumber AS VARCHAR)) = COUNT(*) THEN 1 ELSE 0 END
+FROM lineitem
+UNION ALL
+SELECT 'documents', 'doc_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+       ROUND(CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / COUNT(*), 6),
+       CASE WHEN COUNT(DISTINCT doc_id) = COUNT(*) THEN 1 ELSE 0 END
+FROM documents
+UNION ALL
+SELECT 'events', 'event_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT event_id) AS BIGINT),
+       ROUND(CAST(COUNT(DISTINCT event_id) AS DOUBLE) / COUNT(*), 6),
+       CASE WHEN COUNT(DISTINCT event_id) = COUNT(*) THEN 1 ELSE 0 END
+FROM events
+""",
+)
+def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(tbl: str, expr_label: str, key: F.Column, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(key).cast("bigint").alias("n_distinct"),
+        ).select(
+            F.lit(tbl).alias("table_name"),
+            F.lit(expr_label).alias("key_expr"),
+            "n_rows",
+            "n_distinct",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_rows"), 6).alias(
+                "unique_ratio"
+            ),
+            F.when(F.col("n_distinct") == F.col("n_rows"), 1).otherwise(0).alias(
+                "is_key"
+            ),
+        )
+
+    li_key = F.concat_ws(
+        "_",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    parts = [
+        audit("orders", "o_orderkey", F.col("o_orderkey"), table(spark, sf_dir, "orders")),
+        audit("customer", "c_custkey", F.col("c_custkey"), table(spark, sf_dir, "customer")),
+        audit("part", "p_partkey", F.col("p_partkey"), table(spark, sf_dir, "part")),
+        audit("lineitem", "l_orderkey||_||l_linenumber", li_key, table(spark, sf_dir, "lineitem")),
+        audit("documents", "doc_id", F.col("doc_id"), table(spark, sf_dir, "documents")),
+        audit("events", "event_id", F.col("event_id"), table(spark, sf_dir, "events")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over the daily event series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_changepoint_cusum",
+    family="timeseries",
+    doc="CUSUM changepoint statistic over the daily event-count series "
+    "(Page 1954, the standard level-shift scan): per day the cumulative "
+    "sum S_d = Σ_{d'≤d} (c_d' − μ) of deviations from the global daily "
+    "mean — a changepoint shows as the extremum of |S|.  The corpus "
+    "collapses to the bounded ~30-day domain in one aggregate; the "
+    "cumulative sum is a broadcast triangular join over that domain (no "
+    "unpartitioned window), and each deviation term is rounded to 12 dp "
+    "and DECIMAL-cast before summing so the running sums are order-"
+    "independent.  Output: day, count, CUSUM.",
+    oracle="""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+),
+mu AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS m FROM days),
+cusum AS (
+  SELECT a.day, a.c,
+         CAST(SUM(CAST(ROUND(b.c - mu.m, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS s
+  FROM days a JOIN days b ON b.day <= a.day CROSS JOIN mu
+  GROUP BY a.day, a.c
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(c AS BIGINT) AS n_events,
+       ROUND(s, 6) AS cusum
+FROM cusum
+""",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mu = days.agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("m"))
+    b = days.select(F.col("day").alias("b_day"), F.col("c").alias("b_c"))
+    return (
+        days.join(F.broadcast(b), F.col("b_day") <= F.col("day"))
+        .crossJoin(F.broadcast(mu))
+        .groupBy("day", "c")
+        .agg(
+            F.sum(F.round(F.col("b_c") - F.col("m"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s")
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("c").cast("bigint").alias("n_events"),
+            F.round("s", 6).alias("cusum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + power-law tail slope of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    family="graph",
+    doc="Degree histogram of the part co-purchase graph (same bounded "
+    "edge set as graph_triangle_count) with the log-log OLS slope over "
+    "the histogram points — the power-law-tail diagnostic run before "
+    "choosing skew strategies (a steep slope means broadcast-safe hubs; "
+    "a flat one means salting).  Histogram counts are exact; the slope "
+    "regression runs over the ≤60-row histogram with ln-terms rounded "
+    "to 12 dp and DECIMAL-cast before their sums (order-independent), "
+    "replicated onto every output row as the audit verdict.",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {TRI_ORDER_CAP}
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY v
+),
+hist AS (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+tot AS (SELECT CAST(SUM(n_nodes) AS DOUBLE) AS n FROM hist),
+reg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(CAST(ROUND(LN(degree), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(LN(n_nodes), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(LN(degree) * LN(n_nodes), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(LN(degree) * LN(degree), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM hist
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       ROUND(n_nodes / tot.n, 6) AS frac,
+       ROUND((reg.sxy - reg.sx * reg.sy / reg.m)
+             / (reg.sxx - reg.sx * reg.sx / reg.m), 6) AS ll_slope
+FROM hist, tot, reg
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < TRI_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .localCheckpoint()  # ≤60-row frame reused by tot/reg/output — cuts
+        # the edge-pipeline replay from 3× to 1×
+    )
+    tot = hist.agg(F.sum("n_nodes").cast("double").alias("n"))
+
+    def _dec(col):
+        return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+
+    lx = F.log(F.col("degree"))
+    ly = F.log(F.col("n_nodes"))
+    reg = hist.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        _dec(lx).alias("sx"),
+        _dec(ly).alias("sy"),
+        _dec(lx * ly).alias("sxy"),
+        _dec(lx * lx).alias("sxx"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(reg))
+        .select(
+            F.col("degree").cast("bigint").alias("degree"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.round(F.col("n_nodes") / F.col("n"), 6).alias("frac"),
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m")),
+                6,
+            ).alias("ll_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-series autocorrelation (lags 1..7)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "events_autocorrelation",
+    family="timeseries",
+    doc="Autocorrelation of the daily event-count series at lags 1..7 — "
+    "the seasonality probe run before choosing rollup grains: "
+    "r_k = Σ(c_d−μ)(c_{d−k}−μ) / Σ(c_d−μ)² with the mean and "
+    "denominator over ALL days (the standard ACF estimator).  The "
+    "corpus collapses to the ~30-day domain once; lag pairing is a "
+    "datediff equi-join of that tiny frame against itself crossed with "
+    "the 7-row lag spine (all broadcast); products are rounded to 12 dp "
+    "and DECIMAL-cast before summing.  Output: lag, pair count, r_k.",
+    oracle=f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+),
+mu AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS m FROM days),
+den AS (
+  SELECT CAST(SUM(CAST(ROUND((c - mu.m) * (c - mu.m), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM days CROSS JOIN mu
+),
+lags AS (SELECT UNNEST(range(1, {ACF_MAX_LAG + 1})) AS k),
+pairs AS (
+  SELECT l.k,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(ROUND((a.c - mu.m) * (b.c - mu.m), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS num
+  FROM lags l
+  JOIN days a ON TRUE
+  JOIN days b ON date_diff('day', b.day, a.day) = l.k
+  CROSS JOIN mu
+  GROUP BY l.k
+)
+SELECT CAST(p.k AS INTEGER) AS lag,
+       p.n_pairs AS n_pairs,
+       ROUND(p.num / den.d2, 6) AS acf
+FROM pairs p, den
+""",
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mu = days.agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("m"))
+    den = days.crossJoin(F.broadcast(mu)).agg(
+        F.sum(
+            F.round((F.col("c") - F.col("m")) * (F.col("c") - F.col("m")), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("d2")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+    b = days.select(F.col("day").alias("b_day"), F.col("c").alias("b_c"))
+    pairs = (
+        days.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.datediff(F.col("day"), F.col("b_day")) == F.col("k"))
+        .crossJoin(F.broadcast(mu))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.round(
+                    (F.col("c") - F.col("m")) * (F.col("b_c") - F.col("m")), 12
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(F.col("num") / F.col("d2"), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Centroid silhouette score per label
+# ---------------------------------------------------------------------------
+
+SIL_DIM = 64
+
+
+@register(
+    "embedding_silhouette",
+    family="similarity",
+    doc="Simplified (centroid-based) silhouette score per label — the "
+    "cluster-quality audit for labeled embedding sets: a(i) = L2 "
+    "distance to the own-label centroid, b(i) = min distance to any "
+    "other label's centroid, s(i) = (b−a)/max(a,b), averaged per "
+    "label.  Centroids come from one posexplode + (label, dim) "
+    "aggregate with DECIMAL-staged sums (the operators/pca.py "
+    "discipline), then ride as a broadcast 5-row frame against the "
+    "corpus — one scan, 5 distance evaluations per vector, no window. "
+    "Per-vector s terms are rounded to 12 dp and DECIMAL-cast before "
+    "the per-label mean.",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (SELECT UNNEST(range({SIL_DIM})) AS i),
+pd AS (
+  SELECT label, d.i,
+         CAST(SUM(CAST(ROUND(v[d.i + 1], 12) AS DECIMAL(38,12))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM emb, dims d GROUP BY label, d.i
+),
+cents AS (SELECT label AS clabel, list(c ORDER BY i) AS cv FROM pd GROUP BY label),
+dist AS (
+  SELECT vec_id, label, clabel, sqrt(list_dot_product(dd, dd)) AS dist
+  FROM (
+    SELECT e.vec_id, e.label, c.clabel,
+           list_transform(range({SIL_DIM}), j -> e.v[j + 1] - c.cv[j + 1]) AS dd
+    FROM emb e CROSS JOIN cents c
+  )
+),
+ab AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN label = clabel THEN dist END) AS a,
+         MIN(CASE WHEN label != clabel THEN dist END) AS b
+  FROM dist GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(ROUND((b - a) / GREATEST(a, b), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_silhouette
+FROM ab GROUP BY label
+""",
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double_array(F.col("embedding")).alias("v")
+    )
+    pd = (
+        e.select("label", F.posexplode("v").alias("i", "xi"))
+        .groupBy("label", "i")
+        .agg(
+            F.sum(F.round(F.col("xi"), 12).cast("decimal(38,12)")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("label", "i", (F.col("sx").cast("double") / F.col("n")).alias("c"))
+    )
+    cents = (
+        pd.groupBy(F.col("label").alias("clabel"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("s"))
+        .select("clabel", F.transform("s", lambda x: x["c"]).alias("cv"))
+    )
+    dd = F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y)
+    dist = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", F.sqrt(V.dot(dd, dd)).alias("dist")
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("label") == F.col("clabel"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("label") != F.col("clabel"), F.col("dist"))).alias("b"),
+    )
+    s_term = F.round(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 12
+    ).cast("decimal(38,12)")
+    return ab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.sum(s_term).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches: Count-Min heavy hitters, Bloom membership
+# ---------------------------------------------------------------------------
+
+CM_DEPTH, CM_WIDTH = 4, 64
+BLOOM_K, BLOOM_M = 3, 8192
+_M61 = (1 << 61) - 1
+
+
+def _cm_oracle() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS cnt
+  FROM events GROUP BY user_id
+),
+hp AS (
+  SELECT k, cnt,
+         CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(k), 17, 12)) AS BIGINT) AS h2
+  FROM keyed
+),
+rows_ AS (SELECT UNNEST(range({CM_DEPTH})) AS i),
+cells AS (
+  SELECT i, (h1 + i * h2) % {_M61} % {CM_WIDTH} AS pos,
+         CAST(SUM(cnt) AS BIGINT) AS total
+  FROM hp, rows_ GROUP BY 1, 2
+),
+top5 AS (SELECT k, cnt, h1, h2 FROM hp ORDER BY cnt DESC, k ASC LIMIT 5),
+probe AS (
+  SELECT t.k, t.cnt, r.i, (t.h1 + r.i * t.h2) % {_M61} % {CM_WIDTH} AS pos
+  FROM top5 t, rows_ r
+)
+SELECT p.k AS user_key,
+       CAST(p.cnt AS BIGINT) AS exact_count,
+       CAST(MIN(c.total) AS BIGINT) AS cm_estimate,
+       CAST(MIN(c.total) - p.cnt AS BIGINT) AS overestimate
+FROM probe p JOIN cells c ON c.i = p.i AND c.pos = p.pos
+GROUP BY p.k, p.cnt
+"""
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    family="sketch",
+    doc="Count-Min sketch frequency estimation (Cormode-Muthukrishnan) "
+    "with the md5 double-hash family (Kirsch-Mitzenmacher, same family "
+    "as the MinHash operators) so every cell is SQL-replayable — a "
+    "deterministic, fully hash-oracled sketch next to the rows-only "
+    "HLL: a 4×64 cell table built from the exact per-user aggregate "
+    "(the mergeable build — shard cell tables merge by addition), "
+    "point-queried for the top-5 users; surfaces exact count, CM "
+    "estimate, and the (always ≥0) overestimate.  operators/"
+    "sketches.py.  Scale shape: one exact per-key aggregate, 4 rows "
+    "per key into a 256-cell aggregate, probes join the broadcast cell "
+    "table.",
+    oracle=_cm_oracle(),
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as SK
+
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.groupBy(F.col("user_id").cast("string").alias("user_key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cells = SK.countmin_cells(keyed, "user_key", "cnt", CM_DEPTH, CM_WIDTH)
+    top5 = keyed.orderBy(F.col("cnt").desc(), F.col("user_key").asc()).limit(5)
+    est = SK.countmin_estimate(top5, cells, "user_key", CM_DEPTH, CM_WIDTH)
+    return top5.join(est, "user_key").select(
+        "user_key",
+        F.col("cnt").cast("bigint").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("cnt")).cast("bigint").alias("overestimate"),
+    )
+
+
+def _bloom_oracle() -> str:
+    return f"""
+WITH keys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+kh AS (
+  SELECT k,
+         CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(k), 17, 12)) AS BIGINT) AS h2
+  FROM keys
+),
+ks AS (SELECT UNNEST(range({BLOOM_K})) AS i),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % {_M61} % {BLOOM_M} AS pos FROM kh, ks
+),
+probes AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS pk FROM part),
+ph AS (
+  SELECT pk,
+         CAST(('0x' || substr(md5(pk), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(pk), 17, 12)) AS BIGINT) AS h2
+  FROM probes
+),
+ppos AS (
+  SELECT pk, (h1 + ks.i * h2) % {_M61} % {BLOOM_M} AS pos FROM ph, ks
+),
+claims AS (
+  SELECT p.pk,
+         CASE WHEN COUNT(b.pos) = {BLOOM_K} THEN 1 ELSE 0 END AS claimed
+  FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.pk
+),
+truth AS (
+  SELECT c.pk, c.claimed,
+         CASE WHEN k.k IS NOT NULL THEN 1 ELSE 0 END AS member
+  FROM claims c LEFT JOIN keys k ON k.k = c.pk
+)
+SELECT CAST({BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+       CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(claimed) AS BIGINT) AS claimed_members,
+       CAST(SUM(member) AS BIGINT) AS true_members,
+       CAST(SUM(CASE WHEN claimed = 1 AND member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives,
+       CAST(SUM(CASE WHEN claimed = 0 AND member = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_negatives,
+       ROUND(CAST(SUM(CASE WHEN claimed = 1 AND member = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN member = 0 THEN 1 ELSE 0 END), 0), 6)
+         AS fp_rate
+FROM truth
+"""
+
+
+@register(
+    "sketch_bloom_membership",
+    family="sketch",
+    doc="Bloom-filter membership pre-filter audit (the runtime-filter "
+    "pattern engines push into scans before expensive joins): an "
+    "8192-bit / 3-hash filter over customer keys, represented as a "
+    "DISTINCT bit-position TABLE (broadcastable by construction — the "
+    "Spark-idiomatic distributed Bloom), probed with every part key; "
+    "reports bits set, claimed vs true members, false positives/"
+    "negatives (FN must be 0 — the Bloom guarantee, enforced by the "
+    "hash gate) and the measured FP rate among true non-members.  Same "
+    "md5 double-hash family as Count-Min/MinHash → fully SQL-"
+    "replayable.  operators/sketches.py.",
+    oracle=_bloom_oracle(),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as SK
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    ).distinct()
+    probes = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("pk")
+    ).distinct()
+    bits = SK.bloom_bits(cust, "k", BLOOM_K, BLOOM_M)
+    claims = SK.bloom_claims(probes, bits, "pk", BLOOM_K, BLOOM_M)
+    truth = claims.join(
+        cust.withColumn("member_flag", F.lit(1)),
+        claims["pk"] == cust["k"],
+        "left",
+    ).select("pk", "claimed", F.coalesce("member_flag", F.lit(0)).alias("member"))
+    n_keys = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    bits_set = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    return (
+        truth.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum("claimed").cast("bigint").alias("claimed_members"),
+            F.sum("member").cast("bigint").alias("true_members"),
+            F.sum(F.when((F.col("claimed") == 1) & (F.col("member") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("false_positives"),
+            F.sum(F.when((F.col("claimed") == 0) & (F.col("member") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("false_negatives"),
+            F.round(
+                F.sum(
+                    F.when((F.col("claimed") == 1) & (F.col("member") == 0), 1).otherwise(0)
+                ).cast("double")
+                / F.nullif(
+                    F.sum(F.when(F.col("member") == 0, 1).otherwise(0)), F.lit(0)
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            F.lit(BLOOM_M).cast("bigint").alias("m_bits"),
+            F.lit(BLOOM_K).cast("bigint").alias("k_hashes"),
+            "n_keys",
+            "bits_set",
+            "n_probes",
+            "claimed_members",
+            "true_members",
+            "false_positives",
+            "false_negatives",
+            "fp_rate",
+        )
+    )

@@ -56,6 +56,17 @@ JUSTIFIED_BNLJ = {
     "quality_mutual_information",  # broadcast 1-row entropy/total scalars
     "embedding_pca_power",         # broadcast 1-row iterate/mean vectors
     "multimodal_luminance_histogram",  # broadcast 1-row pixel-total scalar
+    "curation_mixture_weights",    # broadcast 1-row weight/token-total scalars
+    "graph_triangle_count",        # broadcast 1-row edge/triangle-count scalars
+    "mine_hard_negatives",         # broadcast probe set (5 rows) vs corpus
+    "quality_psi_by_day",          # day spine x bounded type set + 1-row totals
+    "quality_rank_sum_drift",      # broadcast bounded bin frame + 1-row totals
+    "sketch_join_cardinality",     # broadcast 1-row side-stat scalars (x2 joins)
+    "events_changepoint_cusum",    # triangular join over bounded day domain
+    "graph_degree_distribution",   # broadcast 1-row total/slope scalars
+    "events_autocorrelation",      # day spine x 7-row lag spine, all broadcast
+    "embedding_silhouette",        # broadcast 5-row centroid frame
+    "sketch_bloom_membership",     # broadcast 1-row n_keys/bits_set scalars
 }
 
 

@@ -27,3 +27,51 @@ def test_hll_merge_equals_direct_sketch(spark):
         .collect()[0]["e"]
     )
     assert direct == merged
+
+
+# --- Count-Min / Bloom (operators/sketches.py) -----------------------------
+
+def test_countmin_never_underestimates_and_merges(spark):
+    from nemsis_xml_parser_spark.operators import sketches as SK
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    keyed = ev.groupBy(F.col("o_custkey").cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cells = SK.countmin_cells(keyed, "k", "cnt", depth=4, width=64)
+    est = SK.countmin_estimate(keyed, cells, "k", depth=4, width=64)
+    joined = keyed.join(est, "k")
+    under = joined.where(F.col("cm_estimate") < F.col("cnt")).count()
+    assert under == 0  # the Count-Min guarantee: estimates never undershoot
+
+    # mergeability: cells built from two disjoint shards, summed cell-wise,
+    # must equal the cells built from the whole corpus
+    a = keyed.where(F.col("k").cast("long") % 2 == 0)
+    b = keyed.where(F.col("k").cast("long") % 2 == 1)
+    merged = (
+        SK.countmin_cells(a, "k", "cnt", 4, 64)
+        .unionAll(SK.countmin_cells(b, "k", "cnt", 4, 64))
+        .groupBy("i", "pos")
+        .agg(F.sum("total").alias("total"))
+    )
+    diff = (
+        cells.join(merged, ["i", "pos"], "full")
+        .where(
+            F.coalesce(cells["total"], F.lit(0))
+            != F.coalesce(merged["total"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    from nemsis_xml_parser_spark.operators import sketches as SK
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    keys = c.select(F.col("c_custkey").cast("string").alias("k")).distinct()
+    bits = SK.bloom_bits(keys, "k", k=3, m=4096)
+    claims = SK.bloom_claims(keys, bits, "k", k=3, m=4096)
+    # every inserted key must be claimed — the structural Bloom guarantee
+    missed = claims.where(F.col("claimed") == 0).count()
+    assert missed == 0
