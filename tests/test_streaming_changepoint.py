@@ -1,0 +1,96 @@
+"""Streaming CUSUM changepoint monitor (streaming/changepoint.py):
+stream/batch agreement on the real event series, level-shift alerting."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nemsis_xml_parser_spark.streaming.changepoint import monitor_cusum
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _clean_events(spark, tmp_path) -> str:
+    """events.parquet stores TIMESTAMP(NANOS); stream from a micros copy
+    written through the registry reader (same hop the batch side takes)."""
+    from nemsis_xml_parser_spark.plans.registry import table
+
+    src = str(tmp_path / "events_src")
+    table(spark, SF_DIR, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    ).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_cusum_agrees_with_batch_twin(spark, tmp_path):
+    """Fed the batch series' own mean as the reference μ, the streaming
+    monitor's per-day CUSUM must reproduce events_changepoint_cusum."""
+    from nemsis_xml_parser_spark.plans import QUERIES
+
+    batch = {
+        r["day"]: r
+        for r in QUERIES["events_changepoint_cusum"].spark(spark, SF_DIR).collect()
+    }
+    n_days = len(batch)
+    mu = sum(r["n_events"] for r in batch.values()) / n_days
+
+    src = _clean_events(spark, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    got: list[dict] = []
+    q = monitor_cusum(
+        stream,
+        mu=mu,
+        sink=got.extend,
+        threshold=1e18,  # agreement test — alerts exercised separately
+        window="1 day",
+        watermark="1 second",
+        checkpoint=str(tmp_path / "cp"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # the last day stays open (nothing past it advances the watermark)
+    assert len(got) == n_days - 1
+    for row in got:
+        day = row["window_start"].strftime("%Y-%m-%d")
+        assert row["n_events"] == batch[day]["n_events"]
+        assert abs(row["cusum"] - batch[day]["cusum"]) < 1e-6 * n_days
+
+
+def test_cusum_alerts_on_level_shift(spark, tmp_path):
+    """Three daily windows at the reference level, then three at double
+    volume: S stays near zero through the stable prefix and must cross
+    the threshold during the shifted suffix."""
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    rows = []
+    for day in range(6):
+        n = 100 if day < 3 else 200
+        rows.extend((day * 86400 + i % 3600,) for i in range(n))
+    rows.append((30 * 86400,))  # flush sentinel: closes all six windows
+    src = str(tmp_path / "shift_src")
+    spark.createDataFrame(rows, ["off"]).select(
+        F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts")
+    ).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    got: list[dict] = []
+    q = monitor_cusum(
+        stream,
+        mu=100.0,
+        sink=got.extend,
+        threshold=150.0,
+        window="1 day",
+        watermark="1 second",
+        checkpoint=str(tmp_path / "cp2"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(got) == 6
+    got.sort(key=lambda r: r["window_start"])
+    assert [r["alert"] for r in got] == [0, 0, 0, 0, 1, 1]
+    assert got[-1]["cusum"] == 300.0  # 3 × (200 − 100)
