@@ -1412,3 +1412,196 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles (the distributed quantile scale path)
+# ---------------------------------------------------------------------------
+
+HQ_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def _hist_quantile_oracle() -> str:
+    spine = ", ".join(f"({q})" for q in HQ_QS)
+    exact_cols = ", ".join(
+        f"ROUND(CAST(quantile_cont(n_chars, {q}) AS DOUBLE), 6) AS e{int(q*100)}"
+        for q in HQ_QS
+    )
+    exact_case = " ".join(
+        f"WHEN q = {q} THEN e{int(q*100)}" for q in HQ_QS
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(FLOOR(n_chars / {RS_BUCKET_W}) AS INTEGER) AS bucket,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT a.bucket, a.n, SUM(b.n) AS c
+  FROM counts a JOIN counts b ON b.bucket <= a.bucket
+  GROUP BY a.bucket, a.n
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM counts),
+spine AS (SELECT * FROM (VALUES {spine}) AS t(q)),
+exact AS (SELECT {exact_cols} FROM documents),
+pick AS (
+  SELECT s.q,
+         MIN(c.bucket) AS bucket
+  FROM spine s, cum c, tot
+  WHERE (c.c - c.n) < s.q * tot.nn AND s.q * tot.nn <= c.c
+  GROUP BY s.q
+)
+SELECT p.q,
+       ROUND(p.bucket * {RS_BUCKET_W}
+             + {RS_BUCKET_W} * (p.q * tot.nn - (c.c - c.n)) / c.n, 6)
+         AS hist_estimate,
+       ROUND(CASE {exact_case} END, 6) AS exact_value,
+       ROUND(ABS(p.bucket * {RS_BUCKET_W}
+             + {RS_BUCKET_W} * (p.q * tot.nn - (c.c - c.n)) / c.n
+             - (CASE {exact_case} END)), 6) AS abs_err
+FROM pick p
+JOIN cum c ON c.bucket = p.bucket, tot, exact
+"""
+
+
+@register(
+    "agg_histogram_quantiles",
+    family="agg",
+    doc="Mergeable histogram quantiles — the 100 TB quantile path next to "
+    "the exact percentile: fixed-width bucket counts (trivially "
+    "mergeable across shards, like the Count-Min cells), cumulative "
+    "counts via the bounded triangular join, linear interpolation "
+    "inside the covering bucket, audited against the exact "
+    "quantile_cont value with the absolute error surfaced per "
+    "quantile.  One corpus scan for the histogram + one exact-"
+    "percentile aggregate for the audit column; at scale the audit "
+    "column is dropped and only the mergeable histogram runs.",
+    oracle=_hist_quantile_oracle(),
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy(
+        F.floor(F.col("n_chars") / RS_BUCKET_W).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    b = counts.select(F.col("bucket").alias("b2"), F.col("n").alias("n2"))
+    cum = (
+        counts.join(F.broadcast(b), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket", "n")
+        .agg(F.sum("n2").alias("c"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("nn"))
+    spine = spark.createDataFrame([(q,) for q in HQ_QS], ["q"])
+    exact = d.agg(
+        *[
+            F.round(F.percentile("n_chars", q), 6).alias(f"e{int(q*100)}")
+            for q in HQ_QS
+        ]
+    )
+    r = F.col("q") * F.col("nn")
+    pick = (
+        spine.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(tot))
+        .where(((F.col("c") - F.col("n")) < r) & (r <= F.col("c")))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    exact_case = F.coalesce(
+        *[
+            F.when(F.col("q") == q, F.col(f"e{int(q*100)}"))
+            for q in HQ_QS
+        ]
+    )
+    est = (
+        F.col("bucket") * RS_BUCKET_W
+        + RS_BUCKET_W * (r - (F.col("c") - F.col("n"))) / F.col("n")
+    )
+    return (
+        pick.join(F.broadcast(cum), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "q",
+            F.round(est, 6).alias("hist_estimate"),
+            F.round(exact_case, 6).alias("exact_value"),
+            F.round(F.abs(est - exact_case), 6).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonality_dow",
+    family="timeseries",
+    doc="Day-of-week seasonal decomposition of the daily event series — "
+    "the grain-selection diagnostic: per ISO weekday the mean daily "
+    "count, plus Hyndman's seasonal strength 1 − Var(residual)/"
+    "Var(series) (residual = day count minus its weekday mean) "
+    "replicated as the audit verdict.  The corpus collapses to the "
+    "bounded day domain once; weekday means broadcast back onto the "
+    "day frame; both variances are DECIMAL-staged 30-term sums.  "
+    "isodow = Spark weekday()+1 ≡ DuckDB isodow — probed identical.",
+    oracle="""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+),
+dd AS (SELECT day, c, isodow(day) AS dow FROM days),
+dowm AS (
+  SELECT dow, COUNT(*) AS n_days,
+         CAST(SUM(c) AS DOUBLE) / COUNT(*) AS m
+  FROM dd GROUP BY dow
+),
+mu AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS g FROM dd),
+vt AS (
+  SELECT CAST(SUM(CAST(ROUND((c - mu.g) * (c - mu.g), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM dd, mu
+),
+vr AS (
+  SELECT CAST(SUM(CAST(ROUND((dd.c - dowm.m) * (dd.c - dowm.m), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS v
+  FROM dd JOIN dowm USING (dow)
+)
+SELECT CAST(dowm.dow AS INTEGER) AS dow,
+       CAST(dowm.n_days AS BIGINT) AS n_days,
+       ROUND(dowm.m, 6) AS mean_count,
+       ROUND(1.0 - vr.v / vt.v, 6) AS seasonal_strength
+FROM dowm, vt, vr
+""",
+)
+def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dd = days.select("day", "c", (F.weekday("day") + 1).alias("dow"))
+    dowm = dd.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    mu = dd.agg((F.sum("c").cast("double") / F.count(F.lit(1))).alias("g"))
+
+    def _varsum(col):
+        return F.sum(F.round(col * col, 12).cast("decimal(38,12)")).cast("double")
+
+    vt = dd.crossJoin(F.broadcast(mu)).agg(
+        _varsum(F.col("c") - F.col("g")).alias("vt")
+    )
+    vr = dd.join(F.broadcast(dowm), "dow").agg(
+        _varsum(F.col("c") - F.col("m")).alias("vr")
+    )
+    return (
+        dowm.crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(vr))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round("m", 6).alias("mean_count"),
+            F.round(F.lit(1.0) - F.col("vr") / F.col("vt"), 6).alias(
+                "seasonal_strength"
+            ),
+        )
+    )

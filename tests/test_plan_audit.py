@@ -67,6 +67,8 @@ JUSTIFIED_BNLJ = {
     "events_autocorrelation",      # day spine x 7-row lag spine, all broadcast
     "embedding_silhouette",        # broadcast 5-row centroid frame
     "sketch_bloom_membership",     # broadcast 1-row n_keys/bits_set scalars
+    "agg_histogram_quantiles",     # quantile spine x bounded bucket frame
+    "events_seasonality_dow",      # broadcast 1-row variance scalars
 }
 
 
