@@ -94,3 +94,60 @@ def test_cusum_alerts_on_level_shift(spark, tmp_path):
     got.sort(key=lambda r: r["window_start"])
     assert [r["alert"] for r in got] == [0, 0, 0, 0, 1, 1]
     assert got[-1]["cusum"] == 300.0  # 3 × (200 − 100)
+
+
+def test_cusum_carry_state_survives_restart(spark, tmp_path):
+    """Two monitor lifetimes over a growing source directory: the second
+    run loads the persisted S and continues the statistic exactly where
+    the first stopped — its alert fires because of carried history, not
+    batch-local evidence."""
+    base = 1704067200
+    src = str(tmp_path / "carry_src")
+    state = str(tmp_path / "cusum_state.json")
+
+    def write_days(first_day, n_days, per_day, sentinel_off):
+        # sentinel offsets are chosen to advance the watermark JUST past
+        # the windows under test — a far-future sentinel would persist in
+        # the checkpoint and make the next lifetime's data arrive late
+        rows = [
+            (d * 86400 + i % 3600,)
+            for d in range(first_day, first_day + n_days)
+            for i in range(per_day)
+        ]
+        rows.append((sentinel_off,))
+        spark.createDataFrame(rows, ["off"]).select(
+            F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts")
+        ).write.mode("append").parquet(src)
+
+    def run_monitor():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        got: list[dict] = []
+        q = monitor_cusum(
+            stream, mu=100.0, sink=got.extend, threshold=250.0,
+            window="1 day", watermark="1 second",
+            checkpoint=str(tmp_path / "cp"), state_path=state,
+        )
+        q.processAllAvailable()
+        q.stop()
+        return got
+
+    # lifetime 1: days 0-2 at +100 over the reference mean → S reaches
+    # 300; sentinel at day 3 00:00:02 closes exactly days 0-2
+    write_days(0, 3, 200, 3 * 86400 + 2)
+    first = run_monitor()
+    assert [r["cusum"] for r in sorted(first, key=lambda r: r["window_start"])][
+        -1
+    ] == 300.0
+
+    # lifetime 2 (fresh query, same checkpoint + state file): day 4 at
+    # +100, sentinel day 6; the day-3 window (lone first-lifetime
+    # sentinel, n=1) also closes now.  Batch-local S alone would be
+    # (1−100)+(200−100)=1 — far under threshold; only the carried S=300
+    # explains 201 → 301 and the alert.
+    write_days(4, 1, 200, 6 * 86400)
+    second = run_monitor()
+    second.sort(key=lambda r: r["window_start"])
+    assert [r["n_events"] for r in second] == [1, 200]
+    assert [r["cusum"] for r in second] == [201.0, 301.0]
+    assert [r["alert"] for r in second] == [0, 1]
