@@ -1605,3 +1605,113 @@ def events_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities + modularity
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    blocks = [
+        f"""li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {TRI_ORDER_CAP}
+)""",
+        """e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        "sym AS (SELECT a AS src, b AS dst FROM e "
+        "UNION ALL SELECT b, a FROM e)",
+        "nodes AS (SELECT DISTINCT src AS node FROM sym)",
+        "l0 AS (SELECT node, node AS lab FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        blocks += [
+            f"c{t} AS (SELECT s.src AS node, l.lab, COUNT(*) AS c "
+            f"FROM sym s JOIN l{t-1} l ON l.node = s.dst GROUP BY 1, 2)",
+            f"p{t} AS (SELECT node, lab FROM ("
+            f"SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lab ASC) AS rn FROM c{t}) WHERE rn = 1)",
+            f"l{t} AS (SELECT n.node, COALESCE(p.lab, n.lab) AS lab "
+            f"FROM l{t-1} n LEFT JOIN p{t} p USING (node))",
+        ]
+    fin = f"l{iters}"
+    blocks += [
+        f"""internal AS (
+  SELECT la.lab AS community, COUNT(*) AS internal_edges
+  FROM e JOIN {fin} la ON la.node = e.a JOIN {fin} lb ON lb.node = e.b
+  WHERE la.lab = lb.lab GROUP BY 1
+)""",
+        "deg AS (SELECT v, COUNT(*) AS d FROM (SELECT a AS v FROM e "
+        "UNION ALL SELECT b FROM e) GROUP BY v)",
+        f"""comm AS (
+  SELECT l.lab AS community, COUNT(*) AS n_members,
+         SUM(COALESCE(deg.d, 0)) AS d_sum
+  FROM {fin} l LEFT JOIN deg ON deg.v = l.node GROUP BY 1
+)""",
+        "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e)",
+        """fullc AS (
+  SELECT c.community, c.n_members,
+         COALESCE(i.internal_edges, 0) AS internal_edges, c.d_sum
+  FROM comm c LEFT JOIN internal i USING (community)
+)""",
+        """qq AS (
+  SELECT CAST(SUM(CAST(ROUND(internal_edges / mm.m
+             - (d_sum / (2 * mm.m)) * (d_sum / (2 * mm.m)), 12)
+             AS DECIMAL(38,12))) AS DOUBLE) AS q
+  FROM fullc, mm
+)""",
+    ]
+    return (
+        "WITH " + ",\n".join(blocks) + """
+SELECT CAST(community AS BIGINT) AS community,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(internal_edges AS BIGINT) AS internal_edges,
+       ROUND(qq.q, 6) AS modularity
+FROM fullc, qq
+"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    family="graph",
+    doc="Deterministic synchronous label-propagation communities on the "
+    "part co-purchase graph (operators/labelprop.py): 4 fixed rounds "
+    "from labels = node ids, new label = argmax neighbor-label count "
+    "with min-label tie-break expressed as one struct-max aggregate "
+    "(no per-node window); per-community membership, internal edge "
+    "count, and Newman modularity Q = Σ(e_c/m − (d_c/2m)²) with "
+    "DECIMAL-staged terms.  The oracle replays every round as chained "
+    "CTEs (the pagerank/PCA generated-oracle contract).  Per round one "
+    "edge⋈label shuffle + one count aggregate — the PageRank round "
+    "shape; label frame localCheckpointed per round.",
+    oracle=_lpa_oracle(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import labelprop as LP
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < TRI_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = LP.propagate_labels(sym, iters=LPA_ITERS)
+    return LP.community_stats(e, labels)

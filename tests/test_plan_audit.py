@@ -69,6 +69,7 @@ JUSTIFIED_BNLJ = {
     "sketch_bloom_membership",     # broadcast 1-row n_keys/bits_set scalars
     "agg_histogram_quantiles",     # quantile spine x bounded bucket frame
     "events_seasonality_dow",      # broadcast 1-row variance scalars
+    "graph_label_propagation",     # broadcast 1-row modularity scalar
 }
 
 
