@@ -346,10 +346,12 @@ INDEX_TOP = 30
     "(comma-joined so both engines compare as one scalar).  Top 30 "
     "terms by (df DESC, term ASC) via orderBy().limit() — "
     "TakeOrderedAndProject, no global window.  Scale shape: one "
-    "explode + one (term) hash aggregate; posting lists are capped so "
-    "no aggregate state is unbounded, and at 100 TB the same plan "
-    "writes the full index partitioned by term-hash instead of "
-    "limiting.",
+    "explode, df from a (term) hash aggregate, and the posting list "
+    "capped BEFORE any collect — a term-partitioned row_number keeps "
+    "the 15 smallest doc_ids per term (sort-based window, spills "
+    "gracefully on stopword-sized terms) so no aggregation buffer ever "
+    "holds an unbounded doc list; at 100 TB the same plan writes the "
+    "full index partitioned by term-hash instead of limiting.",
     oracle=f"""
 WITH td AS (
   SELECT DISTINCT doc_id, term FROM (
@@ -369,20 +371,29 @@ ORDER BY df DESC, term ASC LIMIT {INDEX_TOP}
 """,
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     td = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias("term")
     )
-    g = td.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df"),
+    df_counts = td.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # cap BEFORE collecting: the term-partitioned window keeps the first
+    # POSTINGS_CAP doc_ids, so the collect_list below aggregates at most
+    # that many rows per term — bounded state even for stopword-sized terms
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    capped = td.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= POSTINGS_CAP
+    )
+    postings = capped.groupBy("term").agg(
         F.concat_ws(
             ",",
             F.transform(
-                F.slice(F.sort_array(F.collect_set("doc_id")), 1, POSTINGS_CAP),
-                lambda x: x.cast("string"),
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
             ),
-        ).alias("postings"),
+        ).alias("postings")
     )
+    g = df_counts.join(postings, "term")
     return g.orderBy(F.col("df").desc(), F.col("term").asc()).limit(INDEX_TOP)
 
 
