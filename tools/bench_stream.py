@@ -138,6 +138,17 @@ def main() -> None:
         out["drift_histogram"] = _drain(
             windowed_counts(source(doc_dir, doc_schema)), str(work / "cp4")
         )
+
+        from nemsis_xml_parser_spark.streaming.changepoint import (
+            windowed_event_counts,
+        )
+
+        out["cusum_counts"] = _drain(
+            windowed_event_counts(
+                source(ev_dir, ev_schema), window="1 hour", watermark="2 hours"
+            ),
+            str(work / "cp5"),
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
