@@ -70,6 +70,9 @@ JUSTIFIED_BNLJ = {
     "agg_histogram_quantiles",     # quantile spine x bounded bucket frame
     "events_seasonality_dow",      # broadcast 1-row variance scalars
     "graph_label_propagation",     # broadcast 1-row modularity scalar
+    "retrieval_hybrid_rrf",        # broadcast 1-probe vs corpus + bm25 scalars
+    "curation_dsir_importance",    # broadcast 1-row LM-total scalars
+    "text_heaps_law",              # 20-bucket triangular join + maxid scalar
 }
 
 
