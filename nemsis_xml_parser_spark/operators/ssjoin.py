@@ -1,0 +1,125 @@
+"""Prefix-filtered set-similarity self-join (PPJoin-style).
+
+The classic scalable algorithm for "all pairs with Jaccard >= t" without
+the quadratic all-pairs join (Chaudhuri et al. 2006 SSJoin / Xiao et al.
+2008 PPJoin, re-expressed as DataFrame ops):
+
+1. order every record's token set by GLOBAL rarity (document frequency
+   ascending, token ascending — rarest first);
+2. keep only each record's PREFIX — the first ``|s| - ceil(t*|s|) + 1``
+   tokens.  Two sets with Jaccard >= t MUST share at least one prefix
+   token (pigeonhole on the overlap lower bound ceil(t/(1+t)*(|a|+|b|)),
+   so the prefix join is a LOSSLESS candidate generator;
+3. equi-join prefixes on the token (rare tokens -> tiny buckets), apply
+   the length filter ``t*|a| <= |b| <= |a|/t`` that Jaccard implies;
+4. verify candidates exactly with one overlap count per pair.
+
+Scale shape: no all-pairs expansion — the join key is a single token and
+prefix tokens are by construction the RAREST ones, so bucket sizes are
+bounded by the df of rare tokens (the stopword problem of a naive
+token join disappears: stopwords sit at the END of the df ordering and
+never enter short prefixes).  The per-record rank is a window
+partitioned by record id (never global); the df table joins by token.
+
+No counterpart in the reference (a psycopg2 ETL —
+/root/reference/main_ingest.py has no similarity operators); this is
+part of the LLM-pipeline tier the rebuild adds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def prefix_length(set_size: F.Column, threshold: float) -> F.Column:
+    """|s| - ceil(t*|s|) + 1 — the Jaccard prefix bound."""
+    return set_size - F.ceil(set_size * F.lit(threshold)) + 1
+
+
+def prefix_candidates(
+    tokens: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing >= 1 prefix token.
+
+    ``tokens``: one row per DISTINCT (id, token).  Returns
+    (id_a, id_b, sz_a, sz_b) distinct pairs after the length filter.
+    """
+    sz = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tokens.join(dfreq, token_col)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("df").asc(), F.col(token_col).asc()
+                )
+            ),
+        )
+        .join(sz, id_col)
+        .where(F.col("rnk") <= prefix_length(F.col("sz"), threshold))
+        .select(id_col, token_col, "sz")
+    )
+    a = ranked.select(
+        F.col(id_col).alias("id_a"), F.col(token_col).alias("tk"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"), F.col(token_col).alias("tk"),
+        F.col("sz").alias("sz_b"),
+    )
+    t = float(threshold)
+    return (
+        a.join(b, "tk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("sz_b") >= F.col("sz_a") * t)
+        .where(F.col("sz_a") >= F.col("sz_b") * t)
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+
+
+def verified_pairs(
+    tokens: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Exact (id_a, id_b, sz_a, sz_b, n_common, jaccard) with J >= t.
+
+    Verification counts the overlap only for prefix candidates: the
+    candidate pair list joins both token postings and aggregates per
+    pair — candidate-bounded work, not all-pairs.
+    """
+    cand = prefix_candidates(tokens, threshold, id_col, token_col)
+    ta = tokens.select(
+        F.col(id_col).alias("id_a"), F.col(token_col).alias("tk")
+    )
+    tb = tokens.select(
+        F.col(id_col).alias("id_b"), F.col(token_col).alias("tk")
+    )
+    common = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tk"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .where(jac >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "sz_a", "sz_b", "n_common", "jaccard")
+    )
+
+
+def exact_prefix_len(sz: int, threshold: float) -> int:
+    """Python twin of ``prefix_length`` for tests."""
+    return sz - math.ceil(sz * threshold) + 1

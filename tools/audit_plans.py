@@ -34,6 +34,11 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
         "= time horizon in days (thousands over years), fixed by the "
         "calendar, not by event volume"
     ),
+    "agg_theil_sen_slope": (
+        "median rank window over pairwise slopes of PER-DAY aggregates "
+        "inside one calendar quarter — <=92 days => <=4186 pairs, fixed "
+        "by the calendar, not by row volume"
+    ),
     "curation_pareto_coverage": (
         "rank + cumulative share over per-SOURCE aggregates — source is a "
         "schema dimension (data-source tag), not corpus-sized; if source "
