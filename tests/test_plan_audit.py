@@ -77,6 +77,7 @@ JUSTIFIED_BNLJ = {
                                    # day frame + 1-row n/median/ols scalars
     "graph_kcore",                 # broadcast 1-row core/base-stat scalars
     "layout_zorder_skipping",      # broadcast 1-row min/max bounds scalar
+    "quality_perplexity_buckets",  # broadcast 1-row corpus-token-total scalar
 }
 
 
