@@ -68,6 +68,11 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "text_inverted_index",
     "graph_triangle_count",
+    # round 5 batch-3 flagships (subtract when comparing vs earlier)
+    "retrieval_hybrid_rrf",
+    "dedup_ssjoin_prefix",
+    "graph_kcore",
+    "er_golden_record",
 ]
 
 

@@ -78,6 +78,9 @@ JUSTIFIED_BNLJ = {
     "graph_kcore",                 # broadcast 1-row core/base-stat scalars
     "layout_zorder_skipping",      # broadcast 1-row min/max bounds scalar
     "quality_perplexity_buckets",  # broadcast 1-row corpus-token-total scalar
+    "window_scalable_running_total",  # broadcast per-partition-total
+                                      # exclusive-prefix triangular join
+                                      # (one row per range partition)
 }
 
 
