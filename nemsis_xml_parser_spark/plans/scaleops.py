@@ -12,6 +12,15 @@
   of the whole table; a single changed/missing/duplicated row flips
   its bucket's hash.  Both engines derive the int from the same md5
   hex prefix, so the checksum itself is the cross-engine contract.
+* ``join_bloom_prefilter`` — Bloom runtime-filter join (the manual
+  form of the runtime filters Spark/Trino inject): build the filter
+  from the selective dimension side (operators/sketches.py), broadcast
+  it, and drop fact rows BEFORE the join shuffle; false positives are
+  removed by the real join, so the result is byte-identical to the
+  plain join the oracle runs.
+* ``agg_salted_two_phase`` — skew-safe aggregation: salt the group key
+  into 16 subgroups, aggregate partially, re-aggregate — the
+  hot-key-agg twin of ``join_salted_skew``.
 """
 
 from __future__ import annotations
@@ -106,4 +115,115 @@ def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("xor_hash"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime-filter join
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3
+BLOOM_M = 4096
+BLOOM_SEGMENT = "BUILDING"
+
+
+@register(
+    "join_bloom_prefilter",
+    family="join",
+    doc="Bloom runtime-filter join (manual form of engine-injected "
+    "runtime filters): the Bloom bits of the selective dimension keys "
+    "(BUILDING-segment customers, operators/sketches.py::bloom_bits) "
+    "broadcast to the fact side and drop non-matching orders BEFORE "
+    "the join shuffle; the real join then removes the Bloom's false "
+    "positives, so the revenue-by-priority result is byte-identical "
+    "to the plain join — which is exactly what the oracle runs.  "
+    "Scale shape: the filter is <= m DISTINCT bit rows (broadcastable "
+    "by construction), the fact scan aggregates its Bloom probes "
+    "map-side, and the expensive shuffle moves only surviving rows; "
+    "FN=0 is structural, FP rate only costs shuffle bytes.  "
+    "Selectivity teeth pytest-proven in tests/test_scaleops.py.",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_bits, bloom_claims
+
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == BLOOM_SEGMENT
+    )
+    o = table(spark, sf_dir, "orders")
+    bits = bloom_bits(c, "c_custkey", k=BLOOM_K, m=BLOOM_M)
+    passing = bloom_claims(
+        o.select("o_custkey").distinct(), bits, "o_custkey", k=BLOOM_K, m=BLOOM_M
+    ).where(F.col("claimed") == 1)
+    prefiltered = o.join(passing.select("o_custkey"), "o_custkey")
+    joined = prefiltered.join(
+        c.select("c_custkey"), prefiltered["o_custkey"] == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 16
+
+
+@register(
+    "agg_salted_two_phase",
+    family="agg",
+    doc="Skew-safe two-phase aggregation: the group key is salted with "
+    "event_id % 16, partially aggregated per (key, salt) — so a hot "
+    "key's rows spread over 16 reducers instead of one — then "
+    "re-aggregated per key (counts sum, DECIMAL-staged value sums "
+    "stay exact through both phases).  n_subaggs surfaces how many "
+    "partials each key produced.  The hot-key twin of "
+    "join_salted_skew on the aggregation side; byte-identical to the "
+    "plain GROUP BY the oracle runs because count/sum are "
+    "commutative monoids.",
+    oracle=f"""
+WITH p1 AS (
+  SELECT event_type, event_id % {SALT_BUCKETS} AS salt,
+         COUNT(*) AS c, SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(s) AS DOUBLE) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_subaggs
+FROM p1 GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    p1 = e.groupBy(
+        "event_type", (F.col("event_id") % SALT_BUCKETS).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    return (
+        p1.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_subaggs"),
+        )
+        .orderBy("event_type")
     )
