@@ -1,0 +1,313 @@
+"""Corpus-mining tier 4: structural-change detection and
+topic-sensitive graph ranking (SURVEY §2.I extension, round 5).
+
+* ``events_trend_break`` — segmented-regression breakpoint detection:
+  for every candidate break day, fit OLS separately to the left/right
+  segments and pick the split minimizing total SSE — the
+  piecewise-linear changepoint that CUSUM (level shifts) cannot see
+  (slope changes).  All segment statistics are integer sums (exact in
+  both engines); only the final closed-form divisions are floating.
+* ``graph_personalized_pagerank`` — PPR over the part co-purchase
+  graph with a brand-defined seed set (operators/pagerank.py::
+  personalized_pagerank): teleport and dangling mass go to the seeds,
+  so rank measures proximity to the brand — the related-item ranking
+  a recommender derives from co-purchases.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# Segmented regression breakpoint
+# ---------------------------------------------------------------------------
+
+MIN_SEG = 5  # minimum days on each side of a candidate break
+
+_SEG_STATS = """
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+  CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
+  CAST(SUM(y * y) AS BIGINT) AS syy
+"""
+
+_FIT = """
+  (syy - CAST(sy * sy AS DOUBLE) / n)
+  - CASE WHEN (sxx - CAST(sx * sx AS DOUBLE) / n) > 0
+         THEN (sxy - CAST(sx * sy AS DOUBLE) / n)
+              * (sxy - CAST(sx * sy AS DOUBLE) / n)
+              / (sxx - CAST(sx * sx AS DOUBLE) / n)
+         ELSE 0.0 END
+"""
+
+_SLOPE = """
+  CASE WHEN (sxx - CAST(sx * sx AS DOUBLE) / n) > 0
+       THEN (sxy - CAST(sx * sy AS DOUBLE) / n)
+            / (sxx - CAST(sx * sx AS DOUBLE) / n)
+       ELSE 0.0 END
+"""
+
+
+@register(
+    "events_trend_break",
+    family="timeseries",
+    doc="Segmented-regression breakpoint on the daily event-count "
+    "series: every candidate break day with >= 5 days on each side "
+    "gets a two-piece OLS fit (left/right), and the winner minimizes "
+    "ROUND(SSE_left + SSE_right, 6) with min-day tie-break; the "
+    "single-line SSE is surfaced so sse_gain says how much structure "
+    "the break explains.  Slope changes are invisible to level-shift "
+    "CUSUM (events_changepoint_cusum) — this is its complement.  "
+    "Determinism: all segment sums are INTEGER (exact in any order); "
+    "only the closed-form divisions float, with identical expression "
+    "trees both engines.  Scale shape: the corpus collapses to one "
+    "(day) aggregate; the candidate x day cross frame is "
+    "calendar-bounded (<=31 x 31 here), statistics on that bounded "
+    "frame.",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+mn AS (SELECT MIN(d) AS d0 FROM daily),
+idx AS (
+  SELECT datediff('day', d0, d) AS x, y FROM daily CROSS JOIN mn
+),
+cand AS (SELECT DISTINCT x AS b FROM idx),
+seg AS (
+  SELECT c.b, CASE WHEN i.x < c.b THEN 0 ELSE 1 END AS side, i.x, i.y
+  FROM cand c CROSS JOIN idx i
+),
+per AS (
+  SELECT b, side, {_SEG_STATS}
+  FROM seg GROUP BY b, side
+),
+fit AS (
+  SELECT b, side, n, {_FIT} AS sse, {_SLOPE} AS slope FROM per
+),
+tot AS (
+  SELECT l.b, l.n AS n_left, r.n AS n_right,
+         ROUND(l.sse + r.sse, 6) AS sse_total,
+         ROUND(l.slope, 6) AS slope_left, ROUND(r.slope, 6) AS slope_right
+  FROM fit l JOIN fit r ON l.b = r.b AND l.side = 0 AND r.side = 1
+  WHERE l.n >= {MIN_SEG} AND r.n >= {MIN_SEG}
+),
+single AS (
+  SELECT ROUND({_FIT}, 6) AS sse_single FROM (
+    SELECT {_SEG_STATS} FROM idx
+  )
+),
+best AS (
+  SELECT * FROM tot ORDER BY sse_total ASC, b ASC LIMIT 1
+)
+SELECT CAST(best.b AS BIGINT) AS break_x,
+       CAST(CAST(d0 + CAST(best.b AS INTEGER) AS DATE) AS VARCHAR)
+         AS break_date,
+       best.n_left, best.n_right, best.sse_total,
+       best.slope_left, best.slope_right,
+       single.sse_single,
+       ROUND(single.sse_single - best.sse_total, 6) AS sse_gain
+FROM best CROSS JOIN single CROSS JOIN mn
+""",
+)
+def events_trend_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    mn = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff(F.col("d"), F.col("d0")).alias("x"), "y"
+    )
+    cand = idx.select(F.col("x").alias("b")).distinct()
+    seg = cand.join(
+        F.broadcast(idx.select(F.col("x"), F.col("y"))), F.lit(True)
+    ).select(
+        "b", F.when(F.col("x") < F.col("b"), 0).otherwise(1).alias("side"),
+        "x", "y",
+    )
+
+    def stats(df: DataFrame, keys: list[str]) -> DataFrame:
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        return g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+
+    def _c(name: str) -> F.Column:
+        return F.col(name)
+
+    sxx_c = _c("sxx") - (_c("sx") * _c("sx")).cast("double") / _c("n")
+    sxy_c = _c("sxy") - (_c("sx") * _c("sy")).cast("double") / _c("n")
+    syy_c = _c("syy") - (_c("sy") * _c("sy")).cast("double") / _c("n")
+    sse = syy_c - F.when(sxx_c > 0, sxy_c * sxy_c / sxx_c).otherwise(0.0)
+    slope = F.when(sxx_c > 0, sxy_c / sxx_c).otherwise(0.0)
+
+    fit = stats(seg, ["b", "side"]).select(
+        "b", "side", "n", sse.alias("sse"), slope.alias("slope")
+    )
+    l = fit.where("side = 0").select(
+        "b", F.col("n").alias("n_left"), F.col("sse").alias("sse_l"),
+        F.col("slope").alias("slope_l"),
+    )
+    r = fit.where("side = 1").select(
+        "b", F.col("n").alias("n_right"), F.col("sse").alias("sse_r"),
+        F.col("slope").alias("slope_r"),
+    )
+    tot = (
+        l.join(r, "b")
+        .where((F.col("n_left") >= MIN_SEG) & (F.col("n_right") >= MIN_SEG))
+        .select(
+            "b", "n_left", "n_right",
+            F.round(F.col("sse_l") + F.col("sse_r"), 6).alias("sse_total"),
+            F.round(F.col("slope_l"), 6).alias("slope_left"),
+            F.round(F.col("slope_r"), 6).alias("slope_right"),
+        )
+    )
+    single = stats(idx, []).select(F.round(sse, 6).alias("sse_single"))
+    best = tot.orderBy(F.col("sse_total").asc(), F.col("b").asc()).limit(1)
+    return (
+        best.crossJoin(F.broadcast(single))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            F.col("b").cast("bigint").alias("break_x"),
+            F.date_add(F.col("d0"), F.col("b").cast("int"))
+            .cast("string")
+            .alias("break_date"),
+            "n_left", "n_right", "sse_total", "slope_left", "slope_right",
+            "sse_single",
+            F.round(F.col("sse_single") - F.col("sse_total"), 6).alias(
+                "sse_gain"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+# ---------------------------------------------------------------------------
+
+PPR_ORDER_CAP = 1000
+PPR_BRAND = "Brand#11"
+PPR_TOP = 15
+PPR_ITERS = 3
+PPR_D = 0.85
+
+
+def _ppr_iter_sql(i: int) -> str:
+    return f"""pr{i} AS MATERIALIZED (
+  SELECT n2.node, n2.is_seed,
+         ROUND((1.0 - {PPR_D}) * CAST(n2.is_seed AS DOUBLE) / ns.n_seeds
+               + {PPR_D} * COALESCE(CAST(SUM(CAST(ROUND(p.pr / dg.d, 12)
+                     AS DECIMAL(20,12))) AS DOUBLE), 0.0), 12) AS pr
+  FROM nodes_s n2
+  CROSS JOIN ns
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN pr{i - 1} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n2.node, n2.is_seed, ns.n_seeds
+)"""
+
+
+def _ppr_oracle() -> str:
+    head = f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {PPR_ORDER_CAP}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+seeds AS MATERIALIZED (
+  SELECT node FROM nodes JOIN part ON p_partkey = node
+  WHERE p_brand = '{PPR_BRAND}'
+),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds FROM seeds),
+nodes_s AS MATERIALIZED (
+  SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS MATERIALIZED (
+  SELECT node, is_seed,
+         ROUND(CAST(is_seed AS DOUBLE) / ns.n_seeds, 12) AS pr
+  FROM nodes_s CROSS JOIN ns
+)"""
+    iters = ",\n".join(_ppr_iter_sql(i) for i in range(1, PPR_ITERS + 1))
+    final = f"""
+SELECT p.node AS part_id,
+       CAST(dg.d AS BIGINT) AS degree,
+       CAST(p.is_seed AS BIGINT) AS is_seed,
+       ROUND(p.pr, 6) AS ppr
+FROM pr{PPR_ITERS} p JOIN deg dg ON dg.src = p.node
+ORDER BY ppr DESC, part_id ASC LIMIT {PPR_TOP}
+"""
+    return head + ",\n" + iters + final
+
+
+@register(
+    "graph_personalized_pagerank",
+    family="graph",
+    doc="Personalized PageRank over the part co-purchase graph with the "
+    "Brand#11 parts as seed set (operators/pagerank.py::"
+    "personalized_pagerank, 3 unrolled iterations, d=0.85): teleport "
+    "mass returns to the SEEDS, so rank = proximity to the brand — "
+    "the 'related items' a co-purchase recommender surfaces.  Same "
+    "determinism contract as graph_pagerank_centrality (decimal-"
+    "staged contribution sums, 12-dp per-iteration rounds), oracle "
+    "replays all three iterations as MATERIALIZED CTEs.  The "
+    "symmetrized graph has no sinks, so the dangling-to-seeds term "
+    "is identically zero here; its handling is pytest-covered on "
+    "directed inputs.  Scale shape: one dst-keyed aggregate per "
+    "iteration; seed flags ride the (node)-sized rank vector.",
+    oracle=_ppr_oracle(),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import personalized_pagerank
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < PPR_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e0 = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == PPR_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    out = personalized_pagerank(
+        edges, seeds, iters=PPR_ITERS, damping=PPR_D
+    )
+    return (
+        out.select(
+            F.col("node").alias("part_id"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.col("is_seed").cast("bigint").alias("is_seed"),
+            F.round(F.col("pr"), 6).alias("ppr"),
+        )
+        .orderBy(F.col("ppr").desc(), F.col("part_id").asc())
+        .limit(PPR_TOP)
+    )

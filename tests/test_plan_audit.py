@@ -81,6 +81,9 @@ JUSTIFIED_BNLJ = {
     "window_scalable_running_total",  # broadcast per-partition-total
                                       # exclusive-prefix triangular join
                                       # (one row per range partition)
+    "events_trend_break",          # candidate x day cross frame, both
+                                   # calendar-bounded (<=31 rows each),
+                                   # + 1-row single-fit/min-day scalars
 }
 
 
