@@ -862,3 +862,51 @@ def png_luminance_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("n_px").alias("n_px"))
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType(), False),
+        StructField("ahash_hi", LongType(), False),
+        StructField("ahash_lo", LongType(), False),
+    ]
+)
+
+
+def png_average_hash(media: DataFrame) -> DataFrame:
+    """64-bit average perceptual hash per PNG via the REAL decode path.
+
+    Pipeline per image, all integer math so both engines agree bit-for-
+    bit: inflate+unfilter (``decode_png_pixels``), BT.601 integer luma
+    ``(299R + 587G + 114B) // 1000`` (same convention as
+    ``png_luminance_histogram``), nearest-neighbor sample to 8x8 with
+    the ``resize_ppm`` index map (src = out_idx * dim // 8), then
+    bit k = 1 iff ``luma*64 > sum(luma8x8)`` (integer cross-multiplied
+    mean compare), packed row-major into two 32-bit halves (hi = bits
+    32..63) so the value fits signed BIGINT in any engine.
+
+    The aHash groups identical-looking images under one key — the
+    first-pass perceptual image dedup (group-by hash, no pair joins).
+    """
+    import numpy as np
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_png_pixels(bytes(content)).astype(np.int64)
+                h, w, _ = px.shape
+                luma = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                th = luma[(np.arange(8) * h // 8)][:, (np.arange(8) * w // 8)]
+                s = int(th.sum())
+                bits = (th.ravel() * 64 > s).astype(np.int64)
+                lo = int(sum(int(bits[k]) << k for k in range(32)))
+                hi = int(sum(int(bits[k]) << (k - 32) for k in range(32, 64)))
+                rows.append((int(path), hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "ahash_hi", "ahash_lo"]
+            )
+
+    return media.mapInPandas(hashes, schema=PHASH_SCHEMA)

@@ -311,3 +311,77 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppr").desc(), F.col("part_id").asc())
         .limit(PPR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_phash_groups",
+    family="multimodal",
+    doc="Perceptual image dedup by 64-bit average hash "
+    "(operators/multimodal.py::png_average_hash): REAL PNG decode "
+    "(stdlib inflate + all-5-filter unfilter), integer BT.601 luma, "
+    "nearest-neighbor 8x8 sample, mean-threshold bits packed into two "
+    "BIGINT halves — then ONE hash aggregate groups identical-looking "
+    "images (group sizes, canonical min id).  This is the first-pass "
+    "image dedup of a multimodal corpus: no pair joins at all, the "
+    "grouping key is the hash itself, map-side combinable at any "
+    "scale.  The oracle recomputes every sampled luma, the threshold "
+    "compare, and the bit packing from the closed-form pixel "
+    "arithmetic — a one-bit drift anywhere in decode, resize index "
+    "math, luma rounding, or packing splits a group and breaks the "
+    "hash.  (Banded hamming-LSH was evaluated and intentionally NOT "
+    "used here: the synthetic gradient corpus is aHash-degenerate — "
+    "2.4k pairs at hamming 0 — so near-dup banding adds no pruning; "
+    "dedup_ssjoin_prefix carries the banded-candidate pattern.)",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h FROM documents
+),
+grid AS (
+  SELECT doc_id, (i.i * w) // 8 AS x, (j.j * h) // 8 AS y,
+         j.j * 8 + i.i AS k
+  FROM dims, UNNEST(range(0, 8)) AS j(j), UNNEST(range(0, 8)) AS i(i)
+),
+luma AS (
+  SELECT doc_id, k,
+         (299 * ((doc_id * 7 + 3 * x + 5 * y) % 256)
+          + 587 * ((doc_id * 7 + 3 * x + 5 * y + 11) % 256)
+          + 114 * ((doc_id * 7 + 3 * x + 5 * y + 22) % 256)) // 1000 AS l
+  FROM grid
+),
+tot AS (SELECT doc_id, SUM(l) AS s FROM luma GROUP BY doc_id),
+bits AS (
+  SELECT luma.doc_id, k, CASE WHEN l * 64 > s THEN 1 ELSE 0 END AS b
+  FROM luma JOIN tot ON tot.doc_id = luma.doc_id
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN k >= 32
+                  THEN b * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS ahash_hi,
+         CAST(SUM(CASE WHEN k < 32
+                  THEN b * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY doc_id
+)
+SELECT ahash_hi, ahash_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(doc_id) AS BIGINT) AS min_image_id,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_image_id
+FROM hashes GROUP BY 1, 2
+""",
+)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import png_average_hash, synthesize_png_media
+
+    d = table(spark, sf_dir, "documents")
+    hashes = png_average_hash(synthesize_png_media(d.select("doc_id")))
+    return hashes.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("image_id").cast("bigint").alias("min_image_id"),
+        F.sum("image_id").cast("bigint").alias("sum_image_id"),
+    )
