@@ -910,3 +910,65 @@ def png_average_hash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(hashes, schema=PHASH_SCHEMA)
+
+
+ENERGY_SEG_SCHEMA = StructType(
+    [
+        StructField("audio_id", LongType(), False),
+        StructField("n_frames", LongType(), True),
+        StructField("n_quiet", LongType(), True),
+        StructField("n_quiet_segments", LongType(), True),
+        StructField("longest_quiet_run", LongType(), True),
+        StructField("total_energy", LongType(), True),
+    ]
+)
+
+
+def wav_energy_segments(media: DataFrame, frame: int = 16) -> DataFrame:
+    """Frame-energy VAD-style silence segmentation via the REAL PCM
+    decode path — the preprocessing an audio pipeline runs to trim or
+    segment silence before feature extraction.
+
+    Per clip: non-overlapping ``frame``-sample windows (last partial
+    kept), integer energy Σ s² across channels, a frame is QUIET iff
+    ``2·energy·n_frames < total_energy`` (strictly below half the mean
+    — integer cross-multiplied, so both engines compare identical
+    integers), and quiet runs are counted gaps-and-islands style.
+    Everything is exact integer arithmetic end-to-end.
+    """
+    import numpy as np
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                s = decode_wav_samples(bytes(content)).astype(np.int64)
+                n = s.shape[0]
+                nf = (n + frame - 1) // frame
+                e = np.array(
+                    [int((s[f * frame:(f + 1) * frame] ** 2).sum())
+                     for f in range(nf)],
+                    dtype=np.int64,
+                )
+                tot = int(e.sum())
+                quiet = 2 * e * nf < tot
+                runs = longest = cur = 0
+                for q in quiet:
+                    if q:
+                        cur += 1
+                        runs += cur == 1
+                        longest = max(longest, cur)
+                    else:
+                        cur = 0
+                rows.append(
+                    (int(path), nf, int(quiet.sum()), runs, longest, tot)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_frames", "n_quiet",
+                    "n_quiet_segments", "longest_quiet_run", "total_energy",
+                ],
+            )
+
+    return media.mapInPandas(seg, schema=ENERGY_SEG_SCHEMA)

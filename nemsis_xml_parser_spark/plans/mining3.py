@@ -385,3 +385,273 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("image_id").cast("bigint").alias("min_image_id"),
         F.sum("image_id").cast("bigint").alias("sum_image_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation (frame-energy VAD)
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 16
+
+
+@register(
+    "multimodal_audio_silence_segments",
+    family="multimodal",
+    doc="Frame-energy silence segmentation over the REAL PCM decode path "
+    "(operators/multimodal.py::wav_energy_segments) — the VAD-style "
+    "preprocessing that trims/segments silence before audio feature "
+    "extraction: per clip, 16-sample frame energies (integer Σ s² "
+    "across channels), QUIET iff 2·energy·n_frames < total_energy "
+    "(integer cross-multiplied half-mean), quiet runs counted "
+    "gaps-and-islands style.  Exact integer arithmetic end-to-end; "
+    "the oracle replays frame grouping, the energy threshold, and the "
+    "island numbering from the closed-form sample formula — drift in "
+    "chunk offsets, int16 decode, frame boundaries, or run logic "
+    "breaks the hash.  Scale shape: one mapInPandas over the blobs "
+    "(narrow row out per clip), no shuffle at all.",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 100 + 1 AS n, doc_id % 2 + 1 AS ch FROM documents
+),
+samples AS (
+  SELECT doc_id, si.i // {AUDIO_FRAME} AS f,
+         (doc_id * 13 + 7 * si.i + 3 * ci.c) % 2003 - 1001 AS s
+  FROM dims,
+       UNNEST(range(0, n)) AS si(i),
+       UNNEST(range(0, ch)) AS ci(c)
+),
+fe AS (
+  SELECT doc_id, f, CAST(SUM(s * s) AS BIGINT) AS e
+  FROM samples GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf,
+         CAST(SUM(e) AS BIGINT) AS tot
+  FROM fe GROUP BY 1
+),
+q AS (
+  SELECT fe.doc_id, f,
+         CASE WHEN 2 * e * nf < tot THEN 1 ELSE 0 END AS quiet
+  FROM fe JOIN tot ON tot.doc_id = fe.doc_id
+),
+isl AS (
+  SELECT doc_id, f, quiet,
+         f - ROW_NUMBER() OVER (PARTITION BY doc_id, quiet ORDER BY f) AS grp
+  FROM q
+),
+runs AS (
+  SELECT doc_id, COUNT(*) AS len FROM isl WHERE quiet = 1
+  GROUP BY doc_id, grp
+),
+seg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg,
+         CAST(MAX(len) AS BIGINT) AS longest
+  FROM runs GROUP BY doc_id
+),
+nq AS (SELECT doc_id, CAST(SUM(quiet) AS BIGINT) AS n_quiet FROM q GROUP BY 1)
+SELECT t.doc_id AS audio_id,
+       t.nf AS n_frames,
+       COALESCE(nq.n_quiet, 0) AS n_quiet,
+       COALESCE(seg.n_seg, 0) AS n_quiet_segments,
+       COALESCE(seg.longest, 0) AS longest_quiet_run,
+       t.tot AS total_energy
+FROM tot t
+LEFT JOIN nq ON nq.doc_id = t.doc_id
+LEFT JOIN seg ON seg.doc_id = t.doc_id
+""",
+)
+def multimodal_audio_silence_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import synthesize_pcm_audio, wav_energy_segments
+
+    d = table(spark, sf_dir, "documents")
+    return wav_energy_segments(
+        synthesize_pcm_audio(d.select("doc_id")), frame=AUDIO_FRAME
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clustering-evaluation metrics vs gold labels (ARI + NMI)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_adjusted_rand",
+    family="quality",
+    doc="Clustering evaluation against gold labels: the seeded IVF "
+    "coarse assignment (operators/ivf.py, iters=0 — the same "
+    "closed-form quantizer ann_ivf_topk hash-checks) is scored "
+    "against the embeddings' label column with the Adjusted Rand "
+    "Index and Normalized Mutual Information — the two standard "
+    "external cluster-quality metrics an embedding-pipeline eval "
+    "reports.  ARI is computed from the integer contingency table "
+    "(all pair counts exact BIGINTs; only the final divisions float), "
+    "NMI from the same table with identical LN expression trees.  "
+    "Scale shape: assignment is the broadcast-argmin pass, the "
+    "contingency table is (n_cells x n_labels)-bounded, metrics are "
+    "computed on that tiny frame; corpus scalars ride broadcast "
+    "cross joins.",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT s.cid, v.v AS c
+  FROM (SELECT vec_id % 8 AS cid, MIN(vec_id) AS svid FROM vecs GROUP BY 1) s
+  JOIN vecs v ON v.vec_id = s.svid
+),
+asgn_d AS (
+  SELECT v.vec_id, ce.cid,
+         ROUND(sqrt(list_sum(list_transform(range(64),
+               i -> (v.v[i+1] - ce.c[i+1]) * (v.v[i+1] - ce.c[i+1])))), 6) AS d
+  FROM vecs v CROSS JOIN cents ce
+),
+cells AS (
+  SELECT vec_id AS item_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d
+  ) WHERE rn = 1
+),
+cont AS (
+  SELECT c.cid, e.label, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM cells c JOIN embeddings e ON e.vec_id = c.item_id
+  GROUP BY 1, 2
+),
+ai AS (SELECT cid, CAST(SUM(nij) AS BIGINT) AS a FROM cont GROUP BY cid),
+bj AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS b FROM cont GROUP BY label),
+nn AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cont),
+sums AS (
+  SELECT
+    (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) FROM cont) AS sij,
+    (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) FROM ai) AS sa,
+    (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) FROM bj) AS sb,
+    (SELECT CAST(n * (n - 1) // 2 AS BIGINT) FROM nn) AS c2n,
+    (SELECT n FROM nn) AS n,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ai) AS n_clusters,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM bj) AS n_classes
+),
+mi AS (
+  SELECT SUM(CAST(nij AS DOUBLE) / nn.n
+             * LN(CAST(nn.n AS DOUBLE) * nij / (ai.a * bj.b))) AS i
+  FROM cont JOIN ai USING (cid) JOIN bj USING (label) CROSS JOIN nn
+),
+hu AS (
+  SELECT -SUM(CAST(a AS DOUBLE) / nn.n * LN(CAST(a AS DOUBLE) / nn.n)) AS h
+  FROM ai CROSS JOIN nn
+),
+hv AS (
+  SELECT -SUM(CAST(b AS DOUBLE) / nn.n * LN(CAST(b AS DOUBLE) / nn.n)) AS h
+  FROM bj CROSS JOIN nn
+)
+SELECT n, n_clusters, n_classes,
+       ROUND((sij - CAST(sa AS DOUBLE) * sb / c2n)
+             / (0.5 * (sa + sb) - CAST(sa AS DOUBLE) * sb / c2n), 6) AS ari,
+       ROUND(mi.i / sqrt(hu.h * hv.h), 6) AS nmi
+FROM sums, mi, hu, hv
+""",
+)
+def quality_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ivf as I
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = I.train_centroids(e, nlist=8, iters=0)
+    cells = I.assign_cells(e, cents).select("item_id", "cid")
+    cont = (
+        cells.join(e.select(F.col("vec_id").alias("item_id"), "label"), "item_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+        # materialize the (n_cells x n_labels)-bounded contingency table
+        # once: seven downstream aggregates reference it, and without the
+        # checkpoint each re-runs the assignment pipeline (measured: 54
+        # exchanges -> 8)
+        .localCheckpoint()
+    )
+    ai = cont.groupBy("cid").agg(F.sum("nij").cast("bigint").alias("a"))
+    bj = cont.groupBy("label").agg(F.sum("nij").cast("bigint").alias("b"))
+    nn = cont.agg(F.sum("nij").cast("bigint").alias("n"))
+
+    sums = (
+        cont.agg(
+            F.sum(F.expr("nij * (nij - 1) div 2")).cast("bigint").alias("sij")
+        )
+        .crossJoin(
+            F.broadcast(
+                ai.agg(
+                    F.sum(F.expr("a * (a - 1) div 2")).cast("bigint").alias("sa"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bj.agg(
+                    F.sum(F.expr("b * (b - 1) div 2")).cast("bigint").alias("sb"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                nn.select(
+                    "n",
+                    F.expr("n * (n - 1) div 2").cast("bigint").alias("c2n"),
+                )
+            )
+        )
+    )
+    mi = (
+        cont.join(ai, "cid")
+        .join(bj, "label")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.col("nij").cast("double")
+                / F.col("n")
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("nij")
+                    / (F.col("a") * F.col("b"))
+                )
+            ).alias("i")
+        )
+    )
+    hu = (
+        ai.crossJoin(F.broadcast(nn))
+        .agg(
+            (-F.sum(
+                F.col("a").cast("double") / F.col("n")
+                * F.log(F.col("a").cast("double") / F.col("n"))
+            )).alias("hu")
+        )
+    )
+    hv = (
+        bj.crossJoin(F.broadcast(nn))
+        .agg(
+            (-F.sum(
+                F.col("b").cast("double") / F.col("n")
+                * F.log(F.col("b").cast("double") / F.col("n"))
+            )).alias("hv")
+        )
+    )
+    expected = F.col("sa").cast("double") * F.col("sb") / F.col("c2n")
+    return (
+        sums.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hu))
+        .crossJoin(F.broadcast(hv))
+        .select(
+            "n",
+            "n_clusters",
+            "n_classes",
+            F.round(
+                (F.col("sij") - expected)
+                / (F.lit(0.5) * (F.col("sa") + F.col("sb")) - expected),
+                6,
+            ).alias("ari"),
+            F.round(
+                F.col("i") / F.sqrt(F.col("hu") * F.col("hv")), 6
+            ).alias("nmi"),
+        )
+    )

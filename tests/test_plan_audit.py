@@ -84,6 +84,9 @@ JUSTIFIED_BNLJ = {
     "events_trend_break",          # candidate x day cross frame, both
                                    # calendar-bounded (<=31 rows each),
                                    # + 1-row single-fit/min-day scalars
+    "quality_adjusted_rand",       # broadcast seeded-centroid argmin +
+                                   # 1-row metric scalars off the
+                                   # checkpointed contingency table
 }
 
 
