@@ -655,3 +655,43 @@ def quality_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix (map-side partial X^T X)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_gram_matrix",
+    family="similarity",
+    doc="Gram matrix X^T X over the embedding corpus "
+    "(operators/linalg.py::gram_matrix) — the covariance/PCA/whitening "
+    "primitive — computed the scale-correct way: every Arrow batch "
+    "reduces its rows to a LOCAL d x d partial (numpy BLAS), and only "
+    "P·d² (i, j, partial) triples shuffle to the final sums — traffic "
+    "independent of corpus size, vs the n·d² pair-explode or the "
+    "ship-all-vectors single reducer.  Upper triangle only (symmetric); "
+    "6-dp rounding absorbs the partial-vs-sequential association "
+    "difference.  The oracle computes every entry by the naive "
+    "per-element expansion — equality proves the blocked decomposition "
+    "computes exactly Σ v_i·v_j.",
+    oracle="""
+WITH vecs AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT CAST(ij.i AS INT) AS i, CAST(ij.j AS INT) AS j,
+       ROUND(SUM(v[ij.i + 1] * v[ij.j + 1]), 6) AS gram
+FROM vecs,
+     (SELECT a.i, b.j FROM UNNEST(range(0, 64)) a(i), UNNEST(range(0, 64)) b(j)
+      WHERE a.i <= b.j) ij
+GROUP BY 1, 2
+""",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import gram_matrix
+
+    e = table(spark, sf_dir, "embeddings")
+    g = gram_matrix(e, "embedding", upper_only=True)
+    return g.select("i", "j", F.round(F.col("gram"), 6).alias("gram"))
