@@ -73,6 +73,9 @@ HEADLINE = [
     "dedup_ssjoin_prefix",
     "graph_kcore",
     "er_golden_record",
+    "multimodal_phash_groups",
+    "window_scalable_running_total",
+    "embedding_gram_matrix",
 ]
 
 
