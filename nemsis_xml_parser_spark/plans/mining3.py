@@ -695,3 +695,81 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     g = gram_matrix(e, "embedding", upper_only=True)
     return g.select("i", "j", F.round(F.col("gram"), 6).alias("gram"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal anti-join: views with no purchase inside the attribution window
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW = "1 HOUR"
+
+
+@register(
+    "join_temporal_anti_window",
+    family="join",
+    doc="Temporal ANTI-join — absence of a follow-up event inside an "
+    "attribution window: per user, the views with NO purchase by the "
+    "same user within the following hour (the complement of "
+    "events_view_click_attribution's positive match).  Spark plans "
+    "this as an equi-key LEFT ANTI on user_id with the time band as "
+    "join FILTER (BroadcastHashJoin LeftAnti here; sort-merge anti "
+    "once the purchase side outgrows broadcast) — no cartesian "
+    "anywhere; at 100 TB both sides shuffle once on user_id and the "
+    "band runs inside the join.  Exact counts only; conversion-gap "
+    "ratio rounded at the edge.",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT v.user_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM p
+           WHERE p.user_id = v.user_id
+             AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL {ATTR_WINDOW}
+         ) THEN 0 ELSE 1 END AS unconverted
+  FROM v
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(unconverted) AS BIGINT) AS n_unconverted,
+       ROUND(CAST(SUM(unconverted) AS DOUBLE) / COUNT(*), 6) AS gap_rate
+FROM flagged GROUP BY user_id ORDER BY user_id
+""",
+)
+def join_temporal_anti_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (v["user_id"] == p["pu"])
+        & (p["pts"] > v["ts"])
+        & (p["pts"] <= v["ts"] + F.expr(f"INTERVAL {ATTR_WINDOW}"))
+    )
+    unconv = v.join(p, cond, "left_anti").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unconverted")
+    )
+    views = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views")
+    )
+    return (
+        views.join(unconv, "user_id", "left")
+        .select(
+            "user_id",
+            "n_views",
+            F.coalesce(F.col("n_unconverted"), F.lit(0))
+            .cast("bigint")
+            .alias("n_unconverted"),
+            F.round(
+                F.coalesce(F.col("n_unconverted"), F.lit(0)).cast("double")
+                / F.col("n_views"),
+                6,
+            ).alias("gap_rate"),
+        )
+        .orderBy("user_id")
+    )
