@@ -149,6 +149,17 @@ def main() -> None:
             ),
             str(work / "cp5"),
         )
+
+        from nemsis_xml_parser_spark.streaming.heavyhitters import (
+            windowed_key_counts,
+        )
+
+        out["heavy_hitter_counts"] = _drain(
+            windowed_key_counts(
+                source(ev_dir, ev_schema), window="1 hour", watermark="2 hours"
+            ),
+            str(work / "cp6"),
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
