@@ -773,3 +773,155 @@ def join_temporal_anti_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules
+# ---------------------------------------------------------------------------
+
+RULES_MINSUP = 2  # absolute pair-support floor
+RULES_TOP = 20
+
+
+@register(
+    "mine_association_rules",
+    family="dedup",
+    doc="Market-basket association rules over the order→parts baskets "
+    "(the full lineitem, no demo cap): distinct per-order item sets, "
+    "pair supports c_ij (a<b, floor 2), and both rule directions "
+    "a→b / b→a scored with support, confidence and lift — the "
+    "classic co-occurrence mining a recommender bootstrap runs.  "
+    "Top-20 by (ROUND(lift,6) DESC, antecedent, consequent) via "
+    "orderBy().limit(); ratios are rationals of exact counts rounded "
+    "at the edge, so ordering and values agree across engines.  "
+    "Scale shape: the pair expansion is bounded by basket size (≤7 "
+    "items ⇒ ≤21 pairs per order), pair counts shuffle once on "
+    "(a, b), item counts join back by key, the basket total rides a "
+    "broadcast cross join.",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+pc AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {RULES_MINSUP}
+),
+rules AS (
+  SELECT a AS antecedent, b AS consequent, c FROM pc
+  UNION ALL
+  SELECT b, a, c FROM pc
+),
+scored AS (
+  SELECT r.antecedent, r.consequent, r.c AS pair_support,
+         ia.c AS ant_count, ic2.c AS cons_count,
+         ROUND(CAST(r.c AS DOUBLE) / nb.n, 6) AS support,
+         ROUND(CAST(r.c AS DOUBLE) / ia.c, 6) AS confidence,
+         ROUND(CAST(r.c AS DOUBLE) * nb.n / (ia.c * ic2.c), 6) AS lift
+  FROM rules r
+  JOIN ic ia ON ia.l_partkey = r.antecedent
+  JOIN ic ic2 ON ic2.l_partkey = r.consequent
+  CROSS JOIN nb
+)
+SELECT * FROM scored
+ORDER BY lift DESC, antecedent ASC, consequent ASC LIMIT {RULES_TOP}
+""",
+)
+def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n"))
+    ic = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    pc = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .where(F.col("c") >= RULES_MINSUP)
+    )
+    rules = pc.select(
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "c"
+    ).unionAll(
+        pc.select(
+            F.col("b").alias("antecedent"), F.col("a").alias("consequent"), "c"
+        )
+    )
+    scored = (
+        rules.join(
+            ic.select(F.col("l_partkey").alias("antecedent"), F.col("c").alias("ant_count")),
+            "antecedent",
+        )
+        .join(
+            ic.select(F.col("l_partkey").alias("consequent"), F.col("c").alias("cons_count")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c").alias("pair_support"),
+            "ant_count",
+            "cons_count",
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("c").cast("double") / F.col("ant_count"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("c").cast("double") * F.col("n")
+                / (F.col("ant_count") * F.col("cons_count")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc()
+    ).limit(RULES_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_regex_battery",
+    family="scalar",
+    doc="Regex scalar-function battery over customer names "
+    "(c_custkey < 50): capture-group extract, extract-all counting, "
+    "pattern replace, boolean match, and regex split arity — the "
+    "regexp surface (regexp_extract / regexp_extract_all / "
+    "regexp_replace / rlike / split) mapped one-to-one onto DuckDB's "
+    "(regexp_extract / regexp_extract_all / regexp_replace / "
+    "regexp_matches / string_split_regex).  All codegen-side in "
+    "Spark; per-row outputs keep both engines' trailing-empty split "
+    "semantics honest.",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS n_zeros,
+       regexp_replace(c_name, '0+', '-', 'g') AS dashed,
+       CAST(CASE WHEN regexp_matches(c_name, '[13579]$') THEN 1 ELSE 0 END
+            AS INT) AS odd_tail,
+       CAST(len(string_split_regex(c_name, '0+')) AS BIGINT) AS n_splits
+FROM customer WHERE c_custkey < 50 ORDER BY c_custkey
+""",
+)
+def scalar_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") < 50)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).alias("digits"),
+        F.size(F.regexp_extract_all(F.col("c_name"), F.lit("0"), 0))
+        .cast("bigint")
+        .alias("n_zeros"),
+        F.regexp_replace(F.col("c_name"), "0+", "-").alias("dashed"),
+        F.col("c_name").rlike("[13579]$").cast("int").alias("odd_tail"),
+        F.size(F.split(F.col("c_name"), "0+")).cast("bigint").alias("n_splits"),
+    ).orderBy("c_custkey")

@@ -87,6 +87,7 @@ JUSTIFIED_BNLJ = {
     "quality_adjusted_rand",       # broadcast seeded-centroid argmin +
                                    # 1-row metric scalars off the
                                    # checkpointed contingency table
+    "mine_association_rules",      # broadcast 1-row basket-total scalar
 }
 
 
