@@ -925,3 +925,194 @@ def scalar_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").rlike("[13579]$").cast("int").alias("odd_tail"),
         F.size(F.split(F.col("c_name"), "0+")).cast("bigint").alias("n_splits"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    family="timeseries",
+    doc="Cohort lifetime-value curve: users are cohorted by signup week "
+    "(first 'signup' event), purchase value accrues per (cohort, age "
+    "week), and the running LTV per user comes from a broadcast "
+    "triangular join over the age domain — weeks-since-signup is "
+    "calendar-bounded, so no window ever sees corpus-sized input.  "
+    "Value sums are DECIMAL-staged; the per-user division happens "
+    "once at the edge.  The revenue companion of "
+    "events_retention_cohorts.",
+    oracle="""
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+cohort AS (
+  SELECT user_id, CAST(date_trunc('week', s) AS DATE) AS cw, s FROM signup
+),
+cohort_size AS (
+  SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users FROM cohort GROUP BY cw
+),
+pur AS (
+  SELECT c.cw,
+         CAST(FLOOR(CAST(datediff('second', c.s, e.ts) AS DOUBLE)
+                    / 604800) AS BIGINT) AS age_w,
+         CAST(e.value AS DECIMAL(18,6)) AS v
+  FROM events e JOIN cohort c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.s
+),
+per AS (
+  SELECT cw, age_w, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         SUM(v) AS rev
+  FROM pur GROUP BY cw, age_w
+),
+cum AS (
+  SELECT a.cw, a.age_w,
+         CAST(SUM(b.n_purchases) AS BIGINT) AS cum_purchases,
+         CAST(SUM(b.rev) AS DOUBLE) AS cum_rev
+  FROM per a JOIN per b ON b.cw = a.cw AND b.age_w <= a.age_w
+  GROUP BY a.cw, a.age_w
+)
+SELECT CAST(c.cw AS VARCHAR) AS cohort_week, c.age_w, s.n_users,
+       c.cum_purchases,
+       ROUND(c.cum_rev, 6) AS cum_revenue,
+       ROUND(c.cum_rev / s.n_users, 6) AS ltv_per_user
+FROM cum c JOIN cohort_size s ON s.cw = c.cw
+ORDER BY cohort_week, age_w
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    cohort = signup.select(
+        "user_id", F.date_trunc("week", "s").cast("date").alias("cw"), "s"
+    )
+    cohort_size = cohort.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    pur = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .where(F.col("ts") >= F.col("s"))
+        .select(
+            "cw",
+            # timestampdiff is timezone-free on NTZ inputs — a
+            # unix_timestamp difference would shift by the DST delta when
+            # the driver session runs in a zone with a transition between
+            # signup and purchase
+            F.floor(
+                F.expr("timestampdiff(SECOND, s, ts)").cast("double") / 604800
+            )
+            .cast("bigint")
+            .alias("age_w"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    per = pur.groupBy("cw", "age_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("v").alias("rev"),
+    )
+    a = per.select(
+        F.col("cw").alias("cwa"), F.col("age_w").alias("aga")
+    )
+    cum = (
+        a.join(
+            F.broadcast(per),
+            (F.col("cw") == F.col("cwa")) & (F.col("age_w") <= F.col("aga")),
+        )
+        .groupBy("cwa", "aga")
+        .agg(
+            F.sum("n_purchases").cast("bigint").alias("cum_purchases"),
+            F.sum("rev").cast("double").alias("cum_rev"),
+        )
+    )
+    return (
+        cum.join(cohort_size, cum["cwa"] == cohort_size["cw"])
+        .select(
+            F.col("cwa").cast("string").alias("cohort_week"),
+            F.col("aga").alias("age_w"),
+            "n_users",
+            "cum_purchases",
+            F.round(F.col("cum_rev"), 6).alias("cum_revenue"),
+            F.round(F.col("cum_rev") / F.col("n_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent rollup shares
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pct_of_parent",
+    family="agg",
+    doc="Hierarchical share-of-parent report: revenue per (nation, "
+    "segment) with its share of the nation subtotal and of the grand "
+    "total — the percent-of-parent columns every BI rollup adds, "
+    "expressed as joins of three aggregate levels (leaf ⋈ nation ⋈ "
+    "grand) instead of partition-spanning windows: each level is one "
+    "hash aggregate, the upper levels are dimension-sized and "
+    "broadcast.  Money exact via DECIMAL staging; shares rounded at "
+    "the edge.",
+    oracle="""
+WITH leaf AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+nat AS (SELECT nation, SUM(rev) AS nrev FROM leaf GROUP BY nation),
+tot AS (SELECT SUM(rev) AS trev FROM leaf)
+SELECT l.nation AS nation, l.segment AS segment, l.n_orders AS n_orders,
+       CAST(l.rev AS DOUBLE) AS revenue,
+       ROUND(CAST(l.rev AS DOUBLE) / CAST(n.nrev AS DOUBLE), 6)
+         AS pct_of_nation,
+       ROUND(CAST(l.rev AS DOUBLE) / CAST(t.trev AS DOUBLE), 6)
+         AS pct_of_total
+FROM leaf l JOIN nat n ON n.nation = l.nation CROSS JOIN tot t
+ORDER BY l.nation, l.segment
+""",
+)
+def agg_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    leaf = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    nat = leaf.groupBy("nation").agg(F.sum("rev").alias("nrev"))
+    tot = leaf.agg(F.sum("rev").alias("trev"))
+    return (
+        leaf.join(F.broadcast(nat), "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "segment",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("nrev").cast("double"), 6
+            ).alias("pct_of_nation"),
+            F.round(
+                F.col("rev").cast("double") / F.col("trev").cast("double"), 6
+            ).alias("pct_of_total"),
+        )
+        .orderBy("nation", "segment")
+    )

@@ -88,6 +88,7 @@ JUSTIFIED_BNLJ = {
                                    # 1-row metric scalars off the
                                    # checkpointed contingency table
     "mine_association_rules",      # broadcast 1-row basket-total scalar
+    "agg_pct_of_parent",           # broadcast 1-row grand-total scalar
 }
 
 
