@@ -1116,3 +1116,59 @@ def agg_pct_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rollup (batch twin of the streaming sliding shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_window_rollup",
+    family="timeseries",
+    doc="Sliding-window rollup: 2-hour windows advancing every hour "
+    "(each event contributes to exactly two windows), counts and "
+    "DECIMAL-staged value sums per (window, event_type) — F.window "
+    "with a slide in Spark; the oracle materializes each event's two "
+    "epoch-aligned window starts explicitly (trunc(ts) and "
+    "trunc(ts)−1h) and groups, proving the window-assignment "
+    "semantics rather than assuming them.  Scale shape: the slide "
+    "fans each row out by window/slide (=2 here) map-side, then one "
+    "hash aggregate — same cost model as the streaming twin in "
+    "streaming/events.py.",
+    oracle="""
+WITH ex AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v, ws
+  FROM events,
+       UNNEST([date_trunc('hour', ts),
+               date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS t(ws)
+)
+SELECT CAST(ws AS VARCHAR) AS window_start,
+       CAST(ws + INTERVAL 2 HOUR AS VARCHAR) AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM ex GROUP BY ws, event_type
+ORDER BY window_start, event_type
+""",
+)
+def events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            F.col("w.end").cast("string").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
