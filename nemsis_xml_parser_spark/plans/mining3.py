@@ -1172,3 +1172,89 @@ def events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal sampling allocation
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 100
+
+
+@register(
+    "sample_neyman_allocation",
+    family="curation",
+    doc="Neyman optimal allocation for stratified sampling: given a "
+    "100-document budget, each source stratum h receives "
+    "n_h = floor(B · N_h·S_h / Σ N_h·S_h) — proportional to stratum "
+    "size times stratum standard deviation (of document length), the "
+    "variance-minimizing allocation for estimating the corpus mean.  "
+    "The sampling-design complement of curation_mixture_weights.  "
+    "S_h comes from exact integer power sums (n·Σx² − (Σx)²); the "
+    "allocation floors a 6-dp-rounded share so both engines truncate "
+    "the same decimal.  Scale shape: one (source) aggregate over the "
+    "corpus, allocation math on the source-bounded frame, the "
+    "denominator scalar rides a broadcast cross join.",
+    oracle=f"""
+WITH st AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+),
+sd AS (
+  SELECT source, n_docs,
+         sqrt((n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+              / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) AS s
+  FROM st WHERE n_docs > 1
+),
+tot AS (SELECT SUM(n_docs * s) AS denom FROM sd)
+SELECT source, n_docs,
+       ROUND(s, 6) AS stddev_len,
+       ROUND(n_docs * s / denom, 6) AS share,
+       CAST(FLOOR(ROUND({NEYMAN_BUDGET} * n_docs * s / denom, 6)) AS BIGINT)
+         AS alloc
+FROM sd CROSS JOIN tot ORDER BY source
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    sd = st.where(F.col("n_docs") > 1).select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            (
+                F.col("n_docs") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / (F.col("n_docs").cast("double") * (F.col("n_docs") - 1))
+        ).alias("s"),
+    )
+    tot = sd.agg(F.sum(F.col("n_docs") * F.col("s")).alias("denom"))
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("s"), 6).alias("stddev_len"),
+            F.round(F.col("n_docs") * F.col("s") / F.col("denom"), 6).alias(
+                "share"
+            ),
+            F.floor(
+                F.round(
+                    F.lit(NEYMAN_BUDGET) * F.col("n_docs") * F.col("s")
+                    / F.col("denom"),
+                    6,
+                )
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
