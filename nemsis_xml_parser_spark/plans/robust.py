@@ -166,8 +166,17 @@ def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     daily = (
         l.where(
-            (F.col("l_shipdate") >= F.lit(f"{TS_START} 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(f"{TS_END} 00:00:00").cast("timestamp"))
+            # timestamp_ntz literals (the tpch.ts convention): an LTZ cast
+            # would shift the quarter boundary by the session offset under
+            # a non-UTC driver session
+            (
+                F.col("l_shipdate")
+                >= F.lit(f"{TS_START} 00:00:00").cast("timestamp_ntz")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit(f"{TS_END} 00:00:00").cast("timestamp_ntz")
+            )
         )
         .groupBy(F.col("l_shipdate").cast("date").alias("d"))
         .agg(
