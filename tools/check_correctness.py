@@ -6,7 +6,13 @@ and order-insensitive cell values (exact equality after canonicalization —
 stricter than the driver's value hash, so passing here implies passing
 there for any reasonable hash).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--tz ZONE] [sf_dir] [query ...]
+
+``--tz Asia/Tokyo`` runs the Spark side in a non-UTC session — the
+driver builds its own SparkSession, so timezone assumptions baked into
+the repo session factory (UTC pinning) must not be load-bearing; every
+timestamp-touching query should pass under any zone (NTZ literals,
+timestampdiff, tz-free date truncation).
 """
 
 from __future__ import annotations
@@ -54,13 +60,21 @@ def canon_frame(pdf):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    tz = None
+    if "--tz" in args:
+        i = args.index("--tz")
+        tz = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from nemsis_xml_parser_spark.session import get_spark
 
     spark = get_spark("check_correctness")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
