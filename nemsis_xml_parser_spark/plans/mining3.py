@@ -1258,3 +1258,127 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pythagorean-means battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mean_battery",
+    family="agg",
+    doc="Pythagorean means per return flag: arithmetic, geometric "
+    "(exp of mean log — the only scalable formulation; a product "
+    "aggregate overflows), harmonic (n / Σ 1/x), and quadratic (RMS) "
+    "means of lineitem quantity, plus the AM >= GM >= HM ordering "
+    "surfaced as a check column.  LN/EXP/SQRT with identical "
+    "expression trees both engines, 6-dp rounding at the edge; "
+    "quantities are strictly positive so every mean is defined.  "
+    "Scale shape: one hash aggregate, four accumulators.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS mean_arith,
+       ROUND(EXP(SUM(LN(l_quantity)) / COUNT(*)), 6) AS mean_geo,
+       ROUND(COUNT(*) / SUM(1.0 / l_quantity), 6) AS mean_harm,
+       ROUND(SQRT(SUM(l_quantity * l_quantity) / COUNT(*)), 6) AS mean_quad,
+       CAST(CASE WHEN SUM(l_quantity) / COUNT(*)
+                      >= EXP(SUM(LN(l_quantity)) / COUNT(*))
+                  AND EXP(SUM(LN(l_quantity)) / COUNT(*))
+                      >= COUNT(*) / SUM(1.0 / l_quantity)
+            THEN 1 ELSE 0 END AS INT) AS am_gm_hm_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_mean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    am = F.sum(q) / n
+    gm = F.exp(F.sum(F.log(q)) / n)
+    hm = n / F.sum(F.lit(1.0) / q)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(am, 6).alias("mean_arith"),
+            F.round(gm, 6).alias("mean_geo"),
+            F.round(hm, 6).alias("mean_harm"),
+            F.round(F.sqrt(F.sum(q * q) / n), 6).alias("mean_quad"),
+            F.when((am >= gm) & (gm >= hm), 1).otherwise(0).cast("int").alias(
+                "am_gm_hm_ok"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection on the daily series (join-based, fully integer)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_peak_days",
+    family="timeseries",
+    doc="Local-maximum peak detection on the daily event-count series, "
+    "window-free and fully integer: a day is a peak when its count "
+    "strictly exceeds both calendar neighbors (self-joins on day±1; "
+    "a missing neighbor counts as 0).  A mean-relative prominence "
+    "gate was probed and rejected: daily fluctuations shrink as "
+    "sqrt(n), so any fixed multiple of the mean empties at larger "
+    "SFs — the count-vs-mean ratio is surfaced as information "
+    "instead.  Scale shape: the corpus collapses to the "
+    "calendar-bounded day frame; neighbor lookups are key joins, the "
+    "mean scalar rides a broadcast cross join.",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(y) AS BIGINT) AS ty
+  FROM daily
+),
+peaks AS (
+  SELECT a.d, a.y
+  FROM daily a
+  LEFT JOIN daily p ON p.d = a.d - 1
+  LEFT JOIN daily n ON n.d = a.d + 1
+  CROSS JOIN tot
+  WHERE a.y > COALESCE(p.y, 0) AND a.y > COALESCE(n.y, 0)
+)
+SELECT CAST(d AS VARCHAR) AS peak_day, y AS n_events,
+       ROUND(CAST(y AS DOUBLE) * (SELECT nd FROM tot)
+             / (SELECT ty FROM tot), 6) AS vs_mean
+FROM peaks ORDER BY peak_day
+""",
+)
+def events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("y").cast("bigint").alias("ty"),
+    )
+    p = daily.select(F.date_add(F.col("d"), 1).alias("d"), F.col("y").alias("py"))
+    nn = daily.select(F.date_sub(F.col("d"), 1).alias("d"), F.col("y").alias("ny"))
+    return (
+        daily.join(p, "d", "left")
+        .join(nn, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("y") > F.coalesce(F.col("py"), F.lit(0)))
+            & (F.col("y") > F.coalesce(F.col("ny"), F.lit(0)))
+        )
+        .select(
+            F.col("d").cast("string").alias("peak_day"),
+            F.col("y").alias("n_events"),
+            F.round(
+                F.col("y").cast("double") * F.col("nd") / F.col("ty"), 6
+            ).alias("vs_mean"),
+        )
+        .orderBy("peak_day")
+    )

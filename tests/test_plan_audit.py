@@ -90,6 +90,7 @@ JUSTIFIED_BNLJ = {
     "mine_association_rules",      # broadcast 1-row basket-total scalar
     "agg_pct_of_parent",           # broadcast 1-row grand-total scalar
     "sample_neyman_allocation",    # broadcast 1-row denominator scalar
+    "events_peak_days",            # broadcast 1-row daily-total scalar
 }
 
 
