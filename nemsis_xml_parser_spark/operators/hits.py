@@ -41,9 +41,15 @@ def hits(edges: DataFrame, iters: int = 2) -> tuple[DataFrame, DataFrame]:
 
     ``edges``: (src, dst) distinct directed edges.  Returns
     ``(dst, auth)`` and ``(src, hub)`` frames, scores L1-normalized and
-    rounded to 12 dp.
+    rounded to 12 dp.  Raises on ``iters < 1`` (iters=0 would return
+    ``(None, hubs)``) and on an empty edge list (the L1 total would be
+    NULL and every score silently null).
     """
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     e = edges.select("src", "dst")
+    if e.isEmpty():
+        raise ValueError("hits() on an empty edge list: L1 normalization undefined")
     hubs = e.select("src").distinct().withColumn("hub", F.lit(1.0))
     auth = None
     for _ in range(iters):

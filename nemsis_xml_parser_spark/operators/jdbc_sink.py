@@ -229,6 +229,55 @@ def read_jdbc_table(
     return reader.load()
 
 
+def read_jdbc_table_partitioned(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str,
+    num_partitions: int,
+    driver: str | None = None,
+    fetch_size: int = 10_000,
+) -> DataFrame:
+    """Partitioned JDBC read with AUTO-DISCOVERED bounds — the form the
+    warehouse catalog/bookkeeping tables are read with (their serial PKs
+    — ``file_id`` in ``_files_processed``, mirroring the reference's
+    ``XMLFilesProcessed.FileID`` SERIAL — are ideal stride columns, but
+    their extent is unknown until runtime).
+
+    Bounds come from ONE one-row aggregate pushed to the engine as a
+    subquery scan (``(SELECT MIN(c), MAX(c) FROM t) q`` — the database
+    does the aggregation, Spark ships back a single row), then the scan
+    issues ``num_partitions`` range-predicated queries in parallel —
+    non-overlapping strides covering the whole key space, executor-side.
+    Empty tables fall back to an unpartitioned read (no bounds to
+    stride).
+    """
+    # ANSI-quote the probe COLUMN: Spark's JDBC writer quotes column
+    # identifiers at CREATE time (case-sensitive "file_id" in Derby), so
+    # an unquoted file_id would resolve to FILE_ID and miss.  The table
+    # name is passed through unquoted, exactly as read_jdbc_table uses it.
+    qc = f'"{partition_column}"'
+    probe_sql = (
+        f'(SELECT MIN({qc}) AS "lo", MAX({qc}) AS "hi" FROM {table}) probe'
+    )
+    probe = read_jdbc_table(spark, url, probe_sql, driver=driver).collect()[0]
+    if probe["lo"] is None:
+        return read_jdbc_table(spark, url, table, driver=driver, fetch_size=fetch_size)
+    return read_jdbc_table(
+        spark,
+        url,
+        table,
+        driver=driver,
+        fetch_size=fetch_size,
+        partition_column=partition_column,
+        num_partitions=num_partitions,
+        lower_bound=probe["lo"],
+        # upperBound is exclusive in stride computation but rows >= it
+        # still land in the last partition; passing hi keeps strides even
+        upper_bound=probe["hi"],
+    )
+
+
 #: Above this many total batch rows the pipeline refuses the driver-side
 #: collect path: 100k TEXT rows is already tens of MB through one driver
 #: connection, and every NEMSIS file the reference ingests is far below it.

@@ -43,8 +43,17 @@ def scalable_running_sum(
     bit-identical results; the running frame includes ORDER BY peers
     (RANGE semantics), matching ``SUM() OVER (ORDER BY ...)``.
     """
-    r = df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # Both the local-window branch and the totals branch below must
+    # observe the IDENTICAL physical range partitioning (_pid values),
+    # but repartitionByRange samples its boundaries nondeterministically
+    # per materialization — without pinning, correctness would silently
+    # depend on Spark's ReuseExchange deduplicating the two identical
+    # exchange subtrees.  Eagerly materialize once so _pid consistency
+    # is structural (same discipline as the iterative operators).
+    r = (
+        df.repartitionByRange(num_ranges, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # partition-local running sum — window is partitioned, never global.
     # rangeBetween(unboundedPreceding, currentRow) over the ORDER BY value

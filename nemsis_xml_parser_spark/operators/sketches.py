@@ -1,10 +1,13 @@
-"""Deterministic probabilistic-sketch operators: Count-Min and Bloom.
+"""Deterministic probabilistic sketches: Count-Min, Bloom, and HLL.
 
-The two workhorse sketches a 100 TB pipeline runs beside HLL (which is
-registered as the rows-only ``sketch_hll_mergeable`` / ``agg_approx_
-distinct`` pair): Count-Min for heavy-hitter frequency estimation under
-a fixed memory budget, Bloom filters for distributed membership
-pre-filtering before expensive joins.
+The three workhorse sketches of a 100 TB pipeline: HyperLogLog for
+mergeable distinct counting, Count-Min for heavy-hitter frequency
+estimation under a fixed memory budget, Bloom filters for distributed
+membership pre-filtering before expensive joins.  (Spark's Apache
+DataSketches HLL — ``hll_sketch_agg``/``hll_union_agg`` — is
+pytest-covered in tests/test_sketches.py; the registered query uses the
+deterministic register build below so the sketch itself is
+cross-engine hash-checkable, not just rows-only.)
 
 Both are built from the SAME md5 double-hash family as the MinHash
 operators (functions.hashing: h1 = 60 digest bits, h2 = 48 digest bits,
@@ -87,6 +90,102 @@ def countmin_estimate(
         pp.join(F.broadcast(cells), ["i", "pos"])
         .groupBy(key_col)
         .agg(F.min("total").cast("bigint").alias("cm_estimate"))
+    )
+
+
+HLL_P = 9           # 2^9 = 512 registers
+HLL_M = 1 << HLL_P
+_HLL_RANK_MAX = 49  # rank word w has 48 bits; w = 0 -> rank 49
+_HLL_SCALE = 1 << _HLL_RANK_MAX  # 2^49: makes SUM(2^-rank) an exact BIGINT
+
+
+def hll_rank(w: Column) -> Column:
+    """Position of the first set bit (from the top) of the 48-bit rank
+    word, 1-based; w = 0 -> 49.  ``49 - length(bin(w))`` is exact
+    integer arithmetic — ``bin`` drops leading zeros identically in
+    Spark and DuckDB, so no float log2 at the boundary."""
+    return F.when(w == 0, F.lit(_HLL_RANK_MAX)).otherwise(
+        F.lit(_HLL_RANK_MAX) - F.length(F.bin(w))
+    )
+
+
+def hll_registers(
+    keys: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., bucket, maxrank) deterministic-HLL register table.
+
+    bucket comes from the 60-bit md5 slice, the rank word from the
+    independent 48-bit slice (same double-hash family as Count-Min /
+    Bloom / MinHash).  One key-grouped MAX aggregate — partial
+    aggregation does the work map-side, and register tables built from
+    disjoint shards merge by bucket-wise MAX (the mergeability that
+    makes distinct counts tractable at 100 TB)."""
+    group_cols = group_cols or []
+    h1, h2 = _hash_pair(F.col(key_col).cast("string"))
+    return (
+        keys.select(
+            *group_cols,
+            (h1 % F.lit(HLL_M)).alias("bucket"),
+            hll_rank(h2).alias("rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("maxrank"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge register tables: bucket-wise MAX within the new grouping."""
+    group_cols = group_cols or []
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("maxrank").alias("maxrank")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """HLL estimate per group: (group..., n_set, v_zero, s_scaled,
+    est_raw, est_std).
+
+    s_scaled = Σ 2^(49-maxrank) + v_zero·2^49 is an exact BIGINT (≤
+    512·2^49 < 2^59), so the harmonic mean Σ 2^-rank = s_scaled / 2^49
+    is one exact double division and est_raw = α_m·m²/Σ is the same
+    IEEE expression tree in both engines — bit-identical before the
+    defensive ROUND(,6).  est_std applies Flajolet's small-range
+    correction: when est_raw ≤ 2.5·m and zero registers remain, linear
+    counting m·ln(m/V) replaces the (badly biased there) raw estimate;
+    the branch is selected on the bit-identical est_raw, and ln is the
+    only libm call (rounded to 6 dp — Java vs C++ log differ at most in
+    the last ulp)."""
+    group_cols = group_cols or []
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(
+            # pyspark's shiftleft() only takes a literal shift — go via
+            # SQL, where ShiftLeft accepts an expression shift amount
+            F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RANK_MAX} - maxrank)")
+        ).alias("s_present"),
+    )
+    v_zero = F.lit(HLL_M) - F.col("n_set")
+    s_scaled = F.col("s_present") + v_zero * F.lit(_HLL_SCALE)
+    est_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        / (s_scaled.cast("double") / F.lit(float(_HLL_SCALE)))
+    )
+    est_lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / v_zero.cast("double")
+    )
+    est_std = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0), est_lc
+    ).otherwise(est_raw)
+    return agg.select(
+        *group_cols,
+        F.col("n_set").cast("bigint").alias("n_set"),
+        v_zero.cast("bigint").alias("v_zero"),
+        s_scaled.cast("bigint").alias("s_scaled"),
+        F.round(est_raw, 6).alias("est_raw"),
+        F.round(est_std, 6).alias("est_std"),
     )
 
 

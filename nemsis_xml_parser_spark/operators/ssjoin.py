@@ -28,15 +28,36 @@ part of the LLM-pipeline tier the rebuild adds.
 
 from __future__ import annotations
 
-import math
+from fractions import Fraction
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _rational(threshold: float) -> tuple[int, int]:
+    """threshold as an exact small rational p/q (q <= 10^6).
+
+    The prefix bound needs ceil(t*|s|) EXACTLY: computed in floating
+    point, t=0.9 with |s|=10 gives fl(9.000000000000002) -> ceil 10,
+    silently shortening the prefix by one and breaking the lossless
+    candidate guarantee.  All bound arithmetic therefore runs on the
+    rational form in integer math.
+    """
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    return fr.numerator, fr.denominator
+
+
 def prefix_length(set_size: F.Column, threshold: float) -> F.Column:
-    """|s| - ceil(t*|s|) + 1 — the Jaccard prefix bound."""
-    return set_size - F.ceil(set_size * F.lit(threshold)) + 1
+    """|s| - ceil(t*|s|) + 1 — the Jaccard prefix bound, exact.
+
+    With t = p/q, ceil(|s|*p/q) = floor((|s|*p + q - 1)/q) in integer
+    arithmetic; |s|*p stays well under 2^53 so the double division
+    inside FLOOR cannot cross an integer boundary (fractional parts are
+    multiples of 1/q >= 1e-6, double error ~1e-16 relative).
+    """
+    p, q = _rational(threshold)
+    ceil_ts = F.floor((set_size * F.lit(p) + F.lit(q - 1)) / F.lit(q))
+    return set_size - ceil_ts + 1
 
 
 def prefix_candidates(
@@ -74,12 +95,14 @@ def prefix_candidates(
         F.col(id_col).alias("id_b"), F.col(token_col).alias("tk"),
         F.col("sz").alias("sz_b"),
     )
-    t = float(threshold)
+    p, q = _rational(threshold)
+    # length filter t*|a| <= |b| <= |a|/t in exact integer form:
+    # |b|*q >= |a|*p and |a|*q >= |b|*p (no float rounding at the bound)
     return (
         a.join(b, "tk")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(F.col("sz_b") >= F.col("sz_a") * t)
-        .where(F.col("sz_a") >= F.col("sz_b") * t)
+        .where(F.col("sz_b") * q >= F.col("sz_a") * p)
+        .where(F.col("sz_a") * q >= F.col("sz_b") * p)
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
@@ -113,13 +136,19 @@ def verified_pairs(
     jac = F.col("n_common").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     )
+    p, q = _rational(threshold)
+    # J >= p/q  <=>  n_common*q >= (sz_a+sz_b-n_common)*p — exact in ints
+    keep = F.col("n_common") * q >= (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    ) * p
     return (
         common.withColumn("jaccard", F.round(jac, 6))
-        .where(jac >= F.lit(float(threshold)))
+        .where(keep)
         .select("id_a", "id_b", "sz_a", "sz_b", "n_common", "jaccard")
     )
 
 
 def exact_prefix_len(sz: int, threshold: float) -> int:
-    """Python twin of ``prefix_length`` for tests."""
-    return sz - math.ceil(sz * threshold) + 1
+    """Python twin of ``prefix_length`` for tests (same integer math)."""
+    p, q = _rational(threshold)
+    return sz - -(-(sz * p) // q) + 1

@@ -68,7 +68,11 @@ _RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
         "q18_large_orders",
         "q19_disjunctive_filter_join", "recursive_cte_key_depth",
         "scalar_conditional_battery", "set_except_all", "set_intersect_all",
-        "set_union_all", "sketch_hll_mergeable", "text_langid_confusion",
+        # "sketch_hll_mergeable" was recorded in r02 as the rows-only
+        # DataSketches variant; rewritten in r6 as the deterministic
+        # hash-oracled register HLL — vintage reset so the driver
+        # re-records the new implementation.
+        "set_union_all", "text_langid_confusion",
         "text_token_stats", "unpivot_stack", "window_analytic_battery",
         "window_locf_fill", "window_range_frame",
     }),
@@ -116,6 +120,33 @@ _RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
         "scalar_bitwise_battery", "split_cluster_safe", "text_entropy_score",
         "text_fertility_stats", "text_keyword_extraction",
         "text_ngram_novelty", "text_pmi_collocations",
+    }),
+    5: frozenset({
+        "agg_histogram_quantiles", "agg_salted_two_phase",
+        "agg_theil_sen_slope", "curation_dsir_importance",
+        "curation_gopher_rules", "curation_mixture_weights",
+        "dedup_duplicate_spans", "dedup_ssjoin_prefix",
+        "dedup_survivor_election", "embedding_pca_power",
+        "embedding_silhouette", "er_golden_record",
+        "etl_scd2_build", "etl_table_checksum",
+        "events_autocorrelation", "events_changepoint_cusum",
+        "events_dwell_time_stats", "events_ewma_daily",
+        "events_seasonality_dow", "events_trend_break",
+        "graph_degree_distribution", "graph_hits_bipartite",
+        "graph_kcore", "graph_label_propagation",
+        "graph_personalized_pagerank", "graph_triangle_count",
+        "join_bloom_prefilter", "join_interval_coalesce",
+        "layout_zorder_skipping", "mine_hard_negatives",
+        "multimodal_audio_silence_segments", "multimodal_luminance_histogram",
+        "multimodal_phash_groups", "profile_key_candidates",
+        "quality_embedding_norm_outliers", "quality_k_anonymity",
+        "quality_ks_drift", "quality_mutual_information",
+        "quality_perplexity_buckets", "quality_psi_by_day",
+        "quality_psi_drift", "quality_rank_sum_drift",
+        "retrieval_hybrid_rrf", "sketch_bloom_membership",
+        "sketch_countmin_heavy_hitters", "sketch_join_cardinality",
+        "text_bpe_merge_candidates", "text_heaps_law",
+        "text_inverted_index", "window_scalable_running_total",
     }),
 }
 

@@ -47,19 +47,32 @@ def register(
     return deco
 
 
+# Rebuild TIMESTAMP_NTZ (UTC wall clock) from epoch nanos with pure
+# integer/date arithmetic.  timestamp_micros(..).cast("timestamp_ntz")
+# would be SESSION-ZONE-DEPENDENT — and lazily evaluated, so pinning the
+# session zone at read time is both load-bearing and leaky (the cast
+# executes at action time under whatever zone is then active); a
+# convert_timezone round-trip is ambiguous in DST fall-back hours.
+# `div`/`%` keep everything exact; DECIMAL division keeps the sub-second
+# part exact for make_interval's DECIMAL(18,6) seconds.
+_NTZ_FROM_NANOS = """
+cast(date_add(date '1970-01-01',
+              cast((ts div 1000) div 86400000000 as int)) as timestamp_ntz)
++ make_interval(0, 0, 0, 0, 0, 0,
+                cast(cast((ts div 1000) % 86400000000 as decimal(18,0))
+                     / 1000000 as decimal(18,6)))
+"""
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as LONG and rebuild a TIMESTAMP_NTZ
-        # (truncation to micros matches DuckDB's ns→us cast).  Session tz is
-        # pinned to UTC so the LTZ→NTZ hop is the identity.
+        # (truncation to micros matches DuckDB's ns→us cast) without any
+        # session-timezone dependence.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
+            df = df.withColumn("ts", F.expr(_NTZ_FROM_NANOS))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

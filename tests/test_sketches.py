@@ -75,3 +75,36 @@ def test_bloom_no_false_negatives(spark):
     # every inserted key must be claimed — the structural Bloom guarantee
     missed = claims.where(F.col("claimed") == 0).count()
     assert missed == 0
+
+
+def test_hll_registers_deterministic_and_mergeable(spark):
+    from nemsis_xml_parser_spark.operators import sketches as SK
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderpriority", "o_custkey"
+    )
+    regs = SK.hll_registers(o, "o_custkey", ["o_orderpriority"])
+    # merging per-segment registers == sketching the whole corpus at once
+    merged = SK.hll_merge(regs.drop("o_orderpriority"))
+    direct = SK.hll_registers(o, "o_custkey")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = SK.hll_estimate(direct).collect()[0]
+    exact = o.select("o_custkey").distinct().count()
+    # n << m here, so the small-range (linear counting) branch must fire
+    # and be accurate; the raw harmonic estimate is known-biased there
+    assert abs(est.est_std - exact) / exact < 0.1
+    assert est.n_set + est.v_zero == SK.HLL_M
+
+
+def test_hll_rank_boundaries(spark):
+    from nemsis_xml_parser_spark.operators import sketches as SK
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), ((1 << 47),), ((1 << 48) - 1,)], "w: long"
+    )
+    got = [r[0] for r in df.select(SK.hll_rank(F.col("w"))).collect()]
+    # w=0 -> 49; w=1 -> 48 leading zeros -> rank 48; top bit set -> 1
+    assert got == [49, 48, 47, 1, 1]

@@ -86,3 +86,29 @@ def test_rare_first_prefix_excludes_stopword(spark):
     # token (each u_i, df=1) enters the prefix; 's' (df=10) never does
     cand = SS.prefix_candidates(tok, 0.9)
     assert cand.count() == 0
+
+
+def test_prefix_len_exact_at_float_boundary():
+    # fl(10*0.9) = 9.000000000000002 -> a float ceil gives 10, shortening
+    # the prefix by one and breaking losslessness; exact rational math
+    # must give ceil(9.0) = 9 -> prefix length 10 - 9 + 1 = 2
+    assert SS.exact_prefix_len(10, 0.9) == 2
+    assert SS.exact_prefix_len(10, 0.3) == 8   # ceil(3.0000000000000004)=3
+    assert SS.exact_prefix_len(7, 0.7) == 3    # ceil(4.9)=5 -> 7-5+1
+    for sz in range(1, 60):
+        for t in (0.1, 0.2, 0.3, 0.5, 0.7, 0.8, 0.9, 0.95):
+            from fractions import Fraction
+            fr = Fraction(t).limit_denominator(1_000_000)
+            true_ceil = -((-sz * fr.numerator) // fr.denominator)
+            assert SS.exact_prefix_len(sz, t) == sz - true_ceil + 1
+
+
+def test_prefix_lossless_at_float_boundary(spark):
+    # size-10 sets, t=0.9: J>=0.9 pairs must survive the prefix filter
+    # even though fl(10*0.9) rounds up past the integer
+    base = [f"w{k}" for k in range(9)]
+    sets = {1: base + ["x1"], 2: base + ["x2"]}  # overlap 9, union 11: J=9/11<0.9
+    sets[3] = list(sets[1])                      # J(1,3)=1.0 >= 0.9
+    tok = _tokens(spark, sets)
+    verified = {(r.id_a, r.id_b) for r in SS.verified_pairs(tok, 0.9).collect()}
+    assert verified == {(1, 3)}

@@ -87,6 +87,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if tz:
+            # re-apply per query: a query (or table()) that touches the
+            # session zone must not silently un-tz the rest of the sweep
+            spark.conf.set("spark.sql.session.timeZone", tz)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
