@@ -1,0 +1,432 @@
+"""Baseline (SOF0) JPEG codec — pure Python, stdlib ``struct`` + numpy.
+
+Closes the JPEG half of the codec seam the same way PNG was closed
+(multimodal.decode_png_pixels): a REAL whole-codec implementation, no
+image library.  Scope is baseline sequential DCT, 8-bit samples, Huffman
+entropy coding, grayscale or 4:4:4 color (all sampling factors 1×1), no
+restart intervals; progressive (SOF2), arithmetic coding, chroma
+subsampling and video remain explicit ``NotImplementedError`` seams.
+
+The decoder is GENERAL for that scope: it walks the marker stream,
+reads quantization and Huffman tables from DQT/DHT (canonical
+code reconstruction — it decodes any table a writer embeds, not just
+this encoder's), Huffman-decodes DC diffs and AC run/size symbols with
+0xFF-stuffing-aware bit reads, dequantizes through the zigzag order,
+applies the 2-D IDCT and level shift, and clips to 8 bits.
+
+Exactness lever for oracle-checked queries: a JPEG whose 8×8 blocks are
+each CONSTANT, with DC quantizer 8, round-trips bit-exactly — the DCT of
+a constant block is DC-only (8·(v−128), AC ≈ 1e-13 quantizes to 0), the
+DC quantizes to the integer v−128 with no loss, and the IDCT returns the
+constant exactly (float error ~1e-14, far below the round boundary).  So
+a corpus of constant-block JPEGs has CLOSED-FORM decoded pixels, giving
+the lossy codec the same closed-form SQL oracle contract as the lossless
+PNG path, while the decode still exercises the full real machinery.
+
+Huffman tables: canonical tables embedded in DHT and read back by the
+decoder — DC categories 0..11 at 4 bits, all 256 AC run/size symbols at
+9 bits (code space 256/512, the all-ones code unused as the spec
+requires).  Interoperable baseline JPEG: any standard reader decodes
+these files.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants
+# ---------------------------------------------------------------------------
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The standard JPEG zigzag order, generated from the diagonal rule
+    (even diagonals walk up-right, odd walk down-left) instead of a
+    transcribed table."""
+    order = []
+    for d in range(15):
+        diag = [(u, d - u) for u in range(max(0, d - 7), min(d, 7) + 1)]
+        order.extend(diag if d % 2 == 1 else diag[::-1])
+    return order
+
+
+ZIGZAG = _zigzag()
+
+#: DCT basis: A[u, x] = c(u)/2 · cos((2x+1)uπ/16); S = A·s·Aᵀ, s = Aᵀ·S·A
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+#: quantization table (zigzag index order): DC step 8 (makes constant
+#: blocks lossless), AC step 16
+QTABLE_ZZ = np.array([8] + [16] * 63, dtype=np.int32)
+
+# canonical Huffman specs: {symbol: (code, length)}.  The AC alphabet is
+# the standard 162-symbol set (EOB, ZRL, run 0..15 × size 1..10 — a DHT
+# BITS entry is one byte, so a single length can carry at most 255
+# codes; 162 9-bit codes use 162/512 of the code space and leave the
+# all-ones code unused as the spec requires).
+_DC_SYMBOLS = list(range(12))  # DC size categories, 4-bit codes
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_DC_CODES = {s: (i, 4) for i, s in enumerate(_DC_SYMBOLS)}
+_AC_CODES = {s: (i, 9) for i, s in enumerate(sorted(_AC_SYMBOLS))}
+
+
+def _dht_payload(table_class: int, table_id: int, codes: dict[int, tuple[int, int]]) -> bytes:
+    """DHT segment body: Tc/Th, BITS[1..16], then symbols in code order."""
+    by_len: dict[int, list[int]] = {}
+    for sym, (code, length) in codes.items():
+        by_len.setdefault(length, []).append((code, sym))
+    bits = bytes((len(by_len.get(ln, [])) for ln in range(1, 17)))
+    vals = bytes(
+        sym
+        for ln in range(1, 17)
+        for _, sym in sorted(by_len.get(ln, []))
+    )
+    return bytes([(table_class << 4) | table_id]) + bits + vals
+
+
+# ---------------------------------------------------------------------------
+# bit-level I/O (0xFF byte stuffing)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.buf[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _receive_extend(r: _BitReader, size: int) -> int:
+    """JPEG RECEIVE/EXTEND: ``size`` magnitude bits → signed value."""
+    if size == 0:
+        return 0
+    v = r.read_bits(size)
+    if v < (1 << (size - 1)):  # negative branch (one's complement)
+        v -= (1 << size) - 1
+    return v
+
+
+def _category(v: int) -> int:
+    """Bit length of |v| (JPEG size category)."""
+    return int(abs(v)).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_baseline_jpeg(px: np.ndarray) -> bytes:
+    """8-bit baseline JPEG bytes from an (h, w) grayscale array (or
+    (h, w, 1)).  Dimensions are padded to 8-multiples by edge
+    replication; the decoder crops back using the SOF dimensions."""
+    px = np.asarray(px)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    if px.ndim != 2:
+        raise NotImplementedError(
+            "encode_baseline_jpeg writes grayscale only (color encode is "
+            "outside the fixture scope; the DECODER handles 4:4:4 color)"
+        )
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    q = np.empty((8, 8), dtype=np.float64)
+    for idx, (u, v) in enumerate(ZIGZAG):
+        q[u, v] = QTABLE_ZZ[idx]
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coefs = _A @ block @ _A.T
+            qz = np.round(coefs / q).astype(np.int64)
+            zz = [int(qz[u, v]) for (u, v) in ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            cat = _category(diff)
+            code, ln = _DC_CODES[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _AC_CODES[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size = _category(zz[k])
+                code, ln = _AC_CODES[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(
+                    zz[k] if zz[k] >= 0 else zz[k] + (1 << size) - 1, size
+                )
+                run = 0
+            if run:
+                code, ln = _AC_CODES[0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in QTABLE_ZZ))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(0xC4, _dht_payload(0, 0, _DC_CODES)) + seg(
+        0xC4, _dht_payload(1, 0, _AC_CODES)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _build_huffman(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical reconstruction: {(length, code): symbol} from DHT
+    BITS/HUFFVAL (the JPEG Generate_size_table/Generate_code_table
+    procedure)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
+    """Pixels of a baseline JPEG: (h, w) uint8 for grayscale, (h, w, 3)
+    RGB for 4:4:4 color.  Raises ``NotImplementedError`` for progressive
+    / arithmetic / subsampled / restart-interval streams — the remaining
+    codec seam (with video)."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(comp_id, qid)])
+    scan_comps = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        seglen = struct.unpack(">H", buf[pos + 2 : pos + 4])[0]
+        body = buf[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                qtables[tq] = np.frombuffer(
+                    body[o + 1 : o + 65], dtype=np.uint8
+                ).astype(np.int32)
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = body[o + 1 : o + 17]
+                n = sum(bits)
+                vals = body[o + 17 : o + 17 + n]
+                htables[(tc, th)] = _build_huffman(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling (sampling factors != 1x1)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1,):  # extended sequential — same decode path
+            raise NotImplementedError("extended sequential JPEG (SOF1)")
+        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG (SOF2/6/10/14)")
+        elif marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError("lossless/arithmetic JPEG variants")
+        elif marker == 0xDD:
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            break
+        # APPn/COM/others: skipped
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    qt_by_cid = {cid: qtables[tq] for cid, tq in comps}
+    r = _BitReader(buf, pos)
+    nby, nbx = -(-h // 8), -(-w // 8)
+    planes = {
+        cid: np.empty((nby * 8, nbx * 8), dtype=np.float64) for cid, _ in comps
+    }
+    q_spatial = {}
+    for cid, _ in comps:
+        qs = np.empty((8, 8), dtype=np.float64)
+        for idx, (u, v) in enumerate(ZIGZAG):
+            qs[u, v] = qt_by_cid[cid][idx]
+        q_spatial[cid] = qs
+    prev_dc = {cid: 0 for cid, _ in comps}
+    for by in range(nby):
+        for bx in range(nbx):
+            for cid, dc_id, ac_id in scan_comps:
+                dc_tab = htables[(0, dc_id)]
+                ac_tab = htables[(1, ac_id)]
+                s = np.zeros((8, 8), dtype=np.float64)
+                cat = _decode_symbol(r, dc_tab)
+                prev_dc[cid] += _receive_extend(r, cat)
+                s[0, 0] = prev_dc[cid]
+                k = 1
+                while k < 64:
+                    sym = _decode_symbol(r, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    u, v = ZIGZAG[k]
+                    s[u, v] = _receive_extend(r, size)
+                    k += 1
+                block = _A.T @ (s * q_spatial[cid]) @ _A + 128.0
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = [
+        np.clip(np.round(planes[cid][:h, :w]), 0, 255).astype(np.uint8)
+        for cid, _ in comps
+    ]
+    if len(out) == 1:
+        return out[0]
+    if len(out) != 3:
+        raise NotImplementedError(f"{len(out)}-component JPEG")
+    y, cb, cr = (p.astype(np.float64) for p in out)
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixtures (closed-form decoded pixels)
+# ---------------------------------------------------------------------------
+
+
+def make_jpeg_image(image_id: int) -> bytes:
+    """Deterministic REAL baseline JPEG from an integer id: width =
+    8·(id%3+1), height = 8·(id%2+1), every 8×8 block CONSTANT at
+    v(bx, by) = (id·11 + 13·bx + 29·by) mod 256 — the exact-round-trip
+    construction (module docstring), so decoded pixel (x, y) =
+    v(x//8, y//8) in closed form for the SQL oracle."""
+    w, h = 8 * (image_id % 3 + 1), 8 * (image_id % 2 + 1)
+    bx = np.arange(w // 8).reshape(1, -1)
+    by = np.arange(h // 8).reshape(-1, 1)
+    v = (image_id * 11 + 13 * bx + 29 * by) % 256
+    px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+    return encode_baseline_jpeg(px)

@@ -75,3 +75,116 @@ def gram_matrix(
         .groupBy("i", "j")
         .agg(F.sum("partial").alias("gram"))
     )
+
+
+def gram_matrix_exact(
+    df: DataFrame, vec_col: str = "embedding", upper_only: bool = True
+) -> DataFrame:
+    """Bit-deterministic Gram: per-row contributions rounded to 12 dp and
+    DECIMAL-summed, so both engines agree independent of row order —
+    the variant an eigensolve can consume without float drift amplifying
+    through the iterations (the blocked-BLAS ``gram_matrix`` is the raw
+    throughput twin; its partial sums carry a different association).
+
+    Scale shape is UNCHANGED despite the row-wise pair explode: the
+    explode feeds a hash aggregate keyed on (i, j) — d(d+1)/2 keys — so
+    map-side partial aggregation (whole-stage codegen) reduces each
+    partition to ≤ d² decimal partials before the shuffle, exactly the
+    traffic of the blocked version."""
+    vecs = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    e1 = vecs.select(F.posexplode("v").alias("i", "xi"), "v")
+    e2 = e1.select("i", "xi", F.posexplode("v").alias("j", "xj"))
+    if upper_only:
+        e2 = e2.where(F.col("i") <= F.col("j"))
+    return e2.groupBy("i", "j").agg(
+        F.sum(F.round(F.col("xi") * F.col("xj"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("gram")
+    )
+
+
+def mirror_full(gram_upper: DataFrame) -> DataFrame:
+    """Upper-triangle (i <= j) Gram rows → the full symmetric matrix."""
+    low = gram_upper.where(F.col("i") < F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "gram"
+    )
+    return gram_upper.unionByName(low)
+
+
+def gram_power_components(
+    gram_upper: DataFrame, dim: int, k: int = 2, iters: int = 8
+) -> DataFrame:
+    """Top-``k`` eigenvectors of a d×d Gram TABLE via power iteration +
+    Hotelling deflation — the eigsolve stage of Gram → eigsolve →
+    project.  Everything here operates on d²-row (broadcast-sized)
+    state; the corpus is never rescanned, which is the entire point of
+    materializing the Gram first at 100 TB.
+
+    Returns (comp_idx INT, i INT, vc DOUBLE, eigenvalue DOUBLE): unit
+    eigenvector components at 12 dp and the ‖u‖ Rayleigh estimate in
+    Gram scale.  Determinism contract as operators/pca.py: round-12 +
+    DECIMAL casts before every sum, per-iteration localCheckpoint, so a
+    generated SQL oracle can replay each iteration bit-for-bit."""
+    g = mirror_full(gram_upper).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    spark = gram_upper.sparkSession
+    for c in range(k):
+        v = spark.range(dim).select(
+            F.col("id").cast("int").alias("i"),
+            F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("vc"),
+        )
+        nrm: DataFrame | None = None
+        for _ in range(iters):
+            vj = v.select(F.col("i").alias("__j"), "vc")
+            u = (
+                g.join(F.broadcast(vj), F.col("j") == F.col("__j"))
+                .groupBy("i")
+                .agg(
+                    F.sum(
+                        F.round(F.col("gram") * F.col("vc"), 12).cast(
+                            "decimal(38,12)"
+                        )
+                    )
+                    .cast("double")
+                    .alias("u")
+                )
+            )
+            nrm = u.agg(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
+                    ).cast("double")
+                ).alias("nrm")
+            )
+            v = (
+                u.crossJoin(F.broadcast(nrm))
+                .select("i", F.round(F.col("u") / F.col("nrm"), 12).alias("vc"))
+                .localCheckpoint(eager=True)
+            )
+        comp = v.crossJoin(F.broadcast(nrm)).select(
+            F.lit(c).cast("int").alias("comp_idx"),
+            "i",
+            "vc",
+            F.col("nrm").alias("eigenvalue"),
+        )
+        out = comp if out is None else out.unionByName(comp)
+        if c < k - 1:
+            a = v.select(F.col("i").alias("__ai"), F.col("vc").alias("va"))
+            b = v.select(F.col("i").alias("__bi"), F.col("vc").alias("vb"))
+            g = (
+                g.join(F.broadcast(a), F.col("i") == F.col("__ai"))
+                .join(F.broadcast(b), F.col("j") == F.col("__bi"))
+                .crossJoin(F.broadcast(nrm))
+                .select(
+                    "i",
+                    "j",
+                    F.round(
+                        F.col("gram") - F.col("nrm") * F.col("va") * F.col("vb"),
+                        12,
+                    ).alias("gram"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return out

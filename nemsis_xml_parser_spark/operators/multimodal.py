@@ -2,11 +2,13 @@
 with typed metadata (north-star extension).
 
 The Spark-side machinery — schema, binaryFile scan, Arrow-batched pandas
-UDFs over ``mapInPandas``, partition sizing — is real and tested; the
-actual media decode is STUBBED (this container has no image/audio libs):
-``decode_image_meta`` parses only well-known header bytes deterministically
-and raises ``NotImplementedError`` for real codec work, clearly marking the
-seam where pillow/ffmpeg plug in on a production cluster.
+UDFs over ``mapInPandas``, partition sizing — is real and tested.  Media
+decode is REAL, library-free, for three codecs: PNG (stdlib zlib + the
+five scanline filters, ``decode_png_pixels``), 16-bit PCM WAV
+(``decode_wav_samples``), and baseline JPEG (Huffman + IDCT,
+``operators/jpeg.py``).  Progressive JPEG, chroma subsampling, and video
+frames still raise ``NotImplementedError`` at clearly-marked seams where
+pillow/ffmpeg plug in on a production cluster.
 
 Design for 100 TB of media:
 * one row per object via ``binaryFile`` (no shuffle to ingest);
@@ -110,9 +112,12 @@ def _jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
 def decode_image_meta(content: bytes) -> tuple[int | None, int | None, str | None]:
     """Header-only decode: width/height for PNG (IHDR), JPEG (SOF marker
     walk), GIF (logical screen descriptor), BMP (DIB header) — all pure
-    byte parsing, no image library.  Pixel-level decode (video frames,
-    audio samples, progressive rendering) still requires a real codec and
-    raises ``NotImplementedError`` at that seam."""
+    byte parsing, no image library.  Pixel-level decode is REAL for PNG
+    (``decode_png_pixels``), 16-bit PCM WAV (``decode_wav_samples``) and
+    baseline JPEG (``operators/jpeg.py::decode_baseline_jpeg`` — Huffman
+    + IDCT, grayscale/4:4:4); progressive JPEG, chroma subsampling and
+    video still require a real codec and raise ``NotImplementedError`` at
+    that seam."""
     if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
         width, height = struct.unpack(">II", content[16:24])
         return int(width), int(height), "png"
@@ -972,3 +977,59 @@ def wav_energy_segments(media: DataFrame, frame: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(seg, schema=ENERGY_SEG_SCHEMA)
+
+
+def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of REAL baseline JPEGs (operators/jpeg.py —
+    constant-block construction with closed-form decoded pixels) from an
+    id column — MEDIA_SCHEMA output, Arrow-batched."""
+    from .jpeg import make_jpeg_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_jpeg_image(int(i))
+                rows.append((str(int(i)), "image/jpeg", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Pixel statistics via the REAL baseline-JPEG decode path (marker
+    walk, DQT/DHT table reads, Huffman, dequant, IDCT): one narrow row
+    per image, blobs dropped on output.  ``path`` must carry the integer
+    image id (synthesize_jpeg_media's contract).  Output shape matches
+    ``png_pixel_stats`` (PIXEL_STATS_SCHEMA); grayscale means
+    n_subpixels = width·height."""
+    from .jpeg import decode_baseline_jpeg
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_baseline_jpeg(bytes(content))
+                h, w = px.shape[:2]
+                rows.append(
+                    (
+                        int(path),
+                        w,
+                        h,
+                        int(px.size),
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height",
+                    "n_subpixels", "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)

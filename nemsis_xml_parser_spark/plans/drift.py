@@ -443,3 +443,142 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return power_iteration_top_component(e, dim=64, iters=3)
+
+
+def _pca_projection_oracle(dim: int = 64, iters: int = 8, k: int = 2) -> str:
+    """Generated oracle for the full Gram → eigsolve → project pass:
+    exact-decimal Gram, every power iteration and the Hotelling
+    deflation replayed as MATERIALIZED CTEs (DuckDB inlines plain CTEs —
+    NOTES gotcha 11), identical rounding at every step."""
+    blocks = [
+        "emb AS (SELECT vec_id, label, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS x FROM embeddings)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM emb)",
+        f"dims AS (SELECT UNNEST(range({dim})) AS i)",
+        "mu_i AS (SELECT d.i, CAST(SUM(CAST(ROUND(x[d.i + 1], 12) AS "
+        "DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn) AS m "
+        "FROM emb, dims d GROUP BY d.i)",
+        "muv AS (SELECT list(m ORDER BY i) AS mu FROM mu_i)",
+        f"cent AS MATERIALIZED (SELECT vec_id, label, "
+        f"list_transform(range({dim}), j -> x[j + 1] - mu[j + 1]) AS x "
+        "FROM emb, muv)",
+        f"pairs AS (SELECT a.i AS i, b.j AS j FROM UNNEST(range({dim})) a(i), "
+        f"UNNEST(range({dim})) b(j) WHERE a.i <= b.j)",
+        "g_up AS (SELECT p.i, p.j, CAST(SUM(CAST(ROUND(x[p.i + 1] * "
+        "x[p.j + 1], 12) AS DECIMAL(38,12))) AS DOUBLE) AS gram "
+        "FROM cent, pairs p GROUP BY 1, 2)",
+        "g0 AS MATERIALIZED (SELECT i, j, gram FROM g_up "
+        "UNION ALL SELECT j AS i, i AS j, gram FROM g_up WHERE i < j)",
+    ]
+    for c in range(k):
+        blocks.append(
+            f"c{c}v0 AS (SELECT d.i, CASE WHEN d.i = 0 THEN 1.0 ELSE 0.0 END "
+            "AS vc FROM dims d)"
+        )
+        for t in range(1, iters + 1):
+            blocks += [
+                f"c{c}u{t} AS MATERIALIZED (SELECT g.i, "
+                "CAST(SUM(CAST(ROUND(g.gram * v.vc, 12) AS DECIMAL(38,12))) "
+                f"AS DOUBLE) AS u FROM g{c} g JOIN c{c}v{t - 1} v "
+                "ON g.j = v.i GROUP BY g.i)",
+                f"c{c}n{t} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST("
+                "ROUND(u * u, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm "
+                f"FROM c{c}u{t})",
+                f"c{c}v{t} AS MATERIALIZED (SELECT i, ROUND(u / nrm, 12) "
+                f"AS vc FROM c{c}u{t}, c{c}n{t})",
+            ]
+        if c < k - 1:
+            blocks.append(
+                f"g{c + 1} AS MATERIALIZED (SELECT g.i, g.j, "
+                f"ROUND(g.gram - (SELECT nrm FROM c{c}n{iters}) * a.vc * b.vc, "
+                f"12) AS gram FROM g{c} g "
+                f"JOIN c{c}v{iters} a ON g.i = a.i "
+                f"JOIN c{c}v{iters} b ON g.j = b.i)"
+            )
+    blocks += [
+        "ce AS MATERIALIZED (SELECT vec_id, label, d.i, x[d.i + 1] AS ci "
+        "FROM cent, dims d)",
+    ]
+    ys = []
+    for c in range(k):
+        blocks.append(
+            f"y{c} AS (SELECT vec_id, CAST(SUM(CAST(ROUND(ci * v.vc, 12) AS "
+            f"DECIMAL(38,12))) AS DOUBLE) AS y FROM ce JOIN c{c}v{iters} v "
+            "ON ce.i = v.i GROUP BY vec_id)"
+        )
+        ys.append(f"ROUND(y{c}.y, 6) AS y{c + 1}")
+    joins = " ".join(f"JOIN y{c} ON y{c}.vec_id = e.vec_id" for c in range(k))
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT e.vec_id, e.label, {", ".join(ys)}
+FROM (SELECT DISTINCT vec_id, label FROM emb) e {joins}
+"""
+    )
+
+
+@register(
+    "embedding_pca_projection",
+    family="similarity",
+    doc="The FULL dimensionality-reduction pass a curation pipeline runs, "
+    "composing the two primitives that exist separately as "
+    "embedding_gram_matrix and embedding_pca_power: exact-decimal Gram of "
+    "the centered cloud (operators/linalg.py::gram_matrix_exact — "
+    "pair-explode into a (i,j)-keyed hash aggregate, so map-side combine "
+    "keeps shuffle traffic at d² per partition like the blocked-BLAS "
+    "twin), then the eigsolve ON THE d×d TABLE (gram_power_components — "
+    "8 power iterations + Hotelling deflation for the top 2 components, "
+    "all state broadcast-sized, corpus never rescanned), then one "
+    "corpus-scan projection onto the component pair.  Deterministic "
+    "end-to-end (round-12 + DECIMAL sums at every step); the generated "
+    "oracle replays the Gram, all 16 iterations, the deflation and the "
+    "projection as MATERIALIZED CTEs.  Output: (vec_id, label, y1, y2) — "
+    "the 2-D embedding of every vector.",
+    oracle=_pca_projection_oracle(),
+)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import gram_matrix_exact, gram_power_components
+
+    dim, iters, k = 64, 8, 2
+    e = table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    base = e.select("vec_id", "label", x.alias("x"))
+    # exact decimal column means -> centered cloud (broadcast 1-row mu)
+    mu_i = (
+        base.select(F.posexplode("x").alias("i", "xi"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.round(F.col("xi"), 12).cast("decimal(38,12)")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("i", (F.col("sx").cast("double") / F.col("n")).alias("m"))
+    )
+    muv = mu_i.agg(
+        F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s")
+    ).select(F.transform("s", lambda s: s["m"]).alias("mu"))
+    cent = (
+        base.crossJoin(F.broadcast(muv))
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with("x", "mu", lambda a, b: a - b).alias("x"),
+        )
+        .localCheckpoint(eager=True)  # consumed by the Gram AND the projection
+    )
+    gram = gram_matrix_exact(cent, "x", upper_only=True)
+    comps = gram_power_components(gram, dim=dim, k=k, iters=iters)
+    ce = cent.select("vec_id", "label", F.posexplode("x").alias("i", "ci"))
+    proj = (
+        ce.join(F.broadcast(comps.select("comp_idx", "i", "vc")), "i")
+        .groupBy("vec_id", "label", "comp_idx")
+        .agg(
+            F.sum(F.round(F.col("ci") * F.col("vc"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    return proj.groupBy("vec_id", "label").agg(
+        F.round(F.max(F.when(F.col("comp_idx") == 0, F.col("y"))), 6).alias("y1"),
+        F.round(F.max(F.when(F.col("comp_idx") == 1, F.col("y"))), 6).alias("y2"),
+    )

@@ -794,10 +794,18 @@ RULES_TOP = 20
     "Top-20 by (ROUND(lift,6) DESC, antecedent, consequent) via "
     "orderBy().limit(); ratios are rationals of exact counts rounded "
     "at the edge, so ordering and values agree across engines.  "
-    "Scale shape: the pair expansion is bounded by basket size (≤7 "
-    "items ⇒ ≤21 pairs per order), pair counts shuffle once on "
-    "(a, b), item counts join back by key, the basket total rides a "
-    "broadcast cross join.",
+    "Scale shape (r6): the pair expansion goes through the A-PRIORI "
+    "prune (operators/apriori.py::pair_supports) — items below the "
+    "pair-support floor are dropped by a broadcast semi-join BEFORE "
+    "the self-join (lossless by anti-monotonicity: support(a,b) <= "
+    "min(support(a), support(b)), so the surviving pair counts and "
+    "hashes are identical), bounding per-basket fan-out by FREQUENT-"
+    "item width instead of raw width — the guard against the hot "
+    "basket that turns the naive join quadratic.  Pair counts then "
+    "shuffle once on (a, b), item counts join back by key, the "
+    "basket total rides a broadcast cross join.  The oracle "
+    "intentionally keeps the unpruned all-pairs formulation: "
+    "equality IS the losslessness proof.",
     oracle=f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
@@ -833,18 +841,23 @@ def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # five consumers (basket total, item counts, the a-priori prune
+        # and both pair sides) — materialize the distinct ONCE instead
+        # of replanning it per branch (0 ReusedExchange otherwise)
+        .localCheckpoint(eager=True)
     )
     nb = li.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n"))
     ic = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
-    pc = (
-        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .where(F.col("c") >= RULES_MINSUP)
+    from ..operators.apriori import pair_supports
+
+    pc = pair_supports(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        RULES_MINSUP,
+        item_counts=ic.select("l_partkey", "c"),
     )
     rules = pc.select(
         F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "c"
@@ -1382,3 +1395,56 @@ def events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("peak_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG decode (operators/jpeg.py) — lossy codec, exact oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_pixel_stats",
+    family="multimodal",
+    doc="REAL baseline-JPEG decode with nothing but stdlib struct + numpy "
+    "(operators/jpeg.py::decode_baseline_jpeg — marker walk, DQT/DHT "
+    "table reads with canonical Huffman reconstruction, 0xFF-stuffing-"
+    "aware entropy decode of DC diffs + AC run/size symbols, dequantize "
+    "through zigzag, 2-D IDCT, level shift): a deterministic corpus of "
+    "genuine interleaved-Huffman JPEGs is synthesized from doc_id and "
+    "decoded back inside Arrow-batched mapInPandas.  The lossy codec "
+    "gets an EXACT closed-form oracle via the constant-block "
+    "construction: every 8x8 block is constant at v(bx,by) = "
+    "(id*11+13bx+29by) mod 256 with DC quantizer 8, so the DCT is "
+    "DC-only, the DC quantizes losslessly, and decoded pixel (x,y) = "
+    "v(x//8,y//8) exactly — any drift in Huffman tables, bit order, "
+    "byte stuffing, zigzag, dequantization or the IDCT breaks the "
+    "hash.  Narrows the codec seam to progressive/subsampled/video.  "
+    "Blobs never leave the executor batch.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 2 + 1) AS h
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, w, h,
+         (doc_id * 11 + 13 * bxs.bx + 29 * bys.by) % 256 AS v
+  FROM dims,
+       UNNEST(range(0, w // 8)) AS bxs(bx),
+       UNNEST(range(0, h // 8)) AS bys(by)
+)
+SELECT doc_id AS image_id,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height,
+       CAST(MIN(w) * MIN(h) AS BIGINT) AS n_subpixels,
+       CAST(SUM(v) * 64 AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM blocks
+GROUP BY doc_id
+""",
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_pixel_stats, synthesize_jpeg_media
+
+    d = table(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(synthesize_jpeg_media(d.select("doc_id")))

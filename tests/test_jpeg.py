@@ -1,0 +1,147 @@
+"""Baseline JPEG codec (operators/jpeg.py): Huffman + IDCT, stdlib only."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from nemsis_xml_parser_spark.operators import jpeg as J
+
+
+def test_constant_block_roundtrip_exact():
+    # the closed-form construction behind the oracle: constant 8x8
+    # blocks with DC quantizer 8 must round-trip bit-exactly
+    for iid in [0, 1, 2, 7, 13, 100, 255, 999]:
+        px = J.decode_baseline_jpeg(J.make_jpeg_image(iid))
+        w, h = 8 * (iid % 3 + 1), 8 * (iid % 2 + 1)
+        bx = np.arange(w // 8).reshape(1, -1)
+        by = np.arange(h // 8).reshape(-1, 1)
+        want = np.repeat(
+            np.repeat((iid * 11 + 13 * bx + 29 * by) % 256, 8, 0), 8, 1
+        )
+        assert px.shape == (h, w)
+        assert (px == want).all()
+
+
+def test_lossy_roundtrip_bounded_error():
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    dec = J.decode_baseline_jpeg(J.encode_baseline_jpeg(img))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # worst case bounded by quantizer geometry (AC step 16)
+    assert err.max() <= 64 and err.mean() < 8
+
+
+def test_smooth_gradient_near_exact():
+    gx = (np.tile(np.arange(32), (16, 1)) * 4).astype(np.uint8)
+    dec = J.decode_baseline_jpeg(J.encode_baseline_jpeg(gx))
+    assert np.abs(dec.astype(int) - gx.astype(int)).max() <= 4
+
+
+def test_odd_dimensions_pad_and_crop():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+    dec = J.decode_baseline_jpeg(J.encode_baseline_jpeg(img))
+    assert dec.shape == (13, 21)
+
+
+def test_idct_matches_independent_definition():
+    # decode-path IDCT (matrix form A.T @ S @ A) vs the textbook
+    # per-pixel cosine double sum — two independent evaluation orders
+    rng = np.random.RandomState(3)
+    S = rng.randint(-512, 512, (8, 8)).astype(np.float64)
+
+    def idct_reference(S):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv / 4.0 * S[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = acc
+        return out
+
+    got = J._A.T @ S @ J._A
+    assert np.abs(got - idct_reference(S)).max() < 1e-9
+
+
+def test_golden_bytes_stable():
+    # byte-identical synthesis across calls and runs (fixture contract)
+    buf = J.make_jpeg_image(7)
+    assert buf == J.make_jpeg_image(7)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    assert (
+        hashlib.md5(buf).hexdigest() == "e68d1f3478a99afcba94b424aaa63fd6"
+    )
+
+
+def test_progressive_and_subsampled_raise():
+    buf = bytearray(J.make_jpeg_image(1))
+    sof = buf.find(b"\xff\xc0")
+    assert sof > 0
+    prog = bytes(buf[:sof]) + b"\xff\xc2" + bytes(buf[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode_baseline_jpeg(prog)
+    sub = bytearray(buf)
+    sub[sof + 2 + 2 + 6 + 1] = 0x22  # sampling factors 2x2
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        J.decode_baseline_jpeg(bytes(sub))
+    color = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        J.encode_baseline_jpeg(color)
+
+
+def test_restart_interval_raises():
+    buf = J.make_jpeg_image(1)
+    sos = buf.find(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)  # Ri = 8
+    patched = buf[:sos] + dri + buf[sos:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        J.decode_baseline_jpeg(patched)
+
+
+def test_byte_stuffing_roundtrip():
+    # the bit layer must stuff 0x00 after emitted 0xFF bytes and the
+    # reader must transparently strip it
+    bw = J._BitWriter()
+    for _ in range(4):
+        bw.write(0xFF, 8)      # guaranteed stuffed bytes
+    bw.write(0b101, 3)
+    out = bw.flush()
+    assert out.count(b"\xff\x00") == 4
+    r = J._BitReader(out, 0)
+    for _ in range(4):
+        assert r.read_bits(8) == 0xFF
+    assert r.read_bits(3) == 0b101
+
+
+def test_decoder_reads_tables_from_stream():
+    # swap in a DIFFERENT (still canonical) DC table: 12 symbols at
+    # 5 bits instead of 4.  A decoder that assumed the encoder's table
+    # instead of reading DHT would mis-decode; the stream carries the
+    # new table, so decode must stay exact.
+    iid = 13
+    orig_codes = J._DC_CODES
+    try:
+        J._DC_CODES = {s: (i, 5) for i, s in enumerate(range(12))}
+        buf = J.make_jpeg_image(iid)
+    finally:
+        J._DC_CODES = orig_codes
+    px = J.decode_baseline_jpeg(buf)
+    w, h = 8 * (iid % 3 + 1), 8 * (iid % 2 + 1)
+    bx = np.arange(w // 8).reshape(1, -1)
+    by = np.arange(h // 8).reshape(-1, 1)
+    want = np.repeat(
+        np.repeat((iid * 11 + 13 * bx + 29 * by) % 256, 8, 0), 8, 1
+    )
+    assert (px == want).all()

@@ -55,6 +55,7 @@ JUSTIFIED_BNLJ = {
     "quality_ks_drift",            # broadcast bounded bin frame + 1-row scalars
     "quality_mutual_information",  # broadcast 1-row entropy/total scalars
     "embedding_pca_power",         # broadcast 1-row iterate/mean vectors
+    "embedding_pca_projection",    # broadcast 1-row mu vector + norm scalars
     "multimodal_luminance_histogram",  # broadcast 1-row pixel-total scalar
     "curation_mixture_weights",    # broadcast 1-row weight/token-total scalars
     "graph_triangle_count",        # broadcast 1-row edge/triangle-count scalars
