@@ -76,6 +76,11 @@ HEADLINE = [
     "multimodal_phash_groups",
     "window_scalable_running_total",
     "embedding_gram_matrix",
+    # round 6 flagships (subtract when comparing totals vs earlier rounds)
+    "embedding_pca_projection",
+    "sketch_hll_mergeable",
+    "multimodal_jpeg_pixel_stats",
+    "mine_association_rules",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Exactly-once streaming JDBC sink (streaming/sink.py): transactional
+batch-id idempotence proven by a forced crash-after-commit and a
+checkpoint-restart replay against live DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from nemsis_xml_parser_spark.operators.dbapi import DuckTxnConnection
+from nemsis_xml_parser_spark.streaming.sink import (
+    COMMITS_TABLE,
+    exactly_once_batch_writer,
+    stream_to_jdbc_exactly_once,
+)
+
+CREATE_TARGET = (
+    'CREATE TABLE IF NOT EXISTS "events_wh" '
+    '("event_id" BIGINT, "event_type" TEXT);'
+)
+
+
+def _factory(db_path):
+    return lambda: DuckTxnConnection(str(db_path))
+
+
+def _count(db_path, table):
+    con = duckdb.connect(str(db_path))
+    try:
+        return con.execute(f'SELECT COUNT(*) FROM "{table}"').fetchone()[0]
+    except duckdb.CatalogException:
+        return 0  # rolled back before the table ever committed
+    finally:
+        con.close()
+
+
+def test_replayed_batch_id_is_skipped(spark, tmp_path):
+    db = tmp_path / "wh.db"
+    writer = exactly_once_batch_writer(
+        _factory(db), "events_wh", ["event_id", "event_type"], "s1",
+        create_sql=CREATE_TARGET,
+    )
+    batch = spark.range(10).select(
+        F.col("id").alias("event_id"), F.lit("click").alias("event_type")
+    )
+    writer(batch, 0)
+    writer(batch, 0)  # at-least-once redelivery of the same epoch
+    assert _count(db, "events_wh") == 10
+    assert _count(db, COMMITS_TABLE) == 1
+    writer(batch, 1)  # a NEW epoch does append
+    assert _count(db, "events_wh") == 20
+
+
+def test_rollback_removes_rows_and_marker_together(spark, tmp_path):
+    db = tmp_path / "wh.db"
+    con = duckdb.connect(str(db))
+    con.execute(
+        'CREATE TABLE "events_wh" ("event_id" BIGINT PRIMARY KEY, '
+        '"event_type" TEXT);'
+    )
+    con.close()
+    writer = exactly_once_batch_writer(
+        _factory(db), "events_wh", ["event_id", "event_type"], "s1"
+    )
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "event_id long, event_type string"
+    )  # PK violation mid-batch
+    with pytest.raises(Exception):
+        writer(bad, 0)
+    # the failed transaction left NEITHER data nor a ledger marker
+    assert _count(db, "events_wh") == 0
+    assert _count(db, COMMITS_TABLE) == 0
+    # the retry (same batch_id, fixed data) applies cleanly
+    good = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "event_id long, event_type string"
+    )
+    writer(good, 0)
+    assert _count(db, "events_wh") == 2
+    assert _count(db, COMMITS_TABLE) == 1
+
+
+def test_crash_after_commit_then_restart_no_duplicates(spark, tmp_path):
+    """The real two-lifetime proof: lifetime 1 commits batch 0 to the
+    warehouse, then dies BEFORE Spark's checkpoint advances (the
+    at-least-once window).  Lifetime 2 restarts from the checkpoint,
+    Spark re-delivers batch 0, and the ledger makes the replay a no-op —
+    warehouse row count unchanged."""
+    src = tmp_path / "src"
+    spark.range(100).select(
+        F.col("id").alias("event_id"), F.lit("view").alias("event_type")
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    db = tmp_path / "wh.db"
+    cp = str(tmp_path / "cp")
+
+    def crash(batch_id):  # fires after the DB commit
+        raise RuntimeError("simulated crash between sink commit and checkpoint")
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_to_jdbc_exactly_once(
+        stream, _factory(db), "events_wh", ["event_id", "event_type"],
+        sink_id="s1", checkpoint=cp, create_sql=CREATE_TARGET,
+        after_commit=crash,
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    # lifetime 1 DID commit before dying
+    assert _count(db, "events_wh") == 100
+    assert _count(db, COMMITS_TABLE) == 1
+
+    # lifetime 2: same checkpoint, no crash hook
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    q2 = stream_to_jdbc_exactly_once(
+        stream2, _factory(db), "events_wh", ["event_id", "event_type"],
+        sink_id="s1", checkpoint=cp, create_sql=CREATE_TARGET,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert _count(db, "events_wh") == 100  # replay deduped — exactly once
+    assert _count(db, COMMITS_TABLE) == 1
