@@ -45,13 +45,20 @@ def asof_join(
     ts: str,
     right_order: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join via union + fill-forward window.
+    """As-of join via union + fill window.
 
-    Returns ``left`` with ``value_cols`` from the latest right row at or
-    before the left row's ``ts`` (NULL when none).  Exactly one shuffle
-    (hash on ``key``), then a single window pass — scales linearly.
+    ``direction="backward"`` (default): ``value_cols`` from the LATEST
+    right row at or before the left row's ``ts``.
+    ``direction="forward"``: from the EARLIEST right row at or after it
+    (the next-event lookup — e.g. "first signup following this view").
+    NULL when no such row.  Exactly one shuffle (hash on ``key``), then
+    a single window pass — scales linearly; forward is the same pass
+    with the time axis reversed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right = _dedupe_right(right, key, ts, right_order)
     lcols = left.columns
     l_tag = left.withColumn("__is_left", F.lit(1))
@@ -61,10 +68,11 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # right rows sort before left rows at the same ts so "at or before"
-    # includes exact-ts matches
+    # (resp. "at or after") includes exact-ts matches
+    ts_ord = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
+        .orderBy(ts_ord, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Fill forward ONE struct carrying all value columns: the struct is

@@ -1,0 +1,717 @@
+"""Round-6 additions: interval concurrency sweep, A/B z-test,
+Kneser–Ney bigram smoothing, forward as-of join, Jensen–Shannon drift.
+
+Registered after every earlier module so the rotation fronts them as
+never-recorded queries.  Oracle discipline per plans/registry.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# Concurrent-interval sweep (endpoint +1/−1 running sum)
+# ---------------------------------------------------------------------------
+
+SESSION_MINUTES = 15
+
+
+@register(
+    "window_session_concurrency",
+    family="window",
+    doc="Peak concurrency per day via the endpoint-sweep: each event "
+    "opens a 15-minute interval, every interval contributes a +1 at its "
+    "start and a −1 at its end, and the running sum of deltas in "
+    "(time, delta, event_id) order is the number of concurrently-open "
+    "intervals — the classic interval-stabbing reduction that answers "
+    "'how many sessions were live at once' without any interval×interval "
+    "join.  The −1 sorts before the +1 at equal timestamps, so "
+    "half-open [t, t+15m) intervals never double-count a boundary.  Both "
+    "endpoints of an interval land in the START day's partition, so each "
+    "day's sweep starts at zero and the window stays partitioned "
+    "(per-day; at 100 TB/day the same sweep runs through "
+    "operators/prefix_sum.py instead of a per-day window).  Deltas are "
+    "exact ints — no float anywhere.",
+    oracle=f"""
+WITH ev AS (SELECT event_id, ts FROM events),
+pts AS (
+  SELECT CAST(ts AS DATE) AS day, ts AS t, 1 AS delta, event_id FROM ev
+  UNION ALL
+  SELECT CAST(ts AS DATE) AS day,
+         ts + INTERVAL {SESSION_MINUTES} MINUTE AS t, -1 AS delta, event_id
+  FROM ev
+),
+run AS (
+  SELECT day, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t ASC, delta ASC,
+                          event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM pts
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+       CAST(MAX(conc) AS INT) AS peak_concurrency
+FROM run
+GROUP BY day
+""",
+)
+def window_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    start = ev.select(
+        F.to_date("ts").alias("day"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    end = ev.select(
+        F.to_date("ts").alias("day"),
+        F.expr(f"ts + INTERVAL {SESSION_MINUTES} MINUTE").alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = start.unionByName(end)
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", "delta", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.max("conc").cast("int").alias("peak_concurrency"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_two_proportion_ztest",
+    family="drift",
+    doc="A/B conversion readout: users hash-split into two variants "
+    "(md5 parity — the deterministic bucketing every experiment "
+    "framework uses), conversion = 13+ purchases (the per-user median, "
+    "so both rates are interior and the pooled variance is nonzero — "
+    "every user has SOME purchase in this corpus), and the "
+    "two-proportion z-statistic z = (pA − pB) / sqrt(p̂(1−p̂)(1/nA + "
+    "1/nB)) from the pooled rate — the standard significance gate on a "
+    "conversion experiment.  All inputs are exact per-variant user "
+    "counts (two aggregates over one scan); the z arithmetic is one "
+    "identical expression tree in both engines, rounded at the edge.",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 13 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+FROM agg
+""",
+)
+def quality_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 13
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "converted",
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    na, nb = F.col("n_a"), F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney smoothed bigram model
+# ---------------------------------------------------------------------------
+
+KN_D = 0.75
+KN_TOP = 20
+
+
+@register(
+    "text_kneser_ney_bigram",
+    family="text",
+    doc="Interpolated Kneser–Ney bigram probabilities — the smoothing "
+    "that actually powers n-gram LMs (importance weighting, perplexity "
+    "filters): P(w2|w1) = (c(w1,w2) − D)/c(w1) + D·N1+(w1,·)/c(w1) · "
+    "N1+(·,w2)/B, with absolute discount D = 0.75 and the CONTINUATION "
+    "count N1+(·,w2) (how many distinct contexts w2 follows) replacing "
+    "raw frequency in the backoff — the 'Francisco problem' fix.  All "
+    "five statistics are exact count aggregates over one bigram "
+    "explode; the probability is one identical expression tree both "
+    "engines, rounded at the edge.  Top-20 bigrams by count with full "
+    "tie-break via orderBy().limit() (TakeOrderedAndProject).",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1,
+              CAST(COUNT(*) AS BIGINT) AS n1f FROM c2 GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2),
+btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c2)
+SELECT c2.w1, c2.w2, n2, n1,
+       ROUND(((n2 - {KN_D}) / n1)
+             + (({KN_D} * n1f / n1) * (CAST(n1b AS DOUBLE) / b)), 6)
+         AS kn_prob
+FROM c2 JOIN c1 USING (w1) JOIN cont ON cont.w2 = c2.w2, btot
+ORDER BY n2 DESC, c2.w1 ASC, c2.w2 ASC
+LIMIT {KN_TOP}
+""",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2)))"
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n2").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    btot = c2.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    prob = ((F.col("n2") - F.lit(KN_D)) / F.col("n1")) + (
+        (F.lit(KN_D) * F.col("n1f") / F.col("n1"))
+        * (F.col("n1b").cast("double") / F.col("b"))
+    )
+    return (
+        c2.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "n2", "n1", F.round(prob, 6).alias("kn_prob"))
+        .orderBy(F.col("n2").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(KN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_forward",
+    family="join",
+    doc="FORWARD as-of join (operators/asof_join.py direction='forward'):"
+    " each non-signup event paired with the user's EARLIEST signup at "
+    "or after it — the next-event lookup (time-to-upgrade, "
+    "click-to-conversion latency) that mirrors asof_join_last_signup's "
+    "backward direction.  Same single-shuffle union + fill window with "
+    "the time axis reversed.  The oracle takes the independent "
+    "correlated-subquery formulation (DuckDB decorrelates it into a "
+    "join), so two different algorithms must agree row-for-row.",
+    oracle="""
+WITH signups AS (
+  SELECT user_id, ts, MAX(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id, ts
+),
+others AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type != 'signup'
+)
+SELECT o.event_id, o.user_id,
+       (SELECT s.signup_event_id FROM signups s
+        WHERE s.user_id = o.user_id AND s.ts >= o.ts
+        ORDER BY s.ts ASC LIMIT 1) AS next_signup_event_id
+FROM others o
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof_join import asof_join
+
+    e = table(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("next_signup_event_id"))
+        .withColumn("__ord", F.col("next_signup_event_id"))
+    )
+    joined = asof_join(
+        left,
+        right,
+        key="user_id",
+        ts="ts",
+        right_order="__ord",
+        value_cols=["next_signup_event_id"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "next_signup_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence per source vs the corpus
+# ---------------------------------------------------------------------------
+
+JS_BUCKET = 32
+JS_MAXB = 15
+
+
+@register(
+    "quality_js_divergence",
+    family="drift",
+    doc="Jensen–Shannon divergence of each source's token-length "
+    "distribution against the whole corpus — the symmetric, bounded "
+    "[0, ln 2] drift metric that completes the monitoring battery "
+    "beside PSI (asymmetric, unbounded) and KS (max-gap): JS(P‖Q) = "
+    "½Σp·ln(p/m) + ½Σq·ln(q/m), m = (p+q)/2, over capped 32-token "
+    "buckets.  The bucket grid comes from the corpus side, which "
+    "contains every source's buckets by construction, so no mass is "
+    "dropped.  Per-bucket terms are rounded+DECIMAL-cast before the "
+    "sum (order-independent); everything else is exact counts.  Scale: "
+    "two aggregates over one scan plus arithmetic on a sources×16 "
+    "broadcast grid.",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         LEAST(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x != '')) AS BIGINT) // {JS_BUCKET},
+               {JS_MAXB}) AS bucket
+  FROM documents
+),
+sb AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c_sb
+       FROM d GROUP BY 1, 2),
+st AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+ob AS (SELECT bucket, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n FROM ob),
+grid AS (
+  SELECT st.source, st.n_s, ob.bucket, ob.c_b, tot.n,
+         COALESCE(sb.c_sb, 0) AS c_sb
+  FROM st CROSS JOIN ob CROSS JOIN tot
+  LEFT JOIN sb ON sb.source = st.source AND sb.bucket = ob.bucket
+),
+terms AS (
+  SELECT source, n_s,
+         CAST(c_sb AS DOUBLE) / n_s AS p,
+         CAST(c_b AS DOUBLE) / n AS q
+  FROM grid
+),
+summed AS (
+  SELECT source, n_s,
+         SUM(CAST(ROUND(CASE WHEN p > 0
+                             THEN p * LN(p / ((p + q) / 2)) ELSE 0 END, 12)
+                  AS DECIMAL(38,12))) AS tp,
+         SUM(CAST(ROUND(CASE WHEN q > 0
+                             THEN q * LN(q / ((p + q) / 2)) ELSE 0 END, 12)
+                  AS DECIMAL(38,12))) AS tq
+  FROM terms GROUP BY 1, 2
+)
+SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+       ROUND(0.5 * CAST(tp AS DOUBLE) + 0.5 * CAST(tq AS DOUBLE), 6)
+         AS js_divergence
+FROM summed
+""",
+)
+def quality_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        F.least(
+            F.floor(T.token_count(F.col("text")) / F.lit(JS_BUCKET)).cast(
+                "bigint"
+            ),
+            F.lit(JS_MAXB).cast("bigint"),
+        ).alias("bucket"),
+    )
+    sb = d.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sb")
+    )
+    st = sb.groupBy("source").agg(F.sum("c_sb").cast("bigint").alias("n_s"))
+    ob = sb.groupBy("bucket").agg(F.sum("c_sb").cast("bigint").alias("c_b"))
+    tot = ob.agg(F.sum("c_b").cast("bigint").alias("n"))
+    grid = (
+        st.crossJoin(F.broadcast(ob))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sb), ["source", "bucket"], "left")
+        .select(
+            "source",
+            "n_s",
+            (F.coalesce(F.col("c_sb"), F.lit(0)).cast("double") / F.col("n_s")).alias("p"),
+            (F.col("c_b").cast("double") / F.col("n")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2)
+    tp = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+    tq = F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    summed = grid.groupBy("source", "n_s").agg(
+        F.sum(F.round(tp, 12).cast("decimal(38,12)")).alias("tp"),
+        F.sum(F.round(tq, 12).cast("decimal(38,12)")).alias("tq"),
+    )
+    return summed.select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_docs"),
+        F.round(
+            F.lit(0.5) * F.col("tp").cast("double")
+            + F.lit(0.5) * F.col("tq").cast("double"),
+            6,
+        ).alias("js_divergence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (last-writer-wins with deletes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "etl_cdc_apply",
+    family="etl",
+    doc="CDC changelog application — the merge every warehouse ingest "
+    "runs on a Debezium/CDC feed: events become an ordered changelog "
+    "per key (signup=INSERT, error=DELETE, everything else=UPDATE), "
+    "ops apply in (ts, event_id) order, and the final state is the "
+    "LAST op per key with deleted keys absent — last-writer-wins "
+    "compaction, the set-based upgrade of the reference's "
+    "delete-then-insert per PCR key (main_ingest.py:276-328).  One "
+    "key-partitioned row_number window (never global), exact values "
+    "passed through untouched.",
+    oracle="""
+WITH log AS (
+  SELECT user_id, event_id, ts,
+         CASE event_type WHEN 'error' THEN 'D'
+                         WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+         value
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM log
+)
+SELECT user_id, event_id AS final_event_id, op AS final_op, value AS final_value,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND op != 'D'
+""",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    ranked = log.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_changes"),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("event_id").alias("final_event_id"),
+        F.col("op").alias("final_op"),
+        F.col("value").alias("final_value"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32
+#: inverse-CDF thresholds for Poisson(1), scaled by 1e6 (cum e^-1/k!)
+BOOT_THRESH = [367879, 735759, 919699, 981012, 996340, 999406, 999917]
+
+
+def _poisson_case_sql(u: str) -> str:
+    parts = [
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_THRESH)
+    ]
+    return "CASE " + " ".join(parts) + f" ELSE {len(BOOT_THRESH)} END"
+
+
+@register(
+    "agg_poisson_bootstrap_ci",
+    family="agg",
+    doc="Bootstrap confidence interval for the mean order price via the "
+    "POISSON bootstrap — the resampling scheme that actually "
+    "distributes (Chamandy et al.): instead of materializing B "
+    "resamples, every row draws a deterministic Poisson(1) weight per "
+    "replica from the md5 stream (inverse-CDF on the seeded uniform), "
+    "so each replica mean is one weighted aggregate and all 32 run in "
+    "a single pass with map-side combine.  Replica sums are exact "
+    "DECIMAL (weight × DECIMAL(12,2) price); the CI is the exact "
+    "0.025/0.975 linear-interpolation percentile over the 32 replica "
+    "means (percentile ≡ quantile_cont, proven by "
+    "agg_percentile_exact).  Everything seeded — full hash oracle.",
+    oracle=f"""
+WITH w AS (
+  SELECT o.o_orderkey, b.b,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS price,
+         {_poisson_case_sql("CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000")}
+           AS wt
+  FROM orders o, UNNEST(range({BOOT_B})) AS b(b)
+),
+reps AS (
+  SELECT b,
+         CAST(SUM(wt * price) AS DOUBLE) / CAST(SUM(wt) AS BIGINT) AS mean_b
+  FROM w GROUP BY b
+),
+point AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) AS point_mean
+  FROM orders
+)
+SELECT ROUND(point_mean, 6) AS point_mean,
+       CAST({BOOT_B} AS BIGINT) AS n_replicas,
+       ROUND(CAST(SUM(CAST(ROUND(mean_b, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / {BOOT_B}, 6) AS boot_mean,
+       ROUND(CAST(quantile_cont(mean_b, 0.025) AS DOUBLE), 6) AS ci_lo,
+       ROUND(CAST(quantile_cont(mean_b, 0.975) AS DOUBLE), 6) AS ci_hi
+FROM reps, point
+GROUP BY point_mean
+""",
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = md5_long(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("b").cast("string"),
+        )
+    ) % 1000000
+    wt = F.when(u < BOOT_THRESH[0], 0)
+    for k, t in enumerate(BOOT_THRESH[1:], start=1):
+        wt = wt.when(u < t, k)
+    wt = wt.otherwise(len(BOOT_THRESH))
+    w = o.crossJoin(F.broadcast(b)).select(
+        "b",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        wt.alias("wt"),
+    )
+    reps = w.groupBy("b").agg(
+        (
+            F.sum(F.col("wt") * F.col("price")).cast("double")
+            / F.sum("wt").cast("bigint")
+        ).alias("mean_b")
+    )
+    point = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean")
+    )
+    return (
+        reps.crossJoin(F.broadcast(point))
+        .groupBy("point_mean")
+        .agg(
+            F.lit(BOOT_B).cast("bigint").alias("n_replicas"),
+            F.round(
+                F.sum(F.round(F.col("mean_b"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.lit(BOOT_B),
+                6,
+            ).alias("boot_mean"),
+            F.round(F.percentile("mean_b", 0.025), 6).alias("ci_lo"),
+            F.round(F.percentile("mean_b", 0.975), 6).alias("ci_hi"),
+        )
+        .select(
+            F.round("point_mean", 6).alias("point_mean"),
+            "n_replicas",
+            "boot_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid epsilon-join
+# ---------------------------------------------------------------------------
+
+EPS = 0.5
+TOP_PAIRS = 10
+
+
+@register(
+    "join_spatial_grid_epsilon",
+    family="join",
+    doc="Epsilon-neighborhood self-join via GRID BUCKETING — the "
+    "canonical scalable spatial-join pattern (the 2-D generalization "
+    "of the 1-D band join): purchases become points (value, "
+    "hour-of-day), each point replicates into its 3×3 neighborhood of "
+    "ε-sized grid cells on the LEFT side only and joins the right "
+    "side's HOME cell, so every qualifying pair is produced exactly "
+    "once (no distinct needed) and the join is a pure equi-join on "
+    "cell id — candidate count bounded by cell occupancy, never "
+    "|points|².  Exact |dx|<ε ∧ |dy|<ε verification post-join.  The "
+    "oracle is the naive all-pairs theta join — equality proves the "
+    "grid decomposition is lossless.  Output: pair count + top-10 "
+    "closest pairs by L∞ distance with full tie-break.",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, value AS x,
+         EXTRACT(hour FROM ts) + EXTRACT(minute FROM ts) / 60.0 AS y
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT a.event_id AS id_a, b.event_id AS id_b,
+         ROUND(GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)), 6) AS linf
+  FROM p a JOIN p b ON a.event_id < b.event_id
+  WHERE ABS(a.x - b.x) < {EPS} AND ABS(a.y - b.y) < {EPS}
+),
+top AS (
+  SELECT * FROM pairs ORDER BY linf ASC, id_a ASC, id_b ASC LIMIT {TOP_PAIRS}
+)
+SELECT t.id_a, t.id_b, t.linf, n.n_pairs
+FROM top t CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs) n
+""",
+)
+def join_spatial_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("value").alias("x"),
+        (F.hour("ts") + F.minute("ts") / F.lit(60.0)).alias("y"),
+    )
+    cx, cy = F.floor(F.col("x") / EPS), F.floor(F.col("y") / EPS)
+    # left side: replicate into the 3x3 cell neighborhood
+    a = p.select(
+        F.col("event_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cx + dx).alias("gx"), (cy + dy).alias("gy")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("id_a", "xa", "ya", F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
+    # right side: home cell only
+    bb = p.select(
+        F.col("event_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cx.alias("gx"),
+        cy.alias("gy"),
+    )
+    pairs = (
+        a.join(bb, ["gx", "gy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.abs(F.col("xa") - F.col("xb")) < EPS)
+            & (F.abs(F.col("ya") - F.col("yb")) < EPS)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.greatest(
+                    F.abs(F.col("xa") - F.col("xb")),
+                    F.abs(F.col("ya") - F.col("yb")),
+                ),
+                6,
+            ).alias("linf"),
+        )
+        .localCheckpoint()  # two consumers: count scalar + top-k
+    )
+    n = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        pairs.orderBy(F.col("linf").asc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(TOP_PAIRS)
+        .crossJoin(F.broadcast(n))
+    )

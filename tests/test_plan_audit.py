@@ -40,6 +40,7 @@ JUSTIFIED_BNLJ = {
     "skew_key_audit",        # broadcast 1-row total scalar
     "text_unigram_logprob",  # broadcast 1-row corpus-size scalar
     "text_bigram_logprob",   # broadcast 1-row vocab-size scalar
+    "text_kneser_ney_bigram",  # broadcast 1-row bigram-total scalar
     "text_bm25_score",       # broadcast 1-row (n_docs, avgdl) scalar
     "text_tfidf_cosine_pairs",  # broadcast 1-row n_docs scalar
     "sample_temperature_rebalance",  # broadcast 1-row n_min scalar
@@ -52,6 +53,9 @@ JUSTIFIED_BNLJ = {
     "agg_benford_digit_audit",     # broadcast 1-row total scalar
     "join_prorate_quarters",       # range join vs broadcast 4-row quarter spine
     "quality_psi_drift",           # broadcast 1-row totals scalar
+    "quality_js_divergence",       # broadcast bucket grid + 1-row total
+    "agg_poisson_bootstrap_ci",    # broadcast 32-row replica spine + 1-row point mean
+    "join_spatial_grid_epsilon",   # broadcast 1-row pair-count scalar
     "quality_ks_drift",            # broadcast bounded bin frame + 1-row scalars
     "quality_mutual_information",  # broadcast 1-row entropy/total scalars
     "embedding_pca_power",         # broadcast 1-row iterate/mean vectors
