@@ -3,9 +3,11 @@
 Closes the JPEG half of the codec seam the same way PNG was closed
 (multimodal.decode_png_pixels): a REAL whole-codec implementation, no
 image library.  Scope is baseline sequential DCT, 8-bit samples, Huffman
-entropy coding, grayscale or 4:4:4 color (all sampling factors 1×1), no
-restart intervals; progressive (SOF2), arithmetic coding, chroma
-subsampling and video remain explicit ``NotImplementedError`` seams.
+entropy coding, grayscale, 4:4:4 and subsampled 4:2:0/4:2:2 color
+(sampling factors 1-2, general interleaved MCU decode with
+nearest-neighbor chroma upsampling), no restart intervals; progressive
+(SOF2), arithmetic coding, sampling factors above 2 and video remain
+explicit ``NotImplementedError`` seams.
 
 The decoder is GENERAL for that scope: it walks the marker stream,
 reads quantization and Huffman tables from DQT/DHT (canonical
@@ -206,36 +208,9 @@ def encode_baseline_jpeg(px: np.ndarray) -> bytes:
     prev_dc = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coefs = _A @ block @ _A.T
-            qz = np.round(coefs / q).astype(np.int64)
-            zz = [int(qz[u, v]) for (u, v) in ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = _category(diff)
-            code, ln = _DC_CODES[cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            for k in range(1, 64):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _AC_CODES[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size = _category(zz[k])
-                code, ln = _AC_CODES[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(
-                    zz[k] if zz[k] >= 0 else zz[k] + (1 << size) - 1, size
-                )
-                run = 0
-            if run:
-                code, ln = _AC_CODES[0x00]  # EOB
-                bw.write(code, ln)
+            prev_dc = _encode_block_stream(
+                bw, padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q, prev_dc
+            )
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -328,11 +303,13 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling (sampling factors != 1x1)"
+                        f"sampling factors {hi}x{vi} (only 1-2 supported: "
+                        "4:4:4, 4:2:0, 4:2:2)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             frame = (h, w, comps)
         elif marker in (0xC1,):  # extended sequential — same decode path
             raise NotImplementedError("extended sequential JPEG (SOF1)")
@@ -354,49 +331,69 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = frame
-    qt_by_cid = {cid: qtables[tq] for cid, tq in comps}
+    qt_by_cid = {cid: qtables[tq] for cid, tq, _, _ in comps}
+    hv_by_cid = {cid: (hi, vi) for cid, _, hi, vi in comps}
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
     r = _BitReader(buf, pos)
-    nby, nbx = -(-h // 8), -(-w // 8)
+    # MCU grid covers the full image at 8*hmax x 8*vmax pixels per MCU;
+    # each component contributes hi x vi blocks per MCU into its own
+    # (possibly subsampled) plane
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     planes = {
-        cid: np.empty((nby * 8, nbx * 8), dtype=np.float64) for cid, _ in comps
+        cid: np.empty((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+        for cid, _, hi, vi in comps
     }
     q_spatial = {}
-    for cid, _ in comps:
+    for cid, _, _, _ in comps:
         qs = np.empty((8, 8), dtype=np.float64)
         for idx, (u, v) in enumerate(ZIGZAG):
             qs[u, v] = qt_by_cid[cid][idx]
         q_spatial[cid] = qs
-    prev_dc = {cid: 0 for cid, _ in comps}
-    for by in range(nby):
-        for bx in range(nbx):
+    prev_dc = {cid: 0 for cid, _, _, _ in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
             for cid, dc_id, ac_id in scan_comps:
+                hi, vi = hv_by_cid[cid]
                 dc_tab = htables[(0, dc_id)]
                 ac_tab = htables[(1, ac_id)]
-                s = np.zeros((8, 8), dtype=np.float64)
-                cat = _decode_symbol(r, dc_tab)
-                prev_dc[cid] += _receive_extend(r, cat)
-                s[0, 0] = prev_dc[cid]
-                k = 1
-                while k < 64:
-                    sym = _decode_symbol(r, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    u, v = ZIGZAG[k]
-                    s[u, v] = _receive_extend(r, size)
-                    k += 1
-                block = _A.T @ (s * q_spatial[cid]) @ _A + 128.0
-                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = [
-        np.clip(np.round(planes[cid][:h, :w]), 0, 255).astype(np.uint8)
-        for cid, _ in comps
-    ]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        s = np.zeros((8, 8), dtype=np.float64)
+                        cat = _decode_symbol(r, dc_tab)
+                        prev_dc[cid] += _receive_extend(r, cat)
+                        s[0, 0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_symbol(r, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index out of range"
+                                )
+                            u, v = ZIGZAG[k]
+                            s[u, v] = _receive_extend(r, size)
+                            k += 1
+                        block = _A.T @ (s * q_spatial[cid]) @ _A + 128.0
+                        py = (my * vi + dy) * 8
+                        px = (mx * hi + dx) * 8
+                        planes[cid][py : py + 8, px : px + 8] = block
+    out = []
+    for cid, _, hi, vi in comps:
+        plane = planes[cid]
+        if hi < hmax or vi < vmax:  # nearest-neighbor chroma upsample
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        out.append(
+            np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+        )
     if len(out) == 1:
         return out[0]
     if len(out) != 3:
@@ -430,3 +427,155 @@ def make_jpeg_image(image_id: int) -> bytes:
     v = (image_id * 11 + 13 * bx + 29 * by) % 256
     px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
     return encode_baseline_jpeg(px)
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 color encoder (YCbCr planes / RGB convenience) + fixtures
+# ---------------------------------------------------------------------------
+
+
+def _encode_block_stream(
+    bw: _BitWriter, block: np.ndarray, q: np.ndarray, prev_dc: int
+) -> int:
+    """DCT → quantize → Huffman-encode one 8×8 block; returns its DC."""
+    coefs = _A @ (block - 128.0) @ _A.T
+    qz = np.round(coefs / q).astype(np.int64)
+    zz = [int(qz[u, v]) for (u, v) in ZIGZAG]
+    diff = zz[0] - prev_dc
+    cat = _category(diff)
+    code, ln = _DC_CODES[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        size = _category(zz[k])
+        code, ln = _AC_CODES[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(zz[k] if zz[k] >= 0 else zz[k] + (1 << size) - 1, size)
+        run = 0
+    if run:
+        code, ln = _AC_CODES[0x00]
+        bw.write(code, ln)
+    return zz[0]
+
+
+#: chroma quantization table (zigzag order): DC 8 (constant-block
+#: losslessness), AC 24 — distinct from luma so table-per-component
+#: wiring is actually exercised
+QTABLE_CHROMA_ZZ = np.array([8] + [24] * 63, dtype=np.int32)
+
+
+def encode_baseline_jpeg_420(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> bytes:
+    """4:2:0 baseline JPEG from a full-res luma plane (h, w) and
+    HALF-RES chroma planes (h/2, w/2).  h and w must be multiples of
+    16 (one MCU = 2×2 luma blocks + 1 Cb + 1 Cr).  Two quantization
+    tables (luma 0, chroma 1) and two Huffman table pairs (identical
+    content, distinct ids) — the standard interleaved layout any JPEG
+    reader decodes."""
+    y = np.asarray(y, dtype=np.float64)
+    cb = np.asarray(cb, dtype=np.float64)
+    cr = np.asarray(cr, dtype=np.float64)
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise NotImplementedError("encode_baseline_jpeg_420 needs 16-multiples")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be half-resolution")
+
+    def spatial(zz_table: np.ndarray) -> np.ndarray:
+        q = np.empty((8, 8), dtype=np.float64)
+        for idx, (u, v) in enumerate(ZIGZAG):
+            q[u, v] = zz_table[idx]
+        return q
+
+    qy, qc = spatial(QTABLE_ZZ), spatial(QTABLE_CHROMA_ZZ)
+    bw = _BitWriter()
+    dc = {1: 0, 2: 0, 3: 0}
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for dy in range(2):  # 4 luma blocks, raster order
+                for dx in range(2):
+                    py, px = my * 16 + dy * 8, mx * 16 + dx * 8
+                    dc[1] = _encode_block_stream(
+                        bw, y[py : py + 8, px : px + 8], qy, dc[1]
+                    )
+            py, px = my * 8, mx * 8
+            dc[2] = _encode_block_stream(
+                bw, cb[py : py + 8, px : px + 8], qc, dc[2]
+            )
+            dc[3] = _encode_block_stream(
+                bw, cr[py : py + 8, px : px + 8], qc, dc[3]
+            )
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in QTABLE_ZZ)) + seg(
+        0xDB, bytes([0x01]) + bytes(int(x) for x in QTABLE_CHROMA_ZZ)
+    )
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, qtable 0
+        + bytes([2, 0x11, 1])  # Cb: 1x1, qtable 1
+        + bytes([3, 0x11, 1]),  # Cr: 1x1, qtable 1
+    )
+    dht = (
+        seg(0xC4, _dht_payload(0, 0, _DC_CODES))
+        + seg(0xC4, _dht_payload(1, 0, _AC_CODES))
+        + seg(0xC4, _dht_payload(0, 1, _DC_CODES))
+        + seg(0xC4, _dht_payload(1, 1, _AC_CODES))
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_baseline_jpeg_rgb420(rgb: np.ndarray) -> bytes:
+    """Convenience: RGB (h, w, 3) → JFIF YCbCr conversion → 2×2 box
+    chroma downsample → ``encode_baseline_jpeg_420``."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def box2(p: np.ndarray) -> np.ndarray:
+        return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+    return encode_baseline_jpeg_420(y, box2(cb), box2(cr))
+
+
+#: chroma fixture values stay in [80, 176): excludes the four
+#: (cb, cr) combinations where the JFIF float conversion lands exactly
+#: on a .5 rounding boundary (np.round is half-even, SQL ROUND is
+#: half-away — verified exhaustively over the full integer domain)
+_CHROMA_LO, _CHROMA_SPAN = 80, 96
+
+
+def make_jpeg420_image(image_id: int) -> bytes:
+    """Deterministic REAL 4:2:0 color JPEG: width = 16·(id%3+1), height
+    = 16·(id%2+1); every 16×16 MCU is constant in YCbCr at
+    Y = (id·5+7mx+11my) mod 256, Cb = 80 + (id·3+13mx+17my) mod 96,
+    Cr = 80 + (id·7+19mx+23my) mod 96 — constant blocks with DC
+    quantizer 8 decode back to these exact integers, so the decoded
+    RGB is the closed form clip(round(JFIF inverse)) per MCU."""
+    w, h = 16 * (image_id % 3 + 1), 16 * (image_id % 2 + 1)
+    mx = np.arange(w // 16).reshape(1, -1)
+    my = np.arange(h // 16).reshape(-1, 1)
+    yv = (image_id * 5 + 7 * mx + 11 * my) % 256
+    cbv = _CHROMA_LO + (image_id * 3 + 13 * mx + 17 * my) % _CHROMA_SPAN
+    crv = _CHROMA_LO + (image_id * 7 + 19 * mx + 23 * my) % _CHROMA_SPAN
+    y = np.repeat(np.repeat(yv, 16, axis=0), 16, axis=1)
+    cb = np.repeat(np.repeat(cbv, 8, axis=0), 8, axis=1)
+    cr = np.repeat(np.repeat(crv, 8, axis=0), 8, axis=1)
+    return encode_baseline_jpeg_420(y, cb, cr)

@@ -1033,3 +1033,70 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+def synthesize_jpeg420_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of REAL 4:2:0 color JPEGs (operators/jpeg.py
+    constant-MCU construction, closed-form decoded RGB)."""
+    from .jpeg import make_jpeg420_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_jpeg420_image(int(i))
+                rows.append((str(int(i)), "image/jpeg", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("r_sum", LongType(), True),
+        StructField("g_sum", LongType(), True),
+        StructField("b_sum", LongType(), True),
+        StructField("rgb_min", IntegerType(), True),
+        StructField("rgb_max", IntegerType(), True),
+    ]
+)
+
+
+def jpeg_color_stats(media: DataFrame) -> DataFrame:
+    """Per-channel statistics via the REAL subsampled-color decode path
+    (interleaved 4:2:0 MCUs, two quant/Huffman table pairs, chroma
+    upsample, JFIF inverse color transform)."""
+    from .jpeg import decode_baseline_jpeg
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_baseline_jpeg(bytes(content))
+                h, w, _ = px.shape
+                rows.append(
+                    (
+                        int(path),
+                        w,
+                        h,
+                        int(px[..., 0].sum()),
+                        int(px[..., 1].sum()),
+                        int(px[..., 2].sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height",
+                    "r_sum", "g_sum", "b_sum", "rgb_min", "rgb_max",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=COLOR_STATS_SCHEMA)

@@ -1448,3 +1448,60 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return jpeg_pixel_stats(synthesize_jpeg_media(d.select("doc_id")))
+
+
+@register(
+    "multimodal_jpeg420_color_stats",
+    family="multimodal",
+    doc="REAL 4:2:0 subsampled COLOR JPEG decode (operators/jpeg.py): "
+    "interleaved MCUs (4 luma blocks + Cb + Cr), two quantization "
+    "tables and two Huffman table pairs read from the stream, "
+    "nearest-neighbor chroma upsample, JFIF inverse color transform — "
+    "the full color path of the baseline codec, stdlib+numpy only.  "
+    "Exact oracle via the constant-MCU construction: each 16x16 MCU "
+    "is constant in integer YCbCr (chroma constrained to [80,176) to "
+    "avoid the four half-even/half-away rounding boundary collisions "
+    "of the JFIF floats — verified exhaustively), DC quantizer 8 makes "
+    "the YCbCr round trip integer-lossless, and decoded RGB is "
+    "clip(round(identical float expression trees)) per MCU — any "
+    "drift in MCU interleave order, per-component DC prediction, "
+    "table wiring, upsampling or the color transform breaks the hash.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 16 * (doc_id % 3 + 1) AS w, 16 * (doc_id % 2 + 1) AS h
+  FROM documents
+),
+mcus AS (
+  SELECT doc_id, w, h,
+         (doc_id * 5 + 7 * mxs.mx + 11 * mys.my) % 256 AS yv,
+         80 + (doc_id * 3 + 13 * mxs.mx + 17 * mys.my) % 96 AS cbv,
+         80 + (doc_id * 7 + 19 * mxs.mx + 23 * mys.my) % 96 AS crv
+  FROM dims,
+       UNNEST(range(0, w // 16)) AS mxs(mx),
+       UNNEST(range(0, h // 16)) AS mys(my)
+),
+rgb AS (
+  SELECT doc_id, w, h,
+         LEAST(GREATEST(ROUND(yv + 1.402 * (crv - 128.0), 0), 0), 255) AS r,
+         LEAST(GREATEST(ROUND(yv - 0.344136 * (cbv - 128.0)
+                              - 0.714136 * (crv - 128.0), 0), 0), 255) AS g,
+         LEAST(GREATEST(ROUND(yv + 1.772 * (cbv - 128.0), 0), 0), 255) AS b
+  FROM mcus
+)
+SELECT doc_id AS image_id,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height,
+       CAST(SUM(r) * 256 AS BIGINT) AS r_sum,
+       CAST(SUM(g) * 256 AS BIGINT) AS g_sum,
+       CAST(SUM(b) * 256 AS BIGINT) AS b_sum,
+       CAST(LEAST(MIN(r), MIN(g), MIN(b)) AS INT) AS rgb_min,
+       CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS INT) AS rgb_max
+FROM rgb
+GROUP BY doc_id
+""",
+)
+def multimodal_jpeg420_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_color_stats, synthesize_jpeg420_media
+
+    d = table(spark, sf_dir, "documents")
+    return jpeg_color_stats(synthesize_jpeg420_media(d.select("doc_id")))

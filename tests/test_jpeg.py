@@ -93,8 +93,8 @@ def test_progressive_and_subsampled_raise():
     with pytest.raises(NotImplementedError, match="progressive"):
         J.decode_baseline_jpeg(prog)
     sub = bytearray(buf)
-    sub[sof + 2 + 2 + 6 + 1] = 0x22  # sampling factors 2x2
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    sub[sof + 2 + 2 + 6 + 1] = 0x33  # sampling factors 3x3 (beyond scope)
+    with pytest.raises(NotImplementedError, match="sampling factors 3x3"):
         J.decode_baseline_jpeg(bytes(sub))
     color = np.zeros((8, 8, 3), dtype=np.uint8)
     with pytest.raises(NotImplementedError, match="grayscale"):
@@ -145,3 +145,47 @@ def test_decoder_reads_tables_from_stream():
         np.repeat((iid * 11 + 13 * bx + 29 * by) % 256, 8, 0), 8, 1
     )
     assert (px == want).all()
+
+
+def test_420_constant_mcu_closed_form_exact():
+    for iid in [0, 1, 2, 7, 13, 100, 255]:
+        px = J.decode_baseline_jpeg(J.make_jpeg420_image(iid))
+        w, h = 16 * (iid % 3 + 1), 16 * (iid % 2 + 1)
+        assert px.shape == (h, w, 3)
+        mx = np.arange(w // 16).reshape(1, -1)
+        my = np.arange(h // 16).reshape(-1, 1)
+        yv = (iid * 5 + 7 * mx + 11 * my) % 256
+        cbv = 80 + (iid * 3 + 13 * mx + 17 * my) % 96
+        crv = 80 + (iid * 7 + 19 * mx + 23 * my) % 96
+        r = np.clip(np.round(yv + 1.402 * (crv - 128.0)), 0, 255)
+        g = np.clip(
+            np.round(
+                yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0)
+            ),
+            0,
+            255,
+        )
+        b = np.clip(np.round(yv + 1.772 * (cbv - 128.0)), 0, 255)
+        want = np.stack(
+            [np.repeat(np.repeat(c, 16, 0), 16, 1) for c in (r, g, b)],
+            axis=-1,
+        )
+        assert (px == want).all()
+
+
+def test_rgb420_roundtrip_bounded_error_smooth():
+    xx = np.tile(np.arange(32), (32, 1))
+    yy = xx.T
+    rgb = np.stack(
+        [xx * 4 % 256, yy * 4 % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = J.decode_baseline_jpeg(J.encode_baseline_jpeg_rgb420(rgb))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 32 and err.mean() < 6
+
+
+def test_420_uses_both_quant_and_huffman_table_pairs():
+    buf = J.make_jpeg420_image(5)
+    # two DQT tables (ids 0 and 1) and four DHT tables (DC0/AC0/DC1/AC1)
+    assert buf.count(b"\xff\xdb") == 2
+    assert buf.count(b"\xff\xc4") == 4
