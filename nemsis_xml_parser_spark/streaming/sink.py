@@ -20,9 +20,10 @@ moves from file to microbatch, and the MD5 idempotency log the
 reference kept but never checked (main_ingest.py:39-50 — SURVEY D5)
 becomes a ledger that is actually consulted on every delivery.
 
-Tested live against DuckDB with a forced crash-after-commit and a
-checkpoint-restart replay (tests/test_stream_sink.py); PostgreSQL swaps
-in via ``conn_factory``.
+Tested live against DuckDB (DBAPI) AND Derby (a real JDBC engine via
+the ``java.sql`` py4j bridge, operators/dbapi.py::JavaJdbcConnection)
+with a forced crash-after-commit and a checkpoint-restart replay
+(tests/test_stream_sink.py); PostgreSQL swaps in via ``conn_factory``.
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ def exactly_once_batch_writer(
     create_sql: str | None = None,
     batch_size: int = 1000,
     after_commit: Callable[[int], None] | None = None,
+    commits_create_sql: str = _CREATE_COMMITS,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function with transactional batch-id dedup.
 
@@ -71,9 +73,13 @@ def exactly_once_batch_writer(
         conn = conn_factory()
         try:
             cur = conn.cursor()
-            cur.execute(_CREATE_COMMITS)
-            if create_sql:
-                cur.execute(create_sql)
+            for ddl in filter(None, (commits_create_sql, create_sql)):
+                try:
+                    cur.execute(ddl)
+                except Exception:  # noqa: BLE001
+                    # engines without IF NOT EXISTS (Derby) raise when the
+                    # table already exists; nothing else is in the txn yet
+                    conn.rollback()
             cur.execute(
                 f'SELECT 1 FROM "{COMMITS_TABLE}" '
                 'WHERE "sink_id" = ? AND "batch_id" = ?;',
@@ -118,6 +124,7 @@ def stream_to_jdbc_exactly_once(
     checkpoint: str,
     create_sql: str | None = None,
     after_commit: Callable[[int], None] | None = None,
+    commits_create_sql: str = _CREATE_COMMITS,
 ) -> StreamingQuery:
     """Wire a streaming DataFrame into the exactly-once JDBC sink."""
     writer = exactly_once_batch_writer(
@@ -127,6 +134,7 @@ def stream_to_jdbc_exactly_once(
         sink_id,
         create_sql=create_sql,
         after_commit=after_commit,
+        commits_create_sql=commits_create_sql,
     )
     return (
         df.writeStream.outputMode("append")

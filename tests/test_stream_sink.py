@@ -120,3 +120,71 @@ def test_crash_after_commit_then_restart_no_duplicates(spark, tmp_path):
     q2.stop()
     assert _count(db, "events_wh") == 100  # replay deduped — exactly once
     assert _count(db, COMMITS_TABLE) == 1
+
+
+DERBY_COMMITS_DDL = (
+    'CREATE TABLE "_stream_commits" ('
+    '"sink_id" VARCHAR(128), "batch_id" BIGINT, "n_rows" BIGINT, '
+    '"committed_at" VARCHAR(64), PRIMARY KEY ("sink_id", "batch_id"))'
+)
+DERBY_TARGET_DDL = (
+    'CREATE TABLE "events_wh" ("event_id" BIGINT, "event_type" VARCHAR(32))'
+)
+
+
+def test_exactly_once_sink_on_live_derby_jdbc(spark, tmp_path):
+    """The same sink over a REAL JDBC engine: java.sql connection via
+    the py4j bridge (operators/dbapi.py::JavaJdbcConnection), Derby
+    embedded.  Crash-after-commit then checkpoint-restart replay —
+    no duplicate rows in the JDBC warehouse."""
+    from nemsis_xml_parser_spark.operators.dbapi import JavaJdbcConnection
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    src = tmp_path / "src"
+    spark.range(50).select(
+        F.col("id").alias("event_id"), F.lit("view").alias("event_type")
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    cp = str(tmp_path / "cp")
+
+    def factory():
+        return JavaJdbcConnection(spark, url)
+
+    def crash(batch_id):
+        raise RuntimeError("crash between JDBC commit and checkpoint")
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_to_jdbc_exactly_once(
+        stream, factory, "events_wh", ["event_id", "event_type"],
+        sink_id="derby", checkpoint=cp,
+        create_sql=DERBY_TARGET_DDL,
+        commits_create_sql=DERBY_COMMITS_DDL,
+        after_commit=crash,
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+
+    def jcount(table):
+        c = JavaJdbcConnection(spark, url)
+        try:
+            cur = c.cursor()
+            cur.execute(f'SELECT COUNT(*) FROM "{table}"')
+            return cur.fetchone()[0]
+        finally:
+            c.close()
+
+    assert jcount("events_wh") == 50
+    assert jcount("_stream_commits") == 1
+
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    q2 = stream_to_jdbc_exactly_once(
+        stream2, factory, "events_wh", ["event_id", "event_type"],
+        sink_id="derby", checkpoint=cp,
+        create_sql=DERBY_TARGET_DDL,
+        commits_create_sql=DERBY_COMMITS_DDL,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert jcount("events_wh") == 50  # replay deduped on a real JDBC engine
+    assert jcount("_stream_commits") == 1
