@@ -715,3 +715,274 @@ def join_spatial_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_PAIRS)
         .crossJoin(F.broadcast(n))
     )
+
+
+# ---------------------------------------------------------------------------
+# Timestamp scalar battery (NTZ, zone-free by construction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_timestamp_battery",
+    family="scalar",
+    doc="Timestamp scalar-function battery over the NTZ event stream — "
+    "field extraction (year/month/day/hour/minute/second), hour/week "
+    "truncation, epoch-day arithmetic, second-of-day, and NTZ interval "
+    "differences via timestampdiff — every expression zone-free by "
+    "construction (the battery that guards the NTZ discipline of "
+    "NOTES gotchas 17-18).  Aggregated to one audit row per event "
+    "type: exact BIGINT sums only.",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(EXTRACT(year FROM ts) * 10000 + EXTRACT(month FROM ts) * 100
+                + EXTRACT(day FROM ts)) AS BIGINT) AS ymd_sum,
+       CAST(SUM(EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts) * 60
+                + EXTRACT(second FROM ts)) AS BIGINT) AS second_of_day_sum,
+       CAST(SUM(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)))
+         AS BIGINT) AS epoch_day_sum,
+       CAST(SUM(DATEDIFF('minute', date_trunc('hour', ts), ts)) AS BIGINT)
+         AS minutes_past_hour_sum,
+       CAST(SUM(DATEDIFF('day', date_trunc('week', ts), CAST(ts AS DATE)))
+         AS BIGINT) AS dow_from_monday_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def scalar_timestamp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts")
+        )
+        .cast("bigint")
+        .alias("ymd_sum"),
+        F.sum(
+            F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+        )
+        .cast("bigint")
+        .alias("second_of_day_sum"),
+        F.sum(F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")))
+        .cast("bigint")
+        .alias("epoch_day_sum"),
+        F.sum(F.expr("timestampdiff(MINUTE, date_trunc('hour', ts), ts)"))
+        .cast("bigint")
+        .alias("minutes_past_hour_sum"),
+        F.sum(
+            F.datediff(F.to_date("ts"), F.to_date(F.date_trunc("week", "ts")))
+        )
+        .cast("bigint")
+        .alias("dow_from_monday_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance matrix over the lineitem metric columns
+# ---------------------------------------------------------------------------
+
+COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "agg_covariance_matrix",
+    family="agg",
+    doc="Pairwise covariance matrix of the four lineitem metrics from "
+    "EXACT decimal cross-moments — cov(a,b) = (Σab − ΣaΣb/n)/n computed "
+    "from DECIMAL sums so the result is row-order independent (builtin "
+    "covar_pop aggregates floats in shuffle order and cannot "
+    "hash-match across engines).  The d(d+1)/2 upper-triangle shape of "
+    "the Gram/covariance primitive specialized to a typed column set — "
+    "one scan, one aggregate, 10 output rows.",
+    oracle="""
+WITH m AS (
+  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS c0,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS c1,
+         CAST(l_discount AS DECIMAL(12,2)) AS c2,
+         CAST(l_tax AS DECIMAL(12,2)) AS c3
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(c0) AS DOUBLE) AS s0, CAST(SUM(c1) AS DOUBLE) AS s1,
+         CAST(SUM(c2) AS DOUBLE) AS s2, CAST(SUM(c3) AS DOUBLE) AS s3,
+         CAST(SUM(c0 * c0) AS DOUBLE) AS p00, CAST(SUM(c0 * c1) AS DOUBLE) AS p01,
+         CAST(SUM(c0 * c2) AS DOUBLE) AS p02, CAST(SUM(c0 * c3) AS DOUBLE) AS p03,
+         CAST(SUM(c1 * c1) AS DOUBLE) AS p11, CAST(SUM(c1 * c2) AS DOUBLE) AS p12,
+         CAST(SUM(c1 * c3) AS DOUBLE) AS p13, CAST(SUM(c2 * c2) AS DOUBLE) AS p22,
+         CAST(SUM(c2 * c3) AS DOUBLE) AS p23, CAST(SUM(c3 * c3) AS DOUBLE) AS p33
+  FROM m
+)
+SELECT i, j, ROUND((p - si * sj / n) / n, 6) AS cov
+FROM (
+  SELECT 0 AS i, 0 AS j, p00 AS p, s0 AS si, s0 AS sj, n FROM s
+  UNION ALL SELECT 0, 1, p01, s0, s1, n FROM s
+  UNION ALL SELECT 0, 2, p02, s0, s2, n FROM s
+  UNION ALL SELECT 0, 3, p03, s0, s3, n FROM s
+  UNION ALL SELECT 1, 1, p11, s1, s1, n FROM s
+  UNION ALL SELECT 1, 2, p12, s1, s2, n FROM s
+  UNION ALL SELECT 1, 3, p13, s1, s3, n FROM s
+  UNION ALL SELECT 2, 2, p22, s2, s2, n FROM s
+  UNION ALL SELECT 2, 3, p23, s2, s3, n FROM s
+  UNION ALL SELECT 3, 3, p33, s3, s3, n FROM s
+)
+""",
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cols = [F.col(c).cast("decimal(12,2)").alias(f"c{k}") for k, c in enumerate(COV_COLS)]
+    m = li.select(*cols)
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ]
+    d = len(COV_COLS)
+    for k in range(d):
+        aggs.append(F.sum(F.col(f"c{k}")).cast("double").alias(f"s{k}"))
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                F.sum(F.col(f"c{i}") * F.col(f"c{j}"))
+                .cast("double")
+                .alias(f"p{i}{j}")
+            )
+    s = m.agg(*aggs)
+    rows = None
+    for i in range(d):
+        for j in range(i, d):
+            r = s.select(
+                F.lit(i).cast("int").alias("i"),
+                F.lit(j).cast("int").alias("j"),
+                F.round(
+                    (
+                        F.col(f"p{i}{j}")
+                        - F.col(f"s{i}") * F.col(f"s{j}") / F.col("n")
+                    )
+                    / F.col("n"),
+                    6,
+                ).alias("cov"),
+            )
+            rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Water-filling token-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+BUDGET_FRACTION = 0.5  # spend half the corpus token mass
+
+
+@register(
+    "curation_waterfill_budget",
+    family="curation",
+    doc="Water-filling budget allocation — distribute a global token "
+    "budget across sources so every source gets MIN(its supply, a "
+    "common fair-share level L), with L chosen so allocations exactly "
+    "exhaust the budget: the standard max-min fair allocator for "
+    "mixture construction under a token cap.  Closed form over the "
+    "SORTED supplies: for each candidate k (sources sorted ascending), "
+    "L_k = (budget − cumsum of the k smallest) / (n − k); the valid "
+    "level is the one where supply_k ≤ L_{k-1}-style feasibility "
+    "holds — computed here by taking, per source, the smallest "
+    "feasible level via a bounded per-source triangular join (20 "
+    "sources — a dimension, not data).  Exact integer token counts; "
+    "the level and allocations rounded at the edge.  Allocations sum "
+    "to the budget (floor-level discrepancy < n tokens, audited in "
+    "the output).",
+    oracle=f"""
+WITH supply AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x != ''))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(FLOOR(SUM(toks) * {BUDGET_FRACTION}) AS BIGINT) AS budget,
+               CAST(COUNT(*) AS BIGINT) AS n FROM supply),
+ranked AS (
+  SELECT source, toks,
+         ROW_NUMBER() OVER (ORDER BY toks ASC, source ASC) AS rk
+  FROM supply
+),
+-- cumulative sum of the (rk-1) smaller supplies, via bounded self-join
+cum AS (
+  SELECT a.rk, a.source, a.toks,
+         CAST(COALESCE(SUM(b.toks), 0) AS BIGINT) AS below
+  FROM ranked a LEFT JOIN ranked b ON b.rk < a.rk
+  GROUP BY a.rk, a.source, a.toks
+),
+-- the water level if every source with rank >= rk is capped by L
+levels AS (
+  SELECT c.rk, c.source, c.toks, c.below,
+         (CAST(t.budget - c.below AS DOUBLE)) / (t.n - c.rk + 1) AS lvl
+  FROM cum c, tot t
+),
+-- the binding level: the first rank whose supply exceeds its level
+chosen AS (
+  SELECT MIN(lvl) AS level FROM levels WHERE toks > lvl
+),
+alloc AS (
+  SELECT r.source, r.toks,
+         CASE WHEN c.level IS NULL OR r.toks <= c.level
+              THEN CAST(r.toks AS DOUBLE)
+              ELSE c.level END AS granted
+  FROM ranked r, chosen c
+)
+SELECT source, toks AS supply_tokens,
+       ROUND(granted, 6) AS granted_tokens,
+       CAST(CASE WHEN granted < toks THEN 1 ELSE 0 END AS INT) AS capped
+FROM alloc
+""",
+)
+def curation_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    supply = d.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("toks")
+    )
+    tot = supply.agg(
+        F.floor(F.sum("toks") * BUDGET_FRACTION).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ranked = supply.select(
+        "source",
+        "toks",
+        F.row_number()
+        .over(Window.orderBy(F.col("toks").asc(), F.col("source").asc()))
+        .alias("rk"),
+    )
+    a = ranked.alias("a")
+    b = ranked.select(F.col("rk").alias("brk"), F.col("toks").alias("btoks"))
+    cum = (
+        a.join(F.broadcast(b), F.col("brk") < F.col("rk"), "left")
+        .groupBy("rk", "source", "toks")
+        .agg(F.coalesce(F.sum("btoks"), F.lit(0)).cast("bigint").alias("below"))
+    )
+    levels = cum.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        "source",
+        "toks",
+        (
+            (F.col("budget") - F.col("below")).cast("double")
+            / (F.col("n") - F.col("rk") + 1)
+        ).alias("lvl"),
+    )
+    chosen = levels.where(F.col("toks") > F.col("lvl")).agg(
+        F.min("lvl").alias("level")
+    )
+    alloc = ranked.crossJoin(F.broadcast(chosen)).select(
+        "source",
+        "toks",
+        F.when(
+            F.col("level").isNull() | (F.col("toks") <= F.col("level")),
+            F.col("toks").cast("double"),
+        )
+        .otherwise(F.col("level"))
+        .alias("granted"),
+    )
+    return alloc.select(
+        "source",
+        F.col("toks").alias("supply_tokens"),
+        F.round("granted", 6).alias("granted_tokens"),
+        F.when(F.col("granted") < F.col("toks"), 1).otherwise(0).cast("int").alias("capped"),
+    )

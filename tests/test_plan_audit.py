@@ -49,6 +49,7 @@ JUSTIFIED_BNLJ = {
     "text_pmi_collocations", # broadcast 1-row corpus-total scalars (Nu, Nb)
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
+    "curation_waterfill_budget",   # bounded 20-source triangular join + 1-row level/budget scalars
     "text_keyword_extraction",     # broadcast 1-row corpus-size scalar
     "agg_benford_digit_audit",     # broadcast 1-row total scalar
     "join_prorate_quarters",       # range join vs broadcast 4-row quarter spine

@@ -29,6 +29,12 @@ from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
 # argument.  Every entry must name a dimension whose cardinality is fixed
 # by the schema or the time horizon, NOT by corpus size.
 BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
+    "curation_waterfill_budget": (
+        "rank over per-SOURCE token supplies — source is a schema "
+        "dimension (~20 values), not corpus-sized; at an open source "
+        "domain the ranked-prefix water-level search becomes a "
+        "range-partitioned two-pass prefix sum (operators/prefix_sum.py)"
+    ),
     "events_cumulative_users": (
         "running total over per-DAY aggregates — window input cardinality "
         "= time horizon in days (thousands over years), fixed by the "
