@@ -70,3 +70,49 @@ def pair_supports(
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .where(F.col("c") >= minsup)
     )
+
+
+def triple_supports(
+    baskets: DataFrame,
+    key_col: str,
+    item_col: str,
+    minsup: int,
+    item_counts: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, c, cnt) frequent triples (a < b < c, cnt >= minsup) via
+    two-level a-priori candidate generation — the step beyond pairs
+    that FP-growth/a-priori mining actually iterates:
+
+    1. frequent items prune the baskets (broadcast semi-join);
+    2. frequent PAIRS (the level-2 pass) become the candidate
+       generator: candidate (a, b, c) exists only if (a, b) and (a, c)
+       are frequent pairs (b < c join on the shared prefix a) AND
+       (b, c) is frequent (the a-priori subset closure — all three
+       sub-pairs frequent);
+    3. one three-way basket join counts only those candidates.
+
+    The candidate set is bounded by frequent-pair density, never by
+    basket-width³; the level-2 prune reuses ``pair_supports``.
+    """
+    pruned = prune_infrequent(baskets, key_col, item_col, minsup, item_counts)
+    pairs = pair_supports(baskets, key_col, item_col, minsup, item_counts)
+    ab = pairs.select(F.col("a"), F.col("b"))
+    ac = pairs.select(F.col("a"), F.col("b").alias("c"))
+    bc = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    cand = (
+        ab.join(ac, "a")
+        .where(F.col("b") < F.col("c"))
+        .join(bc, ["b", "c"])  # subset closure: (b, c) frequent too
+        .select("a", "b", "c")
+    )
+    t1 = pruned.select(F.col(key_col).alias("__k"), F.col(item_col).alias("a"))
+    t2 = pruned.select(F.col(key_col).alias("__k"), F.col(item_col).alias("b"))
+    t3 = pruned.select(F.col(key_col).alias("__k"), F.col(item_col).alias("c"))
+    return (
+        cand.join(t1, "a")
+        .join(t2, ["__k", "b"])
+        .join(t3, ["__k", "c"])
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= minsup)
+    )

@@ -986,3 +986,46 @@ def curation_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("granted", 6).alias("granted_tokens"),
         F.when(F.col("granted") < F.col("toks"), 1).otherwise(0).cast("int").alias("capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent triples (level-3 a-priori)
+# ---------------------------------------------------------------------------
+
+TRI_MINSUP = 2
+
+
+@register(
+    "mine_frequent_triples",
+    family="dedup",
+    doc="Frequent 3-itemsets over the order baskets via LEVEL-3 a-priori "
+    "(operators/apriori.py::triple_supports) — the iteration step "
+    "beyond mine_association_rules' pairs that pattern mining actually "
+    "runs: frequent items prune the baskets, frequent PAIRS generate "
+    "candidates on their shared prefix, the subset-closure join "
+    "((a,b),(a,c),(b,c) all frequent) prunes again, and only then does "
+    "the three-way basket join count — candidate cardinality bounded "
+    "by frequent-pair density, never basket-width³.  The oracle is the "
+    "naive unpruned three-way self-join: equality proves both prunes "
+    "lossless.  Exact counts, full tie-broken ordering.",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS a, b.l_partkey AS b, c.l_partkey AS c,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM li a
+JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {TRI_MINSUP}
+""",
+)
+def mine_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.apriori import triple_supports
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by prune, pairs and 3 join sides
+    )
+    return triple_supports(li, "l_orderkey", "l_partkey", TRI_MINSUP)

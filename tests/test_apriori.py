@@ -48,3 +48,28 @@ def test_prune_caps_hot_basket_fanout(spark):
     pairs = AP.pair_supports(b, "k", "item", minsup=2)
     got = {(r.a, r.b): r.c for r in pairs.collect()}
     assert got == {("x", "y"): 4}
+
+
+def test_triples_lossless_and_closure_pruned(spark):
+    data = {
+        "b1": ["x", "y", "z", "rare1"],
+        "b2": ["x", "y", "z"],
+        "b3": ["x", "y", "w"],
+        "b4": ["x", "z", "w"],
+        "b5": ["y", "z", "q"],
+    }
+    b = _baskets(spark, data)
+    got = {
+        (r.a, r.b, r.c): r.cnt
+        for r in AP.triple_supports(b, "k", "item", minsup=2).collect()
+    }
+    # naive ground truth
+    import itertools
+    from collections import Counter
+
+    cnt = Counter()
+    for items in data.values():
+        for t in itertools.combinations(sorted(items), 3):
+            cnt[t] += 1
+    want = {t: c for t, c in cnt.items() if c >= 2}
+    assert got == want and ("x", "y", "z") in got
