@@ -1100,3 +1100,50 @@ def jpeg_color_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema=COLOR_STATS_SCHEMA)
+
+
+PERIODICITY_SCHEMA = StructType(
+    [
+        StructField("audio_id", LongType(), False),
+        StructField("n_samples", IntegerType(), True),
+        StructField("energy", LongType(), True),
+        StructField("corr_p4", LongType(), True),
+        StructField("corr_p8", LongType(), True),
+        StructField("corr_p16", LongType(), True),
+    ]
+)
+
+
+def wav_periodicity_features(media: DataFrame, periods=(4, 8, 16)) -> DataFrame:
+    """Square-wave matched-filter periodicity probe over the REAL PCM
+    decode path: per audio, channel-0 energy Σx² and the correlation
+    Σ x_i·s_i against ±1 square waves of the given periods (s_i = +1
+    when i mod p < p/2) — the integer-exact cousin of a Goertzel bin
+    (sin/cos would drag libm cross-engine variance into the oracle;
+    square-wave signs keep every statistic a BIGINT)."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                samples = decode_wav_samples(bytes(content))
+                x = samples[:, 0].astype(np.int64)
+                n = len(x)
+                i = np.arange(n)
+                corrs = [
+                    int((x * np.where(i % p < p // 2, 1, -1)).sum())
+                    for p in periods
+                ]
+                rows.append(
+                    (int(path), n, int((x * x).sum()), *corrs)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "energy",
+                    "corr_p4", "corr_p8", "corr_p16",
+                ],
+            )
+
+    return media.mapInPandas(feats, schema=PERIODICITY_SCHEMA)

@@ -445,7 +445,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top_component(e, dim=64, iters=3)
 
 
-def _pca_projection_oracle(dim: int = 64, iters: int = 8, k: int = 2) -> str:
+def _pca_projection_oracle(dim: int = 64, iters: int = 5, k: int = 2) -> str:
     """Generated oracle for the full Gram → eigsolve → project pass:
     exact-decimal Gram, every power iteration and the Hotelling
     deflation replayed as MATERIALIZED CTEs (DuckDB inlines plain CTEs —
@@ -528,11 +528,11 @@ FROM (SELECT DISTINCT vec_id, label FROM emb) e {joins}
     "pair-explode into a (i,j)-keyed hash aggregate, so map-side combine "
     "keeps shuffle traffic at d² per partition like the blocked-BLAS "
     "twin), then the eigsolve ON THE d×d TABLE (gram_power_components — "
-    "8 power iterations + Hotelling deflation for the top 2 components, "
+    "5 power iterations + Hotelling deflation for the top 2 components, "
     "all state broadcast-sized, corpus never rescanned), then one "
     "corpus-scan projection onto the component pair.  Deterministic "
     "end-to-end (round-12 + DECIMAL sums at every step); the generated "
-    "oracle replays the Gram, all 16 iterations, the deflation and the "
+    "oracle replays the Gram, all 10 iterations, the deflation and the "
     "projection as MATERIALIZED CTEs.  Output: (vec_id, label, y1, y2) — "
     "the 2-D embedding of every vector.",
     oracle=_pca_projection_oracle(),
@@ -540,7 +540,7 @@ FROM (SELECT DISTINCT vec_id, label FROM emb) e {joins}
 def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linalg import gram_matrix_exact, gram_power_components
 
-    dim, iters, k = 64, 8, 2
+    dim, iters, k = 64, 5, 2
     e = table(spark, sf_dir, "embeddings")
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     base = e.select("vec_id", "label", x.alias("x"))

@@ -1029,3 +1029,54 @@ def mine_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # consumed by prune, pairs and 3 join sides
     )
     return triple_supports(li, "l_orderkey", "l_partkey", TRI_MINSUP)
+
+
+# ---------------------------------------------------------------------------
+# Audio periodicity probe (square-wave matched filter over real PCM)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_periodicity",
+    family="multimodal",
+    doc="Square-wave matched-filter periodicity features over REAL "
+    "16-bit PCM WAV decode (operators/multimodal.py::"
+    "wav_periodicity_features): per audio, channel-0 energy Σx² and "
+    "correlations against ±1 square waves at periods 4/8/16 — the "
+    "integer-exact cousin of a Goertzel DFT bin (sin/cos would make "
+    "the oracle hostage to libm's last-ulp differences; square-wave "
+    "signs keep every statistic an exact BIGINT).  The corpus is the "
+    "deterministic closed-form PCM (sample(i,0) = ((id·13+7i) mod "
+    "2003) − 1001), so the oracle recomputes every feature without "
+    "touching a WAV byte — drift in RIFF chunk walking, int16 LE "
+    "decoding or channel deinterleaving breaks the hash.",
+    oracle="""
+WITH spec AS (
+  SELECT doc_id, doc_id % 100 + 1 AS n FROM documents
+),
+px AS (
+  SELECT doc_id, n, s.i,
+         (doc_id * 13 + 7 * s.i) % 2003 - 1001 AS x
+  FROM spec, UNNEST(range(0, n)) AS s(i)
+)
+SELECT doc_id AS audio_id,
+       CAST(MIN(n) AS INT) AS n_samples,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST(SUM(x * (CASE WHEN i % 4 < 2 THEN 1 ELSE -1 END)) AS BIGINT)
+         AS corr_p4,
+       CAST(SUM(x * (CASE WHEN i % 8 < 4 THEN 1 ELSE -1 END)) AS BIGINT)
+         AS corr_p8,
+       CAST(SUM(x * (CASE WHEN i % 16 < 8 THEN 1 ELSE -1 END)) AS BIGINT)
+         AS corr_p16
+FROM px
+GROUP BY doc_id
+""",
+)
+def multimodal_audio_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        synthesize_pcm_audio,
+        wav_periodicity_features,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return wav_periodicity_features(synthesize_pcm_audio(d.select("doc_id")))
