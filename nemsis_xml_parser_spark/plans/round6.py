@@ -1080,3 +1080,216 @@ def multimodal_audio_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return wav_periodicity_features(synthesize_pcm_audio(d.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (nonparametric, tie-corrected)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mann_kendall_trend",
+    family="timeseries",
+    doc="Mann–Kendall trend test on the daily event-count series — the "
+    "nonparametric significance companion to agg_theil_sen_slope "
+    "(which gives the magnitude): S = Σ_{i<j} sign(x_j − x_i) over the "
+    "bounded day domain (triangular join on ~30 days — a calendar "
+    "dimension, not data), tie-corrected variance Var(S) = "
+    "[n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 from exact counts, and the "
+    "continuity-corrected z.  Everything integer until the final "
+    "sqrt/division — one identical expression tree both engines.",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_sum
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x) g
+  WHERE t > 1
+)
+SELECT n.n AS n_days, s.s_stat,
+       ROUND((CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_sum AS DOUBLE))
+             / 18.0, 6) AS var_s,
+       ROUND((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1.0
+                   WHEN s.s_stat < 0 THEN s.s_stat + 1.0
+                   ELSE 0.0 END)
+             / sqrt((CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_sum
+                          AS DOUBLE)) / 18.0), 6) AS z_score
+FROM n, s, ties
+""",
+)
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    var_expr = (
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_sum")
+        ).cast("double")
+        / F.lit(18.0)
+    )
+    z_num = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - F.lit(1.0))
+        .when(F.col("s_stat") < 0, F.col("s_stat") + F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round(var_expr, 6).alias("var_s"),
+            F.round(z_num / F.sqrt(var_expr), 6).alias("z_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival over user lifetimes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_kaplan_meier",
+    family="timeseries",
+    doc="Kaplan–Meier survival estimator over user lifetimes — the "
+    "right-censored churn curve: lifetime = days between a user's "
+    "first and last event, censored when the user is still active on "
+    "the corpus' final day; at each observed churn time t, S(t) "
+    "multiplies the running product by (1 − d_t/n_t) with n_t = users "
+    "whose observed time ≥ t.  The cumulative product runs over the "
+    "BOUNDED day domain (≤ horizon days, a calendar dimension) as a "
+    "triangular join of exp(Σ round-12 ln terms) — decimal-summed so "
+    "order-independent, final ROUND(6) absorbing exp/ln last-ulp "
+    "variance.  Exact integer risk/event counts surfaced beside the "
+    "estimate.",
+    oracle="""
+WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS last_day FROM events),
+lives AS (
+  SELECT user_id,
+         DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS lifetime,
+         CASE WHEN MAX(CAST(ts AS DATE)) = (SELECT last_day FROM horizon)
+              THEN 1 ELSE 0 END AS censored
+  FROM events GROUP BY user_id
+),
+times AS (
+  SELECT lifetime AS t,
+         CAST(SUM(1 - censored) AS BIGINT) AS d
+  FROM lives GROUP BY lifetime
+  HAVING SUM(1 - censored) > 0
+),
+risk AS (
+  SELECT tm.t, tm.d,
+         CAST((SELECT COUNT(*) FROM lives l WHERE l.lifetime >= tm.t)
+           AS BIGINT) AS n_risk
+  FROM times tm
+),
+surv AS (
+  SELECT a.t, a.d, a.n_risk,
+         EXP(CAST(SUM(CAST(ROUND(LN(1.0 - CAST(b.d AS DOUBLE) / b.n_risk),
+                                 12) AS DECIMAL(24,12))) AS DOUBLE))
+           AS s_raw
+  FROM risk a JOIN risk b ON b.t <= a.t
+  GROUP BY a.t, a.d, a.n_risk
+)
+SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS n_events,
+       ROUND(s_raw, 6) AS survival
+FROM surv
+""",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("last_day"))
+    lives = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day_u"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_day_u", "first_day").alias("lifetime"),
+            F.when(F.col("last_day_u") == F.col("last_day"), 1)
+            .otherwise(0)
+            .alias("censored"),
+        )
+        .localCheckpoint(eager=True)  # consumed by times AND the risk probe
+    )
+    times = (
+        lives.groupBy(F.col("lifetime").alias("t"))
+        .agg(F.sum(1 - F.col("censored")).cast("bigint").alias("d"))
+        .where(F.col("d") > 0)
+    )
+    lv = lives.select(F.col("lifetime").alias("lt"))
+    risk = (
+        times.join(F.broadcast(lv), F.col("lt") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_risk"))
+    )
+    a = risk.select(
+        F.col("t").alias("ta"), F.col("d").alias("da"), F.col("n_risk").alias("na")
+    )
+    b = risk.select(
+        F.col("t").alias("tb"), F.col("d").alias("db"), F.col("n_risk").alias("nb")
+    )
+    surv = (
+        a.join(F.broadcast(b), F.col("tb") <= F.col("ta"))
+        .groupBy("ta", "da", "na")
+        .agg(
+            F.exp(
+                F.sum(
+                    F.round(
+                        F.log(
+                            F.lit(1.0) - F.col("db").cast("double") / F.col("nb")
+                        ),
+                        12,
+                    ).cast("decimal(24,12)")
+                ).cast("double")
+            ).alias("s_raw")
+        )
+    )
+    return surv.select(
+        F.col("ta").cast("bigint").alias("t_days"),
+        F.col("na").alias("n_risk"),
+        F.col("da").alias("n_events"),
+        F.round("s_raw", 6).alias("survival"),
+    )

@@ -69,6 +69,8 @@ JUSTIFIED_BNLJ = {
     "quality_rank_sum_drift",      # broadcast bounded bin frame + 1-row totals
     "sketch_join_cardinality",     # broadcast 1-row side-stat scalars (x2 joins)
     "events_changepoint_cusum",    # triangular join over bounded day domain
+    "agg_mann_kendall_trend",      # triangular join over bounded day domain + 1-row scalars
+    "events_kaplan_meier",         # triangular join over bounded churn-day domain + broadcast lifetimes probe
     "graph_degree_distribution",   # broadcast 1-row total/slope scalars
     "events_autocorrelation",      # day spine x 7-row lag spine, all broadcast
     "embedding_silhouette",        # broadcast 5-row centroid frame
