@@ -1293,3 +1293,193 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("da").alias("n_events"),
         F.round("s_raw", 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded differential-privacy count release
+# ---------------------------------------------------------------------------
+
+DP_EPS = 1.0
+DP_SENS = 1  # counting query sensitivity
+
+
+@register(
+    "quality_dp_noisy_counts",
+    family="drift",
+    doc="Differentially-private count release with SEEDED Laplace noise "
+    "— the privacy-preserving data card every public corpus ships: "
+    "per-(source, lang) document counts plus Lap(sensitivity/ε) noise "
+    "drawn by inverse-CDF from the md5-uniform stream (u ∈ (0,1) → "
+    "−(1/ε)·sign(u−½)·ln(1−2|u−½|)), so the release is reproducible "
+    "and cross-engine hash-checked while keeping the exact mechanism "
+    "shape.  The true count rides alongside as the absolute-error "
+    "audit (a real release would drop it).  One aggregate; noise is "
+    "scalar arithmetic on the group keys; ln variance absorbed by "
+    "ROUND(6).",
+    oracle=f"""
+WITH g AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM documents GROUP BY source, lang
+),
+u AS (
+  SELECT source, lang, true_count,
+         (CAST(('0x' || substr(md5(source || '|' || lang), 1, 15)) AS BIGINT)
+          % 999999 + 1) / 1000000.0 AS uv
+  FROM g
+)
+SELECT source, lang, true_count,
+       ROUND(true_count
+             - ({DP_SENS} / {DP_EPS})
+               * (CASE WHEN uv < 0.5 THEN -1.0 ELSE 1.0 END)
+               * LN(1.0 - 2.0 * ABS(uv - 0.5)), 6) AS noisy_count,
+       ROUND(ABS(({DP_SENS} / {DP_EPS})
+                 * (CASE WHEN uv < 0.5 THEN -1.0 ELSE 1.0 END)
+                 * LN(1.0 - 2.0 * ABS(uv - 0.5))), 6) AS abs_noise
+FROM u
+""",
+)
+def quality_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    uv = (
+        md5_long(F.concat(F.col("source"), F.lit("|"), F.col("lang"))) % 999999
+        + 1
+    ) / F.lit(1000000.0)
+    noise = (
+        (F.lit(float(DP_SENS)) / F.lit(float(DP_EPS)))
+        * F.when(uv < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uv - F.lit(0.5)))
+    )
+    return g.select(
+        "source",
+        "lang",
+        "true_count",
+        F.round(F.col("true_count") - noise, 6).alias("noisy_count"),
+        F.round(F.abs(noise), 6).alias("abs_noise"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (filter -> dedup -> sample -> account)
+# ---------------------------------------------------------------------------
+
+PIPE_MIN_W, PIPE_MAX_W = 10, 5000
+PIPE_KEEP_PCT = 80
+
+
+@register(
+    "curation_pipeline_e2e",
+    family="curation",
+    doc="The composed curation pass a training-data team actually runs, "
+    "end to end in ONE declarative plan: quality gate (word count in "
+    "[10, 5000] and unique-token ratio ≥ 0.3) → exact near-dup removal "
+    "(md5 fingerprint of trimmed text, min-doc_id survivor election) → "
+    "deterministic 80% hash sample (md5 mod 100) → per-(source, lang) "
+    "accounting of docs and tokens surviving each stage.  Every stage "
+    "is a component proven separately (gopher rules, "
+    "dedup_exact_survivors, sample_hash_split); this row proves the "
+    "COMPOSITION — the funnel counts only agree if all four stage "
+    "semantics chain exactly.  One scan, stage flags as columns (no "
+    "per-stage materialization), one final 20×2-key aggregate; the "
+    "dedup survivor election is the only extra shuffle (fingerprint "
+    "group).",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '')) AS nw,
+         len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x != ''))) AS nu,
+         md5(trim(text)) AS fp
+  FROM documents
+),
+flt AS (
+  SELECT *, CASE WHEN nw BETWEEN {PIPE_MIN_W} AND {PIPE_MAX_W}
+                  AND CAST(nu AS DOUBLE) / nw >= 0.3
+             THEN 1 ELSE 0 END AS pass_filter
+  FROM t
+),
+surv AS (
+  SELECT fp, MIN(doc_id) AS survivor_id
+  FROM flt WHERE pass_filter = 1 GROUP BY fp
+),
+staged AS (
+  SELECT f.*,
+         CASE WHEN f.pass_filter = 1 AND s.survivor_id = f.doc_id
+              THEN 1 ELSE 0 END AS pass_dedup,
+         CASE WHEN f.pass_filter = 1 AND s.survivor_id = f.doc_id
+                   AND CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) % 100
+                       < {PIPE_KEEP_PCT}
+              THEN 1 ELSE 0 END AS pass_sample
+  FROM flt f LEFT JOIN surv s ON s.fp = f.fp
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS docs_in,
+       CAST(SUM(pass_filter) AS BIGINT) AS docs_filtered,
+       CAST(SUM(pass_dedup) AS BIGINT) AS docs_deduped,
+       CAST(SUM(pass_sample) AS BIGINT) AS docs_sampled,
+       CAST(SUM(CASE WHEN pass_sample = 1 THEN nw ELSE 0 END) AS BIGINT)
+         AS tokens_sampled
+FROM staged
+GROUP BY source, lang
+""",
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).alias("nw"),
+        F.size(F.array_distinct(toks)).alias("nu"),
+        F.md5(F.trim(F.col("text"))).alias("fp"),
+    )
+    flt = t.withColumn(
+        "pass_filter",
+        F.when(
+            F.col("nw").between(PIPE_MIN_W, PIPE_MAX_W)
+            & (F.col("nu").cast("double") / F.col("nw") >= 0.3),
+            1,
+        ).otherwise(0),
+    )
+    surv = (
+        flt.where(F.col("pass_filter") == 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("survivor_id"))
+    )
+    staged = flt.join(surv, "fp", "left").select(
+        "*",
+        F.when(
+            (F.col("pass_filter") == 1)
+            & (F.col("survivor_id") == F.col("doc_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("pass_dedup"),
+    )
+    staged = staged.withColumn(
+        "pass_sample",
+        F.when(
+            (F.col("pass_dedup") == 1)
+            & (md5_long(F.col("doc_id").cast("string")) % 100 < PIPE_KEEP_PCT),
+            1,
+        ).otherwise(0),
+    )
+    return staged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+        F.sum("pass_filter").cast("bigint").alias("docs_filtered"),
+        F.sum("pass_dedup").cast("bigint").alias("docs_deduped"),
+        F.sum("pass_sample").cast("bigint").alias("docs_sampled"),
+        F.sum(F.when(F.col("pass_sample") == 1, F.col("nw")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_sampled"),
+    )
