@@ -1483,3 +1483,148 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (robust-statistics battery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_winsorized_mean",
+    family="agg",
+    doc="5%-winsorized mean of order totals per priority — the robust "
+    "location estimate that clamps (rather than drops) the tails: "
+    "values below P5 / above P95 are replaced by the exact linear-"
+    "interpolation percentiles (percentile ≡ quantile_cont, proven by "
+    "agg_percentile_exact), then averaged via round-12 DECIMAL sums so "
+    "the clamped aggregate is order-independent.  Compared against the "
+    "raw mean in the same row — the visible outlier-influence audit.",
+    oracle="""
+WITH b AS (
+  SELECT o_orderpriority,
+         ROUND(CAST(quantile_cont(o_totalprice, 0.05) AS DOUBLE), 6) AS p05,
+         ROUND(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 6) AS p95
+  FROM orders GROUP BY o_orderpriority
+),
+w AS (
+  SELECT o.o_orderpriority,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS raw,
+         CAST(ROUND(LEAST(GREATEST(o.o_totalprice, b.p05), b.p95), 12)
+              AS DECIMAL(24,12)) AS clamped
+  FROM orders o JOIN b USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(raw) AS DOUBLE) / COUNT(*), 6) AS raw_mean,
+       ROUND(CAST(SUM(clamped) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+FROM w
+GROUP BY o_orderpriority
+""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.05), 6).alias("p05"),
+        F.round(F.percentile("o_totalprice", 0.95), 6).alias("p95"),
+    )
+    w = o.join(F.broadcast(b), "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("raw"),
+        F.round(
+            F.least(
+                F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
+            ),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("clamped"),
+    )
+    return w.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("raw").cast("double") / F.count(F.lit(1)), 6).alias(
+            "raw_mean"
+        ),
+        F.round(
+            F.sum("clamped").cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsorized_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (variance-to-mean dispersion across documents)
+# ---------------------------------------------------------------------------
+
+BURST_TOP = 20
+
+
+@register(
+    "text_burstiness_dispersion",
+    family="text",
+    doc="Term burstiness — the variance-to-mean dispersion index of "
+    "per-document term counts for the corpus' top-20 terms: D = "
+    "Var(tf)/Mean(tf) over ALL documents (zeros included — absent "
+    "docs are part of the distribution), D ≈ 1 for Poisson-scattered "
+    "function words, D ≫ 1 for bursty topical terms — the signal "
+    "keyword extractors and stopword inducers split on.  Zeros enter "
+    "through N (corpus size) arithmetic, not row explosion: Var from "
+    "exact Σtf, Σtf² DECIMAL moments + N, so the all-docs distribution "
+    "costs nothing beyond the posting aggregate.  Top-20 by corpus "
+    "frequency with full tie-break.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+tf AS (
+  SELECT doc_id, UNNEST(t) AS term FROM toks
+),
+ptf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS f
+  FROM tf GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term,
+         CAST(SUM(f) AS BIGINT) AS total_tf,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(f * f) AS BIGINT) AS sum_f2
+  FROM ptf GROUP BY term
+)
+SELECT term, total_tf, df,
+       ROUND((CAST(sum_f2 AS DOUBLE) / n.n_docs
+              - (CAST(total_tf AS DOUBLE) / n.n_docs)
+                * (CAST(total_tf AS DOUBLE) / n.n_docs))
+             / (CAST(total_tf AS DOUBLE) / n.n_docs), 6) AS dispersion
+FROM stats, n
+ORDER BY total_tf DESC, term ASC
+LIMIT {BURST_TOP}
+""",
+)
+def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    n = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ptf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    stats = ptf.groupBy("term").agg(
+        F.sum("f").cast("bigint").alias("total_tf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("sum_f2"),
+    )
+    mean = F.col("total_tf").cast("double") / F.col("n_docs")
+    disp = (
+        F.col("sum_f2").cast("double") / F.col("n_docs") - mean * mean
+    ) / mean
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select("term", "total_tf", "df", F.round(disp, 6).alias("dispersion"))
+        .orderBy(F.col("total_tf").desc(), F.col("term").asc())
+        .limit(BURST_TOP)
+    )

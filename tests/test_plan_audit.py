@@ -81,6 +81,7 @@ JUSTIFIED_BNLJ = {
     "retrieval_hybrid_rrf",        # broadcast 1-probe vs corpus + bm25 scalars
     "curation_dsir_importance",    # broadcast 1-row LM-total scalars
     "text_heaps_law",              # 20-bucket triangular join + maxid scalar
+    "text_burstiness_dispersion",  # broadcast 1-row corpus-size scalar
     "agg_theil_sen_slope",         # triangular join over calendar-bounded
                                    # day frame + 1-row n/median/ols scalars
     "graph_kcore",                 # broadcast 1-row core/base-stat scalars
