@@ -1,0 +1,48 @@
+"""Bounded-depth multi-source BFS (k-hop neighborhood labeling).
+
+Distributed shape: per level, ONE equi-join of the current frontier
+against the adjacency list plus one anti-join against the visited set —
+the standard Pregel-style frontier expansion.  Each level is
+localCheckpointed so the plan stays flat (NOTES gotcha 13: iterative
+DataFrame loops double their plan per level otherwise) and the visited
+set never re-derives earlier levels.
+
+At 100 TB the adjacency join shuffles on the frontier key only (frontier
+cardinality, not graph cardinality); the visited anti-join is the same
+key.  Depth is a hard bound — the k-hop semantics every feature-
+engineering pipeline uses (no unbounded transitive closure).
+
+Reference parity: the reference (a psycopg2 ETL, main_ingest.py) has no
+graph surface; this is part of the §2.I query tier.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def bfs_hops(adj: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Label every node reachable from ``seeds`` within ``max_hops``.
+
+    ``adj``: directed adjacency (u, v) — pass both directions for an
+    undirected graph.  ``seeds``: one column ``v``.  Returns (v, hop)
+    with hop = minimum number of edges from any seed (0 for seeds).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    frontier = seeds.select("v").distinct().localCheckpoint(eager=True)
+    visited = frontier.select("v", F.lit(0).alias("hop")).localCheckpoint(eager=True)
+    for i in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("v", "u"), "u")
+            .select("v")
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("v", F.lit(i).alias("hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

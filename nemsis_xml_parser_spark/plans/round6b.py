@@ -1,0 +1,477 @@
+"""Late round-6 additions: grid-bounded kNN join, chi-square
+independence, gaps-and-islands streaks, Adamic-Adar link prediction,
+multi-source BFS hop distances.
+
+Registered after round6 so the rotation fronts them as never-recorded
+queries.  Oracle discipline per plans/registry.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# Grid-bounded k-nearest-neighbor self-join
+# ---------------------------------------------------------------------------
+
+KNN_EPS = 0.5
+KNN_K = 3
+
+
+@register(
+    "join_spatial_grid_knn",
+    family="join",
+    doc="Radius-bounded kNN self-join via GRID BUCKETING — the kNN "
+    "generalization of join_spatial_grid_epsilon: purchases become "
+    "points (value, hour-of-day), each QUERY point replicates into its "
+    "3x3 neighborhood of eps-sized cells and equi-joins candidate "
+    "points in their HOME cell, then a per-query-point row_number over "
+    "(L-inf distance, neighbor id) keeps the k=3 nearest WITHIN eps — "
+    "the bounded-radius kNN every grid/LSH ANN system answers (points "
+    "with fewer than k in-radius neighbors return what they have; the "
+    "unbounded exact tier is knn_cosine_topk).  The join is a pure "
+    "equi-join on cell id, candidates bounded by cell occupancy, and "
+    "the rank window partitions by query point (per-point cardinality "
+    "is cell-bounded, never global).  The oracle is the naive "
+    "all-pairs theta join + ROW_NUMBER — equality proves the grid "
+    "candidate set is lossless.  Output: per neighbor rank, how many "
+    "points have one and the exact mean distance at that rank "
+    "(per-pair distance rounded then DECIMAL-summed).",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, value AS x,
+         EXTRACT(hour FROM ts) + EXTRACT(minute FROM ts) / 60.0 AS y
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT a.event_id AS id_q, b.event_id AS id_n,
+         GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) AS linf
+  FROM p a JOIN p b ON a.event_id <> b.event_id
+  WHERE ABS(a.x - b.x) < {KNN_EPS} AND ABS(a.y - b.y) < {KNN_EPS}
+),
+ranked AS (
+  SELECT id_q, id_n, linf,
+         ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY linf ASC, id_n ASC)
+           AS rank
+  FROM cand
+)
+SELECT CAST(rank AS INT) AS rank,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(ROUND(linf, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS mean_dist
+FROM ranked WHERE rank <= {KNN_K}
+GROUP BY rank
+""",
+)
+def join_spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("value").alias("x"),
+        (F.hour("ts") + F.minute("ts") / F.lit(60.0)).alias("y"),
+    )
+    cx, cy = F.floor(F.col("x") / KNN_EPS), F.floor(F.col("y") / KNN_EPS)
+    q = p.select(
+        F.col("event_id").alias("id_q"),
+        F.col("x").alias("xq"),
+        F.col("y").alias("yq"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct((cx + dx).alias("gx"), (cy + dy).alias("gy"))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select(
+        "id_q", "xq", "yq", F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy")
+    )
+    n = p.select(
+        F.col("event_id").alias("id_n"),
+        F.col("x").alias("xn"),
+        F.col("y").alias("yn"),
+        cx.alias("gx"),
+        cy.alias("gy"),
+    )
+    cand = (
+        q.join(n, ["gx", "gy"])
+        .where(F.col("id_q") != F.col("id_n"))
+        .where(
+            (F.abs(F.col("xq") - F.col("xn")) < KNN_EPS)
+            & (F.abs(F.col("yq") - F.col("yn")) < KNN_EPS)
+        )
+        .select(
+            "id_q",
+            "id_n",
+            F.greatest(
+                F.abs(F.col("xq") - F.col("xn")), F.abs(F.col("yq") - F.col("yn"))
+            ).alias("linf"),
+        )
+    )
+    w = Window.partitionBy("id_q").orderBy(F.col("linf").asc(), F.col("id_n").asc())
+    ranked = cand.select("id_q", "linf", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= KNN_K
+    )
+    return ranked.groupBy(F.col("rank").cast("int").alias("rank")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (
+            F.sum(F.round("linf", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence + Cramer's V
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_chi_square_independence",
+    family="drift",
+    doc="Chi-square test of independence between event_type and ISO "
+    "day-of-week (the classic categorical-drift / segment-balance "
+    "audit): observed contingency counts, expected counts "
+    "row_total*col_total/N from two broadcast-joined marginal "
+    "aggregates, chi2 = sum (O-E)^2/E with each cell's term rounded "
+    "then DECIMAL-summed (deterministic across engines regardless of "
+    "cell order), degrees of freedom (r-1)(c-1), and Cramer's V = "
+    "sqrt(chi2 / (N * min(r-1, c-1))) — effect size alongside the "
+    "statistic.  Shape: one scan -> one contingency aggregate (|types| "
+    "x 7 cells, tiny) -> marginals derived FROM the contingency table "
+    "(no second scan) and broadcast back.  isodow = Spark weekday()+1 "
+    "== DuckDB isodow.",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, dow
+),
+rowm AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY event_type),
+colm AS (SELECT dow, SUM(o) AS ct FROM obs GROUP BY dow),
+tot AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT obs.o, rowm.rt * colm.ct / tot.n AS e
+  FROM obs JOIN rowm USING (event_type) JOIN colm USING (dow) CROSS JOIN tot
+),
+chi AS (
+  SELECT CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS chi2
+  FROM cells
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS c
+  FROM obs
+)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       dims.r, dims.c,
+       CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+       ROUND(chi.chi2, 6) AS chi2,
+       ROUND(SQRT(chi.chi2 / (tot.n * LEAST(dims.r - 1, dims.c - 1))), 6)
+         AS cramers_v
+FROM tot, dims, chi
+""",
+)
+def quality_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", (F.weekday(F.to_date("ts")) + 1).alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint()  # contingency table is tiny; reused 4x below
+    )
+    rowm = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colm = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o", (F.col("rt") * F.col("ct") / F.col("n")).alias("e")
+        )
+    )
+    chi = cells.agg(
+        F.sum(
+            F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6)
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    dims = obs.agg(
+        F.count_distinct("event_type").cast("bigint").alias("r"),
+        F.count_distinct("dow").cast("bigint").alias("c"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            "r",
+            "c",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day streak per user (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_streaks",
+    family="events",
+    doc="Longest consecutive-active-day streak per user via GAPS-AND-"
+    "ISLANDS: distinct (user, day), a per-user row_number in day order, "
+    "and day - row_number as the island anchor (constant within a run "
+    "of consecutive days, the textbook trick) -> per-island lengths -> "
+    "per-user max -> distribution of users by their longest streak.  "
+    "Every window partitions by user_id (bounded by a user's active "
+    "days); all arithmetic is exact INT/DATE.  The engagement-streak "
+    "rollup every activity dashboard runs.",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+isl AS (
+  SELECT user_id,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day ASC)
+                    AS INT) AS anchor
+  FROM ud
+),
+runs AS (
+  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, anchor
+),
+best AS (SELECT user_id, MAX(len) AS best_streak FROM runs GROUP BY user_id)
+SELECT CAST(best_streak AS BIGINT) AS best_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best GROUP BY best_streak
+""",
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    isl = ud.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    best = runs.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return best.groupBy(F.col("best_streak").cast("bigint").alias("best_streak")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+AA_ORDER_CAP = 1000
+AA_TOP = 20
+
+
+@register(
+    "graph_adamic_adar",
+    family="graph",
+    doc="Adamic-Adar link prediction on the part co-purchase graph "
+    "(same bounded demo graph as graph_triangle_count): for every "
+    "NON-adjacent part pair with at least one common neighbor, "
+    "AA(a,b) = sum over common neighbors z of 1/ln(deg(z)) — the "
+    "classic who-should-be-connected score.  Distributed shape: "
+    "candidate pairs come from the WEDGE join (adjacency ⋈ adjacency "
+    "on the shared center, a<b — never all pairs), existing edges are "
+    "removed with one broadcast-able anti-join, and each center's "
+    "1/ln(deg) term is rounded then DECIMAL-summed so the per-pair sum "
+    "is order-deterministic across engines.  deg(z) >= 2 for every "
+    "wedge center, so ln is never 0.  Output: top-20 predicted links "
+    "with full tie-break.",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {AA_ORDER_CAP}
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+wedge AS (
+  SELECT x.v AS a, y.v AS b, x.u AS z
+  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+),
+cand AS (
+  SELECT w.a, w.b,
+         CAST(SUM(CAST(ROUND(1.0 / LN(deg.d), 6) AS DECIMAL(18,6)))
+              AS DOUBLE) AS aa_score,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM wedge w JOIN deg ON deg.u = w.z
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)
+  GROUP BY w.a, w.b
+)
+SELECT a, b, ROUND(aa_score, 6) AS aa_score, n_common
+FROM cand
+ORDER BY aa_score DESC, a ASC, b ASC
+LIMIT {AA_TOP}
+""",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < AA_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()  # reused: adjacency (2x), anti-join
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    x = adj.select(F.col("u").alias("z"), F.col("v").alias("pa"))
+    y = adj.select(F.col("u").alias("z"), F.col("v").alias("pb"))
+    wedge = x.join(y, "z").where(F.col("pa") < F.col("pb"))
+    nonadj = wedge.join(
+        e,
+        (wedge["pa"] == e["a"]) & (wedge["pb"] == e["b"]),
+        "left_anti",
+    )
+    cand = (
+        nonadj.join(deg, nonadj["z"] == deg["u"])
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(
+            F.sum(F.round(F.lit(1.0) / F.log("d"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("aa_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        )
+    )
+    return (
+        cand.select("a", "b", F.round("aa_score", 6).alias("aa_score"), "n_common")
+        .orderBy(F.col("aa_score").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(AA_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth multi-source BFS hop distances
+# ---------------------------------------------------------------------------
+
+BFS_ORDER_CAP = 1000
+BFS_SEED_MOD = 50
+BFS_MAX_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {BFS_ORDER_CAP}
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS v FROM adj),
+f0 AS MATERIALIZED (SELECT v FROM nodes WHERE v % {BFS_SEED_MOD} = 0),
+vis0 AS MATERIALIZED (SELECT v FROM f0)"""
+    ]
+    for i in range(1, BFS_MAX_HOPS + 1):
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT DISTINCT adj.v AS v FROM adj JOIN f{i - 1} p ON adj.u = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{i - 1} w WHERE w.v = adj.v)
+),
+vis{i} AS MATERIALIZED (
+  SELECT v FROM vis{i - 1} UNION ALL SELECT v FROM f{i}
+)"""
+        )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT {i} AS hop, v FROM f{i}" for i in range(BFS_MAX_HOPS + 1)
+    )
+    parts.append(f"hops AS MATERIALIZED (\n{levels}\n)")
+    final = f"""
+SELECT CAST(hop AS INT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM hops GROUP BY hop
+UNION ALL
+SELECT -1 AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM nodes WHERE NOT EXISTS (SELECT 1 FROM vis{BFS_MAX_HOPS} w
+                             WHERE w.v = nodes.v)
+"""
+    return ",\n".join(parts) + final
+
+
+@register(
+    "graph_bfs_hops",
+    family="graph",
+    doc="Bounded-depth multi-source BFS (operators/bfs.py) on the part "
+    "co-purchase graph: every part whose key is divisible by 50 seeds "
+    "the search, and each reachable node is labeled with its minimum "
+    "hop distance (<= 4) — the k-hop-neighborhood feature every graph "
+    "feature pipeline computes.  Per level: ONE frontier-adjacency "
+    "equi-join + one visited anti-join, localCheckpointed so the plan "
+    "stays flat (the Pregel frontier pattern; frontier-sized shuffles, "
+    "never graph-sized).  The oracle UNROLLS all 4 levels as "
+    "MATERIALIZED CTEs (NOTES gotcha 11).  Output: nodes per hop "
+    "level plus the count unreached within 4 hops (hop = -1).",
+    oracle=_bfs_oracle(),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bfs import bfs_hops
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < BFS_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()  # reused every BFS level
+    )
+    nodes = adj.select("u").distinct().withColumnRenamed("u", "v")
+    seeds = nodes.where(F.col("v") % BFS_SEED_MOD == 0)
+    visited = bfs_hops(adj, seeds, BFS_MAX_HOPS)
+    per_hop = visited.groupBy(F.col("hop").cast("int").alias("hop")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    unreached = (
+        nodes.join(visited.select("v"), "v", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.lit(-1).cast("int").alias("hop"), "n_nodes")
+    )
+    return per_hop.unionByName(unreached)
