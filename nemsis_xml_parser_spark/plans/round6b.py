@@ -475,3 +475,71 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).cast("int").alias("hop"), "n_nodes")
     )
     return per_hop.unionByName(unreached)
+
+
+# ---------------------------------------------------------------------------
+# FP-growth frequent itemsets (PFP)
+# ---------------------------------------------------------------------------
+
+FPG_MINSUP = 2
+FPG_MAX_LEN = 3
+
+
+@register(
+    "mine_fpgrowth_itemsets",
+    family="dedup",
+    doc="ALL frequent itemsets up to size 3 over the order baskets via "
+    "parallel FP-growth (operators/fpgrowth.py): broadcast F-list "
+    "prune, ONE shuffle of group-dependent prefix transactions, then "
+    "independent per-item conditional-pattern-base mining in Arrow "
+    "batches with FP-tree path compression — the wide-basket "
+    "complement to the join-per-level a-priori tier "
+    "(mine_association_rules / mine_frequent_triples), which "
+    "re-shuffles the corpus once per itemset size.  The oracle "
+    "enumerates sizes 1-3 with naive unpruned self-joins: equality "
+    "proves the PFP group decomposition produces every itemset "
+    "exactly once with exact support.",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+s1 AS (
+  SELECT 1 AS size, CAST(l_partkey AS VARCHAR) AS items,
+         COUNT(*) AS support
+  FROM li GROUP BY l_partkey HAVING COUNT(*) >= {FPG_MINSUP}
+),
+s2 AS (
+  SELECT 2 AS size,
+         CAST(a.l_partkey AS VARCHAR) || '|' || CAST(b.l_partkey AS VARCHAR)
+           AS items,
+         COUNT(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 2 HAVING COUNT(*) >= {FPG_MINSUP}
+),
+s3 AS (
+  SELECT 3 AS size,
+         CAST(a.l_partkey AS VARCHAR) || '|' || CAST(b.l_partkey AS VARCHAR)
+           || '|' || CAST(c.l_partkey AS VARCHAR) AS items,
+         COUNT(*) AS support
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 2 HAVING COUNT(*) >= {FPG_MINSUP}
+)
+SELECT CAST(size AS INT) AS size, items, CAST(support AS BIGINT) AS support
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+""",
+)
+def mine_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fpgrowth import fpgrowth_itemsets
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = fpgrowth_itemsets(
+        li, "l_orderkey", "l_partkey", FPG_MINSUP, max_len=FPG_MAX_LEN
+    )
+    return sets.select(
+        F.size("items").cast("int").alias("size"),
+        F.concat_ws("|", F.transform("items", lambda x: x.cast("string"))).alias(
+            "items"
+        ),
+        F.col("support").cast("bigint").alias("support"),
+    )
