@@ -543,3 +543,211 @@ def mine_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("support").cast("bigint").alias("support"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation with broadcast quintile cutoffs
+# ---------------------------------------------------------------------------
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+@register(
+    "events_rfm_segmentation",
+    family="events",
+    doc="RFM (recency / frequency / monetary) user segmentation over "
+    "purchase events — the classic CRM rollup, built WITHOUT a global "
+    "NTILE window (the textbook formulation ranks all users in one "
+    "unpartitioned window — a scale-killer this repo's window audit "
+    "forbids): per-user metrics come from one aggregate (recency = "
+    "days since the user's last purchase relative to the corpus max "
+    "day, frequency = purchase count, monetary = DECIMAL-exact value "
+    "sum), each metric's quintile CUTOFFS come from one tiny exact-"
+    "percentile aggregate (Spark percentile == DuckDB quantile_cont), "
+    "and scores attach via broadcast — two scans of nothing but the "
+    "per-user aggregate.  Score = 1 + #cutoffs strictly below the "
+    "metric (r_score 5 = stalest).  Output: users and mean spend per "
+    "(r,f,m) cell.",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS money
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+mx AS (SELECT MAX(last_day) AS corpus_max FROM u),
+m AS (
+  SELECT user_id, datediff('day', last_day, corpus_max) AS rec, freq, money
+  FROM u CROSS JOIN mx
+),
+cuts AS (
+  SELECT
+    {", ".join(f"ROUND(CAST(quantile_cont(rec, {q}) AS DOUBLE), 6) AS rc{i}, "
+               f"ROUND(CAST(quantile_cont(freq, {q}) AS DOUBLE), 6) AS fc{i}, "
+               f"ROUND(CAST(quantile_cont(money, {q}) AS DOUBLE), 6) AS mc{i}"
+               for i, q in enumerate(RFM_QS))}
+  FROM m
+),
+scored AS (
+  SELECT user_id, money,
+         1 {" ".join(f"+ CASE WHEN rec > rc{i} THEN 1 ELSE 0 END"
+                     for i in range(len(RFM_QS)))} AS r_score,
+         1 {" ".join(f"+ CASE WHEN freq > fc{i} THEN 1 ELSE 0 END"
+                     for i in range(len(RFM_QS)))} AS f_score,
+         1 {" ".join(f"+ CASE WHEN ROUND(money, 6) > mc{i} THEN 1 ELSE 0 END"
+                     for i in range(len(RFM_QS)))} AS m_score
+  FROM m CROSS JOIN cuts
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(ROUND(money, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_money
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("money"),
+        )
+        .localCheckpoint()  # reused: corpus max, cutoffs, scoring
+    )
+    mx = u.agg(F.max("last_day").alias("corpus_max"))
+    m = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("corpus_max", "last_day").alias("rec"),
+        "freq",
+        "money",
+    )
+    cut_cols = []
+    for i, q in enumerate(RFM_QS):
+        cut_cols += [
+            F.round(F.percentile("rec", q), 6).alias(f"rc{i}"),
+            F.round(F.percentile("freq", q), 6).alias(f"fc{i}"),
+            F.round(F.percentile("money", q), 6).alias(f"mc{i}"),
+        ]
+    cuts = m.agg(*cut_cols)
+
+    def score(metric, prefix):
+        s = F.lit(1)
+        for i in range(len(RFM_QS)):
+            s = s + F.when(metric > F.col(f"{prefix}{i}"), 1).otherwise(0)
+        return s
+
+    scored = m.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "money",
+        score(F.col("rec"), "rc").alias("r_score"),
+        score(F.col("freq"), "fc").alias("f_score"),
+        score(F.round("money", 6), "mc").alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.round("money", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_money"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampled quantile estimation (the 100 TB quantile path)
+# ---------------------------------------------------------------------------
+
+HSQ_PERMILLE = 10  # 1% deterministic systematic sample
+
+
+@register(
+    "agg_hash_sample_quantiles",
+    family="agg",
+    doc="Sample-based quantile estimation with a DETERMINISTIC hash "
+    "sample — the quantile path that actually runs at 100 TB, where an "
+    "exact global sort is off the table and approx_percentile's sketch "
+    "is engine-specific (agg_percentile_approx stays rows-only for "
+    "exactly that reason): md5(orderkey) lands each row in a stable "
+    "1% systematic sample (no rand(), so both engines and every retry "
+    "see the same rows), exact interpolated quantiles are computed on "
+    "the sample AND on the full population, and the output reports "
+    "both plus the absolute estimation error at p50/p90/p99 — the "
+    "sample is population-independent per key, so resampling composes "
+    "with incremental ingest.  Fully hash-oracled end to end.",
+    oracle=f"""
+WITH s AS (
+  SELECT l_extendedprice FROM lineitem
+  WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+              CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 1000 < {HSQ_PERMILLE}
+),
+pop AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+         ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS pop_p50,
+         ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 6) AS pop_p90,
+         ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 6) AS pop_p99
+  FROM lineitem
+),
+smp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+         ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS smp_p50,
+         ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 6) AS smp_p90,
+         ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 6) AS smp_p99
+  FROM s
+)
+SELECT pop.n_pop, smp.n_sample,
+       pop.pop_p50, smp.smp_p50, ROUND(ABS(pop.pop_p50 - smp.smp_p50), 6) AS err_p50,
+       pop.pop_p90, smp.smp_p90, ROUND(ABS(pop.pop_p90 - smp.smp_p90), 6) AS err_p90,
+       pop.pop_p99, smp.smp_p99, ROUND(ABS(pop.pop_p99 - smp.smp_p99), 6) AS err_p99
+FROM pop CROSS JOIN smp
+""",
+)
+def agg_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    s = li.where(md5_long(key) % 1000 < HSQ_PERMILLE)
+    pop = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("pop_p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("pop_p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("pop_p99"),
+    )
+    smp = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("smp_p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("smp_p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("smp_p99"),
+    )
+    return (
+        pop.crossJoin(F.broadcast(smp))
+        .select(
+            "n_pop",
+            "n_sample",
+            "pop_p50",
+            "smp_p50",
+            F.round(F.abs(F.col("pop_p50") - F.col("smp_p50")), 6).alias("err_p50"),
+            "pop_p90",
+            "smp_p90",
+            F.round(F.abs(F.col("pop_p90") - F.col("smp_p90")), 6).alias("err_p90"),
+            "pop_p99",
+            "smp_p99",
+            F.round(F.abs(F.col("pop_p99") - F.col("smp_p99")), 6).alias("err_p99"),
+        )
+    )
