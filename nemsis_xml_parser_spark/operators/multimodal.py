@@ -1147,3 +1147,42 @@ def wav_periodicity_features(media: DataFrame, periods=(4, 8, 16)) -> DataFrame:
             )
 
     return media.mapInPandas(feats, schema=PERIODICITY_SCHEMA)
+
+
+PER_IMAGE_HIST_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType(), False),
+        StructField("bin", IntegerType(), False),
+        StructField("n_px", LongType(), False),
+    ]
+)
+
+
+def png_luminance_bins(media: DataFrame, bins: int = 16) -> DataFrame:
+    """PER-IMAGE luminance histogram via the REAL decode path — the
+    per-asset exposure profile downstream per-image statistics (entropy,
+    contrast scoring, exposure gating) are computed from, where
+    ``png_luminance_histogram`` only keeps the corpus-level rollup.
+
+    Same integer BT.601 luma convention ((299R + 587G + 114B) // 1000,
+    ``256 // bins``-wide buckets, numpy bincount inside the Arrow
+    batch); emits only NON-EMPTY (image_id, bin, n_px) rows — at most
+    ``bins`` narrow rows per image, blobs never leave the executor."""
+    width = 256 // bins
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_png_pixels(bytes(content)).astype(np.int64)
+                luma = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                counts = np.bincount(luma.ravel() // width, minlength=bins)
+                for b in np.nonzero(counts)[0]:
+                    rows.append((int(path), int(b), int(counts[b])))
+            yield pd.DataFrame(rows, columns=["image_id", "bin", "n_px"])
+
+    return media.mapInPandas(hist, schema=PER_IMAGE_HIST_SCHEMA)

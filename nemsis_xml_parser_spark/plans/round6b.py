@@ -751,3 +751,84 @@ def agg_hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("pop_p99") - F.col("smp_p99")), 6).alias("err_p99"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-image luminance entropy over the real PNG decode path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_entropy",
+    family="multimodal",
+    doc="Per-image Shannon entropy of the 16-bin luminance histogram "
+    "over the REAL PNG decode path (operators/multimodal.py::"
+    "png_luminance_bins — inflate + 5-filter unfilter + integer BT.601 "
+    "luma) — the flat/low-information image gate an image-curation "
+    "pipeline runs (single-color banners and test cards score near 0, "
+    "textured photos near log2(16)=4).  H = sum over non-empty bins of "
+    "round(-(n/N) log2(n/N), 6), DECIMAL-summed so the 16-term float "
+    "sum is order-deterministic; images bucket into 0.25-wide entropy "
+    "bands (ROUND first, then FLOOR — NOTES gotcha 14).  The oracle "
+    "replays the closed-form pixel pattern and every arithmetic step "
+    "without touching a PNG byte — drift anywhere in the codec breaks "
+    "the hash.  Scale: blobs never leave the executor; per image only "
+    "<= 16 narrow rows reach the two partitioned-by-image aggregates.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id,
+         ((299 * ((doc_id * 7 + 3 * xs.x + 5 * ys.y) % 256)
+         + 587 * ((doc_id * 7 + 3 * xs.x + 5 * ys.y + 11) % 256)
+         + 114 * ((doc_id * 7 + 3 * xs.x + 5 * ys.y + 22) % 256)) // 1000)
+         // 16 AS bin
+  FROM dims, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)
+),
+hist AS (
+  SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS n_px
+  FROM px GROUP BY doc_id, bin
+),
+tot AS (SELECT doc_id, SUM(n_px) AS n FROM hist GROUP BY doc_id),
+ent AS (
+  SELECT hist.doc_id,
+         CAST(SUM(CAST(ROUND(-(n_px / CAST(n AS DOUBLE))
+                             * log2(n_px / CAST(n AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS h
+  FROM hist JOIN tot ON hist.doc_id = tot.doc_id
+  GROUP BY hist.doc_id
+)
+SELECT CAST(FLOOR(ROUND(h, 6) * 4) AS INT) AS entropy_band,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       ROUND(CAST(SUM(CAST(ROUND(h, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_entropy
+FROM ent GROUP BY 1
+""",
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import png_luminance_bins, synthesize_png_media
+
+    d = table(spark, sf_dir, "documents")
+    hist = png_luminance_bins(synthesize_png_media(d.select("doc_id")))
+    tot = hist.groupBy("image_id").agg(F.sum("n_px").alias("n"))
+    p = F.col("n_px") / F.col("n").cast("double")
+    ent = (
+        hist.join(tot, "image_id")
+        .groupBy("image_id")
+        .agg(
+            F.sum(F.round(-p * F.log2(p), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("h")
+        )
+    )
+    return ent.groupBy(
+        F.floor(F.round("h", 6) * 4).cast("int").alias("entropy_band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.round(
+            F.sum(F.round("h", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_entropy"),
+    )
