@@ -81,6 +81,11 @@ HEADLINE = [
     "sketch_hll_mergeable",
     "multimodal_jpeg_pixel_stats",
     "mine_association_rules",
+    # round 6 late flagships (subtract when comparing totals vs earlier)
+    "mine_fpgrowth_itemsets",
+    "join_spatial_grid_knn",
+    "events_rfm_segmentation",
+    "multimodal_image_entropy",
 ]
 
 

@@ -40,6 +40,8 @@ SF1_QUERIES = [
     "embedding_pca_projection",
     "sketch_hll_mergeable",
     "mine_association_rules",
+    "mine_fpgrowth_itemsets",
+    "join_spatial_grid_knn",
 ]
 
 
