@@ -73,9 +73,18 @@ def fpgrowth_itemsets(
     item_col: str,
     minsup: int,
     max_len: int | None = None,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """All frequent itemsets (support >= ``minsup``) over distinct
     (key, item) baskets; ``max_len`` bounds itemset size (None = all).
+
+    ``n_groups``: the PFP F-list shard count — items hash into
+    ``n_groups`` buckets and each bucket's conditional bases are mined
+    sequentially inside ONE Arrow batch.  This is the production
+    setting: it bounds task count, amortizes the per-group Python/Arrow
+    overhead across items, and is the skew lever (a hot item shares its
+    task only with its hash-mates).  ``None`` = one group per item
+    (fine for small item vocabularies).  Identical output either way.
 
     Returns (items array<bigint> ascending, support bigint).
     """
@@ -100,22 +109,24 @@ def fpgrowth_itemsets(
         F.posexplode("arr").alias("pos", "grp"), F.col("arr")
     ).select("grp", F.slice("arr", 1, F.col("pos") + 1).alias("prefix"))
 
-    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame({"items": [], "support": []})
-        g = int(pdf["grp"].iloc[0])
+    def mine_item(g: int, prefs, out: list) -> None:
         base: dict = {}
         total = 0
-        for pref in pdf["prefix"]:
+        for pref in prefs:
             path = tuple(int(x) for x in pref[:-1])  # strip trailing g
             total += 1
             if path:
                 base[path] = base.get(path, 0) + 1
-        out: list = []
         if total >= minsup:
             out.append(((g,), total))
             if (max_len is None or max_len > 1) and base:
                 _mine_base(base, minsup, (g,), max_len, out)
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: list = []
+        if not pdf.empty:
+            for g, sub in pdf.groupby("grp")["prefix"]:
+                mine_item(int(g), sub, out)
         return pd.DataFrame(
             {
                 "items": [sorted(s) for s, _ in out],
@@ -123,4 +134,11 @@ def fpgrowth_itemsets(
             }
         )
 
+    if n_groups is not None:
+        prefixes = prefixes.withColumn(
+            "shard", F.pmod(F.xxhash64("grp"), F.lit(n_groups))
+        )
+        return prefixes.groupBy("shard").applyInPandas(
+            lambda pdf: mine(pdf), _OUT_SCHEMA
+        )
     return prefixes.groupBy("grp").applyInPandas(mine, _OUT_SCHEMA)

@@ -3,11 +3,12 @@ with typed metadata (north-star extension).
 
 The Spark-side machinery — schema, binaryFile scan, Arrow-batched pandas
 UDFs over ``mapInPandas``, partition sizing — is real and tested.  Media
-decode is REAL, library-free, for three codecs: PNG (stdlib zlib + the
-five scanline filters, ``decode_png_pixels``), 16-bit PCM WAV
-(``decode_wav_samples``), and baseline JPEG (Huffman + IDCT,
-``operators/jpeg.py``).  Progressive JPEG, chroma subsampling, and video
-frames still raise ``NotImplementedError`` at clearly-marked seams where
+decode is REAL, library-free, for four codec families: PNG (stdlib zlib
++ the five scanline filters, ``decode_png_pixels``), 16-bit PCM WAV
+(``decode_wav_samples``), baseline JPEG incl. 4:2:0 color (Huffman +
+IDCT, ``operators/jpeg.py``), and Motion-JPEG video in a real RIFF/AVI
+container (``operators/video.py``).  Progressive JPEG and non-MJPG video
+codecs still raise ``NotImplementedError`` at clearly-marked seams where
 pillow/ffmpeg plug in on a production cluster.
 
 Design for 100 TB of media:

@@ -534,7 +534,8 @@ def mine_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     sets = fpgrowth_itemsets(
-        li, "l_orderkey", "l_partkey", FPG_MINSUP, max_len=FPG_MAX_LEN
+        li, "l_orderkey", "l_partkey", FPG_MINSUP, max_len=FPG_MAX_LEN,
+        n_groups=64,  # PFP F-list sharding: 64 Arrow batches, not |items|
     )
     return sets.select(
         F.size("items").cast("int").alias("size"),
@@ -831,4 +832,89 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("mean_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling over the real MJPEG/AVI decode path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_video_frame_stats",
+    family="multimodal",
+    doc="Every-2nd-frame sampling + per-frame pixel/motion statistics "
+    "over the REAL video decode path (operators/video.py): a genuine "
+    "RIFF/AVI Motion-JPEG container (avih/strl/movi/idx1 chunk walk, "
+    "declared-vs-actual frame-count cross-check) whose frames decode "
+    "through the REAL baseline-JPEG codec (operators/jpeg.py Huffman + "
+    "IDCT) — the frame-sample step every video feature pipeline runs "
+    "before per-frame models, with blobs never leaving the executor.  "
+    "Motion proxy = sum of |frame-pixel-sum deltas| between consecutive "
+    "sampled frames — exact BIGINTs end to end.  The fixture is the "
+    "constant-8x8-block exact-round-trip JPEG construction, so the "
+    "oracle replays container + codec + sampling + motion arithmetic "
+    "in closed form; drift anywhere (RIFF walk, chunk padding, Huffman, "
+    "dequant, IDCT, sampling stride) breaks the hash.  Output grouped "
+    "per (dims, frame-count) class.",
+    oracle="""
+WITH spec AS (
+  SELECT doc_id, 8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 2 + 1) AS h,
+         doc_id % 5 + 2 AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, n, fs.f
+  FROM spec, UNNEST(range(0, n, 2)) AS fs(f)
+),
+blocks AS (
+  SELECT doc_id, f,
+         (doc_id * 11 + 7 * f + 13 * bxs.bx + 29 * bys.by) % 256 AS v
+  FROM fr, UNNEST(range(0, w // 8)) AS bxs(bx),
+           UNNEST(range(0, h // 8)) AS bys(by)
+),
+per_frame AS (
+  SELECT doc_id, f, CAST(SUM(64 * v) AS BIGINT) AS fsum,
+         CAST(MIN(v) AS INT) AS mn, CAST(MAX(v) AS INT) AS mx
+  FROM blocks GROUP BY doc_id, f
+),
+deltas AS (
+  SELECT doc_id, f, fsum, mn, mx,
+         ABS(fsum - LAG(fsum) OVER (PARTITION BY doc_id ORDER BY f ASC))
+           AS d
+  FROM per_frame
+),
+per_video AS (
+  SELECT s.doc_id, s.w, s.h, s.n,
+         (s.n + 1) // 2 AS n_sampled,
+         SUM(dl.fsum) AS px_sum, MIN(dl.mn) AS px_min, MAX(dl.mx) AS px_max,
+         COALESCE(SUM(dl.d), 0) AS motion_abs
+  FROM spec s JOIN deltas dl ON dl.doc_id = s.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_videos,
+       CAST(SUM(px_sum) AS BIGINT) AS px_sum,
+       CAST(MIN(px_min) AS INT) AS px_min,
+       CAST(MAX(px_max) AS INT) AS px_max,
+       CAST(SUM(motion_abs) AS BIGINT) AS motion_abs
+FROM per_video GROUP BY 1, 2, 3
+""",
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.video import synthesize_mjpeg_media, video_frame_stats
+
+    d = table(spark, sf_dir, "documents")
+    stats = video_frame_stats(synthesize_mjpeg_media(d.select("doc_id")), every=2)
+    return stats.groupBy(
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_videos"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+        F.sum("motion_abs").cast("bigint").alias("motion_abs"),
     )

@@ -93,6 +93,15 @@ def test_wide_basket_deep_itemsets(spark):
         assert s == (4 if c in bonus else 3)
 
 
+def test_sharded_groups_identical_output(basket_df):
+    """PFP F-list sharding (n_groups) is a physical-layout knob only."""
+    plain = collect_sets(fpgrowth_itemsets(basket_df, "k", "item", 2))
+    for g in (1, 3, 64):
+        assert collect_sets(
+            fpgrowth_itemsets(basket_df, "k", "item", 2, n_groups=g)
+        ) == plain
+
+
 def test_empty_below_support(spark):
     df = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, item bigint")
     assert fpgrowth_itemsets(df, "k", "item", 2).count() == 0
