@@ -53,37 +53,64 @@ def asof_join(
     right row at or before the left row's ``ts``.
     ``direction="forward"``: from the EARLIEST right row at or after it
     (the next-event lookup — e.g. "first signup following this view").
+    ``direction="nearest"``: whichever of the two is closer in absolute
+    time; exact ties prefer backward (pd.merge_asof semantics).
     NULL when no such row.  Exactly one shuffle (hash on ``key``), then
     a single window pass — scales linearly; forward is the same pass
-    with the time axis reversed.
+    with the time axis reversed, and nearest evaluates both passes over
+    the one shuffled layout and picks per row.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     right = _dedupe_right(right, key, ts, right_order)
     lcols = left.columns
     l_tag = left.withColumn("__is_left", F.lit(1))
+    # carry the matched right row's ts inside the struct: nearest needs
+    # the distances, and it preserves merge_asof's NULL-field semantics
     r_tag = right.select(
         key, ts, *value_cols
-    ).withColumn("__is_left", F.lit(0))
+    ).withColumn("__rts", F.col(ts)).withColumn("__is_left", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    # right rows sort before left rows at the same ts so "at or before"
-    # (resp. "at or after") includes exact-ts matches
-    ts_ord = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts_ord, F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Fill forward ONE struct carrying all value columns: the struct is
-    # non-null for every right row even when individual fields are NULL, so
-    # a NULL inside the matched row is preserved instead of falling back to
-    # an older row's non-NULL value (pd.merge_asof semantics).
-    carried = F.last(
-        F.when(F.col("__is_left") == 0, F.struct(*[F.col(c) for c in value_cols])),
-        ignorenulls=True,
-    ).over(w)
-    filled = unioned.select("*", carried.alias("__asof"))
+    struct_cols = [*value_cols, "__rts"]
+
+    def carried_over(ts_ord):
+        # right rows sort before left rows at the same ts so "at or
+        # before" (resp. "at or after") includes exact-ts matches
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts_ord, F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # Fill forward ONE struct carrying all value columns: the struct
+        # is non-null for every right row even when individual fields are
+        # NULL, so a NULL inside the matched row is preserved instead of
+        # falling back to an older row's non-NULL value.
+        return F.last(
+            F.when(
+                F.col("__is_left") == 0,
+                F.struct(*[F.col(c) for c in struct_cols]),
+            ),
+            ignorenulls=True,
+        ).over(w)
+
+    if direction == "backward":
+        chosen = carried_over(F.col(ts).asc())
+    elif direction == "forward":
+        chosen = carried_over(F.col(ts).desc())
+    else:
+        back = carried_over(F.col(ts).asc())
+        fwd = carried_over(F.col(ts).desc())
+        closer_back = (F.col(ts) - back["__rts"]) <= (fwd["__rts"] - F.col(ts))
+        chosen = (
+            F.when(fwd.isNull(), back)
+            .when(back.isNull(), fwd)
+            .when(closer_back, back)
+            .otherwise(fwd)
+        )
+    filled = unioned.select("*", chosen.alias("__asof"))
     out = filled.where(F.col("__is_left") == 1).select(
         *lcols, *[F.col("__asof")[c].alias(c) for c in value_cols]
     )

@@ -918,3 +918,286 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("px_max").cast("int").alias("px_max"),
         F.sum("motion_abs").cast("bigint").alias("motion_abs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    family="join",
+    doc="NEAREST-direction as-of join (operators/asof_join.py, "
+    "direction='nearest' — completes the backward/forward/nearest "
+    "family of pd.merge_asof): every click is matched to the user's "
+    "closest purchase in absolute time, exact ties preferring backward "
+    "(merge_asof semantics; the operator evaluates the backward and "
+    "forward fill passes over ONE shuffled layout and picks per row).  "
+    "Purchases are deduped per (user, ts) keeping the greatest "
+    "event_id first, mirroring the operator's right-side dedup.  The "
+    "oracle is the naive per-row LATERAL minimum — equality proves the "
+    "two-pass window composition implements the nearest semantics "
+    "exactly.  Output: per match side (none/exact/backward/forward), "
+    "click count and mean |Δt| in seconds from exact microsecond "
+    "BIGINT sums.",
+    oracle="""
+WITH l AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts FROM (
+    SELECT r0.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS rn
+    FROM r0
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT l.user_id, l.ts, rr.mts
+  FROM l LEFT JOIN LATERAL (
+    SELECT r.ts AS mts FROM r WHERE r.user_id = l.user_id
+    ORDER BY ABS(date_diff('microsecond', r.ts, l.ts)) ASC, r.ts ASC
+    LIMIT 1
+  ) rr ON TRUE
+),
+c AS (
+  SELECT CASE WHEN mts IS NULL THEN 'none'
+              WHEN mts = ts THEN 'exact'
+              WHEN mts < ts THEN 'backward' ELSE 'forward' END AS side,
+         COALESCE(ABS(date_diff('microsecond', mts, ts)), 0) AS d
+  FROM m
+)
+SELECT side, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+         AS mean_abs_delta_sec
+FROM c GROUP BY side
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof_join import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("mts", F.col("ts"))
+    )
+    m = asof_join(
+        left, right, key="user_id", ts="ts", right_order="event_id",
+        value_cols=["mts"], direction="nearest",
+    )
+    d = F.coalesce(
+        F.abs(F.expr("timestampdiff(MICROSECOND, mts, ts)")), F.lit(0)
+    )
+    side = (
+        F.when(F.col("mts").isNull(), "none")
+        .when(F.col("mts") == F.col("ts"), "exact")
+        .when(F.col("mts") < F.col("ts"), "backward")
+        .otherwise("forward")
+    )
+    return (
+        m.select(side.alias("side"), d.alias("d"))
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.round(
+                F.sum("d").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("mean_abs_delta_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+DID_CUTOFF = "2024-01-16"
+
+
+@register(
+    "quality_did_estimator",
+    family="drift",
+    doc="Difference-in-differences readout: users hash-split into two "
+    "variants (md5 parity, same bucketing as the z-test), the corpus "
+    "split pre/post at a fixed date boundary (DATE comparison — "
+    "zone-free), the outcome is mean purchase value per cell, and "
+    "DiD = (postB - preB) - (postA - preA) — the causal-effect "
+    "estimator every experiment platform reports when randomization "
+    "happens before the treatment window.  One scan, one 4-cell "
+    "aggregate, exact DECIMAL value sums, one identical closing "
+    "expression tree.",
+    oracle=f"""
+WITH p AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 2 AS variant,
+         CASE WHEN CAST(ts AS DATE) < DATE '{DID_CUTOFF}'
+              THEN 0 ELSE 1 END AS post,
+         value
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT variant, post,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY variant, post
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 AND post = 0 THEN m END) AS pre_a,
+    MAX(CASE WHEN variant = 0 AND post = 1 THEN m END) AS post_a,
+    MAX(CASE WHEN variant = 1 AND post = 0 THEN m END) AS pre_b,
+    MAX(CASE WHEN variant = 1 AND post = 1 THEN m END) AS post_b,
+    CAST(SUM(n) AS BIGINT) AS n_purchases
+  FROM cells
+)
+SELECT ROUND(pre_a, 6) AS pre_a, ROUND(post_a, 6) AS post_a,
+       ROUND(pre_b, 6) AS pre_b, ROUND(post_b, 6) AS post_b,
+       ROUND((post_b - pre_b) - (post_a - pre_a), 6) AS did,
+       n_purchases
+FROM w
+""",
+)
+def quality_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("variant"),
+        F.when(F.to_date("ts") < F.lit(DID_CUTOFF).cast("date"), 0)
+        .otherwise(1)
+        .alias("post"),
+        "value",
+    )
+    cells = p.groupBy("variant", "post").agg(
+        (
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def cell(v, s):
+        return F.max(
+            F.when((F.col("variant") == v) & (F.col("post") == s), F.col("m"))
+        )
+
+    return cells.agg(
+        cell(0, 0).alias("pa"),
+        cell(0, 1).alias("qa"),
+        cell(1, 0).alias("pb"),
+        cell(1, 1).alias("qb"),
+        F.sum("n").cast("bigint").alias("n_purchases"),
+    ).select(
+        F.round("pa", 6).alias("pre_a"),
+        F.round("qa", 6).alias("post_a"),
+        F.round("pb", 6).alias("pre_b"),
+        F.round("qb", 6).alias("post_b"),
+        F.round(
+            (F.col("qb") - F.col("pb")) - (F.col("qa") - F.col("pa")), 6
+        ).alias("did"),
+        "n_purchases",
+    )
+
+
+# ---------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "events_position_attribution",
+    family="events",
+    doc="U-shaped (position-based) multi-touch attribution — the "
+    "marketing-science upgrade of last-touch "
+    "(events_view_click_attribution): each purchase credits the user's "
+    "clicks in the preceding 7 days with 40% to the first touch, 40% "
+    "to the last, and 20% split across the middles (single touch takes "
+    "1.0, a pair takes 0.5/0.5), channel = props k mod 4.  Shape: one "
+    "user-keyed band join (purchase x clicks within the window — the "
+    "range-join pattern, per-user fan-out bounded by activity), "
+    "per-conversion windows for position/count (partitioned by "
+    "conversion, never global), per-credit ROUND then DECIMAL sum so "
+    "the 0.2/(n-2) repeating fractions aggregate identically across "
+    "engines.",
+    oracle=f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+clk AS (
+  SELECT user_id, event_id AS click_id, ts,
+         CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS channel
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT c.conv_id, k.channel, k.ts, k.click_id,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY k.ts ASC, k.click_id ASC) AS pos,
+         COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+  FROM conv c JOIN clk k
+    ON k.user_id = c.user_id
+   AND k.ts < c.cts
+   AND k.ts >= c.cts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+credit AS (
+  SELECT channel,
+         ROUND(CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN pos = 1 OR pos = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END, 6) AS cr
+  FROM touch
+)
+SELECT CAST(channel AS INT) AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CAST(cr AS DECIMAL(18,6))) AS DOUBLE) AS credit
+FROM credit GROUP BY channel
+""",
+)
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("cts"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        "ts",
+        (F.get_json_object("props", "$.k").cast("bigint") % 4).alias("channel"),
+    )
+    touch = conv.join(clk, "user_id").where(
+        (F.col("ts") < F.col("cts"))
+        & (F.col("ts") >= F.expr(f"cts - INTERVAL {ATTR_WINDOW_DAYS} DAY"))
+    )
+    wp = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").asc(), F.col("click_id").asc()
+    )
+    wn = Window.partitionBy("conv_id")
+    pos = touch.select(
+        "channel",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cr = F.round(
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2)),
+        6,
+    )
+    return (
+        pos.select(F.col("channel").cast("int").alias("channel"), cr.alias("cr"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.col("cr").cast("decimal(18,6)")).cast("double").alias("credit"),
+        )
+    )
