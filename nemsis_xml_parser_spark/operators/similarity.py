@@ -321,3 +321,97 @@ def lsh_index_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def pairwise_cosines(vecs: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """All ordered pairs (ia, ib, sim) over a SMALL vector frame (a
+    candidate set, not a corpus — the caller bounds it): rounded cosine
+    with hoisted norms, broadcast self-join."""
+    v = vecs.select(
+        F.col(id_col).alias("ia"), V.to_double_array(F.col(vec_col)).alias("va")
+    ).withColumn("na", V.norm(F.col("va")))
+    w = v.select(
+        F.col("ia").alias("ib"),
+        F.col("va").alias("vb"),
+        F.col("na").alias("nb"),
+    )
+    return (
+        F.broadcast(v)
+        .join(w, F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+    )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    pair_sims: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified rerank (Carbonell &
+    Goldstein '98): greedily pick k items maximizing
+    ``lam·rel − mu·max_{s∈selected} sim(item, s)`` (first pick scores
+    ``lam·rel`` — empty-set penalty is 0).
+
+    ``cand``: (vec_id, rel) — the ALREADY-BOUNDED candidate set from a
+    first-stage retriever (brute/IVF top-N); ``pair_sims``: (ia, ib,
+    sim) among candidates.  ``lam``/``mu`` are passed separately rather
+    than derived (``1 - 0.7`` is not the double ``0.3`` — cross-engine
+    oracles need the exact literal).
+
+    Scores round to 6 dp with vec_id tie-break, so the greedy path is
+    engine-deterministic.  Each of the k iterations runs on
+    candidate-sized frames (orderBy+limit(1) = TakeOrdered on <= N
+    rows); localCheckpoint keeps the plan flat (NOTES gotcha 13).
+    Returns (pick 1..k, vec_id, score).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    selected = None
+    remaining = cand.localCheckpoint(eager=True)
+    pair_sims = pair_sims.localCheckpoint(eager=True)
+    for i in range(1, k + 1):
+        if selected is None:
+            scores = remaining.select(
+                "vec_id", F.round(F.lit(lam) * F.col("rel"), 6).alias("score")
+            )
+        else:
+            pen = (
+                pair_sims.join(
+                    selected.select(F.col("vec_id").alias("ib")), "ib"
+                )
+                .groupBy("ia")
+                .agg(F.max("sim").alias("msim"))
+            )
+            scores = remaining.join(
+                pen, remaining["vec_id"] == pen["ia"], "left"
+            ).select(
+                "vec_id",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(mu) * F.coalesce(F.col("msim"), F.lit(0.0)),
+                    6,
+                ).alias("score"),
+            )
+        pick = (
+            scores.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(F.lit(i).alias("pick"), "vec_id", "score")
+            .localCheckpoint(eager=True)
+        )
+        selected = (
+            pick if selected is None
+            else selected.unionByName(pick).localCheckpoint(eager=True)
+        )
+        remaining = remaining.join(
+            pick.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+    return selected

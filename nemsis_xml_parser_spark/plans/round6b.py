@@ -1201,3 +1201,101 @@ def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cr").cast("decimal(18,6)")).cast("double").alias("credit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank
+# ---------------------------------------------------------------------------
+
+MMR_N = 20
+MMR_K = 6
+MMR_LAM, MMR_MU = 0.7, 0.3
+
+
+def _mmr_oracle() -> str:
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS MATERIALIZED (SELECT v AS q FROM e WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT c.vec_id, {cos.format(a="qv.q", b="c.v")} AS rel
+  FROM e c, qv WHERE c.vec_id != 0
+  ORDER BY rel DESC, c.vec_id ASC LIMIT {MMR_N}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos.format(a="ea.v", b="eb.v")} AS sim
+  FROM cand a JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN cand b ON b.vec_id != a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, ROUND({MMR_LAM} * rel, 6) AS score
+  FROM cand ORDER BY score DESC, vec_id ASC LIMIT 1
+),
+r1 AS MATERIALIZED (
+  SELECT * FROM cand WHERE vec_id NOT IN (SELECT vec_id FROM s1)
+)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT c.vec_id,
+         ROUND({MMR_LAM} * c.rel - {MMR_MU} * (
+           SELECT MAX(p.sim) FROM pairs p
+           WHERE p.ia = c.vec_id AND p.ib IN ({sel})), 6) AS score
+  FROM r{i - 1} c ORDER BY score DESC, c.vec_id ASC LIMIT 1
+),
+r{i} AS MATERIALIZED (
+  SELECT * FROM r{i - 1} WHERE vec_id NOT IN (SELECT vec_id FROM s{i})
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT {i} AS pick, vec_id, score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "retrieval_mmr_rerank",
+    family="retrieval",
+    doc="Maximal-Marginal-Relevance diversified rerank (operators/"
+    "similarity.py::mmr_rerank — Carbonell & Goldstein '98): top-20 "
+    "cosine candidates for query vector 0 (brute_force_topk, the "
+    "bounded first-stage retriever), then 6 greedy picks maximizing "
+    "0.7·rel − 0.3·max-sim-to-selected — the rerank that stops a "
+    "retrieval-augmented pipeline from returning six near-duplicates.  "
+    "Every score rounds to 6 dp with vec_id tie-break so the greedy "
+    "path is engine-deterministic; λ and μ are independent literals "
+    "(1 − 0.7 is not the double 0.3).  All k iterations run on "
+    "candidate-sized frames (TakeOrdered on <= 20 rows, "
+    "localCheckpointed); the oracle unrolls the greedy loop as "
+    "MATERIALIZED per-pick CTEs with correlated MAX penalties.  "
+    "Scale: candidate generation is the distributed stage (any ANN "
+    "tier); the rerank is intentionally candidate-local.",
+    oracle=_mmr_oracle(),
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+        pairwise_cosines,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q0 = e.where(F.col("vec_id") == 0)
+    cand = brute_force_topk(q0, e, k=MMR_N).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel")
+    )
+    cvecs = e.join(cand.select("vec_id"), "vec_id")
+    pairs = pairwise_cosines(cvecs)
+    out = mmr_rerank(cand, pairs, k=MMR_K, lam=MMR_LAM, mu=MMR_MU)
+    return out.select(
+        F.col("pick").cast("int").alias("pick"), "vec_id", "score"
+    )
