@@ -46,3 +46,44 @@ def bfs_hops(adj: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def bfs_hops_per_source(
+    adj: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Per-source hop labels: like :func:`bfs_hops` but each seed runs
+    its own BFS (state keyed (src, v)) — the k-hop distance MATRIX
+    restricted to the seed set, the input to closeness/harmonic
+    centrality and hop-bounded ego features.
+
+    ``seeds``: one column ``v``.  Returns (src, v, hop), hop <=
+    ``max_hops``.  Shuffle cost per level is frontier-pair-sized
+    (|active (src, v) pairs|), the standard multi-source labeled BFS;
+    seed count is the work multiplier, so callers sample sources (as
+    Brandes-style approximations do) rather than running all nodes.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    frontier = (
+        seeds.select(F.col("v").alias("src"), "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.select("src", "v", F.lit(0).alias("hop")).localCheckpoint(
+        eager=True
+    )
+    for i in range(1, max_hops + 1):
+        nxt = (
+            adj.join(
+                frontier.select("src", F.col("v").alias("u")), "u"
+            )
+            .select("src", "v")
+            .distinct()
+            .join(visited.select("src", "v"), ["src", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("src", "v", F.lit(i).alias("hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -1299,3 +1299,210 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("pick").cast("int").alias("pick"), "vec_id", "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Strict-order windowed funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEP2_HOURS = 1
+FUNNEL_STEP3_HOURS = 24
+
+
+@register(
+    "events_funnel_windowed_strict",
+    family="events",
+    doc="Strict-order windowed funnel view -> click -> purchase: step 2 "
+    "must follow the user's FIRST view within 1 hour, step 3 must "
+    "follow the matched click within 24 hours — the per-step-deadline "
+    "semantics product funnels actually use (events_funnel_conversion "
+    "is the unconstrained ordering variant).  Sequential dependence is "
+    "three user-keyed conditional MIN aggregates chained by equi-joins "
+    "(each step's anchor = previous step's matched timestamp) — no "
+    "windows, no per-user row explosion beyond the user-keyed "
+    "aggregates.  Counts are exact; per-step median latency comes from "
+    "exact interpolated percentiles over BIGINT microsecond deltas.",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {FUNNEL_STEP2_HOURS} HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL {FUNNEL_STEP3_HOURS} HOUR
+  GROUP BY e.user_id
+),
+j AS (
+  SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+  FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+  LEFT JOIN s3 ON s3.user_id = s1.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_step1,
+       CAST(COUNT(t2) AS BIGINT) AS n_step2,
+       CAST(COUNT(t3) AS BIGINT) AS n_step3,
+       ROUND(CAST(COUNT(t3) AS DOUBLE) / COUNT(*), 6) AS conv_rate,
+       ROUND(CAST(quantile_cont(date_diff('microsecond', t1, t2), 0.5)
+                  AS DOUBLE) / 1000000.0, 6) AS median_view_to_click_sec,
+       ROUND(CAST(quantile_cont(date_diff('microsecond', t2, t3), 0.5)
+                  AS DOUBLE) / 1000000.0, 6) AS median_click_to_buy_sec
+FROM j
+""",
+)
+def events_funnel_windowed_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.expr(f"t1 + INTERVAL {FUNNEL_STEP2_HOURS} HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.expr(f"t2 + INTERVAL {FUNNEL_STEP3_HOURS} HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    j = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_step1"),
+        F.count("t2").cast("bigint").alias("n_step2"),
+        F.count("t3").cast("bigint").alias("n_step3"),
+        F.round(F.count("t3").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conv_rate"
+        ),
+        F.round(
+            F.percentile(F.expr("timestampdiff(MICROSECOND, t1, t2)"), 0.5)
+            / F.lit(1000000.0),
+            6,
+        ).alias("median_view_to_click_sec"),
+        F.round(
+            F.percentile(F.expr("timestampdiff(MICROSECOND, t2, t3)"), 0.5)
+            / F.lit(1000000.0),
+            6,
+        ).alias("median_click_to_buy_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic closeness centrality from per-source bounded BFS
+# ---------------------------------------------------------------------------
+
+
+def _closeness_oracle() -> str:
+    parts = [
+        f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {BFS_ORDER_CAP}
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS v FROM adj),
+f0 AS MATERIALIZED (
+  SELECT v AS src, v FROM nodes WHERE v % {BFS_SEED_MOD} = 0
+),
+vis0 AS MATERIALIZED (SELECT src, v FROM f0)"""
+    ]
+    for i in range(1, BFS_MAX_HOPS + 1):
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT DISTINCT p.src, adj.v FROM adj JOIN f{i - 1} p ON adj.u = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{i - 1} w
+                    WHERE w.src = p.src AND w.v = adj.v)
+),
+vis{i} AS MATERIALIZED (
+  SELECT src, v FROM vis{i - 1} UNION ALL SELECT src, v FROM f{i}
+)"""
+        )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT src, v, {i} AS hop FROM f{i}"
+        for i in range(1, BFS_MAX_HOPS + 1)
+    )
+    parts.append(f"hops AS MATERIALIZED (\n{levels}\n)")
+    final = f"""
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(CAST(ROUND(1.0 / hop, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         AS harmonic
+FROM hops GROUP BY src
+ORDER BY harmonic DESC, src ASC
+LIMIT 10
+"""
+    return ",\n".join(parts) + final
+
+
+@register(
+    "graph_harmonic_closeness",
+    family="graph",
+    doc="Hop-bounded harmonic closeness centrality "
+    "(operators/bfs.py::bfs_hops_per_source): every 50th part seeds "
+    "its own BFS over the co-purchase graph (the sampled-sources "
+    "recipe — seed count is the work multiplier, exactly how "
+    "Brandes-style approximations bound centrality cost), and "
+    "harmonic(src) = sum of 1/hop over nodes within 4 hops — the "
+    "disconnected-safe closeness variant.  Per-hop terms round then "
+    "DECIMAL-sum; top-10 with full tie-break.  The oracle unrolls all "
+    "4 labeled-frontier levels as MATERIALIZED (src, v) CTEs.",
+    oracle=_closeness_oracle(),
+)
+def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bfs import bfs_hops_per_source
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < BFS_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    seeds = (
+        adj.select("u").distinct().withColumnRenamed("u", "v")
+        .where(F.col("v") % BFS_SEED_MOD == 0)
+    )
+    hops = bfs_hops_per_source(adj, seeds, BFS_MAX_HOPS).where(F.col("hop") >= 1)
+    return (
+        hops.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(F.round(F.lit(1.0) / F.col("hop"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("harmonic"),
+        )
+        .orderBy(F.col("harmonic").desc(), F.col("src").asc())
+        .limit(10)
+    )

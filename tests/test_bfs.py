@@ -58,3 +58,31 @@ def test_disconnected_component_unreached(spark):
     seeds = spark.createDataFrame([(1,)], "v bigint")
     got = hops_map(bfs_hops(adj, seeds, 3))
     assert 10 not in got and 11 not in got and got == {1: 0, 2: 1}
+
+
+def test_per_source_distance_matrix(spark):
+    from nemsis_xml_parser_spark.operators.bfs import bfs_hops_per_source
+
+    adj = undirected(spark, [(1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(1,), (4,)], "v bigint")
+    got = {(r["src"], r["v"]): r["hop"]
+           for r in bfs_hops_per_source(adj, seeds, 2).collect()}
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2,
+        (4, 4): 0, (4, 3): 1, (4, 2): 2,
+    }
+
+
+def test_per_source_independent_of_other_seeds(spark):
+    from nemsis_xml_parser_spark.operators.bfs import (
+        bfs_hops,
+        bfs_hops_per_source,
+    )
+
+    adj = undirected(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (2, 5)])
+    single = {r["v"]: r["hop"] for r in bfs_hops(
+        adj, spark.createDataFrame([(1,)], "v bigint"), 3).collect()}
+    multi = {r["v"]: r["hop"] for r in bfs_hops_per_source(
+        adj, spark.createDataFrame([(1,), (3,)], "v bigint"), 3).collect()
+        if r["src"] == 1}
+    assert multi == single
