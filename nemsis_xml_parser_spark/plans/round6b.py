@@ -1506,3 +1506,114 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("harmonic").desc(), F.col("src").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D earth mover's distance (Wasserstein-1) between value distributions
+# ---------------------------------------------------------------------------
+
+EMD_BINS = 20
+EMD_WIDTH = 25
+
+
+@register(
+    "quality_emd_drift",
+    family="drift",
+    doc="1-D earth mover's distance (Wasserstein-1) between the click "
+    "and purchase value distributions on 20 fixed 25-wide bins — the "
+    "drift statistic that, unlike PSI/KS/JS (all present in this "
+    "battery), weights HOW FAR mass moved, not just that it moved.  "
+    "EMD = width · Σ|CDF_p − CDF_q| computed EXACTLY: per-bin counts "
+    "cross-multiplied (p_i·Nq − q_i·Np, BIGINT), cumulated over the "
+    "20-bin spine via a tiny triangle join (j <= i — no global window, "
+    "so the sweep stays inside the repo's window audit), |·| summed "
+    "exactly, and ONE final double division by Np·Nq.  The bin spine "
+    "is generated on both engines so empty bins count.",
+    oracle=f"""
+WITH src AS (
+  SELECT LEAST(CAST(FLOOR(value / {EMD_WIDTH}) AS BIGINT), {EMD_BINS - 1})
+           AS bin,
+         event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+spine AS (SELECT b.bin FROM UNNEST(range(0, {EMD_BINS})) AS b(bin)),
+cnt AS (
+  SELECT spine.bin,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+              AS BIGINT) AS p,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+              AS BIGINT) AS q
+  FROM spine LEFT JOIN src ON src.bin = spine.bin
+  GROUP BY spine.bin
+),
+tot AS (SELECT SUM(p) AS np, SUM(q) AS nq FROM cnt),
+diff AS (
+  SELECT cnt.bin, cnt.p * tot.nq - cnt.q * tot.np AS d
+  FROM cnt CROSS JOIN tot
+),
+cum AS (
+  SELECT a.bin, CAST(SUM(b.d) AS BIGINT) AS c
+  FROM diff a JOIN diff b ON b.bin <= a.bin
+  GROUP BY a.bin
+)
+SELECT CAST(tot.np AS BIGINT) AS n_click,
+       CAST(tot.nq AS BIGINT) AS n_purchase,
+       CAST(SUM(ABS(cum.c)) AS BIGINT) AS abs_cum_scaled,
+       ROUND({EMD_WIDTH}.0 * SUM(ABS(cum.c))
+             / (CAST(tot.np AS DOUBLE) * tot.nq), 6) AS emd
+FROM cum CROSS JOIN tot
+GROUP BY tot.np, tot.nq
+""",
+)
+def quality_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    src = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.least(
+            F.floor(F.col("value") / EMD_WIDTH).cast("bigint"),
+            F.lit(EMD_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        "event_type",
+    )
+    spine = spark.range(EMD_BINS).select(F.col("id").cast("bigint").alias("bin"))
+    cnt = (
+        spine.join(src, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "click", 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("p"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    tot = cnt.agg(F.sum("p").alias("np"), F.sum("q").alias("nq"))
+    diff = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin", (F.col("p") * F.col("nq") - F.col("q") * F.col("np")).alias("d")
+    ).localCheckpoint()  # 20 rows, reused on both sides of the triangle join
+    a = diff.select(F.col("bin").alias("abin"))
+    cum = (
+        a.join(F.broadcast(diff), F.col("bin") <= F.col("abin"))
+        .groupBy("abin")
+        .agg(F.sum("d").cast("bigint").alias("c"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("np", "nq")
+        .agg(F.sum(F.abs(F.col("c"))).cast("bigint").alias("abs_cum_scaled"))
+        .select(
+            F.col("np").cast("bigint").alias("n_click"),
+            F.col("nq").cast("bigint").alias("n_purchase"),
+            "abs_cum_scaled",
+            F.round(
+                F.lit(float(EMD_WIDTH))
+                * F.col("abs_cum_scaled")
+                / (F.col("np").cast("double") * F.col("nq")),
+                6,
+            ).alias("emd"),
+        )
+    )

@@ -73,6 +73,10 @@ JUSTIFIED_BNLJ = {
     "events_kaplan_meier",         # triangular join over bounded churn-day domain + broadcast lifetimes probe
     "graph_degree_distribution",   # broadcast 1-row total/slope scalars
     "events_autocorrelation",      # day spine x 7-row lag spine, all broadcast
+    "quality_chi_square_independence",  # broadcast 1-row N scalar onto the tiny contingency table
+    "events_rfm_segmentation",     # broadcast 1-row corpus-max-day + 1-row quintile-cutoff scalars
+    "agg_hash_sample_quantiles",   # broadcast 1-row sample-quantile scalars onto 1-row population row
+    "quality_emd_drift",           # triangular join over the fixed 20-bin spine + 1-row totals scalar
     "embedding_silhouette",        # broadcast 5-row centroid frame
     "sketch_bloom_membership",     # broadcast 1-row n_keys/bits_set scalars
     "agg_histogram_quantiles",     # quantile spine x bounded bucket frame
