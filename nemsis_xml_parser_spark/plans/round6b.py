@@ -1617,3 +1617,151 @@ def quality_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("emd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: intersection via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+
+def _hll_intersection_oracle() -> str:
+    from ..operators import sketches as SK
+
+    m = SK.HLL_M
+    alpha = f"0.7213 / (1.0 + 1.079 / {float(m)}) * {float(m)} * {float(m)}"
+    return f"""
+WITH h AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' ELSE 'B' END AS seg,
+         CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT)
+           % {m} AS bucket,
+         CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),17,12)) AS BIGINT)
+           AS w,
+         o_custkey
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+ranked AS (
+  SELECT seg, bucket,
+         CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END AS rank,
+         o_custkey
+  FROM h
+),
+seg_regs AS (
+  SELECT seg, bucket, MAX(rank) AS maxrank FROM ranked GROUP BY 1, 2
+),
+u_regs AS (
+  SELECT 'U' AS seg, bucket, MAX(maxrank) AS maxrank FROM seg_regs GROUP BY 2
+),
+regs AS (SELECT * FROM seg_regs UNION ALL SELECT * FROM u_regs),
+est AS (
+  SELECT seg,
+         CAST({m} - COUNT(*) AS BIGINT) AS v_zero,
+         CAST(SUM(CAST(1 AS BIGINT) << (49 - maxrank))
+              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << 49)
+              AS BIGINT) AS s_scaled
+  FROM regs GROUP BY 1
+),
+std AS (
+  SELECT seg,
+         ROUND(CASE WHEN ({alpha} / (CAST(s_scaled AS DOUBLE)
+                                     / {float(1 << 49)})) <= {2.5 * m}
+                         AND v_zero > 0
+                    THEN {float(m)} * LN({float(m)} / CAST(v_zero AS DOUBLE))
+                    ELSE {alpha} / (CAST(s_scaled AS DOUBLE)
+                                    / {float(1 << 49)}) END, 6) AS e
+  FROM est
+),
+p AS (
+  SELECT MAX(CASE WHEN seg = 'A' THEN e END) AS est_a,
+         MAX(CASE WHEN seg = 'B' THEN e END) AS est_b,
+         MAX(CASE WHEN seg = 'U' THEN e END) AS est_union
+  FROM std
+),
+ex AS (
+  SELECT CAST(COUNT(DISTINCT CASE WHEN seg = 'A' THEN o_custkey END)
+              AS BIGINT) AS exact_a,
+         CAST(COUNT(DISTINCT CASE WHEN seg = 'B' THEN o_custkey END)
+              AS BIGINT) AS exact_b
+  FROM ranked
+),
+exi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT o_custkey FROM ranked WHERE seg = 'A'
+    INTERSECT
+    SELECT o_custkey FROM ranked WHERE seg = 'B'
+  )
+)
+SELECT p.est_a, p.est_b, p.est_union,
+       ROUND(p.est_a + p.est_b - p.est_union, 6) AS est_intersection,
+       ex.exact_a, ex.exact_b, exi.exact_intersection
+FROM p, ex, exi
+"""
+
+
+@register(
+    "sketch_hll_intersection",
+    family="agg",
+    doc="HLL SET ALGEBRA on the deterministic register sketch "
+    "(operators/sketches.py): distinct-customer sketches for URGENT "
+    "(A) and HIGH (B) order priorities, the union sketch by bucket-wise "
+    "MAX merge (never re-scanning), and |A∩B| estimated by "
+    "inclusion-exclusion est(A) + est(B) − est(A∪B) — the standard "
+    "sketch-only intersection (HLLs don't intersect directly; "
+    "inclusion-exclusion is how audience-overlap systems do it), with "
+    "the exact intersection beside it as the visible error audit.  "
+    "All arithmetic on the ROUNDED per-set estimates (gotcha 14), all "
+    "sketch state exact BIGINTs — fully hash-oracled like its parent "
+    "sketch_hll_mergeable.",
+    oracle=_hll_intersection_oracle(),
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as SKo
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", "A")
+            .otherwise("B")
+            .alias("seg"),
+            "o_custkey",
+        )
+        .localCheckpoint()  # reused: sketches + two exact audits
+    )
+    seg_regs = SKo.hll_registers(o, "o_custkey", ["seg"]).localCheckpoint()
+    u_regs = SKo.hll_merge(seg_regs.drop("seg")).select(
+        F.lit("U").alias("seg"), "bucket", "maxrank"
+    )
+    est = SKo.hll_estimate(seg_regs.unionByName(u_regs), ["seg"])
+
+    def pick(s):
+        return F.max(F.when(F.col("seg") == s, F.col("est_std")))
+
+    p = est.agg(
+        pick("A").alias("est_a"), pick("B").alias("est_b"),
+        pick("U").alias("est_union"),
+    )
+    ex = o.agg(
+        F.count_distinct(
+            F.when(F.col("seg") == "A", F.col("o_custkey"))
+        ).cast("bigint").alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("seg") == "B", F.col("o_custkey"))
+        ).cast("bigint").alias("exact_b"),
+    )
+    exi = (
+        o.where(F.col("seg") == "A")
+        .select("o_custkey")
+        .intersect(o.where(F.col("seg") == "B").select("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        p.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(exi))
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("est_intersection"),
+            "exact_a", "exact_b", "exact_intersection",
+        )
+    )
