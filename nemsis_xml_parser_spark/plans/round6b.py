@@ -1765,3 +1765,109 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_a", "exact_b", "exact_intersection",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured battery (Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_variant_battery",
+    family="scalar",
+    doc="Semi-structured VARIANT battery over the event props JSON — "
+    "the Spark 4 path for open-schema columns (parse_json once, typed "
+    "variant_get extraction, no per-field re-parse), exercised "
+    "alongside the classic get_json_object path "
+    "(json_extract_events): per k-decade bucket, exact counts and "
+    "sums of the extracted BIGINT, plus missing-path extractions "
+    "proving NULL semantics match the JSON tier.  DuckDB twin uses "
+    "json_extract — the cross-engine contract is on the extracted "
+    "VALUES, which is exactly what a storage-format-agnostic pipeline "
+    "needs.",
+    oracle="""
+SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+         AS k_decade,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY 1
+""",
+)
+def json_variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        v.select(
+            F.floor(k / 10).cast("bigint").alias("k_decade"),
+            k.alias("k"),
+            F.variant_get(F.col("v"), "$.missing", "string").alias("miss"),
+        )
+        .groupBy("k_decade")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.sum(F.when(F.col("miss").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure spark.sql() surface: textual SQL end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_surface_topk_months",
+    family="window",
+    doc="Pure TEXTUAL SQL through spark.sql() — temp view + CTE + "
+    "window rank + subquery filter, zero DataFrame operators — "
+    "proving the engine's SQL front end end-to-end (every other "
+    "registered query builds plans through the DataFrame API; a "
+    "migrating user gets both).  Top-2 revenue months per return flag "
+    "with exact DECIMAL revenue and full tie-breaks.",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS revenue
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, month, revenue,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY revenue DESC, month ASC) AS rk
+  FROM m
+)
+SELECT l_returnflag, month, ROUND(revenue, 6) AS revenue, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 2
+""",
+)
+def sql_surface_topk_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+WITH m AS (
+  SELECT l_returnflag, date_format(l_shipdate, 'yyyy-MM') AS month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS revenue
+  FROM lineitem_v GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, month, revenue,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY revenue DESC, month ASC) AS rk
+  FROM m
+)
+SELECT l_returnflag, month, ROUND(revenue, 6) AS revenue, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 2
+"""
+    )
