@@ -52,7 +52,11 @@ def fuzzy_pairs(
     distances apply the k-deletion generalization).
     """
     if max_dist != 1:
-        raise NotImplementedError("FastSS k=1 neighborhood implemented")
+        raise NotImplementedError(
+            f"max_dist={max_dist} requested, but only the k=1 deletion "
+            "neighborhood is implemented — generalize _deletion_keys to "
+            "k-deletion variants for larger distances"
+        )
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("name"))
     keys = base.select(
         "id", "name", F.explode(_deletion_keys(F.col("name"))).alias("key")
