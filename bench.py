@@ -86,6 +86,9 @@ HEADLINE = [
     "join_spatial_grid_knn",
     "events_rfm_segmentation",
     "multimodal_image_entropy",
+    "multimodal_video_frame_stats",
+    "retrieval_mmr_rerank",
+    "graph_harmonic_closeness",
 ]
 
 

@@ -1871,3 +1871,236 @@ SELECT l_returnflag, month, ROUND(revenue, 6) AS revenue, CAST(rk AS INT) AS rk
 FROM r WHERE rk <= 2
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_sentence_stats",
+    family="text",
+    doc="Regex sentence segmentation ([.!?]+ terminators, trimmed, "
+    "empties dropped — the pre-tokenization segmentation pass every "
+    "text pipeline runs before per-sentence models) with per-language "
+    "rollups: documents, sentences, sentences per doc, exact mean and "
+    "max sentence length in characters.  Lengths are exact BIGINTs; "
+    "one scan, one explode bounded by per-doc sentence count, one "
+    "aggregate.  Same regex class on both engines (Java regex == RE2 "
+    "for this pattern).",
+    oracle="""
+WITH s AS (
+  SELECT lang, TRIM(piece) AS sent
+  FROM documents, UNNEST(string_split_regex(text, '[.!?]+')) AS u(piece)
+  WHERE TRIM(piece) <> ''
+),
+per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+         CAST(SUM(LENGTH(sent)) AS BIGINT) AS chars_sum,
+         CAST(MAX(LENGTH(sent)) AS INT) AS max_chars
+  FROM s GROUP BY lang
+),
+d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
+SELECT d.lang, d.n_docs, per.n_sentences,
+       ROUND(CAST(per.n_sentences AS DOUBLE) / d.n_docs, 6)
+         AS sentences_per_doc,
+       ROUND(CAST(per.chars_sum AS DOUBLE) / per.n_sentences, 6)
+         AS mean_sentence_chars,
+       per.max_chars
+FROM d JOIN per ON per.lang = d.lang
+""",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = table(spark, sf_dir, "documents")
+    s = (
+        doc.select(
+            "lang", F.explode(F.split("text", r"[.!?]+")).alias("piece")
+        )
+        .select("lang", F.trim("piece").alias("sent"))
+        .where(F.col("sent") != "")
+    )
+    per = s.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.sum(F.length("sent")).cast("bigint").alias("chars_sum"),
+        F.max(F.length("sent")).cast("int").alias("max_chars"),
+    )
+    d = doc.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return d.join(per, "lang").select(
+        "lang",
+        "n_docs",
+        "n_sentences",
+        F.round(F.col("n_sentences").cast("double") / F.col("n_docs"), 6).alias(
+            "sentences_per_doc"
+        ),
+        F.round(F.col("chars_sum").cast("double") / F.col("n_sentences"), 6).alias(
+            "mean_sentence_chars"
+        ),
+        "max_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density clustering composed from the grid epsilon-join + CC
+# ---------------------------------------------------------------------------
+
+DB_EPS = 0.8
+DB_MINPTS = 5
+
+
+@register(
+    "cluster_dbscan_grid",
+    family="dedup",
+    doc="DBSCAN density clustering COMPOSED from this repo's scale "
+    "primitives: the grid-bucketed ε-join (3×3 cell replication — "
+    "candidate counts bounded by cell occupancy) supplies each "
+    "purchase point's ε-neighborhood count, core points (|N_ε| ≥ 5 "
+    "incl. self) connect through ε-edges, clusters come from "
+    "distributed connected components (operators/components.py "
+    "min-label + pointer jumping), and border points take the MINIMUM "
+    "cluster id among their core neighbors — the deterministic "
+    "variant of DBSCAN's order-dependent border assignment (documented "
+    "divergence; core/noise sets are exactly DBSCAN's).  Output: one "
+    "row per cluster (id = min core point id) with core/border/size, "
+    "plus the noise row (cluster_id = -1).  The oracle replays the "
+    "naive all-pairs neighborhood + recursive-CTE closure — equality "
+    "proves the grid candidates AND the distributed CC agree with the "
+    "textbook definition.",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT event_id, value AS x,
+         EXTRACT(hour FROM ts) + EXTRACT(minute FROM ts) / 60.0 AS y
+  FROM events WHERE event_type = 'purchase'
+),
+nbp AS (
+  SELECT a.event_id AS id_q, b.event_id AS id_n
+  FROM p a JOIN p b ON a.event_id <> b.event_id
+  WHERE ABS(a.x - b.x) < {DB_EPS} AND ABS(a.y - b.y) < {DB_EPS}
+),
+nb AS (SELECT id_q, COUNT(*) AS n FROM nbp GROUP BY id_q),
+core AS (SELECT id_q AS id FROM nb WHERE n + 1 >= {DB_MINPTS}),
+ce AS (
+  SELECT e.id_q AS s, e.id_n AS t FROM nbp e
+  JOIN core ca ON ca.id = e.id_q JOIN core cb ON cb.id = e.id_n
+),
+reach(node, lbl) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.t, r.lbl FROM reach r JOIN ce e ON e.s = r.node
+),
+core_lab AS (SELECT node AS id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+border_lab AS (
+  SELECT e.id_q AS id, MIN(c.cluster) AS cluster
+  FROM nbp e JOIN core_lab c ON c.id = e.id_n
+  WHERE NOT EXISTS (SELECT 1 FROM core WHERE core.id = e.id_q)
+  GROUP BY e.id_q
+),
+cl AS (
+  SELECT cluster,
+         CAST(SUM(is_core) AS BIGINT) AS n_core,
+         CAST(SUM(1 - is_core) AS BIGINT) AS n_border,
+         CAST(COUNT(*) AS BIGINT) AS size
+  FROM (
+    SELECT cluster, 1 AS is_core FROM core_lab
+    UNION ALL
+    SELECT cluster, 0 FROM border_lab
+  ) GROUP BY cluster
+),
+noise AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM core_lab WHERE core_lab.id = p.event_id)
+    AND NOT EXISTS (SELECT 1 FROM border_lab WHERE border_lab.id = p.event_id)
+)
+SELECT CAST(cluster AS BIGINT) AS cluster_id, n_core, n_border, size FROM cl
+UNION ALL
+SELECT -1, 0, 0, n FROM noise
+""",
+)
+def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("value").alias("x"),
+            (F.hour("ts") + F.minute("ts") / F.lit(60.0)).alias("y"),
+        )
+        .localCheckpoint()  # reused: both join sides + the noise audit
+    )
+    cx, cy = F.floor(F.col("x") / DB_EPS), F.floor(F.col("y") / DB_EPS)
+    q = p.select(
+        F.col("event_id").alias("id_q"),
+        F.col("x").alias("xq"),
+        F.col("y").alias("yq"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct((cx + dx).alias("gx"), (cy + dy).alias("gy"))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    ).select("id_q", "xq", "yq", F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"))
+    n = p.select(
+        F.col("event_id").alias("id_n"),
+        F.col("x").alias("xn"),
+        F.col("y").alias("yn"),
+        cx.alias("gx"),
+        cy.alias("gy"),
+    )
+    nbp = (
+        q.join(n, ["gx", "gy"])
+        .where(F.col("id_q") != F.col("id_n"))
+        .where(
+            (F.abs(F.col("xq") - F.col("xn")) < DB_EPS)
+            & (F.abs(F.col("yq") - F.col("yn")) < DB_EPS)
+        )
+        .select("id_q", "id_n")
+        .localCheckpoint()  # reused: counts, core edges, border labels
+    )
+    nb = nbp.groupBy("id_q").agg(F.count(F.lit(1)).alias("n"))
+    core = nb.where(F.col("n") + 1 >= DB_MINPTS).select(F.col("id_q").alias("id"))
+    ce = (
+        nbp.join(core.withColumnRenamed("id", "id_q"), "id_q")
+        .join(core.withColumnRenamed("id", "id_n"), "id_n")
+        .select(F.col("id_q").alias("src"), F.col("id_n").alias("dst"))
+    )
+    comp = connected_components(ce)
+    core_lab = (
+        core.join(comp, core["id"] == comp["node"], "left")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("cluster"))
+        .localCheckpoint()  # reused: border labels + per-cluster rollup
+    )
+    border_lab = (
+        nbp.join(core_lab.withColumnRenamed("id", "id_n"), "id_n")
+        .join(core.withColumnRenamed("id", "id_q"), "id_q", "left_anti")
+        .groupBy(F.col("id_q").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labeled = core_lab.select("id", "cluster", F.lit(1).alias("is_core")).unionByName(
+        border_lab.select("id", "cluster", F.lit(0).alias("is_core"))
+    ).localCheckpoint()  # reused: cluster rollup + noise anti-join
+    cl = labeled.groupBy("cluster").agg(
+        F.sum("is_core").cast("bigint").alias("n_core"),
+        F.sum(F.lit(1) - F.col("is_core")).cast("bigint").alias("n_border"),
+        F.count(F.lit(1)).cast("bigint").alias("size"),
+    )
+    noise = (
+        p.join(labeled.select(F.col("id").alias("event_id")), "event_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit(-1).cast("bigint").alias("cluster_id"),
+            F.lit(0).cast("bigint").alias("n_core"),
+            F.lit(0).cast("bigint").alias("n_border"),
+            F.col("n").alias("size"),
+        )
+    )
+    return cl.select(
+        F.col("cluster").cast("bigint").alias("cluster_id"),
+        "n_core",
+        "n_border",
+        "size",
+    ).unionByName(noise)
