@@ -2104,3 +2104,162 @@ def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_border",
         "size",
     ).unionByName(noise)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa inter-rater agreement
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_cohens_kappa",
+    family="drift",
+    doc="Cohen's kappa agreement between two deterministic document "
+    "raters — the chance-corrected agreement statistic every "
+    "labeling/curation pipeline reports when two heuristics (or "
+    "annotators, or model versions) vote on the same corpus: rater A "
+    "flags long documents (n_chars >= 500), rater B flags documents "
+    "whose space density >= 0.15 (ROUND first, then compare — gotcha "
+    "14), kappa = (po - pe) / (1 - pe) from the exact 2x2 counts, per "
+    "language.  One scan, one 2x2-per-lang aggregate, identical "
+    "closing arithmetic.",
+    oracle="""
+WITH r AS (
+  SELECT lang,
+         CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+         CASE WHEN ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                         / CAST(LENGTH(text) AS DOUBLE), 6) >= 0.15
+              THEN 1 ELSE 0 END AS b
+  FROM documents WHERE LENGTH(text) > 0
+),
+c AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+         CAST(SUM(a) AS BIGINT) AS ra,
+         CAST(SUM(b) AS BIGINT) AS rb
+  FROM r GROUP BY lang
+)
+SELECT lang, n, n11, n00,
+       ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+       ROUND((ra * rb + (n - ra) * (n - rb))
+             / (CAST(n AS DOUBLE) * n), 6) AS pe,
+       ROUND(((n11 + n00) / CAST(n AS DOUBLE)
+              - (ra * rb + (n - ra) * (n - rb)) / (CAST(n AS DOUBLE) * n))
+             / (1.0 - (ra * rb + (n - ra) * (n - rb))
+                      / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM c
+""",
+)
+def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    a = F.when(F.col("n_chars") >= 500, 1).otherwise(0)
+    b = F.when(
+        F.round(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            / F.length("text").cast("double"),
+            6,
+        )
+        >= 0.15,
+        1,
+    ).otherwise(0)
+    c = doc.select("lang", a.alias("a"), b.alias("b")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+        F.sum("a").cast("bigint").alias("ra"),
+        F.sum("b").cast("bigint").alias("rb"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n").cast("double")
+    pe = (
+        F.col("ra") * F.col("rb") + (F.col("n") - F.col("ra")) * (F.col("n") - F.col("rb"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        "lang",
+        "n",
+        "n11",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown of the cumulative daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_max_drawdown",
+    family="events",
+    doc="Maximum drawdown of the cumulative daily purchase-revenue "
+    "series — the running-peak-to-trough drop (the financial risk "
+    "statistic, and the same max-subarray algebra as burst/regression "
+    "detection): daily exact-DECIMAL revenue, cumulative sums over the "
+    "bounded ~30-day calendar via a broadcast TRIANGLE join (i <= j — "
+    "the repo's no-global-window discipline for day-domain prefix "
+    "sums; at an unbounded horizon this runs through "
+    "operators/prefix_sum.py), then the peak/trough pair maximizing "
+    "cum_i − cum_j over i < j with full date tie-breaks.  Every "
+    "intermediate is an exact DECIMAL; one final DOUBLE cast.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+cum AS (
+  SELECT a.day, CAST(SUM(b.rev) AS DECIMAL(28,6)) AS c
+  FROM d a JOIN d b ON b.day <= a.day GROUP BY a.day
+),
+dd AS (
+  SELECT p.day AS peak_day, t.day AS trough_day,
+         CAST(p.c - t.c AS DOUBLE) AS drawdown
+  FROM cum p JOIN cum t ON p.day < t.day
+)
+SELECT strftime(peak_day, '%Y-%m-%d') AS peak_day,
+       strftime(trough_day, '%Y-%m-%d') AS trough_day,
+       ROUND(drawdown, 6) AS max_drawdown,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days
+FROM dd
+ORDER BY drawdown DESC, peak_day ASC, trough_day ASC
+LIMIT 1
+""",
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("rev"))
+        .localCheckpoint()  # ~30 rows, reused on both triangle sides + count
+    )
+    a = d.select(F.col("day").alias("aday"))
+    cum = (
+        a.join(F.broadcast(d), F.col("day") <= F.col("aday"))
+        .groupBy("aday")
+        .agg(F.sum("rev").cast("decimal(28,6)").alias("c"))
+        .localCheckpoint()  # both sides of the drawdown pair join
+    )
+    p = cum.select(F.col("aday").alias("peak_day"), F.col("c").alias("pc"))
+    t = cum.select(F.col("aday").alias("trough_day"), F.col("c").alias("tc"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        p.join(F.broadcast(t), F.col("peak_day") < F.col("trough_day"))
+        .select(
+            F.date_format("peak_day", "yyyy-MM-dd").alias("peak_day"),
+            F.date_format("trough_day", "yyyy-MM-dd").alias("trough_day"),
+            F.round((F.col("pc") - F.col("tc")).cast("double"), 6).alias(
+                "max_drawdown"
+            ),
+        )
+        .orderBy(
+            F.col("max_drawdown").desc(),
+            F.col("peak_day").asc(),
+            F.col("trough_day").asc(),
+        )
+        .limit(1)
+        .crossJoin(F.broadcast(n))
+    )

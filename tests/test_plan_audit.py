@@ -77,6 +77,9 @@ JUSTIFIED_BNLJ = {
     "events_rfm_segmentation",     # broadcast 1-row corpus-max-day + 1-row quintile-cutoff scalars
     "agg_hash_sample_quantiles",   # broadcast 1-row sample-quantile scalars onto 1-row population row
     "quality_emd_drift",           # triangular join over the fixed 20-bin spine + 1-row totals scalar
+    "events_max_drawdown",         # triangular joins over the bounded day domain + 1-row n_days scalar
+    "sketch_hll_intersection",     # broadcast 1-row estimate/exact-count scalars onto a 1-row frame
+    "retrieval_mmr_rerank",        # broadcast query vector (brute top-N stage) + candidate-local greedy picks
     "embedding_silhouette",        # broadcast 5-row centroid frame
     "sketch_bloom_membership",     # broadcast 1-row n_keys/bits_set scalars
     "agg_histogram_quantiles",     # quantile spine x bounded bucket frame
