@@ -2263,3 +2263,58 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .crossJoin(F.broadcast(n))
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel stats over the real LZW decode path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_gif_pixel_stats",
+    family="multimodal",
+    doc="Integer pixel statistics over the REAL GIF decode path "
+    "(operators/gif.py — GIF87a with variable-width LSB-first LZW, "
+    "CLEAR/EOI codes, 12-bit table cap with reset, sub-block framing, "
+    "256-gray palette where index == luma): the fourth honest image "
+    "codec beside PNG/JPEG/MJPEG.  GIF is lossless, so the oracle "
+    "recomputes every decoded pixel from the closed-form fixture "
+    "(pixel(x,y) = (id·5 + 7x + 11y) mod 256) — drift in bit packing, "
+    "code-width bumps or sub-block reassembly breaks the hash.  "
+    "Grouped per dimension class; blobs never leave the executor.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 20 + 4 AS w, doc_id % 12 + 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 5 + 7 * xs.x + 11 * ys.y) % 256 AS v
+  FROM dims, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)
+),
+per AS (
+  SELECT doc_id, w, h,
+         CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(s) AS BIGINT) AS px_sum,
+       CAST(MIN(mn) AS INT) AS px_min,
+       CAST(MAX(mx) AS INT) AS px_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gif import gif_pixel_stats, synthesize_gif_media
+
+    d = table(spark, sf_dir, "documents")
+    stats = gif_pixel_stats(synthesize_gif_media(d.select("doc_id")))
+    return stats.groupBy(
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )
