@@ -46,6 +46,7 @@ def asof_join(
     right_order: str,
     value_cols: list[str],
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join via union + fill window.
 
@@ -55,6 +56,10 @@ def asof_join(
     (the next-event lookup — e.g. "first signup following this view").
     ``direction="nearest"``: whichever of the two is closer in absolute
     time; exact ties prefer backward (pd.merge_asof semantics).
+    ``tolerance`` (optional): a literal of the ts column's difference
+    type — an interval SQL string like ``"INTERVAL 1 HOUR"`` for
+    timestamps, or a number for numeric ts — beyond which a match is
+    nulled out (pd.merge_asof tolerance).
     NULL when no such row.  Exactly one shuffle (hash on ``key``), then
     a single window pass — scales linearly; forward is the same pass
     with the time axis reversed, and nearest evaluates both passes over
@@ -110,6 +115,16 @@ def asof_join(
             .when(closer_back, back)
             .otherwise(fwd)
         )
+    if tolerance is not None:
+        # pd.merge_asof tolerance semantics: a match farther than
+        # ``tolerance`` from the left ts is discarded (nulls out), not
+        # replaced by the next-nearer row — the fill already carries the
+        # NEAREST admissible row per direction, so the filter is exact.
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else F.lit(tolerance)
+        dist = F.when(
+            chosen["__rts"] <= F.col(ts), F.col(ts) - chosen["__rts"]
+        ).otherwise(chosen["__rts"] - F.col(ts))
+        chosen = F.when(dist <= tol, chosen)
     filled = unioned.select("*", chosen.alias("__asof"))
     out = filled.where(F.col("__is_left") == 1).select(
         *lcols, *[F.col("__asof")[c].alias(c) for c in value_cols]

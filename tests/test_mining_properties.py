@@ -66,3 +66,29 @@ def test_nearest_asof_matches_pandas(spark, lts, rts):
         for row in exp.itertuples()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(ts_strategy, ts_strategy,
+       st.sampled_from(["backward", "forward", "nearest"]),
+       st.integers(min_value=0, max_value=20))
+def test_asof_tolerance_matches_pandas(spark, lts, rts, direction, tol):
+    left = spark.createDataFrame([(1, t) for t in lts], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, t, t * 10) for t in rts], "k long, ts long, v long"
+    )
+    got = {
+        r["ts"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "ts", "v", ["v"],
+            direction=direction, tolerance=tol,
+        ).collect()
+    }
+    lp = pd.DataFrame({"ts": sorted(lts)})
+    rp = pd.DataFrame({"ts": sorted(rts), "v": [t * 10 for t in sorted(rts)]})
+    exp = pd.merge_asof(lp, rp, on="ts", direction=direction, tolerance=tol)
+    want = {
+        int(row.ts): (None if pd.isna(row.v) else int(row.v))
+        for row in exp.itertuples()
+    }
+    assert got == want
