@@ -2318,3 +2318,73 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("px_min").cast("int").alias("px_min"),
         F.max("px_max").cast("int").alias("px_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_tolerance",
+    family="join",
+    doc="Backward as-of join with a TOLERANCE bound "
+    "(operators/asof_join.py tolerance param — completes pd.merge_asof "
+    "parity: direction x tolerance, hypothesis-tested against pandas "
+    "in tests/test_mining_properties.py): each click matches the "
+    "user's latest preceding purchase ONLY if it is within 1 hour — "
+    "matches farther away are nulled, not replaced (the deadline "
+    "semantics attribution and feature-freshness joins need).  Oracle "
+    "is the correlated bounded-window maximum.  Output: matched vs "
+    "unmatched counts and the exact mean match age in seconds.",
+    oracle="""
+WITH l AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+r0 AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts FROM (
+    SELECT r0.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS rn
+    FROM r0
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT l.user_id, l.ts,
+         (SELECT MAX(r.ts) FROM r
+          WHERE r.user_id = l.user_id AND r.ts <= l.ts
+            AND r.ts >= l.ts - INTERVAL 1 HOUR) AS mts
+  FROM l
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(mts) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(date_diff('microsecond', mts, ts)) AS DOUBLE)
+             / COUNT(mts) / 1000000.0, 6) AS mean_age_sec
+FROM m
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof_join import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("mts", F.col("ts"))
+    )
+    m = asof_join(
+        left, right, key="user_id", ts="ts", right_order="event_id",
+        value_cols=["mts"], direction="backward",
+        tolerance="INTERVAL 1 HOUR",
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.count("mts").cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(F.expr("timestampdiff(MICROSECOND, mts, ts)")).cast("double")
+            / F.count("mts")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_age_sec"),
+    )
