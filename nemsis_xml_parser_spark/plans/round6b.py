@@ -2388,3 +2388,202 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_age_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    family="graph",
+    doc="Degree assortativity (Newman's r) of the part co-purchase "
+    "graph — the Pearson correlation of endpoint degrees over the "
+    "DIRECTED edge list (each undirected edge counted both ways, the "
+    "standard symmetrization): positive r = hubs prefer hubs "
+    "(social-network-like), negative = hubs prefer leaves "
+    "(dependency/star-like) — a one-number structural fingerprint "
+    "alongside the degree power-law and clustering coefficient "
+    "queries.  Degrees are exact BIGINTs from one aggregate, the "
+    "correlation follows agg_corr_manual's exact-decimal-moment "
+    "discipline (sums as DECIMAL, one identical double expression).",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < 1000
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+ed AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM adj JOIN deg du ON du.u = adj.u JOIN deg dv ON dv.u = adj.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(28,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(28,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(28,0)) * y) AS DOUBLE) AS syy
+  FROM ed
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+         AS assortativity
+FROM m
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()  # reused: degree aggregate + edge-degree join
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("y"))
+    ed = (
+        adj.join(du, adj["u"] == du["ju"])
+        .join(dv, adj["v"] == dv["jv"])
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(28,0)")
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return m.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method variance of a ratio metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_ratio_delta_method",
+    family="drift",
+    doc="Delta-method standard error of a RATIO metric — revenue per "
+    "active day per user — the experimentation-platform statistic for "
+    "metrics that are ratios of two per-unit quantities (naive "
+    "per-row variance is wrong because numerator and denominator "
+    "covary per user): per-user x = exact purchase revenue, y = "
+    "active days; ratio = X̄/Ȳ; Var ≈ (sx² /ȳ² − 2·x̄·sxy/ȳ³ + "
+    "x̄²·sy²/ȳ⁴)/n from exact DECIMAL cross-moments (population "
+    "variances), one identical closing expression tree.  One scan, "
+    "one per-user aggregate, one moment aggregate.",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM u
+),
+d AS (
+  SELECT n, sx / n AS mx, sy / n AS my,
+         sxx / n - (sx / n) * (sx / n) AS vx,
+         syy / n - (sy / n) * (sy / n) AS vy,
+         sxy / n - (sx / n) * (sy / n) AS cxy
+  FROM m
+)
+SELECT n,
+       ROUND(mx / my, 6) AS ratio,
+       ROUND((vx / (my * my)
+              - 2.0 * mx * cxy / (my * my * my)
+              + mx * mx * vy / (my * my * my * my)) / n, 6) AS var_delta,
+       ROUND(SQRT((vx / (my * my)
+              - 2.0 * mx * cxy / (my * my * my)
+              + mx * mx * vy / (my * my * my * my)) / n), 6) AS se_delta
+FROM d
+""",
+)
+def quality_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round("value", 6).cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("x"),
+        F.count_distinct(F.to_date("ts")).cast("bigint").alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.round("x", 6).cast("decimal(18,6)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    mx, my = F.col("sx") / F.col("n"), F.col("sy") / F.col("n")
+    d = m.select(
+        "n",
+        mx.alias("mx"),
+        my.alias("my"),
+        (F.col("sxx") / F.col("n") - mx * mx).alias("vx"),
+        (F.col("syy") / F.col("n") - my * my).alias("vy"),
+        (F.col("sxy") / F.col("n") - mx * my).alias("cxy"),
+    )
+    var = (
+        F.col("vx") / (F.col("my") * F.col("my"))
+        - F.lit(2.0) * F.col("mx") * F.col("cxy")
+        / (F.col("my") * F.col("my") * F.col("my"))
+        + F.col("mx") * F.col("mx") * F.col("vy")
+        / (F.col("my") * F.col("my") * F.col("my") * F.col("my"))
+    ) / F.col("n")
+    return d.select(
+        "n",
+        F.round(F.col("mx") / F.col("my"), 6).alias("ratio"),
+        F.round(var, 6).alias("var_delta"),
+        F.round(F.sqrt(var), 6).alias("se_delta"),
+    )
