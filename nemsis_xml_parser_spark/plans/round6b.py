@@ -2587,3 +2587,71 @@ def quality_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_delta"),
         F.round(F.sqrt(var), 6).alias("se_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor overdispersion of daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_fano_overdispersion",
+    family="events",
+    doc="Fano factor (variance-to-mean ratio) of the DAILY COUNT "
+    "process per event type — the overdispersion test against the "
+    "Poisson null (F = 1): F >> 1 means bursty arrivals (incidents, "
+    "bot storms), F < 1 means regularized traffic (rate limiting at "
+    "work) — the count-process companion to text_burstiness_"
+    "dispersion's term-frequency variant.  Daily counts come off the "
+    "calendar spine derived from the data's own min/max day "
+    "(broadcast), so zero-event days count; population variance from "
+    "exact BIGINT moments, one identical closing expression.",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT CAST(datediff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS n_days
+  FROM d
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM d GROUP BY 1
+)
+SELECT event_type, span.n_days, n_active, s1 AS n_events,
+       ROUND(CAST(s1 AS DOUBLE) / span.n_days, 6) AS mean_daily,
+       ROUND((CAST(s2 AS DOUBLE) / span.n_days
+              - (CAST(s1 AS DOUBLE) / span.n_days)
+                * (CAST(s1 AS DOUBLE) / span.n_days))
+             / (CAST(s1 AS DOUBLE) / span.n_days), 6) AS fano
+FROM m CROSS JOIN span
+""",
+)
+def events_fano_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint()  # reused: span scalar + per-type moments
+    span = d.agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).cast("bigint").alias("n_days")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    return m.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "n_days",
+        "n_active",
+        F.col("s1").alias("n_events"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(
+            (F.col("s2").cast("double") / F.col("n_days") - mean * mean) / mean, 6
+        ).alias("fano"),
+    )

@@ -79,6 +79,7 @@ JUSTIFIED_BNLJ = {
     "quality_emd_drift",           # triangular join over the fixed 20-bin spine + 1-row totals scalar
     "events_max_drawdown",         # triangular joins over the bounded day domain + 1-row n_days scalar
     "sketch_hll_intersection",     # broadcast 1-row estimate/exact-count scalars onto a 1-row frame
+    "events_fano_overdispersion",  # broadcast 1-row calendar-span scalar onto the per-type moments
     "retrieval_mmr_rerank",        # broadcast query vector (brute top-N stage) + candidate-local greedy picks
     "embedding_silhouette",        # broadcast 5-row centroid frame
     "sketch_bloom_membership",     # broadcast 1-row n_keys/bits_set scalars
