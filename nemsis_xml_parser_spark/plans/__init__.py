@@ -150,6 +150,31 @@ _RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
         "text_bpe_merge_candidates", "text_heaps_law",
         "text_inverted_index", "window_scalable_running_total",
     }),
+    6: frozenset({
+        "agg_covariance_matrix", "agg_hash_sample_quantiles",
+        "agg_mann_kendall_trend", "agg_mean_battery", "agg_pct_of_parent",
+        "agg_poisson_bootstrap_ci", "agg_winsorized_mean",
+        "curation_pipeline_e2e", "curation_waterfill_budget",
+        "embedding_gram_matrix", "embedding_pca_projection", "etl_cdc_apply",
+        "events_cohort_ltv", "events_funnel_windowed_strict",
+        "events_kaplan_meier", "events_peak_days",
+        "events_position_attribution", "events_rfm_segmentation",
+        "events_sliding_window_rollup", "events_user_streaks",
+        "graph_adamic_adar", "graph_bfs_hops", "graph_harmonic_closeness",
+        "join_asof_forward", "join_asof_nearest", "join_spatial_grid_epsilon",
+        "join_spatial_grid_knn", "join_temporal_anti_window",
+        "mine_association_rules", "mine_fpgrowth_itemsets",
+        "mine_frequent_triples", "multimodal_audio_periodicity",
+        "multimodal_image_entropy", "multimodal_jpeg420_color_stats",
+        "multimodal_jpeg_pixel_stats", "multimodal_video_frame_stats",
+        "quality_adjusted_rand", "quality_chi_square_independence",
+        "quality_did_estimator", "quality_dp_noisy_counts",
+        "quality_js_divergence", "quality_two_proportion_ztest",
+        "retrieval_mmr_rerank", "sample_neyman_allocation",
+        "scalar_regex_battery", "scalar_timestamp_battery",
+        "sketch_hll_mergeable", "text_burstiness_dispersion",
+        "text_kneser_ney_bigram", "window_session_concurrency",
+    }),
 }
 
 _vintage: dict[str, int] = {}
