@@ -191,6 +191,40 @@ def main() -> None:
             "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
             "peak_state_rows": 0,  # stateless sink; dedup state is the DB ledger
         }
+
+        # distributed exactly-once sink: per-partition executor staging +
+        # one driver promote txn (streaming/sink.py, VERDICT r6 nit #1 fix)
+        from nemsis_xml_parser_spark.streaming.sink import (
+            duckdb_distributed_hooks,
+            stream_to_jdbc_exactly_once_distributed,
+        )
+
+        db2 = str(work / "sink_wh_dist.db")
+        q = stream_to_jdbc_exactly_once_distributed(
+            source(ev_dir, ev_schema).select("event_id", "event_type"),
+            str(work / "cp8"),
+            table="events_wh",
+            columns=["event_id", "event_type"],
+            sink_id="bench",
+            create_sql='CREATE TABLE IF NOT EXISTS "events_wh" '
+            '("event_id" BIGINT, "event_type" TEXT);',
+            column_types={"event_id": "BIGINT", "event_type": "TEXT"},
+            **duckdb_distributed_hooks(
+                db2, str(work / "stg"), "events_wh", "bench"
+            ),
+        )
+        t0 = time.time()
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        rows = sum(p["numInputRows"] for p in q.recentProgress)
+        out["exactly_once_jdbc_sink_distributed"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": 0,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
