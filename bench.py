@@ -89,6 +89,8 @@ HEADLINE = [
     "multimodal_video_frame_stats",
     "retrieval_mmr_rerank",
     "graph_harmonic_closeness",
+    # round 7 flagships (subtract when comparing totals vs earlier rounds)
+    "dedup_ladder_full",
 ]
 
 

@@ -105,6 +105,14 @@ def gram_matrix_exact(
     vecs = df.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
+    # The d²-per-row fan-out wants more tasks than input splits: a small
+    # corpus arriving as one parquet split would run the whole explode on
+    # one core.  Only when the input has fewer partitions than cores does
+    # this repartition fire — at real scale maxPartitionBytes already
+    # yields >= cores splits and the corpus is never reshuffled.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < par:
+        vecs = vecs.repartition(par)
     # single nested-transform explode: 2080 narrow structs per row, no
     # 64-double array duplicated through a double posexplode
     pairs = F.expr(
@@ -154,16 +162,26 @@ def gram_power_components(
     eigenvector components at 12 dp and the ‖u‖ Rayleigh estimate in
     Gram scale.  Determinism contract as operators/pca.py: round-12 +
     DECIMAL casts before every sum, per-iteration localCheckpoint, so a
-    generated SQL oracle can replay each iteration bit-for-bit."""
-    g = mirror_full(gram_upper).localCheckpoint(eager=True)
+    generated SQL oracle can replay each iteration bit-for-bit.
+
+    The per-iteration norm is a GLOBAL window over ``u`` — u is the d-row
+    matvec result, so the window funnels exactly ``dim`` rows (fixed by
+    the embedding width, never by corpus size); folding it into the same
+    plan as the matvec halves the per-iteration job count vs a separate
+    broadcast norm frame, which had to recompute u to build its
+    broadcast.  The window executes inside the eager checkpoint, so it
+    never appears in (and cannot regress) an audited consumer plan."""
+    from pyspark.sql import Window
+
+    g = mirror_full(gram_upper).coalesce(1).localCheckpoint(eager=True)
     out: DataFrame | None = None
     spark = gram_upper.sparkSession
+    whole = Window.partitionBy()
     for c in range(k):
         v = spark.range(dim).select(
             F.col("id").cast("int").alias("i"),
             F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("vc"),
         )
-        nrm: DataFrame | None = None
         for _ in range(iters):
             vj = v.select(F.col("i").alias("__j"), "vc")
             u = (
@@ -179,19 +197,25 @@ def gram_power_components(
                     .alias("u")
                 )
             )
-            nrm = u.agg(
-                F.sqrt(
-                    F.sum(
-                        F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
-                    ).cast("double")
-                ).alias("nrm")
-            )
             v = (
-                u.crossJoin(F.broadcast(nrm))
-                .select("i", F.round(F.col("u") / F.col("nrm"), 12).alias("vc"))
+                u.withColumn(
+                    "nrm",
+                    F.sqrt(
+                        F.sum(
+                            F.round(F.col("u") * F.col("u"), 12).cast(
+                                "decimal(38,12)"
+                            )
+                        )
+                        .over(whole)
+                        .cast("double")
+                    ),
+                )
+                .select(
+                    "i", F.round(F.col("u") / F.col("nrm"), 12).alias("vc"), "nrm"
+                )
                 .localCheckpoint(eager=True)
             )
-        comp = v.crossJoin(F.broadcast(nrm)).select(
+        comp = v.select(
             F.lit(c).cast("int").alias("comp_idx"),
             "i",
             "vc",
@@ -200,19 +224,23 @@ def gram_power_components(
         out = comp if out is None else out.unionByName(comp)
         if c < k - 1:
             a = v.select(F.col("i").alias("__ai"), F.col("vc").alias("va"))
-            b = v.select(F.col("i").alias("__bi"), F.col("vc").alias("vb"))
+            b = v.select(
+                F.col("i").alias("__bi"),
+                F.col("vc").alias("vb"),
+                F.col("nrm").alias("__nrm"),
+            )
             g = (
                 g.join(F.broadcast(a), F.col("i") == F.col("__ai"))
                 .join(F.broadcast(b), F.col("j") == F.col("__bi"))
-                .crossJoin(F.broadcast(nrm))
                 .select(
                     "i",
                     "j",
                     F.round(
-                        F.col("gram") - F.col("nrm") * F.col("va") * F.col("vb"),
+                        F.col("gram") - F.col("__nrm") * F.col("va") * F.col("vb"),
                         12,
                     ).alias("gram"),
                 )
+                .coalesce(1)
                 .localCheckpoint(eager=True)
             )
     return out

@@ -557,8 +557,15 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     muv = mu_i.agg(
         F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s")
     ).select(F.transform("s", lambda s: s["m"]).alias("mu"))
+    # small-file inputs arrive as one split; the Gram's d²-per-row fan-out
+    # and the projection both read this checkpoint, so spread it across
+    # cores before materializing (no-op at real scale, where the scan
+    # already has >= cores splits; decimal sums are order-independent so
+    # values are unchanged)
+    par = spark.sparkContext.defaultParallelism
+    cloud = base.repartition(par) if base.rdd.getNumPartitions() < par else base
     cent = (
-        base.crossJoin(F.broadcast(muv))
+        cloud.crossJoin(F.broadcast(muv))
         .select(
             "vec_id",
             "label",

@@ -42,6 +42,7 @@ SF1_QUERIES = [
     "mine_association_rules",
     "mine_fpgrowth_itemsets",
     "join_spatial_grid_knn",
+    "dedup_ladder_full",
 ]
 
 
