@@ -5,9 +5,10 @@ Closes the JPEG half of the codec seam the same way PNG was closed
 image library.  Scope is baseline sequential DCT, 8-bit samples, Huffman
 entropy coding, grayscale, 4:4:4 and subsampled 4:2:0/4:2:2 color
 (sampling factors 1-2, general interleaved MCU decode with
-nearest-neighbor chroma upsampling), no restart intervals; progressive
-(SOF2), arithmetic coding, sampling factors above 2 and video remain
-explicit ``NotImplementedError`` seams.
+nearest-neighbor chroma upsampling), and restart intervals (DRI +
+RSTn markers: byte alignment, sequence-number checking, DC predictor
+resets); progressive (SOF2), arithmetic coding, sampling factors above
+2 and video remain explicit ``NotImplementedError`` seams.
 
 The decoder is GENERAL for that scope: it walks the marker stream,
 reads quantization and Huffman tables from DQT/DHT (canonical
@@ -122,10 +123,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def emit_restart(self, n: int) -> None:
+        """Byte-align and append an RSTn marker (marker bytes are raw —
+        never 0x00-stuffed)."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -160,6 +170,25 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def expect_restart(self, n: int) -> None:
+        """Consume an RSTn marker: discard the 1-padding to the byte
+        boundary (``read_bit`` never banks more than 7 bits, so dropping
+        the accumulator IS byte alignment), then the two marker bytes,
+        checking the 3-bit modulo-8 sequence number the spec cycles."""
+        self.acc = 0
+        self.nbits = 0
+        b0, b1 = self.buf[self.pos], self.buf[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError(
+                f"expected RST{n % 8} marker, found 0x{b0:02X}{b1:02X}"
+            )
+        if b1 - 0xD0 != n % 8:
+            raise ValueError(
+                f"restart marker out of sequence: RST{b1 - 0xD0}, "
+                f"expected RST{n % 8}"
+            )
+        self.pos += 2
+
 
 def _receive_extend(r: _BitReader, size: int) -> int:
     """JPEG RECEIVE/EXTEND: ``size`` magnitude bits → signed value."""
@@ -181,10 +210,16 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def encode_baseline_jpeg(px: np.ndarray) -> bytes:
+def encode_baseline_jpeg(px: np.ndarray, restart_interval: int = 0) -> bytes:
     """8-bit baseline JPEG bytes from an (h, w) grayscale array (or
     (h, w, 1)).  Dimensions are padded to 8-multiples by edge
-    replication; the decoder crops back using the SOF dimensions."""
+    replication; the decoder crops back using the SOF dimensions.
+
+    ``restart_interval`` > 0 writes a DRI segment and inserts RSTn
+    markers every that-many MCUs (grayscale: 1 block = 1 MCU) —
+    byte-aligned with 1-bit padding, DC predictors reset, sequence
+    numbers cycling RST0..RST7 per the spec — the layout real camera
+    JPEGs use so a corrupted scan only loses one interval."""
     px = np.asarray(px)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -206,8 +241,13 @@ def encode_baseline_jpeg(px: np.ndarray) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
+    mcu_count = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.emit_restart(mcu_count // restart_interval - 1)
+                prev_dc = 0
+            mcu_count += 1
             prev_dc = _encode_block_stream(
                 bw, padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q, prev_dc
             )
@@ -216,6 +256,9 @@ def encode_baseline_jpeg(px: np.ndarray) -> bytes:
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in QTABLE_ZZ))
     sof = seg(
         0xC0,
@@ -225,7 +268,7 @@ def encode_baseline_jpeg(px: np.ndarray) -> bytes:
         0xC4, _dht_payload(1, 0, _AC_CODES)
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------------------
@@ -260,9 +303,10 @@ def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
     """Pixels of a baseline JPEG: (h, w) uint8 for grayscale, (h, w, 3)
-    RGB for 4:4:4 color.  Raises ``NotImplementedError`` for progressive
-    / arithmetic / subsampled / restart-interval streams — the remaining
-    codec seam (with video)."""
+    RGB for 4:4:4 color.  Honors DRI restart intervals (RSTn markers
+    verified in sequence, DC predictors reset per interval).  Raises
+    ``NotImplementedError`` for progressive / arithmetic streams — the
+    remaining codec seam (with non-MJPG video)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -270,6 +314,7 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(comp_id, qid)])
     scan_comps = None
+    restart_interval = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -317,9 +362,8 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
             raise NotImplementedError("progressive JPEG (SOF2/6/10/14)")
         elif marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError("lossless/arithmetic JPEG variants")
-        elif marker == 0xDD:
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI — MCUs per restart interval (0 = off)
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             ns = body[0]
             scan_comps = [
@@ -351,8 +395,14 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
             qs[u, v] = qt_by_cid[cid][idx]
         q_spatial[cid] = qs
     prev_dc = {cid: 0 for cid, _, _, _ in comps}
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align, swallow RSTn, reset every DC predictor
+                r.expect_restart(mcu_count // restart_interval - 1)
+                prev_dc = {cid: 0 for cid in prev_dc}
+            mcu_count += 1
             for cid, dc_id, ac_id in scan_comps:
                 hi, vi = hv_by_cid[cid]
                 dc_tab = htables[(0, dc_id)]
@@ -420,13 +470,20 @@ def make_jpeg_image(image_id: int) -> bytes:
     8·(id%3+1), height = 8·(id%2+1), every 8×8 block CONSTANT at
     v(bx, by) = (id·11 + 13·bx + 29·by) mod 256 — the exact-round-trip
     construction (module docstring), so decoded pixel (x, y) =
-    v(x//8, y//8) in closed form for the SQL oracle."""
+    v(x//8, y//8) in closed form for the SQL oracle.
+
+    DRI coverage: restart interval = id mod 4 (0 = no restarts), so the
+    fixture corpus mixes plain scans with RST-marker streams of 1-3 MCU
+    intervals — the oracle's closed form is unchanged (restart framing
+    resets the DC predictor, and a from-zero DC diff of a constant block
+    is still lossless), but any drift in byte alignment, RSTn sequence
+    numbers or predictor resets breaks the hash."""
     w, h = 8 * (image_id % 3 + 1), 8 * (image_id % 2 + 1)
     bx = np.arange(w // 8).reshape(1, -1)
     by = np.arange(h // 8).reshape(-1, 1)
     v = (image_id * 11 + 13 * bx + 29 * by) % 256
     px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
-    return encode_baseline_jpeg(px)
+    return encode_baseline_jpeg(px, restart_interval=image_id % 4)
 
 
 # ---------------------------------------------------------------------------

@@ -81,7 +81,7 @@ def test_golden_bytes_stable():
     assert buf == J.make_jpeg_image(7)
     assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
     assert (
-        hashlib.md5(buf).hexdigest() == "e68d1f3478a99afcba94b424aaa63fd6"
+        hashlib.md5(buf).hexdigest() == "e38d5bfcb6ecdd573c39979cc324fcee"
     )
 
 
@@ -101,13 +101,34 @@ def test_progressive_and_subsampled_raise():
         J.encode_baseline_jpeg(color)
 
 
-def test_restart_interval_raises():
-    buf = J.make_jpeg_image(1)
-    sos = buf.find(b"\xff\xda")
-    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)  # Ri = 8
-    patched = buf[:sos] + dri + buf[sos:]
-    with pytest.raises(NotImplementedError, match="restart"):
-        J.decode_baseline_jpeg(patched)
+def test_restart_interval_roundtrip_and_marker_checks():
+    # DRI fixtures (id % 4 != 0) round-trip to the closed form: byte
+    # alignment, RSTn cycling and DC predictor resets all exercised
+    for iid in (1, 2, 3, 5, 11):
+        px = J.decode_baseline_jpeg(J.make_jpeg_image(iid))
+        w, h = 8 * (iid % 3 + 1), 8 * (iid % 2 + 1)
+        bx = np.arange(w // 8).reshape(1, -1)
+        by = np.arange(h // 8).reshape(-1, 1)
+        v = (iid * 11 + 13 * bx + 29 * by) % 256
+        exp = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+        assert (px == exp).all()
+    # DRI framing must not change pixels on a lossy (gradient) image
+    grad = (np.arange(40 * 40).reshape(40, 40) % 256).astype(np.uint8)
+    base = J.decode_baseline_jpeg(J.encode_baseline_jpeg(grad))
+    for ri in (1, 3, 7):
+        dec = J.decode_baseline_jpeg(
+            J.encode_baseline_jpeg(grad, restart_interval=ri)
+        )
+        assert (dec == base).all()
+    # an out-of-sequence RSTn is a corrupt stream, not silently accepted
+    buf = bytearray(J.encode_baseline_jpeg(grad, restart_interval=1))
+    first_rst = next(
+        i for i in range(buf.find(b"\xff\xda"), len(buf) - 1)
+        if buf[i] == 0xFF and 0xD0 <= buf[i + 1] <= 0xD7
+    )
+    buf[first_rst + 1] = 0xD5  # expected RST0
+    with pytest.raises(ValueError, match="out of sequence"):
+        J.decode_baseline_jpeg(bytes(buf))
 
 
 def test_byte_stuffing_roundtrip():
