@@ -24,41 +24,134 @@ artifact and are byte-stable.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..naming import COMMON_COLUMNS, fk_constraint_name, value_column_name
 
 
+@dataclass(frozen=True)
+class Dialect:
+    """Engine-specific DDL knobs, so a real-PostgreSQL deployment (or the
+    DuckDB/Derby engines the live tests run) is configuration, not code.
+
+    Defaults are the PostgreSQL shapes the reference emits
+    (/root/reference/database_setup.py:66-95: SERIAL PRIMARY KEY,
+    TIMESTAMPTZ, quoted schema + unquoted bookkeeping table names that
+    fold to lowercase).
+    """
+
+    name: str = "postgresql"
+    text_type: str = "TEXT"
+    timestamp_type: str = "TIMESTAMPTZ"
+    integer_type: str = "INTEGER"
+    #: auto-incrementing PK column clause (database_setup.py:70 SERIAL)
+    serial_pk: str = "SERIAL PRIMARY KEY"
+    #: engine understands CREATE TABLE IF NOT EXISTS / ADD COLUMN IF NOT
+    #: EXISTS (Derby does neither; callers catch-and-rollback instead)
+    if_not_exists: bool = True
+    #: engine supports COMMENT ON TABLE (Derby has no table comments)
+    supports_comment_on: bool = True
+    #: DBAPI placeholder style: psycopg2 "format", DuckDB/JDBC "qmark"
+    paramstyle: str = "format"
+
+    @property
+    def ine(self) -> str:
+        return "IF NOT EXISTS " if self.if_not_exists else ""
+
+
+POSTGRES = Dialect()
+DUCKDB = Dialect(
+    name="duckdb",
+    # DuckDB has no SERIAL; sequences exist but the bookkeeping PK only
+    # needs uniqueness in the live tests
+    serial_pk="INTEGER PRIMARY KEY",
+    paramstyle="qmark",
+)
+DERBY = Dialect(
+    name="derby",
+    text_type="VARCHAR(32000)",
+    timestamp_type="TIMESTAMP",
+    serial_pk="INTEGER GENERATED ALWAYS AS IDENTITY PRIMARY KEY",
+    if_not_exists=False,
+    supports_comment_on=False,
+    paramstyle="qmark",
+)
+
+DIALECTS = {d.name: d for d in (POSTGRES, DUCKDB, DERBY)}
+
+
 def create_table_sql(
-    table: str, attr_cols: list[str], schema: str = "public", path_comment: str | None = None
+    table: str,
+    attr_cols: list[str],
+    schema: str = "public",
+    path_comment: str | None = None,
+    dialect: Dialect = POSTGRES,
 ) -> list[str]:
     """CREATE TABLE with the reference's exact 5-common-column layout
     (main_ingest.py:210-246) + COMMENT carrying the XML path."""
+    t = dialect.text_type
     cols = [
-        '"element_id" TEXT PRIMARY KEY',
-        '"parent_element_id" TEXT',
-        '"pcr_uuid_context" TEXT',
-        '"original_tag_name" TEXT',
-        f'"{value_column_name(table)}" TEXT',
-    ] + [f'"{a}" TEXT' for a in attr_cols]
+        f'"element_id" {t} PRIMARY KEY',
+        f'"parent_element_id" {t}',
+        f'"pcr_uuid_context" {t}',
+        f'"original_tag_name" {t}',
+        f'"{value_column_name(table)}" {t}',
+    ] + [f'"{a}" {t}' for a in attr_cols]
     stmts = [
-        f'CREATE TABLE IF NOT EXISTS "{schema}"."{table}" ({", ".join(cols)});'
+        f'CREATE TABLE {dialect.ine}"{schema}"."{table}" ({", ".join(cols)});'
     ]
-    if path_comment is not None:
+    if path_comment is not None and dialect.supports_comment_on:
         escaped = path_comment.replace("'", "''")
         stmts.append(f'COMMENT ON TABLE "{schema}"."{table}" IS \'{escaped}\';')
     return stmts
 
 
 def widen_table_sql(
-    table: str, new_attr_cols: list[str], schema: str = "public"
+    table: str,
+    new_attr_cols: list[str],
+    schema: str = "public",
+    dialect: Dialect = POSTGRES,
 ) -> list[str]:
     """Schema evolution by widening (main_ingest.py:252-271), one ALTER per
     newly-observed attribute column."""
+    ine = "IF NOT EXISTS " if dialect.if_not_exists else ""
     return [
-        f'ALTER TABLE "{schema}"."{table}" ADD COLUMN IF NOT EXISTS "{a}" TEXT;'
+        f'ALTER TABLE "{schema}"."{table}" ADD COLUMN {ine}"{a}" '
+        f"{dialect.text_type};"
         for a in new_attr_cols
+    ]
+
+
+def bookkeeping_ddl(schema: str = "public", dialect: Dialect = POSTGRES) -> list[str]:
+    """The reference's two bookkeeping tables (database_setup.py:66-95),
+    dialect-parameterized: SchemaVersions (SERIAL PK, TIMESTAMPTZ columns)
+    and XMLFilesProcessed (TEXT PK, MD5 hash, FK to SchemaVersions).
+
+    Identifier casing parity: the reference quotes the schema but leaves
+    the bookkeeping table/column names unquoted, so PostgreSQL folds them
+    to lowercase — these statements preserve that exact shape."""
+    d = dialect
+    return [
+        f'CREATE TABLE {d.ine}"{schema}".SchemaVersions ('
+        f"SchemaVersionID {d.serial_pk}, "
+        f"VersionNumber {d.text_type} NOT NULL UNIQUE, "
+        f"CreationDate {d.timestamp_type} NOT NULL, "
+        f"UpdateDate {d.timestamp_type}, "
+        f"Description {d.text_type}, "
+        f"DemographicGroup {d.text_type});",
+        f'CREATE TABLE {d.ine}"{schema}".XMLFilesProcessed ('
+        f"ProcessedFileID {d.text_type} PRIMARY KEY, "
+        f"OriginalFileName {d.text_type} NOT NULL, "
+        f"MD5Hash {d.text_type}, "
+        f"ProcessingTimestamp {d.timestamp_type} NOT NULL, "
+        f"Status {d.text_type} NOT NULL, "
+        f"SchemaVersionID {d.integer_type}, "
+        f"DemographicGroup {d.text_type}, "
+        f"FOREIGN KEY (SchemaVersionID) "
+        f'REFERENCES "{schema}".SchemaVersions(SchemaVersionID));',
     ]
 
 
@@ -85,7 +178,7 @@ def fk_pairs(elements: DataFrame) -> list[tuple[str, str]]:
 
 
 def fk_constraint_sql(
-    child: str, parent: str, schema: str = "public"
+    child: str, parent: str, schema: str = "public", dialect: Dialect = POSTGRES
 ) -> tuple[str, str]:
     """(probe_sql, ddl_sql) for one FK: existence probe against
     information_schema (main_ingest.py:586-603) and the ADD CONSTRAINT with
@@ -95,14 +188,27 @@ def fk_constraint_sql(
     name is derived from them verbatim (main_ingest.py:512-514) while the
     table identifiers are lowercased in the probe and DDL
     (main_ingest.py:509-510, ``.lower()`` on both tables).
+
+    Derby has no information_schema — its probe walks the SYS catalog
+    (SYSCONSTRAINTS ⋈ SYSTABLES ⋈ SYSSCHEMAS, type 'F'); the ADD
+    CONSTRAINT DDL is identical across all three engines.
     """
     name = fk_constraint_name(child, parent)
     child_l, parent_l = child.lower(), parent.lower()
-    probe = (
-        "SELECT constraint_name FROM information_schema.table_constraints "
-        f"WHERE table_schema = '{schema}' AND table_name = '{child_l}' "
-        f"AND constraint_name = '{name}' AND constraint_type = 'FOREIGN KEY';"
-    )
+    if dialect.name == "derby":
+        probe = (
+            "SELECT c.CONSTRAINTNAME FROM SYS.SYSCONSTRAINTS c "
+            "JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID "
+            "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+            f"WHERE s.SCHEMANAME = '{schema}' AND t.TABLENAME = '{child_l}' "
+            f"AND c.CONSTRAINTNAME = '{name}' AND c.TYPE = 'F'"
+        )
+    else:
+        probe = (
+            "SELECT constraint_name FROM information_schema.table_constraints "
+            f"WHERE table_schema = '{schema}' AND table_name = '{child_l}' "
+            f"AND constraint_name = '{name}' AND constraint_type = 'FOREIGN KEY';"
+        )
     ddl = (
         f'ALTER TABLE "{schema}"."{child_l}" ADD CONSTRAINT "{name}" '
         f'FOREIGN KEY ("parent_element_id") REFERENCES "{schema}"."{parent_l}" '
