@@ -11,7 +11,7 @@ query.  Oracle discipline per plans/registry.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .registry import register, table
 
@@ -151,4 +151,225 @@ def dedup_ladder_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return elect_survivors(
         pairs.select("doc_a", "doc_b"), nodes=d.select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (directed) — FW-BW min-label peeling
+# ---------------------------------------------------------------------------
+
+SCC_ORDER_CAP = 1200  # fixed-size demo subgraph (AA_ORDER_CAP convention)
+
+_SCC_EDGES_SQL = f"""
+li AS (
+  SELECT l_orderkey, l_partkey, MIN(l_linenumber) AS ln
+  FROM lineitem WHERE l_orderkey < {SCC_ORDER_CAP} GROUP BY 1, 2
+),
+seq AS (
+  SELECT l_orderkey, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY ln, l_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS sz
+  FROM li
+),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM seq a JOIN seq b ON a.l_orderkey = b.l_orderkey
+   AND b.rn = CASE WHEN a.rn = a.sz AND a.l_orderkey % 3 = 0
+              THEN 1 ELSE a.rn + 1 END
+  WHERE a.l_partkey <> b.l_partkey
+),
+e AS (SELECT DISTINCT src, dst FROM edges)
+"""
+
+
+@register(
+    "graph_scc_peeling",
+    family="graph",
+    doc="Strongly connected components of a DIRECTED graph "
+    "(operators/scc.py): forward/backward min-label peeling — per "
+    "round, a min-ancestor fixpoint (with pointer jumping, sound "
+    "because ancestor-of-ancestor is an ancestor), the same fixpoint "
+    "on reversed edges, and the SCC-atomic resolution fwd==bwd (both "
+    "labels are constant across an SCC, so components never split "
+    "across rounds).  State stays (node, label) — no reachability "
+    "PAIRS ever materialize, which is what separates this from a "
+    "transitive-closure SCC at 100 TB.  Graph: part-succession chains "
+    "per order (sorted by line number) with every third order closing "
+    "its cycle — overlapping cycles + DAG tails, 226 SCCs incl. a "
+    "giant component at the demo cap.  The ORACLE is the quadratic "
+    "tier: recursive-CTE closure + mutual-reach minimum — equality "
+    "proves the label algebra computes true SCCs.  Output: one row "
+    "per SCC (scc_id = min member, scc_size).",
+    oracle=f"""
+WITH RECURSIVE {_SCC_EDGES_SQL},
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+),
+nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+scc AS (
+  SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(m.v), n.v)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.u = n.v
+  GROUP BY n.v
+)
+SELECT CAST(scc_id AS BIGINT) AS scc_id,
+       CAST(COUNT(*) AS BIGINT) AS scc_size
+FROM scc GROUP BY scc_id
+""",
+)
+def graph_scc_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scc import strongly_connected_components
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < SCC_ORDER_CAP)
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.min("l_linenumber").alias("ln"))
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("ln", "l_partkey")
+    seq = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")).alias("sz"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    wrap = (F.col("a.rn") == F.col("a.sz")) & (F.col("a.l_orderkey") % 3 == 0)
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (
+                F.col("b.rn")
+                == F.when(wrap, F.lit(1)).otherwise(F.col("a.rn") + 1)
+            ),
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    scc = strongly_connected_components(edges)
+    return scc.groupBy(F.col("scc").alias("scc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("scc_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means — fixed iterations, generated CTE-replay oracle
+# ---------------------------------------------------------------------------
+
+KM_K = 4
+KM_ITERS = 3
+KM_DIM = 64
+
+
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dim: int = KM_DIM) -> str:
+    """Replay every Lloyd iteration as CTEs: assignment = round-6 argmin
+    of DECIMAL-summed round-12 per-dim squared terms (ties by centroid
+    index), update = round-12 DECIMAL-sum means — identical arithmetic
+    to operators/kmeans.py at every step."""
+    d2 = (
+        f"ROUND(CAST(list_sum(list_transform(range({dim}), i -> "
+        "CAST(ROUND((e.x[i+1] - c.cv[i+1]) * (e.x[i+1] - c.cv[i+1]), 12) "
+        "AS DECIMAL(38,12)))) AS DOUBLE), 6)"
+    )
+    blocks = [
+        "emb AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS x FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
+        f"AS c, x AS cv FROM emb WHERE vec_id IN "
+        f"(SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        blocks += [
+            f"s{t} AS (SELECT e.vec_id, c.c, {d2} AS d2 "
+            f"FROM emb e CROSS JOIN c{t - 1} c)",
+            f"a{t} AS MATERIALIZED (SELECT vec_id, c, d2 FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY d2 ASC, c ASC) AS rn "
+            f"FROM s{t}) WHERE rn = 1)",
+            f"c{t} AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM ("
+            "SELECT a.c, t.i, ROUND(CAST(SUM(CAST(ROUND(e.x[t.i+1], 12) "
+            "AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 12) AS m "
+            f"FROM a{t} a JOIN emb e USING (vec_id), "
+            f"UNNEST(range({dim})) AS t(i) "
+            "GROUP BY a.c, t.i) GROUP BY c)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT a.c AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(CAST(a.d2 AS DECIMAL(28,6))) AS DOUBLE), 6) AS inertia,
+       ROUND(sqrt(CAST(MIN(cn.nrm2) AS DOUBLE)), 6) AS centroid_norm
+FROM a{iters} a
+JOIN (SELECT c, CAST(list_sum(list_transform(range({dim}), i ->
+        CAST(ROUND(cv[i+1] * cv[i+1], 12) AS DECIMAL(38,12))))
+      AS DOUBLE) AS nrm2 FROM c{iters}) cn ON cn.c = a.c
+GROUP BY a.c
+"""
+    )
+
+
+@register(
+    "cluster_kmeans_lloyd",
+    family="similarity",
+    doc="Lloyd's k-means (operators/kmeans.py, k=4, 3 fixed iterations, "
+    "seeded by the k smallest vec_ids): per iteration one corpus scan "
+    "against BROADCAST k×d centroids (per-vector round-6 argmin of "
+    "DECIMAL-summed round-12 per-dim squared terms, ties by centroid "
+    "index) and one (cluster, dim)-keyed hash aggregate for the "
+    "DECIMAL-mean update — map-side combine caps shuffle traffic at "
+    "k·d per partition, independent of corpus size; the centroid "
+    "state is broadcast-sized like the IVF coarse quantizer it would "
+    "seed.  The generated oracle replays all three assignment/update "
+    "rounds as MATERIALIZED CTEs, bit-for-bit.  Output per cluster: "
+    "member count, inertia (sum of assigned round-6 d2), centroid "
+    "L2 norm.",
+    oracle=_kmeans_oracle(),
+)
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import lloyd_kmeans
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned, cents = lloyd_kmeans(
+        e, vec_col="embedding", id_col="vec_id", k=KM_K, iters=KM_ITERS
+    )
+    norms = cents.select(
+        "c",
+        F.aggregate(
+            F.transform(
+                "cv", lambda v: F.round(v * v, 12).cast("decimal(38,12)")
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, v: (acc + v).cast("decimal(38,12)"),
+        )
+        .cast("double")
+        .alias("nrm2"),
+    )
+    return (
+        assigned.groupBy(F.col("c").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("inertia"),
+        )
+        .join(
+            F.broadcast(norms.withColumnRenamed("c", "cluster_id")),
+            "cluster_id",
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "inertia",
+            F.round(F.sqrt(F.col("nrm2")), 6).alias("centroid_norm"),
+        )
     )

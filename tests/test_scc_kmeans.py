@@ -1,0 +1,134 @@
+"""Unit tests: strongly connected components (operators/scc.py) and
+Lloyd k-means (operators/kmeans.py) — small hand-checked graphs/clouds
+plus property checks against brute-force references."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from nemsis_xml_parser_spark.operators.kmeans import lloyd_kmeans
+from nemsis_xml_parser_spark.operators.scc import (
+    strongly_connected_components,
+)
+
+
+def _scc_brute(edges: list[tuple[int, int]]) -> dict[int, int]:
+    nodes = sorted({n for e in edges for n in e})
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for u, v in edges:
+            new = reach[v] - reach[u]
+            if new:
+                reach[u] |= new
+                changed = True
+    out = {}
+    for v in nodes:
+        mutual = {u for u in reach[v] if v in reach[u]}
+        out[v] = min(mutual)
+    return out
+
+
+def _run_scc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["scc"]
+        for r in strongly_connected_components(df).collect()
+    }
+    assert got == _scc_brute(edges)
+    return got
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # 1<->2<->3 cycle, 10<->11 cycle, DAG bridge 3->10, tail 11->20
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (10, 11), (11, 10),
+        (3, 10), (11, 20),
+    ]
+    got = _run_scc(spark, edges)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == 20  # singleton: on no cycle
+
+
+def test_scc_chain_is_all_singletons(spark):
+    edges = [(i, i + 1) for i in range(1, 8)]
+    got = _run_scc(spark, edges)
+    assert all(got[v] == v for v in range(1, 9))
+
+
+def test_scc_interleaved_ids_random_graph(spark):
+    # deterministic pseudo-random directed graph, ids deliberately NOT
+    # in topological order (the min-label edge cases)
+    edges = sorted(
+        {
+            ((i * 7919) % 23, (i * 104729 + 3) % 23)
+            for i in range(60)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    _run_scc(spark, edges)  # asserts equality against brute closure
+
+
+def test_kmeans_separated_clouds(spark):
+    # two tight clouds far apart, k=2: members must split by cloud and
+    # centroids land on the cloud means
+    pts = []
+    for i in range(10):
+        pts.append((i, [0.0 + i * 0.001, 0.0]))
+    for i in range(10):
+        pts.append((100 + i, [50.0, 50.0 + i * 0.001]))
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    assigned, cents = lloyd_kmeans(df, k=2, iters=3)
+    a = {r["_id"]: r["c"] for r in assigned.collect()}
+    lows = {a[i] for i in range(10)}
+    highs = {a[100 + i] for i in range(10)}
+    assert len(lows) == 1 and len(highs) == 1 and lows != highs
+    cv = {r["c"]: r["cv"] for r in cents.collect()}
+    low_c = cv[next(iter(lows))]
+    assert low_c[0] == pytest.approx(0.0045, abs=1e-9)
+    assert low_c[1] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    pts = [
+        (i, [((i * 31 + d * 7) % 97) / 97.0 for d in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    runs = []
+    for _ in range(2):
+        assigned, cents = lloyd_kmeans(df, k=3, iters=2)
+        runs.append(
+            (
+                sorted(map(tuple, assigned.collect())),
+                sorted((r["c"], tuple(r["cv"])) for r in cents.collect()),
+            )
+        )
+    assert runs[0] == runs[1]
+
+
+def test_kmeans_assignment_is_argmin(spark):
+    pts = [
+        (i, [((i * 13 + d * 5) % 53) / 53.0 for d in range(3)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    assigned, cents = lloyd_kmeans(df, k=3, iters=1)
+    cv = {r["c"]: r["cv"] for r in cents.collect()}
+    # iteration-1 centroids are the seed vectors (vec_id 0, 1, 2)
+    seeds = {c: pts[c][1] for c in range(3)}
+    by_id = dict(pts)
+    for r in assigned.collect():
+        x = by_id[r["_id"]]
+        dists = {
+            c: round(sum((a - b) ** 2 for a, b in zip(x, s)), 6)
+            for c, s in seeds.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert r["c"] == best
+    assert set(cv) == {0, 1, 2}
