@@ -373,3 +373,241 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("nrm2")), 6).alias("centroid_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope per language
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 50
+
+
+@register(
+    "text_zipf_slope",
+    family="text",
+    doc="Zipf's-law rank-frequency fit per language: term frequencies "
+    "(one (lang, term) hash aggregate over the corpus), rank by "
+    "(freq DESC, term ASC) inside each language (window partitioned "
+    "by lang over the VOCABULARY, never corpus rows), top-50 points, "
+    "then the closed-form least-squares slope/intercept of ln(freq) "
+    "on ln(rank) — the standard corpus-health diagnostic (natural "
+    "text sits near slope -1; templated or deduplicated corpora "
+    "flatten).  Moment discipline: ln terms rounded to 12 and summed "
+    "as DECIMAL(20,12) (order-independent), one identical double "
+    "expression on both engines, surfaced at 6 dp.",
+    oracle=f"""
+WITH w AS (
+  SELECT lang, term FROM (
+    SELECT lang, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+tf AS (SELECT lang, term, COUNT(*) AS freq FROM w GROUP BY lang, term),
+rk AS (
+  SELECT lang, freq,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, term ASC) AS rn
+  FROM tf
+),
+pts AS (
+  SELECT lang,
+         ROUND(LN(CAST(rn AS DOUBLE)), 12) AS lx,
+         ROUND(LN(CAST(freq AS DOUBLE)), 12) AS ly
+  FROM rk WHERE rn <= {ZIPF_TOP}
+),
+mo AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(lx AS DECIMAL(20,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ly AS DECIMAL(20,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(lx * ly, 12) AS DECIMAL(20,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(lx * lx, 12) AS DECIMAL(20,12))) AS DOUBLE) AS sxx
+  FROM pts GROUP BY lang
+)
+SELECT lang, n AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS zipf_intercept
+FROM mo
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "lang", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = w.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("freq"))
+    rk = Window.partitionBy("lang").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    pts = (
+        tf.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") <= ZIPF_TOP)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rn").cast("double")), 12).alias("lx"),
+            F.round(F.log(F.col("freq").cast("double")), 12).alias("ly"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
+    n = F.count(F.lit(1))
+    sx = F.sum(dec(F.col("lx"))).cast("double")
+    sy = F.sum(dec(F.col("ly"))).cast("double")
+    sxy = F.sum(dec(F.round(F.col("lx") * F.col("ly"), 12))).cast("double")
+    sxx = F.sum(dec(F.round(F.col("lx") * F.col("lx"), 12))).cast("double")
+    den = n * sxx - sx * sx
+    return pts.groupBy("lang").agg(
+        n.cast("bigint").alias("n_terms"),
+        F.round((n * sxy - sx * sy) / den, 6).alias("zipf_slope"),
+        F.round((sy * sxx - sx * sxy) / den, 6).alias("zipf_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MJPEG scene-cut detection — real decode, closed-form oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    family="multimodal",
+    doc="Shot-boundary detection over the REAL video decode path "
+    "(operators/video.py::video_scene_cuts): every frame of each "
+    "RIFF/AVI MJPEG blob decodes through the real baseline-JPEG codec, "
+    "consecutive frames are compared by exact integer sum-of-absolute-"
+    "pixel-differences, and a pair is a cut when its mean abs diff "
+    "exceeds 7 (integer comparison sum > 7*w*h — no float means).  The "
+    "constant-block fixture advances every block by +7 mod 256 per "
+    "frame, so a pair cuts exactly when at least one block value wraps "
+    "past 255 — giving the lossy pipeline a closed-form oracle over "
+    "container walk, Huffman decode, IDCT, differencing and threshold "
+    "alike.  Blobs never leave the executor batch; cross-video state "
+    "is zero.",
+    oracle="""
+WITH spec AS (
+  SELECT doc_id, 8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 2 + 1) AS h,
+         doc_id % 5 + 2 AS n
+  FROM documents
+),
+pairdiff AS (
+  SELECT doc_id, w, h, n, fs.f,
+         SUM(ABS(((doc_id * 11 + 7 * (fs.f + 1) + 13 * bxs.bx + 29 * bys.by) % 256)
+                 - ((doc_id * 11 + 7 * fs.f + 13 * bxs.bx + 29 * bys.by) % 256)) * 64) AS pair_abs
+  FROM spec,
+       UNNEST(range(0, n - 1)) AS fs(f),
+       UNNEST(range(0, w // 8)) AS bxs(bx),
+       UNNEST(range(0, h // 8)) AS bys(by)
+  GROUP BY doc_id, w, h, n, fs.f
+)
+SELECT doc_id AS video_id,
+       CAST(MIN(n) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN pair_abs > 7 * w * h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(MIN(CASE WHEN pair_abs > 7 * w * h THEN f END) AS BIGINT) AS first_cut_pair,
+       CAST(SUM(pair_abs) AS BIGINT) AS motion_total
+FROM pairdiff
+GROUP BY doc_id
+""",
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.video import synthesize_mjpeg_media, video_scene_cuts
+
+    d = table(spark, sf_dir, "documents")
+    return video_scene_cuts(
+        synthesize_mjpeg_media(d.select("doc_id")), mean_abs_threshold=7
+    ).select(
+        "video_id", "n_frames", "n_pairs", "n_cuts",
+        "first_cut_pair", "motion_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann robust location estimator
+# ---------------------------------------------------------------------------
+
+HL_USER_CAP = 120  # bounded pairwise tier (the Walsh-average set is O(n²))
+
+
+@register(
+    "agg_hodges_lehmann",
+    family="agg",
+    doc="Hodges-Lehmann robust location estimator per event type: the "
+    "median of all Walsh averages (x_i + x_j)/2, i <= j — the location "
+    "estimate dual to the Wilcoxon signed-rank test, ~95% efficient at "
+    "the normal yet 29%-breakdown robust (the estimator quality "
+    "pipelines prefer over the mean for heavy-tailed metrics).  "
+    "Pairwise tier is BOUNDED (user_id < 120 sample, documented like "
+    "dedup's jaccard tier — the full-corpus path is the O(n log n) "
+    "quantile-of-convolution approximation); the median is the exact "
+    "lower-median over the pair set via one ranking window per type "
+    "(pair count is group-bounded, never corpus-global).  Values are "
+    "DECIMAL(12,2)-cast before pairing so both engines average "
+    "identical exact inputs.",
+    oracle=f"""
+WITH v AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rid
+  FROM events WHERE user_id < {HL_USER_CAP} AND value IS NOT NULL
+),
+walsh AS (
+  SELECT a.event_type,
+         CAST(a.x AS DOUBLE) / 2 + CAST(b.x AS DOUBLE) / 2 AS wavg
+  FROM v a JOIN v b
+    ON a.event_type = b.event_type AND a.rid <= b.rid
+),
+rk AS (
+  SELECT event_type, wavg,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY wavg) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM walsh
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(MIN(CASE WHEN rn = (n + 1) // 2 THEN wavg END), 6) AS hodges_lehmann
+FROM rk GROUP BY event_type
+""",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "events")
+        .where((F.col("user_id") < HL_USER_CAP) & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("value").cast("decimal(12,2)").alias("x"),
+            "event_id",
+        )
+    )
+    rid = Window.partitionBy("event_type").orderBy("x", "event_id")
+    v = e.select(
+        "event_type", "x", F.row_number().over(rid).alias("rid")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    walsh = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.rid") <= F.col("b.rid")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            F.col("a.x").cast("double") / 2 + F.col("b.x").cast("double") / 2
+        ).alias("wavg"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy("wavg")
+    wcnt = Window.partitionBy("event_type")
+    rk = walsh.select(
+        "event_type",
+        "wavg",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    return rk.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("wavg")
+                )
+            ),
+            6,
+        ).alias("hodges_lehmann"),
+    )

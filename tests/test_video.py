@@ -85,3 +85,38 @@ def test_invalid_stride_raises(spark):
     media = synthesize_mjpeg_media(spark.createDataFrame([(1,)], "doc_id bigint"))
     with pytest.raises(ValueError):
         video_frame_stats(media, every=0)
+
+
+def test_video_scene_cuts_wrap_semantics(spark):
+    """A pair cuts exactly when a block wraps past 255 (fixture advances
+    +7/frame): verify against straight numpy decode of the same blobs."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from nemsis_xml_parser_spark.operators import jpeg as J
+    from nemsis_xml_parser_spark.operators.video import (
+        decode_avi_frames,
+        make_mjpeg_video,
+        synthesize_mjpeg_media,
+        video_scene_cuts,
+    )
+
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+    got = {
+        r["video_id"]: r
+        for r in video_scene_cuts(synthesize_mjpeg_media(ids)).collect()
+    }
+    for vid in range(24):
+        w, h, _, frames = decode_avi_frames(make_mjpeg_video(vid))
+        px = [J.decode_baseline_jpeg(f).astype("int64") for f in frames]
+        diffs = [int(np.abs(b - a).sum()) for a, b in zip(px, px[1:])]
+        cuts = [i for i, d in enumerate(diffs) if d > 7 * w * h]
+        r = got[vid]
+        assert r["n_frames"] == len(frames)
+        assert r["n_pairs"] == len(diffs)
+        assert r["n_cuts"] == len(cuts)
+        assert r["first_cut_pair"] == (cuts[0] if cuts else None)
+        assert r["motion_total"] == sum(diffs)
+    # the corpus must exercise BOTH outcomes or the threshold is untested
+    assert any(r["n_cuts"] > 0 for r in got.values())
+    assert any(r["n_cuts"] == 0 for r in got.values())
