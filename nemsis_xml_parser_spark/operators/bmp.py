@@ -1,0 +1,152 @@
+"""BMP codec (8-bit palettized, BI_RGB and BI_RLE8) — pure Python,
+stdlib ``struct`` + numpy.  Another REAL library-free codec next to PNG
+(multimodal.decode_png_pixels), JPEG (jpeg.py), GIF LZW (gif.py) and
+MJPEG/AVI (video.py): BMP's RLE8 is the classic run-length scheme
+(encoded runs, absolute literal blocks, end-of-line / end-of-bitmap
+markers, bottom-up row order, 16-bit-aligned absolute runs) that
+Windows bitmaps and many sensor dumps still use.
+
+Decoder scope: 8-bit palettized, BI_RGB (raw rows, 4-byte padded) and
+BI_RLE8 (runs + absolute mode + EOL/EOB).  The RLE delta escape (02) —
+rare in practice — raises ``NotImplementedError``, as do other bit
+depths; the seam is named at the raise site.
+
+Everything is lossless, so fixtures get exact closed-form oracles: the
+encoder is exercised end-to-end by decoding what it wrote, and the
+decoder's marker/run/absolute/padding handling is pinned by the
+round-trip tests plus the oracled query."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_BI_RGB = 0
+_BI_RLE8 = 1
+
+
+def _headers(w: int, h: int, compression: int, data_len: int) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry grayscale palette
+    (palette[i] = (i, i, i, 0) so palette index == sample value)."""
+    palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    off = 14 + 40 + len(palette)
+    fileh = struct.pack("<2sIHHI", b"BM", off + data_len, 0, 0, off)
+    infoh = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, compression, data_len, 2835, 2835, 256, 0
+    )
+    return fileh + infoh + palette
+
+
+def encode_bmp_raw(px: np.ndarray) -> bytes:
+    """Uncompressed (BI_RGB) 8-bit BMP: bottom-up rows, 4-byte padded."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    pad = (-w) % 4
+    rows = [px[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+    data = b"".join(rows)
+    return _headers(w, h, _BI_RGB, len(data)) + data
+
+
+def encode_bmp_rle8(px: np.ndarray) -> bytes:
+    """RLE8-compressed 8-bit BMP.  Maximal equal runs of length >= 2
+    become encoded runs (count, value); singletons are batched — 3+ in a
+    row as an absolute block (03..FF, literal bytes, 16-bit aligned),
+    fewer as length-1 encoded runs.  Every row ends with EOL (00 00),
+    the image with EOB (00 01) — the layout Windows writes."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = px[y]
+        runs: list[tuple[int, int]] = []  # (length, value)
+        x = 0
+        while x < w:
+            v = row[x]
+            n = 1
+            while x + n < w and row[x + n] == v and n < 255:
+                n += 1
+            runs.append((n, int(v)))
+            x += n
+        i = 0
+        while i < len(runs):
+            if runs[i][0] == 1:
+                j = i
+                while j < len(runs) and runs[j][0] == 1 and j - i < 255:
+                    j += 1
+                if j - i >= 3:  # absolute mode (spec minimum 3)
+                    lits = bytes(runs[t][1] for t in range(i, j))
+                    out += bytes([0x00, len(lits)]) + lits
+                    if len(lits) % 2:
+                        out += b"\x00"  # absolute runs are 16-bit aligned
+                    i = j
+                    continue
+            n, v = runs[i]
+            out += bytes([n, v])
+            i += 1
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    return _headers(w, h, _BI_RLE8, len(out)) + bytes(out)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """(h, w) uint8 sample array of an 8-bit palettized BMP (values are
+    palette indices; the writers above use the identity grayscale
+    palette).  Handles BI_RGB row padding and the full BI_RLE8 marker
+    set except the delta escape."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if h < 0:
+        raise NotImplementedError("top-down BMP")
+    if bpp != 8:
+        raise NotImplementedError(f"{bpp}-bit BMP (only 8-bit palettized)")
+    out = np.zeros((h, w), dtype=np.uint8)
+    if comp == _BI_RGB:
+        stride = w + ((-w) % 4)
+        for y in range(h):
+            row = buf[off + y * stride : off + y * stride + w]
+            out[h - 1 - y] = np.frombuffer(row, dtype=np.uint8)
+        return out
+    if comp != _BI_RLE8:
+        raise NotImplementedError(f"BMP compression {comp}")
+    x, y = 0, 0  # y counts bottom-up rows
+    pos = off
+    while pos + 1 < len(buf):
+        c0, c1 = buf[pos], buf[pos + 1]
+        pos += 2
+        if c0 > 0:  # encoded run
+            out[h - 1 - y, x : x + c0] = c1
+            x += c0
+        elif c1 == 0:  # EOL
+            x, y = 0, y + 1
+        elif c1 == 1:  # EOB
+            return out
+        elif c1 == 2:
+            raise NotImplementedError("RLE8 delta escape")
+        else:  # absolute mode: c1 literal bytes, 16-bit aligned
+            lits = buf[pos : pos + c1]
+            out[h - 1 - y, x : x + c1] = np.frombuffer(lits, dtype=np.uint8)
+            x += c1
+            pos += c1 + (c1 % 2)
+    raise ValueError("RLE8 stream ended without EOB")
+
+
+def make_bmp_image(image_id: int) -> bytes:
+    """Deterministic REAL RLE8 BMP from an integer id: width =
+    4·(id%4+2), height = id%3+2, pixel (x, y) = (id·3 + 5·y +
+    x // (1 + id%3)) mod 251 — run lengths cycle 1/2/3 with the id, so
+    the corpus exercises encoded runs, absolute literal blocks (with
+    their 16-bit alignment pad) and both markers; decoded pixels are
+    closed-form for the SQL oracle."""
+    w, h = 4 * (image_id % 4 + 2), image_id % 3 + 2
+    x = np.arange(w).reshape(1, -1)
+    y = np.arange(h).reshape(-1, 1)
+    v = (image_id * 3 + 5 * y + x // (1 + image_id % 3)) % 251
+    return encode_bmp_rle8(v.astype(np.uint8))

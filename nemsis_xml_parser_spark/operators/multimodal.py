@@ -1187,3 +1187,49 @@ def png_luminance_bins(media: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "bin", "n_px"])
 
     return media.mapInPandas(hist, schema=PER_IMAGE_HIST_SCHEMA)
+
+
+def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of REAL RLE8-compressed BMPs
+    (operators/bmp.py — run/absolute-mode round-length mix with
+    closed-form pixels) from an id column — MEDIA_SCHEMA, Arrow-batched."""
+    from .bmp import make_bmp_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_bmp_image(int(i))
+                rows.append((str(int(i)), "image/bmp", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """Pixel statistics via the REAL BMP RLE8 decode path (header walk,
+    bottom-up rows, encoded runs, absolute blocks with alignment pads,
+    EOL/EOB markers): one narrow row per image, PIXEL_STATS_SCHEMA."""
+    from .bmp import decode_bmp
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_bmp(bytes(content))
+                h, w = px.shape
+                rows.append(
+                    (int(path), w, h, int(px.size), int(px.sum()),
+                     int(px.min()), int(px.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height",
+                    "n_subpixels", "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)

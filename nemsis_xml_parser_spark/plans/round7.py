@@ -611,3 +611,320 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hodges_lehmann"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient per node
+# ---------------------------------------------------------------------------
+
+LCC_ORDER_CAP = 1000
+
+
+@register(
+    "graph_local_clustering",
+    family="graph",
+    doc="Per-node LOCAL clustering coefficient on the part co-purchase "
+    "graph (the node-level refinement of graph_triangle_count's global "
+    "census): degree from the symmetrized adjacency, triangles through "
+    "each node via the wedge (two-hop) equi-join semi-matched against "
+    "the edge set — the standard distributed triangle shape, candidate "
+    "volume bounded by Σ deg² (wedges), never all pairs — and "
+    "lcc = 2T / (d(d-1)) for d ≥ 2.  The closure-vs-degree profile "
+    "separates clustered communities from hub spokes, the first graph "
+    "health check a feature pipeline runs.  Output ordered nodes with "
+    "d ≥ 2: degree, triangle count, coefficient at 6 dp.",
+    oracle=f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {LCC_ORDER_CAP}
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+wedge AS (
+  SELECT x.u AS z, x.v AS pa, y.v AS pb
+  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+),
+tri AS (
+  SELECT w.z, COUNT(*) AS t
+  FROM wedge w JOIN e ON e.a = w.pa AND e.b = w.pb
+  GROUP BY w.z
+)
+SELECT d.u AS node,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+       ROUND(2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1)), 6) AS lcc
+FROM deg d LEFT JOIN tri t ON t.z = d.u
+WHERE d.d >= 2
+""",
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < LCC_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()  # reused: adjacency (x2) + triangle probe
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    x = adj.select(F.col("u").alias("z"), F.col("v").alias("pa"))
+    y = adj.select(F.col("u").alias("z"), F.col("v").alias("pb"))
+    wedge = x.join(y, "z").where(F.col("pa") < F.col("pb"))
+    tri = (
+        wedge.join(
+            e, (wedge["pa"] == e["a"]) & (wedge["pb"] == e["b"]), "left_semi"
+        )
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tri, deg["u"] == tri["z"], "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median filter over the daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_median_filter",
+    family="window",
+    doc="Rolling MEDIAN filter (k=5, centered) over the daily event-count "
+    "series — the robust smoother (impulse noise immune, unlike the "
+    "moving average) used to despike monitoring series before "
+    "changepoint/trend passes.  The frame is gathered per day with "
+    "collect_list over a ±2 ROWS window on the per-DAY aggregate "
+    "(window input = calendar days, partitioned output of one "
+    "hash-agg — never raw events), sorted in-expression, and the exact "
+    "lower-median of the available frame (shorter at the series edges) "
+    "is surfaced.  Oracle: the same frame via self-join banding on day "
+    "index.",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+),
+frame AS (
+  SELECT a.d, a.y, b.y AS fy
+  FROM idx a JOIN idx b ON b.i BETWEEN a.i - 2 AND a.i + 2
+),
+med AS (
+  SELECT d, y, fy,
+         ROW_NUMBER() OVER (PARTITION BY d ORDER BY fy) AS rn,
+         COUNT(*) OVER (PARTITION BY d) AS n
+  FROM frame
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(MIN(y) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN fy END) AS BIGINT)
+         AS median_filtered
+FROM med GROUP BY d
+""",
+)
+def window_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    # ±2-rows frame over the per-day series: collect the 5-window, sort
+    # in-expression, take the exact lower median.  The unpartitioned
+    # window rides on the per-DAY aggregate (calendar-bounded input,
+    # the events_cumulative_users argument).
+    w = Window.orderBy("d").rowsBetween(-2, 2)
+    frame = daily.withColumn("fr", F.array_sort(F.collect_list("y").over(w)))
+    return frame.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("y").cast("bigint").alias("n_events"),
+        F.col("fr")[
+            ((F.size("fr") + 1) / F.lit(2)).cast("int") - 1
+        ].cast("bigint").alias("median_filtered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup pipeline evaluation: LSH candidate recall/precision vs exact tier
+# ---------------------------------------------------------------------------
+
+EVAL_DOC_CAP = 120
+EVAL_J = 0.02
+
+
+@register(
+    "quality_dedup_recall",
+    family="quality",
+    doc="Evaluation harness for the dedup ladder itself: on the bounded "
+    "tier, the exact shingle-Jaccard pairs at J >= 0.02 are ground "
+    "truth, the MinHash(16)+LSH(16x1) candidate set is the prediction, "
+    "and the query surfaces the confusion counts + precision/recall "
+    "the curation team watches when tuning bands x rows (the "
+    "operating-point check behind operators/lsh_planner.py).  Both "
+    "sides reuse the registered pipelines' exact arithmetic "
+    "(md5-derived hash family, banded signatures), so this measures "
+    "the REAL recall of the production candidate generator, not a "
+    "simulation.  At full scale the truth tier is infeasible — that "
+    "is the point of measuring on the bounded sample.",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {EVAL_DOC_CAP}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM docs)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {EVAL_J}
+),
+hp AS (SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 17, 12)) AS BIGINT) AS h2
+       FROM sh),
+sig AS (SELECT doc_id, {", ".join(f"MIN((h1 + {k} * h2) % {(1 << 61) - 1}) AS s{k}" for k in range(16))} FROM hp GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, u.b.band_idx AS band_idx, u.b.band_hash AS band_hash
+  FROM sig, UNNEST([{", ".join("{'band_idx': %d, 'band_hash': md5(CAST(s%d AS VARCHAR))}" % (b, b) for b in range(16))}]) AS u(b)
+),
+pred AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+tp AS (SELECT COUNT(*) AS c FROM truth t JOIN pred p USING (doc_a, doc_b)),
+fn AS (SELECT COUNT(*) AS c FROM truth t ANTI JOIN pred p USING (doc_a, doc_b)),
+fp AS (SELECT COUNT(*) AS c FROM pred p ANTI JOIN truth t USING (doc_a, doc_b))
+SELECT CAST(tp.c AS BIGINT) AS true_positives,
+       CAST(fp.c AS BIGINT) AS false_positives,
+       CAST(fn.c AS BIGINT) AS false_negatives,
+       ROUND(CAST(tp.c AS DOUBLE) / NULLIF(tp.c + fp.c, 0), 6) AS precision,
+       ROUND(CAST(tp.c AS DOUBLE) / NULLIF(tp.c + fn.c, 0), 6) AS recall
+FROM tp, fn, fp
+""",
+)
+def quality_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < EVAL_DOC_CAP)
+    truth = D.ngram_jaccard_pairs(d, n=3, threshold=EVAL_J).select(
+        "doc_a", "doc_b"
+    )
+    pred = D.minhash_lsh_pairs(
+        d, num_hashes=16, bands=16, n=3, threshold=0.0, candidates_only=True
+    ).select("doc_a", "doc_b")
+    keys = ["doc_a", "doc_b"]
+    truth = truth.localCheckpoint()  # consumed by all three confusion legs
+    pred = pred.localCheckpoint()
+    tp = truth.join(pred, keys, "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tp")
+    )
+    fn = truth.join(pred, keys, "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fn")
+    )
+    fp = pred.join(truth, keys, "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fp")
+    )
+    return (
+        tp.crossJoin(fn)
+        .crossJoin(fp)
+        .select(
+            F.col("tp").alias("true_positives"),
+            F.col("fp").alias("false_positives"),
+            F.col("fn").alias("false_negatives"),
+            F.round(
+                F.col("tp").cast("double")
+                / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("tp").cast("double")
+                / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP RLE8 decode — lossless run-length codec, closed-form oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_bmp_pixel_stats",
+    family="multimodal",
+    doc="REAL BMP RLE8 decode with stdlib struct + numpy "
+    "(operators/bmp.py): header walk, bottom-up row order, encoded "
+    "runs, ABSOLUTE literal blocks with their 16-bit alignment pads, "
+    "EOL/EOB markers — the classic Windows run-length scheme, closing "
+    "another codec next to PNG/JPEG/GIF/MJPEG.  The fixture's run "
+    "lengths cycle 1/2/3 with the id so the corpus exercises run mode, "
+    "absolute mode and the padding path together; pixels are "
+    "closed-form (id*3 + 5y + x//(1+id%3)) mod 251, so the oracle "
+    "reproduces every decoded sample without touching a byte — any "
+    "drift in row direction, run chunking, alignment or marker "
+    "handling breaks the hash.  Blobs stay inside the Arrow batch.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 4 * (doc_id % 4 + 2) AS w, doc_id % 3 + 2 AS h,
+         1 + doc_id % 3 AS rl
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 3 + 5 * ys.y + xs.x // rl) % 251 AS v
+  FROM dims,
+       UNNEST(range(0, w)) AS xs(x),
+       UNNEST(range(0, h)) AS ys(y)
+)
+SELECT doc_id AS image_id,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height,
+       CAST(MIN(w) * MIN(h) AS BIGINT) AS n_subpixels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import bmp_pixel_stats, synthesize_bmp_media
+
+    d = table(spark, sf_dir, "documents")
+    return bmp_pixel_stats(synthesize_bmp_media(d.select("doc_id")))

@@ -1,0 +1,70 @@
+"""BMP codec (operators/bmp.py): RLE8/raw round-trips, marker and
+alignment handling, seam raises."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from nemsis_xml_parser_spark.operators import bmp as B
+
+
+def _fixture_expected(iid: int) -> np.ndarray:
+    w, h = 4 * (iid % 4 + 2), iid % 3 + 2
+    x = np.arange(w).reshape(1, -1)
+    y = np.arange(h).reshape(-1, 1)
+    return ((iid * 3 + 5 * y + x // (1 + iid % 3)) % 251).astype(np.uint8)
+
+
+def test_fixture_roundtrip_closed_form():
+    for iid in range(36):
+        got = B.decode_bmp(B.make_bmp_image(iid))
+        assert (got == _fixture_expected(iid)).all()
+
+
+def test_raw_and_rle_agree_on_random_content():
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (3, 5), (7, 2), (254, 3), (255, 2), (256, 2)]:
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (B.decode_bmp(B.encode_bmp_rle8(px)) == px).all()
+        assert (B.decode_bmp(B.encode_bmp_raw(px)) == px).all()
+
+
+def test_absolute_mode_is_actually_emitted():
+    # strictly increasing row = all singleton runs -> absolute blocks
+    px = np.arange(16, dtype=np.uint8).reshape(1, 16)
+    buf = B.encode_bmp_rle8(px)
+    off = struct.unpack_from("<I", buf, 10)[0]
+    data = buf[off:]
+    assert data[0] == 0x00 and data[1] == 16  # one absolute block of 16
+    assert (B.decode_bmp(buf) == px).all()
+
+
+def test_odd_absolute_block_is_word_aligned():
+    px = np.arange(5, dtype=np.uint8).reshape(1, 5)
+    buf = B.encode_bmp_rle8(px)
+    off = struct.unpack_from("<I", buf, 10)[0]
+    data = buf[off:]
+    assert data[0] == 0x00 and data[1] == 5
+    assert data[2 + 5] == 0x00  # alignment pad byte
+    assert (B.decode_bmp(buf) == px).all()
+
+
+def test_seams_raise():
+    with pytest.raises(ValueError, match="BM magic"):
+        B.decode_bmp(b"XX" + b"\x00" * 60)
+    buf = bytearray(B.make_bmp_image(1))
+    struct.pack_into("<H", buf, 28, 24)  # claim 24-bit
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        B.decode_bmp(bytes(buf))
+    buf = bytearray(B.make_bmp_image(1))
+    off = struct.unpack_from("<I", buf, 10)[0]
+    buf[off : off + 2] = b"\x00\x02"  # delta escape
+    with pytest.raises(NotImplementedError, match="delta"):
+        B.decode_bmp(bytes(buf))
+    # truncated stream without EOB
+    buf = bytearray(B.make_bmp_image(2))
+    with pytest.raises(ValueError, match="EOB"):
+        B.decode_bmp(bytes(buf[:-2]))

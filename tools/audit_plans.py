@@ -45,6 +45,12 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
         "inside one calendar quarter — <=92 days => <=4186 pairs, fixed "
         "by the calendar, not by row volume"
     ),
+    "window_median_filter": (
+        "±2-rows median frame over PER-DAY aggregates — window input "
+        "cardinality = time horizon in days (thousands over years), fixed "
+        "by the calendar, not by event volume (same argument as "
+        "events_cumulative_users)"
+    ),
     "curation_pareto_coverage": (
         "rank + cumulative share over per-SOURCE aggregates — source is a "
         "schema dimension (data-source tag), not corpus-sized; if source "
