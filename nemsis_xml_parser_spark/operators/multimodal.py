@@ -1233,3 +1233,81 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+TONE_N_SAMPLES = 256
+TONE_RATE = 8000
+
+
+def make_wav_tone_bytes(audio_id: int) -> bytes:
+    """Deterministic single-tone WAV: 256 mono int16 samples at 8 kHz,
+    a pure sine with EXACTLY k = id%31+1 cycles in the window (bin-
+    aligned, so its DFT is a single line at bin k), amplitude 12000,
+    phase 0.  Quantization noise from the int16 rounding is ~1 LSB —
+    five orders of magnitude under the peak — so the spectral argmax
+    is closed-form k for the SQL oracle."""
+    import numpy as np
+
+    k = audio_id % 31 + 1
+    i = np.arange(TONE_N_SAMPLES)
+    samples = np.round(
+        12000.0 * np.sin(2.0 * np.pi * k * i / TONE_N_SAMPLES)
+    ).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, TONE_RATE, TONE_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_tone_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of REAL single-tone PCM WAVs — MEDIA_SCHEMA,
+    Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_wav_tone_bytes(int(i))
+                rows.append((str(int(i)), "audio/wav", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+DFT_PEAK_SCHEMA = StructType(
+    [
+        StructField("audio_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("peak_bin", IntegerType(), True),
+        StructField("peak_freq_hz", DoubleType(), True),
+    ]
+)
+
+
+def wav_dft_peak(media: DataFrame) -> DataFrame:
+    """Dominant-frequency detection over real PCM decode: chunk-walk the
+    WAV, deinterleave channel 0, run a REAL DFT (numpy rfft) and take
+    the spectral argmax over the non-DC bins — the pitch/carrier
+    detector every audio curation pass runs.  Only integer-safe
+    quantities surface (bin index, n, and bin·rate/N — exact double
+    arithmetic), so the oracle never depends on libm/FFT rounding."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = decode_wav_samples(bytes(content))
+                x = arr[:, 0].astype(np.float64)
+                n = len(x)
+                spec = np.abs(np.fft.rfft(x))
+                peak = int(np.argmax(spec[1:]) + 1)  # exclude DC
+                rows.append(
+                    (int(path), n, peak, peak * TONE_RATE / n)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DFT_PEAK_SCHEMA])
+
+    return media.mapInPandas(stats, schema=DFT_PEAK_SCHEMA)

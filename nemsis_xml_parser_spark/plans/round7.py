@@ -928,3 +928,283 @@ def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bmp_pixel_stats(synthesize_bmp_media(d.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# Audio dominant-frequency (real DFT over real PCM decode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_dft_peak",
+    family="multimodal",
+    doc="Dominant-frequency detection over the REAL audio path "
+    "(operators/multimodal.py::wav_dft_peak): RIFF chunk walk, int16 "
+    "LE PCM decode, channel deinterleave, then a REAL DFT (numpy "
+    "rfft) and the spectral argmax over non-DC bins — the carrier/"
+    "pitch detector an audio curation pass runs before filtering.  "
+    "The fixture corpus is bin-ALIGNED pure tones (exactly k = "
+    "id%31+1 cycles in the 256-sample window, int16 quantization "
+    "noise five orders of magnitude under the line), so the argmax "
+    "is closed-form k and only integer-safe quantities surface "
+    "(bin, n, bin*rate/n) — the oracle never touches FFT/libm "
+    "rounding.  Blobs stay inside the Arrow batch.",
+    oracle="""
+SELECT doc_id AS audio_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(doc_id % 31 + 1 AS INT) AS peak_bin,
+       CAST(doc_id % 31 + 1 AS DOUBLE) * 8000 / 256 AS peak_freq_hz
+FROM documents
+""",
+)
+def multimodal_audio_dft_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthesize_tone_media, wav_dft_peak
+
+    d = table(spark, sf_dir, "documents")
+    return wav_dft_peak(synthesize_tone_media(d.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-pairs with exact Hamming verification
+# ---------------------------------------------------------------------------
+
+SIMHASH_MAX_HAMMING = 3
+
+
+@register(
+    "dedup_simhash_band_pairs",
+    family="dedup",
+    doc="SimHash near-dup PAIRS — the candidate-generation stage "
+    "dedup_simhash_fingerprints feeds: each 32-bit fingerprint splits "
+    "into 4 disjoint 8-bit bands, and by pigeonhole any pair within "
+    "Hamming distance 3 shares at least one band, so the equi-join on "
+    "(band_idx, band_value) is a LOSSLESS candidate filter for the "
+    "d<=3 ball (the Manku/Jain/Sarma WWW'07 web-dedup construction).  "
+    "Candidates verify by exact bit_count(XOR) <= 3.  Scale shape "
+    "mirrors MinHash-LSH: banded signature relation shuffles on the "
+    "band key, never the corpus text; verification touches candidate "
+    "pairs only.  Oracle replays fingerprints, banding, pigeonhole "
+    "join and popcount verify in SQL.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),
+                        s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, """ + "\n + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    ) + """ AS simhash
+  FROM t
+),
+banded AS (
+  SELECT doc_id, b.i AS band_idx,
+         (simhash >> (b.i * 8)) & 255 AS band_value, simhash
+  FROM sh, UNNEST(range(4)) AS b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= """ + str(SIMHASH_MAX_HAMMING) + """
+""",
+)
+def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents")
+    sh = D.simhash_fingerprints(d).select("doc_id", "simhash")
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "i -> shiftright(simhash, i * 8) & 255)"
+            )
+        ).alias("band_idx", "band_value"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.where(ham <= SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-convex-polygon spatial join via grid prefilter
+# ---------------------------------------------------------------------------
+
+PIP_G = 16  # grid cell width
+
+_PIP_BASE_SQL = """
+polys AS (
+  SELECT n_nationkey AS poly_id,
+         (n_nationkey * 53 + 17) % 200 + 28 AS cx,
+         (n_nationkey * 97 + 23) % 200 + 28 AS cy,
+         6 + n_nationkey % 5 AS r
+  FROM nation
+),
+verts AS (
+  SELECT poly_id, cx, cy, r, v.i AS vi,
+         cx + CASE v.i WHEN 0 THEN 2*r WHEN 1 THEN r WHEN 2 THEN -r
+                       WHEN 3 THEN -2*r WHEN 4 THEN -2*r WHEN 5 THEN -r
+                       WHEN 6 THEN r ELSE 2*r END AS vx,
+         cy + CASE v.i WHEN 0 THEN r WHEN 1 THEN 2*r WHEN 2 THEN 2*r
+                       WHEN 3 THEN r WHEN 4 THEN -r WHEN 5 THEN -2*r
+                       WHEN 6 THEN -2*r ELSE -r END AS vy
+  FROM polys, UNNEST(range(8)) AS v(i)
+),
+edges AS (
+  SELECT a.poly_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+  FROM verts a JOIN verts b
+    ON b.poly_id = a.poly_id AND b.vi = (a.vi + 1) % 8
+),
+pts AS (
+  SELECT c_custkey AS pt_id,
+         (c_custkey * 13 + 5) % 256 AS px,
+         (c_custkey * 29 + 11) % 256 AS py
+  FROM customer
+)
+"""
+
+
+@register(
+    "join_point_in_polygon_grid",
+    family="join",
+    doc="Point-in-CONVEX-polygon spatial join — the polygon step up "
+    "from join_spatial_grid_epsilon's radius joins: per-nation integer "
+    "octagons (CCW vertices (cx±2r, cy±r), (cx±r, cy±2r)), customer "
+    "points hashed onto the same integer plane, containment decided by "
+    "ALL-INTEGER cross-product signs against every CCW edge — exact, "
+    "no epsilon, no float orientation ambiguity.  Scale shape: each "
+    "polygon explodes to the grid cells of its bounding box (<= 9 "
+    "cells at these radii), each point lands in its ONE home cell, "
+    "and the candidate set is the pure equi-join on cell id — "
+    "bounded by cell occupancy x overlapping polygons, never "
+    "|points| x |polygons|; the 8-edge test runs per candidate "
+    "against the broadcast edge table.  The oracle is the naive "
+    "all-pairs cross join + the identical edge test, so equality "
+    "proves the bbox-cell cover is lossless.  Output per polygon: "
+    "contained-point count + custkey checksum.",
+    oracle=f"""
+WITH {_PIP_BASE_SQL},
+inside AS (
+  SELECT e.poly_id, p.pt_id
+  FROM pts p CROSS JOIN edges e
+  GROUP BY e.poly_id, p.pt_id
+  HAVING MIN(CASE WHEN (e.x2 - e.x1) * (p.py - e.y1)
+                     - (e.y2 - e.y1) * (p.px - e.x1) >= 0
+             THEN 1 ELSE 0 END) = 1
+)
+SELECT poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_inside,
+       CAST(SUM(pt_id) AS BIGINT) AS pt_checksum
+FROM inside GROUP BY poly_id
+""",
+)
+def join_point_in_polygon_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    polys = n.select(
+        F.col("n_nationkey").alias("poly_id"),
+        ((F.col("n_nationkey") * 53 + 17) % 200 + 28).alias("cx"),
+        ((F.col("n_nationkey") * 97 + 23) % 200 + 28).alias("cy"),
+        (F.lit(6) + F.col("n_nationkey") % 5).alias("r"),
+    )
+    dx = [2, 1, -1, -2, -2, -1, 1, 2]
+    dy = [1, 2, 2, 1, -1, -2, -2, -1]
+    verts = polys.select(
+        "poly_id", "cx", "cy", "r",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx[i] * F.col("r")).alias("vx"),
+                        (F.col("cy") + dy[i] * F.col("r")).alias("vy"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("vi", "v"),
+    )
+    a, b = verts.alias("a"), verts.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.poly_id") == F.col("a.poly_id"))
+        & (F.col("b.vi") == (F.col("a.vi") + 1) % 8),
+    ).select(
+        F.col("a.poly_id").alias("poly_id"),
+        F.col("a.v.vx").alias("x1"), F.col("a.v.vy").alias("y1"),
+        F.col("b.v.vx").alias("x2"), F.col("b.v.vy").alias("y2"),
+    )
+    # bbox cell cover per polygon (dimension-sized, broadcast)
+    cover = polys.select(
+        "poly_id",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("cx") - 2 * F.col("r")) / PIP_G),
+                F.floor((F.col("cx") + 2 * F.col("r")) / PIP_G),
+            )
+        ).alias("gx"),
+        F.col("cy"), F.col("r"),
+    ).select(
+        "poly_id", "gx",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("cy") - 2 * F.col("r")) / PIP_G),
+                F.floor((F.col("cy") + 2 * F.col("r")) / PIP_G),
+            )
+        ).alias("gy"),
+    )
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("pt_id"),
+        ((F.col("c_custkey") * 13 + 5) % 256).alias("px"),
+        ((F.col("c_custkey") * 29 + 11) % 256).alias("py"),
+    ).withColumn("gx", F.floor(F.col("px") / PIP_G)).withColumn(
+        "gy", F.floor(F.col("py") / PIP_G)
+    )
+    cand = pts.join(F.broadcast(cover), ["gx", "gy"]).select(
+        "poly_id", "pt_id", "px", "py"
+    )
+    cross_ok = F.when(
+        (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1"))
+        - (F.col("y2") - F.col("y1")) * (F.col("px") - F.col("x1"))
+        >= 0,
+        1,
+    ).otherwise(0)
+    inside = (
+        cand.join(F.broadcast(edges), "poly_id")
+        .groupBy("poly_id", "pt_id")
+        .agg(F.min(cross_ok).alias("ok"))
+        .where(F.col("ok") == 1)
+    )
+    return inside.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inside"),
+        F.sum("pt_id").cast("bigint").alias("pt_checksum"),
+    )
