@@ -1208,3 +1208,190 @@ def join_point_in_polygon_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_inside"),
         F.sum("pt_id").cast("bigint").alias("pt_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney AUC of a quality score against a binary label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_auc_mann_whitney",
+    family="quality",
+    doc="Exact ROC-AUC via the Mann-Whitney U identity — the classifier-"
+    "free evaluation every quality-score pipeline needs: AUC = P(score+ "
+    "> score-) + P(=)/2, computed from rank sums (U = R+ − n+(n+1)/2) "
+    "with midranks for ties, never from a sampled ROC curve.  Here the "
+    "document LENGTH score is evaluated against the lang='en' label "
+    "per source: one global ranking window over the scored rows "
+    "(PARTITIONED by source — group-bounded), exact integer rank "
+    "sums, one identical closed-form expression both engines.  An "
+    "AUC near 0.5 certifies the synthetic corpus length is "
+    "label-independent; the machinery is what matters.",
+    oracle="""
+WITH scored AS (
+  SELECT source, LENGTH(text) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+rk AS (
+  SELECT source, y,
+         -- midrank: average rank over the tie group = avg of rank_min..rank_max
+         (CAST(RANK() OVER (PARTITION BY source ORDER BY s) AS DOUBLE)
+          + CAST(COUNT(*) OVER (PARTITION BY source, s) - 1 AS DOUBLE) / 2)
+           AS midrank
+  FROM scored
+)
+SELECT source,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+       ROUND((SUM(CASE WHEN y = 1 THEN midrank ELSE 0 END)
+              - CAST(SUM(y) AS DOUBLE) * (SUM(y) + 1) / 2)
+             / (CAST(SUM(y) AS DOUBLE) * SUM(1 - y)), 6) AS auc
+FROM rk GROUP BY source
+""",
+)
+def quality_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.length("text").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    wr = Window.partitionBy("source").orderBy("s")
+    wt = Window.partitionBy("source", "s")
+    rk = scored.select(
+        "source",
+        "y",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt) - 1).cast("double") / 2
+        ).alias("midrank"),
+    )
+    npos = F.sum("y")
+    nneg = F.sum(F.lit(1) - F.col("y"))
+    rpos = F.sum(F.when(F.col("y") == 1, F.col("midrank")).otherwise(0.0))
+    return rk.groupBy("source").agg(
+        npos.cast("bigint").alias("n_pos"),
+        nneg.cast("bigint").alias("n_neg"),
+        F.round(
+            (rpos - npos.cast("double") * (npos + 1) / 2)
+            / (npos.cast("double") * nneg),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded edit-distance pairs (Levenshtein)
+# ---------------------------------------------------------------------------
+
+EDIT_DOC_CAP = 60
+EDIT_PREFIX = 24
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    family="dedup",
+    doc="Levenshtein edit-distance near-pair tier over text PREFIXES — "
+    "the character-level verifier beside the token-level Jaccard tiers "
+    "(catches reorder-free typo/OCR variants shingles miss).  Bounded "
+    "like the other quadratic tiers (doc_id < 60, first 24 chars); at "
+    "scale candidates come from FastSS deletion neighborhoods "
+    "(operators/fuzzy.py) or LSH and only the verify step is this "
+    "expression.  Both engines run their native levenshtein on "
+    "identical prefixes — exact integers, no rounding anywhere.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS p
+  FROM documents WHERE doc_id < {EDIT_DOC_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.p, b.p) AS INT) AS edit_distance
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 10
+""",
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < EDIT_DOC_CAP)
+        .select(
+            "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("p")
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(lev <= 10)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("int").alias("edit_distance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife variance of the mean — closed form from exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_jackknife_variance",
+    family="agg",
+    doc="Leave-one-out jackknife variance of the mean order price per "
+    "market segment — the classic bias/variance companion to "
+    "agg_poisson_bootstrap_ci, computed in CLOSED FORM from two exact "
+    "moments instead of n replica passes: with S = Σx (DECIMAL-exact) "
+    "and Q = Σx², each leave-one-out mean is (S−xᵢ)/(n−1) and "
+    "var_jack = (n−1)/n · Σ(m₋ᵢ − m̄)² collapses algebraically to "
+    "(Q − S²/n) / (n(n−1)) — the unbiased SE² of the mean, a pure "
+    "function of (n, S, Q) — ONE hash aggregate at any scale, no "
+    "per-replica work, and identical expression trees on both "
+    "engines.  Surfaced: jackknife SE and the n/(n−1) ratio to the "
+    "naive SE (the finite-sample correction the estimate exists to "
+    "expose).",
+    oracle="""
+WITH m AS (
+  SELECT c.c_mktsegment AS segment,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))
+                  * CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS q
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n,
+       ROUND(s / n, 6) AS mean_price,
+       ROUND(SQRT((q - s * s / n) / (CAST(n AS DOUBLE) * (n - 1))), 6)
+         AS jackknife_se,
+       ROUND(SQRT((q - s * s / n) / (CAST(n AS DOUBLE) * n))
+             / SQRT((q - s * s / n) / (CAST(n AS DOUBLE) * (n - 1))), 6)
+         AS naive_to_jack_ratio
+FROM m
+""",
+)
+def agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    px = F.col("o_totalprice").cast("decimal(12,2)")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum(px).cast("double")
+    q = F.sum(px * px).cast("double")
+    nd = n.cast("double")
+    var_core = (q - s * s / n) / nd
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        n.cast("bigint").alias("n"),
+        F.round(s / n, 6).alias("mean_price"),
+        F.round(F.sqrt(var_core / (n - 1)), 6).alias("jackknife_se"),
+        F.round(
+            F.sqrt(var_core / n) / F.sqrt(var_core / (n - 1)), 6
+        ).alias("naive_to_jack_ratio"),
+    )
