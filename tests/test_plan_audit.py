@@ -93,6 +93,11 @@ JUSTIFIED_BNLJ = {
     "agg_theil_sen_slope",         # triangular join over calendar-bounded
                                    # day frame + 1-row n/median/ols scalars
     "graph_kcore",                 # broadcast 1-row core/base-stat scalars
+    "quality_dedup_recall",        # cross of three 1-row confusion-count
+                                   # aggregates (tp/fp/fn scalars)
+    "dedup_edit_distance_pairs",   # bounded quadratic tier by design
+                                   # (doc_id<60 x 24-char prefixes; the
+                                   # scale path is FastSS/LSH candidates)
     "layout_zorder_skipping",      # broadcast 1-row min/max bounds scalar
     "quality_perplexity_buckets",  # broadcast 1-row corpus-token-total scalar
     "window_scalable_running_total",  # broadcast per-partition-total
