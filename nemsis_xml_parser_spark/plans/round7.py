@@ -1395,3 +1395,235 @@ def agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(var_core / n) / F.sqrt(var_core / (n - 1)), 6
         ).alias("naive_to_jack_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V-shape pattern detection (MATCH_RECOGNIZE-style, windowless)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_vshape_patterns",
+    family="timeseries",
+    doc="Row-pattern detection (the MATCH_RECOGNIZE DOWN{2} UP{2} "
+    "idiom) over the daily event-count series: a day is a V-bottom "
+    "when the two preceding days strictly descend into it and the two "
+    "following strictly ascend out.  Deliberately WINDOWLESS: the ±2 "
+    "frame comes from a band equi-join on date arithmetic over the "
+    "per-DAY aggregate (30 rows at any corpus size), so there is no "
+    "global ordering anywhere in the plan — the pattern predicate is "
+    "four conditional aggregates keyed by day offset.  Surfaced: the "
+    "bottom day, its count, and the V depth (min drop from either "
+    "rim).  Interior days only (both rims must exist).",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y
+  FROM events GROUP BY 1
+),
+frame AS (
+  SELECT a.d, a.y,
+         MAX(CASE WHEN b.d = a.d - 2 THEN b.y END) AS ym2,
+         MAX(CASE WHEN b.d = a.d - 1 THEN b.y END) AS ym1,
+         MAX(CASE WHEN b.d = a.d + 1 THEN b.y END) AS yp1,
+         MAX(CASE WHEN b.d = a.d + 2 THEN b.y END) AS yp2
+  FROM daily a JOIN daily b ON b.d BETWEEN a.d - 2 AND a.d + 2
+  GROUP BY a.d, a.y
+)
+SELECT CAST(d AS VARCHAR) AS bottom_day,
+       CAST(y AS BIGINT) AS n_events,
+       CAST(LEAST(ym2, yp2) - y AS BIGINT) AS v_depth
+FROM frame
+WHERE ym2 > ym1 AND ym1 > y AND y < yp1 AND yp1 < yp2
+""",
+)
+def events_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    off = F.datediff(F.col("b.d"), F.col("a.d"))
+    frame = (
+        a.join(b, (off >= -2) & (off <= 2))
+        .groupBy(F.col("a.d").alias("d"), F.col("a.y").alias("y"))
+        .agg(
+            F.max(F.when(off == -2, F.col("b.y"))).alias("ym2"),
+            F.max(F.when(off == -1, F.col("b.y"))).alias("ym1"),
+            F.max(F.when(off == 1, F.col("b.y"))).alias("yp1"),
+            F.max(F.when(off == 2, F.col("b.y"))).alias("yp2"),
+        )
+    )
+    return frame.where(
+        (F.col("ym2") > F.col("ym1"))
+        & (F.col("ym1") > F.col("y"))
+        & (F.col("y") < F.col("yp1"))
+        & (F.col("yp1") < F.col("yp2"))
+    ).select(
+        F.col("d").cast("string").alias("bottom_day"),
+        F.col("y").cast("bigint").alias("n_events"),
+        (F.least("ym2", "yp2") - F.col("y")).cast("bigint").alias("v_depth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap aggregate (sessions x maintenance shifts, tz-free)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_interval_overlap_agg",
+    family="join",
+    doc="Interval-OVERLAP-duration aggregate — beyond the membership "
+    "range joins (join_range_interval_banded) to the measure a "
+    "capacity audit needs: per (user, day) activity spans [first "
+    "event, last event] in tz-free SECONDS-OF-DAY arithmetic "
+    "(hour/minute/second extraction only — no epoch, so the result "
+    "is identical under any session timezone), range-joined against "
+    "a small shift table (six 4-hour windows, broadcast), overlap "
+    "seconds = greatest(0, least(ends) - greatest(starts)) summed "
+    "per shift.  Output per shift: sessions touched, total and max "
+    "overlap seconds.",
+    oracle="""
+WITH sess AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         MIN(EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts) * 60
+             + EXTRACT(second FROM ts)) AS s0,
+         MAX(EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts) * 60
+             + EXTRACT(second FROM ts)) AS s1
+  FROM events GROUP BY 1, 2
+),
+shifts AS (
+  SELECT i.i AS shift_id, i.i * 14400 AS w0, i.i * 14400 + 14400 AS w1
+  FROM UNNEST(range(6)) AS i(i)
+),
+ov AS (
+  SELECT sh.shift_id,
+         GREATEST(0, LEAST(s.s1, sh.w1 - 1) - GREATEST(s.s0, sh.w0) + 1)
+           AS osec
+  FROM sess s JOIN shifts sh
+    ON s.s0 < sh.w1 AND s.s1 >= sh.w0
+)
+SELECT shift_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(osec) AS BIGINT) AS overlap_seconds,
+       CAST(MAX(osec) AS BIGINT) AS max_overlap
+FROM ov WHERE osec > 0 GROUP BY shift_id
+""",
+)
+def join_interval_overlap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    sod = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    )
+    sess = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.min(sod).alias("s0"), F.max(sod).alias("s1"))
+    spark_ = sess.sparkSession
+    shifts = spark_.range(6).select(
+        F.col("id").alias("shift_id"),
+        (F.col("id") * 14400).alias("w0"),
+        (F.col("id") * 14400 + 14400).alias("w1"),
+    )
+    ov = sess.join(
+        F.broadcast(shifts),
+        (F.col("s0") < F.col("w1")) & (F.col("s1") >= F.col("w0")),
+    ).select(
+        "shift_id",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("s1"), F.col("w1") - 1)
+            - F.greatest(F.col("s0"), F.col("w0"))
+            + 1,
+        ).alias("osec"),
+    )
+    return (
+        ov.where(F.col("osec") > 0)
+        .groupBy("shift_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("osec").cast("bigint").alias("overlap_seconds"),
+            F.max("osec").cast("bigint").alias("max_overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability table with ECE contributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_calibration_bins",
+    family="quality",
+    doc="Reliability-diagram table + expected-calibration-error "
+    "contributions — the standard eval for any scored filter before "
+    "its threshold is trusted: a deterministic seeded 'model score' "
+    "p in [0,1) (md5-derived 60-bit uniform per order — no rand(), "
+    "identical on both engines) against a deterministic label from "
+    "an independent hash bit; rows land in 10 equal-width bins, and "
+    "each bin reports mean confidence (DECIMAL-summed round-12 "
+    "uniforms), empirical rate, |gap| and its n-weighted ECE "
+    "contribution.  One hash aggregate; the bin spine is the 10-row "
+    "dimension.",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(('0x' || substr(md5('p|' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS p,
+         CAST(('0x' || substr(md5('y|' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS y
+  FROM orders
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+         ROUND(p, 12) AS p12, y
+  FROM scored
+),
+agg AS (
+  SELECT bin, COUNT(*) AS n,
+         CAST(SUM(CAST(p12 AS DECIMAL(20,12))) AS DOUBLE) AS sp,
+         CAST(SUM(y) AS BIGINT) AS npos,
+         (SELECT COUNT(*) FROM scored) AS total
+  FROM b GROUP BY bin
+)
+SELECT bin,
+       CAST(n AS BIGINT) AS n,
+       ROUND(sp / n, 6) AS mean_confidence,
+       ROUND(CAST(npos AS DOUBLE) / n, 6) AS empirical_rate,
+       ROUND(ABS(sp / n - CAST(npos AS DOUBLE) / n), 6) AS gap,
+       ROUND(ABS(sp / n - CAST(npos AS DOUBLE) / n) * n / total, 6)
+         AS ece_contribution
+FROM agg
+""",
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    h = lambda tag: F.expr(  # noqa: E731
+        f"cast(conv(substr(md5(concat('{tag}|', cast(o_orderkey as string)"
+        ")), 1, 15), 16, 10) as bigint)"
+    )
+    scored = o.select(
+        (h("p") / F.lit(float(1 << 60))).alias("p"),
+        (h("y") % 2).alias("y"),
+    )
+    b = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.round(F.col("p"), 12).alias("p12"),
+        "y",
+    )
+    total = b.agg(F.count(F.lit(1)).alias("total"))
+    agg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p12").cast("decimal(20,12)")).cast("double").alias("sp"),
+        F.sum("y").cast("bigint").alias("npos"),
+    )
+    mean_conf = F.col("sp") / F.col("n")
+    emp = F.col("npos").cast("double") / F.col("n")
+    return agg.crossJoin(F.broadcast(total)).select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean_conf, 6).alias("mean_confidence"),
+        F.round(emp, 6).alias("empirical_rate"),
+        F.round(F.abs(mean_conf - emp), 6).alias("gap"),
+        F.round(F.abs(mean_conf - emp) * F.col("n") / F.col("total"), 6)
+        .alias("ece_contribution"),
+    )
