@@ -1627,3 +1627,235 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(mean_conf - emp) * F.col("n") / F.col("total"), 6)
         .alias("ece_contribution"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BOM-style subtree rollup over a synthetic part hierarchy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recursive_bom_rollup",
+    family="recursive",
+    doc="Bill-of-materials subtree rollup: parts form a tree via "
+    "parent(p) = p/10 (roots p < 10), and every INTERNAL node reports "
+    "its subtree size and total retail price — the hierarchical "
+    "aggregation pattern (BOM cost rollups, org charts, category "
+    "trees).  The Spark plan exploits the closed-form ancestry: each "
+    "part EMITS its own ancestor chain with a sequence/transform "
+    "expression (depth = digit count, so the chain array is tiny and "
+    "computed map-side), one explode + one hash aggregate — no "
+    "iteration, no driver loop, and at 100 TB this stays a single "
+    "shuffle keyed on ancestor.  The oracle derives the same pairs "
+    "with a recursive CTE walking parent links — equality proves the "
+    "closed-form ancestry matches true transitive closure.  DECIMAL "
+    "price sums; internal nodes only (subtree size > 1).",
+    oracle="""
+WITH RECURSIVE up(node, anc) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION ALL
+  SELECT u.node, u.anc // 10 FROM up u WHERE u.anc >= 10
+),
+roll AS (
+  SELECT u.anc AS part_root, COUNT(*) AS subtree_size,
+         CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS subtree_price
+  FROM up u JOIN part p ON p.p_partkey = u.node
+  GROUP BY u.anc
+)
+SELECT CAST(part_root AS BIGINT) AS part_root,
+       CAST(subtree_size AS BIGINT) AS subtree_size,
+       ROUND(subtree_price, 2) AS subtree_price
+FROM roll WHERE subtree_size > 1
+""",
+)
+def recursive_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    # ancestor chain [p, p/10, p/100, ...] in one map-side expression:
+    # depth = number of decimal digits, so sequence length is <= 5 here
+    # and <= 20 for any BIGINT — no recursion, no iteration
+    chain = F.expr(
+        "transform(sequence(0, cast(floor(log10(greatest(p_partkey, 1))) "
+        "as int)), i -> cast(p_partkey / cast(pow(10, i) as bigint) "
+        "as bigint))"
+    )
+    up = p.select(
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        F.explode(chain).alias("part_root"),
+    )
+    return (
+        up.groupBy("part_root")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("subtree_size"),
+            F.round(F.sum("price").cast("double"), 2).alias("subtree_price"),
+        )
+        .where(F.col("subtree_size") > 1)
+        .select(
+            F.col("part_root").cast("bigint").alias("part_root"),
+            "subtree_size",
+            "subtree_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (Rocchio-style PRF)
+# ---------------------------------------------------------------------------
+
+PRF_PROBE = ("data", "model")
+PRF_TOPDOCS = 10
+PRF_EXPAND = 5
+PRF_FINAL = 10
+
+
+def _prf_oracle() -> str:
+    probe_list = ", ".join(f"'{t}'" for t in PRF_PROBE)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tfall AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfall AS (SELECT term, COUNT(*) AS df FROM tfall GROUP BY term),
+bm1 AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(ROUND(
+           LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         , 12) AS DECIMAL(24,12))) AS DOUBLE) AS s
+  FROM tfall t
+  JOIN dfall USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE t.term IN ({probe_list})
+  GROUP BY t.doc_id
+),
+seed AS (
+  SELECT doc_id FROM bm1
+  ORDER BY ROUND(s, 6) DESC, doc_id ASC LIMIT {PRF_TOPDOCS}
+),
+exp_terms AS (
+  SELECT t.term FROM tfall t
+  JOIN seed USING (doc_id)
+  JOIN dfall USING (term) CROSS JOIN stats
+  WHERE t.term NOT IN ({probe_list})
+  GROUP BY t.term
+  ORDER BY ROUND(CAST(SUM(CAST(ROUND(
+             t.tf * LN(CAST(n_docs AS DOUBLE) / df), 12)
+           AS DECIMAL(24,12))) AS DOUBLE), 6) DESC, t.term ASC
+  LIMIT {PRF_EXPAND}
+),
+q2 AS (SELECT term FROM exp_terms UNION ALL SELECT UNNEST([{probe_list}])),
+bm2 AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(ROUND(
+           LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         , 12) AS DECIMAL(24,12))) AS DOUBLE) AS s
+  FROM tfall t
+  JOIN q2 USING (term)
+  JOIN dfall USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY t.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS bm25_expanded
+FROM bm2 ORDER BY ROUND(s, 6) DESC, doc_id ASC LIMIT {PRF_FINAL}
+"""
+
+
+@register(
+    "retrieval_prf_expansion",
+    family="retrieval",
+    doc="Pseudo-relevance-feedback query expansion (the Rocchio/RM "
+    "idiom): BM25-score the probe query, take the top-10 seed docs, "
+    "mine their top-5 tf-idf expansion terms (probe terms excluded), "
+    "and rescore the corpus with the expanded query — the classic "
+    "recall lever between lexical and hybrid retrieval "
+    "(retrieval_hybrid_rrf).  Every per-term score is rounded to 12 "
+    "and DECIMAL-summed so both engines rank identical values; every "
+    "cutoff (seed docs, expansion terms, final top-10) breaks ties "
+    "on rounded score then id/term.  Scale shape: tf/df/dl are the "
+    "inverted-index aggregates (corpus-keyed hash aggs), the seed and "
+    "expansion frames are k-row broadcasts, and the rescore is one "
+    "semi-join of tf against the 7-term expanded query.",
+    oracle=_prf_oracle(),
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tfall = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tfall = tfall.localCheckpoint()  # reused: probe score, mining, rescore
+    dfall = tfall.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    def bm25(tf_subset):
+        s_term = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (1.2 + 1.0))
+            / (
+                F.col("tf")
+                + 1.2
+                * (
+                    (1.0 - 0.75)
+                    + 0.75 * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            ),
+            12,
+        ).cast("decimal(24,12)")
+        return (
+            tf_subset.join(F.broadcast(dfall), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(s_term).cast("double").alias("s"))
+        )
+
+    probe = [F.lit(t) for t in PRF_PROBE]
+    bm1 = bm25(tfall.where(F.col("term").isin(list(PRF_PROBE))))
+    seed = bm1.orderBy(
+        F.round("s", 6).desc(), F.col("doc_id").asc()
+    ).limit(PRF_TOPDOCS).select("doc_id")
+    tfidf = F.round(
+        F.col("tf")
+        * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        12,
+    ).cast("decimal(24,12)")
+    exp_terms = (
+        tfall.join(F.broadcast(seed), "doc_id")
+        .where(~F.col("term").isin(list(PRF_PROBE)))
+        .join(F.broadcast(dfall), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("term")
+        .agg(F.sum(tfidf).cast("double").alias("w"))
+        .orderBy(F.round("w", 6).desc(), F.col("term").asc())
+        .limit(PRF_EXPAND)
+        .select("term")
+    )
+    spark_ = d.sparkSession
+    q2 = exp_terms.unionByName(
+        spark_.createDataFrame([(t,) for t in PRF_PROBE], "term string")
+    )
+    bm2 = bm25(tfall.join(F.broadcast(q2), "term"))
+    return (
+        bm2.orderBy(F.round("s", 6).desc(), F.col("doc_id").asc())
+        .limit(PRF_FINAL)
+        .select("doc_id", F.round("s", 6).alias("bm25_expanded"))
+    )
