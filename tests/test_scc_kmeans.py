@@ -132,3 +132,22 @@ def test_kmeans_assignment_is_argmin(spark):
         best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
         assert r["c"] == best
     assert set(cv) == {0, 1, 2}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scc_matches_brute_closure_hypothesis(spark, raw_edges):
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    _run_scc(spark, edges)  # asserts equality against the brute closure
