@@ -1441,16 +1441,22 @@ def events_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("y")
     )
-    a, b = daily.alias("a"), daily.alias("b")
-    off = F.datediff(F.col("b.d"), F.col("a.d"))
+    # each day emits its ±2 probe dates so the frame is a pure EQUI-join
+    # on date (no theta band, no BNLJ)
+    probes = daily.select(
+        "d",
+        "y",
+        F.explode(F.array(*[F.lit(k) for k in (-2, -1, 1, 2)])).alias("off"),
+    ).select("d", "y", "off", F.date_add(F.col("d"), F.col("off")).alias("bd"))
+    b = daily.select(F.col("d").alias("bd"), F.col("y").alias("by"))
     frame = (
-        a.join(b, (off >= -2) & (off <= 2))
-        .groupBy(F.col("a.d").alias("d"), F.col("a.y").alias("y"))
+        probes.join(b, "bd")
+        .groupBy("d", "y")
         .agg(
-            F.max(F.when(off == -2, F.col("b.y"))).alias("ym2"),
-            F.max(F.when(off == -1, F.col("b.y"))).alias("ym1"),
-            F.max(F.when(off == 1, F.col("b.y"))).alias("yp1"),
-            F.max(F.when(off == 2, F.col("b.y"))).alias("yp2"),
+            F.max(F.when(F.col("off") == -2, F.col("by"))).alias("ym2"),
+            F.max(F.when(F.col("off") == -1, F.col("by"))).alias("ym1"),
+            F.max(F.when(F.col("off") == 1, F.col("by"))).alias("yp1"),
+            F.max(F.when(F.col("off") == 2, F.col("by"))).alias("yp2"),
         )
     )
     return frame.where(
@@ -1524,10 +1530,19 @@ def join_interval_overlap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * 14400).alias("w0"),
         (F.col("id") * 14400 + 14400).alias("w1"),
     )
-    ov = sess.join(
-        F.broadcast(shifts),
-        (F.col("s0") < F.col("w1")) & (F.col("s1") >= F.col("w0")),
-    ).select(
+    # each session explodes to the shift ids its span covers — an
+    # EQUI-join on shift_id (lossless cover, no theta-band BNLJ)
+    covered = sess.select(
+        "s0",
+        "s1",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s0") / 14400).cast("bigint"),
+                F.floor(F.col("s1") / 14400).cast("bigint"),
+            )
+        ).alias("shift_id"),
+    )
+    ov = covered.join(F.broadcast(shifts), "shift_id").select(
         "shift_id",
         F.greatest(
             F.lit(0),

@@ -95,6 +95,10 @@ JUSTIFIED_BNLJ = {
     "graph_kcore",                 # broadcast 1-row core/base-stat scalars
     "quality_dedup_recall",        # cross of three 1-row confusion-count
                                    # aggregates (tp/fp/fn scalars)
+    "quality_calibration_bins",    # broadcast 1-row corpus-total scalar
+                                   # (ECE weight denominator)
+    "retrieval_prf_expansion",     # broadcast 1-row (n_docs, avgdl)
+                                   # corpus-stat scalars per BM25 pass
     "dedup_edit_distance_pairs",   # bounded quadratic tier by design
                                    # (doc_id<60 x 24-char prefixes; the
                                    # scale path is FastSS/LSH candidates)
