@@ -358,8 +358,14 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker in (0xC1,):  # extended sequential — same decode path
             raise NotImplementedError("extended sequential JPEG (SOF1)")
-        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("progressive JPEG (SOF2/6/10/14)")
+        elif marker == 0xC2:  # progressive DCT — dedicated multi-scan path
+            from .jpeg_progressive import decode_progressive_jpeg
+
+            return decode_progressive_jpeg(buf)
+        elif marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                "differential/arithmetic progressive JPEG (SOF6/10/14)"
+            )
         elif marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError("lossless/arithmetic JPEG variants")
         elif marker == 0xDD:  # DRI — MCUs per restart interval (0 = off)

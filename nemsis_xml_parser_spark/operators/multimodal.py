@@ -1311,3 +1311,24 @@ def wav_dft_peak(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DFT_PEAK_SCHEMA])
 
     return media.mapInPandas(stats, schema=DFT_PEAK_SCHEMA)
+
+
+def synthesize_progressive_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL progressive (SOF2) JPEGs
+    (operators/jpeg_progressive.py — 6-scan spectral-selection +
+    successive-approximation script) — MEDIA_SCHEMA, Arrow-batched."""
+    from .jpeg_progressive import make_progressive_jpeg_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_progressive_jpeg_image(int(i))
+                rows.append((str(int(i)), "image/jpeg", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -1,0 +1,79 @@
+"""Progressive (SOF2) JPEG codec (operators/jpeg_progressive.py):
+constant-fixture closed form, gradient round-trip parity against the
+baseline codec (pins EOBn / ZRL / correction-bit machinery), dispatch
+through decode_baseline_jpeg, and seam raises."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from nemsis_xml_parser_spark.operators import jpeg as J
+from nemsis_xml_parser_spark.operators import jpeg_progressive as P
+
+
+def test_constant_fixtures_match_closed_form():
+    for iid in range(24):
+        px = P.decode_progressive_jpeg(P.make_progressive_jpeg_image(iid))
+        w, h = 8 * (iid % 3 + 1), 8 * (iid % 2 + 1)
+        bx = np.arange(w // 8).reshape(1, -1)
+        by = np.arange(h // 8).reshape(-1, 1)
+        v = (iid * 11 + 13 * bx + 29 * by) % 256
+        exp = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+        assert px.shape == (h, w)
+        assert (px == exp).all()
+
+
+def test_gradient_parity_with_baseline_codec():
+    """Same quantized coefficients through both entropy pipelines must
+    yield identical pixels — this is what proves the AC-refinement
+    correction bits, EOB runs and ZRL handling, which constant blocks
+    (all-zero AC) never touch."""
+    for seed, shape in [(1, (24, 40)), (2, (8, 8)), (3, (17, 9)),
+                        (5, (64, 64)), (7, (33, 15))]:
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        base = J.decode_baseline_jpeg(J.encode_baseline_jpeg(px))
+        prog = P.decode_progressive_jpeg(P.encode_progressive_jpeg(px))
+        assert (prog == base).all(), (seed, shape)
+
+
+def test_smooth_image_exercises_long_eob_runs():
+    # a nearly-flat image: most AC bands empty -> multi-block EOB runs
+    px = np.full((48, 48), 77, dtype=np.uint8)
+    px[20, 20] = 200  # one busy block
+    base = J.decode_baseline_jpeg(J.encode_baseline_jpeg(px))
+    prog = P.decode_progressive_jpeg(P.encode_progressive_jpeg(px))
+    assert (prog == base).all()
+
+
+def test_decode_baseline_jpeg_dispatches_sof2():
+    buf = P.make_progressive_jpeg_image(3)
+    assert b"\xff\xc2" in buf  # really progressive
+    px_direct = P.decode_progressive_jpeg(buf)
+    px_dispatch = J.decode_baseline_jpeg(buf)
+    assert (px_direct == px_dispatch).all()
+
+
+def test_seams_raise():
+    buf = bytearray(P.make_progressive_jpeg_image(1))
+    sof = buf.find(b"\xff\xc2")
+    # multi-component progressive: patch ncomp
+    bad = bytearray(buf)
+    bad[sof + 2 + 2 + 5] = 3
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        P.decode_progressive_jpeg(bytes(bad))
+    # DRI inside progressive
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    sos = buf.find(b"\xff\xda")
+    with pytest.raises(NotImplementedError, match="restart"):
+        P.decode_progressive_jpeg(bytes(buf[:sos]) + dri + bytes(buf[sos:]))
+    # color encode out of scope
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        P.encode_progressive_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+
+
+def test_deterministic_bytes():
+    assert P.make_progressive_jpeg_image(9) == P.make_progressive_jpeg_image(9)
