@@ -24,12 +24,13 @@ Per round, over the still-unresolved subgraph:
 Round count equals the depth at which min-labels collide along the
 condensation DAG — small for cycle-rich graphs (every round clears at
 least the current global-min SCC and, in practice, most label-agreeing
-mass).  A long pure-DAG chain is the known pathology of every
-label-propagation SCC scheme; the production hardening for such inputs
-is a trim phase (peel in/out-degree-0 nodes) + pivot-BFS FW-BW
-(Slota et al., "BFS and Coloring-based Parallel Algorithms for
-Strongly Connected Components", IPDPS'14) — an extension seam, not a
-correctness gap.
+mass).  Pure-DAG regions are handled by the TRIM phase each round
+(peel source/sink/isolated nodes to a fixpoint — singletons by
+construction, the FW-BW hardening of Slota et al., "BFS and
+Coloring-based Parallel Algorithms for Strongly Connected
+Components", IPDPS'14), so trees and dependency DAGs dissolve in
+O(depth) cheap rounds and the double fixpoints only ever run on the
+cycle-bearing core.
 
 Distributed shape: each fixpoint round is one src-keyed equi-join +
 one node-keyed min-aggregate (the same shuffles as
@@ -93,17 +94,52 @@ def _min_label_fixpoint(
     raise RuntimeError(f"min-label fixpoint: no convergence in {max_iter} rounds")
 
 
+def _trim(e: DataFrame, nodes: DataFrame, max_trim: int):
+    """Peel nodes that cannot lie on any cycle — in-degree 0, out-degree
+    0, or isolated (the FW-BW 'trim' phase of Slota et al.): each
+    sub-iteration removes EVERY current source/sink in two semi-joins,
+    so a DAG of depth d (trees, dependency graphs) fully dissolves in
+    O(d) cheap rounds instead of O(n) double-fixpoint peeling rounds.
+    Returns (edges, nodes, trimmed) — trimmed nodes are singleton SCCs
+    by construction (no cycle passes through a source or sink)."""
+    trimmed: DataFrame | None = None
+    for _ in range(max_trim):
+        has_in = e.select(F.col("v").alias("node")).distinct()
+        has_out = e.select(F.col("u").alias("node")).distinct()
+        on_cycle_candidates = has_in.join(has_out, "node", "left_semi")
+        gone = nodes.join(on_cycle_candidates, "node", "left_anti")
+        if gone.limit(1).count() == 0:
+            break
+        gone = gone.localCheckpoint(eager=True)
+        trimmed = (
+            gone if trimmed is None else trimmed.unionByName(gone)
+        ).localCheckpoint(eager=True)
+        nodes = nodes.join(gone, "node", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(nodes.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e, nodes, trimmed
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
     max_iter: int = 50,
+    max_trim: int = 50,
 ) -> DataFrame:
     """(node BIGINT, scc BIGINT) — scc = min node id of the node's
     strongly connected component.  Every node mentioned by any edge is
     assigned; isolated SCCs (no cycle through the node) come out as
-    singletons labeled by themselves."""
+    singletons labeled by themselves.
+
+    Each round first TRIMS source/sink/isolated nodes to a fixpoint
+    (singletons by construction — closes the DAG-pathology seam the
+    original peeling loop documented), then runs the FW-BW min-label
+    resolution on the residual cycle-bearing core."""
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -120,6 +156,12 @@ def strongly_connected_components(
     )
     out: DataFrame | None = None
     for _ in range(max_rounds):
+        e, nodes, trimmed = _trim(e, nodes, max_trim)
+        if trimmed is not None:
+            singletons = trimmed.select("node", F.col("node").alias("scc"))
+            out = (
+                singletons if out is None else out.unionByName(singletons)
+            ).localCheckpoint(eager=True)
         if nodes.limit(1).count() == 0:
             break
         fwd = _min_label_fixpoint(e, nodes, max_iter)
