@@ -7,9 +7,10 @@ markers, bottom-up row order, 16-bit-aligned absolute runs) that
 Windows bitmaps and many sensor dumps still use.
 
 Decoder scope: 8-bit palettized, BI_RGB (raw rows, 4-byte padded) and
-BI_RLE8 (runs + absolute mode + EOL/EOB).  The RLE delta escape (02) —
-rare in practice — raises ``NotImplementedError``, as do other bit
-depths; the seam is named at the raise site.
+BI_RLE8 (runs + absolute mode + EOL/EOB + the DELTA escape 00 02 dx dy,
+which jumps the cursor right/up leaving skipped pixels at palette 0 —
+the sparse-bitmap device).  Other bit depths raise; each seam is named
+at its raise site.
 
 Everything is lossless, so fixtures get exact closed-form oracles: the
 encoder is exercised end-to-end by decoding what it wrote, and the
@@ -122,15 +123,25 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         c0, c1 = buf[pos], buf[pos + 1]
         pos += 2
         if c0 > 0:  # encoded run
+            if y >= h or x + c0 > w:
+                raise ValueError("RLE8 run past bitmap bounds")
             out[h - 1 - y, x : x + c0] = c1
             x += c0
         elif c1 == 0:  # EOL
             x, y = 0, y + 1
         elif c1 == 1:  # EOB
             return out
-        elif c1 == 2:
-            raise NotImplementedError("RLE8 delta escape")
+        elif c1 == 2:  # delta: cursor += (dx right, dy up); gaps stay 0
+            if pos + 2 > len(buf):
+                raise ValueError("RLE8 delta escape truncated")
+            dx, dy = buf[pos], buf[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y >= h:
+                raise ValueError("RLE8 delta escape outside bitmap")
         else:  # absolute mode: c1 literal bytes, 16-bit aligned
+            if y >= h or x + c1 > w:
+                raise ValueError("RLE8 absolute block past bitmap bounds")
             lits = buf[pos : pos + c1]
             out[h - 1 - y, x : x + c1] = np.frombuffer(lits, dtype=np.uint8)
             x += c1

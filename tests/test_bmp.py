@@ -61,10 +61,29 @@ def test_seams_raise():
         B.decode_bmp(bytes(buf))
     buf = bytearray(B.make_bmp_image(1))
     off = struct.unpack_from("<I", buf, 10)[0]
-    buf[off : off + 2] = b"\x00\x02"  # delta escape
-    with pytest.raises(NotImplementedError, match="delta"):
+    # delta jumping outside the bitmap is a clean error, not a crash
+    buf[off : off + 4] = b"\x00\x02\xff\xff"
+    with pytest.raises(ValueError, match="delta escape outside"):
         B.decode_bmp(bytes(buf))
     # truncated stream without EOB
     buf = bytearray(B.make_bmp_image(2))
     with pytest.raises(ValueError, match="EOB"):
         B.decode_bmp(bytes(buf[:-2]))
+
+
+def test_delta_escape_moves_cursor():
+    # hand-built RLE8 stream: row0 (bottom): 3 pixels of 7, delta (+2, +1)
+    # -> skips 2 columns and moves up one row, then 2 pixels of 9, EOL, EOB
+    data = bytes(
+        [3, 7,            # run: 3 x 7 at (0..2, bottom row)
+         0, 2, 2, 1,      # delta: x += 2, y += 1 (one row up)
+         2, 9,            # run: 2 x 9 at (5..6) of row 1
+         0, 0,            # EOL
+         0, 1]            # EOB
+    )
+    buf = B._headers(8, 3, 1, len(data)) + data
+    px = B.decode_bmp(buf)
+    exp = np.zeros((3, 8), dtype=np.uint8)
+    exp[2, 0:3] = 7          # bottom row (stored first)
+    exp[1, 5:7] = 9          # one row up, columns 5-6 after the delta
+    assert (px == exp).all()
