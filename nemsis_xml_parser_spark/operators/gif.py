@@ -14,6 +14,14 @@ recomputes every decoded pixel from the closed-form fixture formula —
 any drift in bit packing, code-width bumps or sub-block framing breaks
 the hash.
 
+Round-7 seam closures: 4-pass interlaced images (rows stored in
+8/8/4/2-stride pass order, deinterlaced on decode), local color tables
+(per-image palette overriding the global one), and honest palette→luma
+mapping — decoded values are the integer BT.601 luma of the palette
+entry ((299R + 587G + 114B + 500) div 1000), which degenerates to the
+raw index for the identity-gray palettes this tier writes, keeping all
+earlier fixtures bit-identical.
+
 Reference parity: the reference (psycopg2 ETL) has no media tier; this
 extends SURVEY §2.I multimodal operators.
 """
@@ -135,9 +143,39 @@ def lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
         prev = entry
 
 
-def encode_gif(px: np.ndarray) -> bytes:
+# GIF 4-pass interlace: (row offset, stride) per pass
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list[int]:
+    return [
+        r for start, step in _INTERLACE_PASSES for r in range(start, h, step)
+    ]
+
+
+def _palette_luma(palette: np.ndarray) -> np.ndarray:
+    """Integer BT.601 luma LUT for an (n, 3) uint8 palette — exact
+    integer arithmetic so both engines agree bit-for-bit."""
+    p = palette.astype(np.int64)
+    return (
+        (299 * p[:, 0] + 587 * p[:, 1] + 114 * p[:, 2] + 500) // 1000
+    ).astype(np.uint8)
+
+
+def encode_gif(
+    px: np.ndarray,
+    interlace: bool = False,
+    local_palette: np.ndarray | None = None,
+) -> bytes:
     """Grayscale 2-D uint8 array → GIF87a with a 256-gray global
-    palette (index == luma)."""
+    palette (index == luma).
+
+    ``interlace`` stores rows in the 4-pass 8/8/4/2 order with the
+    interlace flag set; ``local_palette`` ((256, 3) uint8) writes a
+    per-image local color table instead of relying on the global one —
+    pixel VALUES are still written as indices, so a non-identity local
+    palette changes what a correct decoder returns (its luma).
+    """
     if px.ndim != 2:
         raise NotImplementedError("grayscale (2-D) GIF encode only")
     h, w = px.shape
@@ -145,9 +183,17 @@ def encode_gif(px: np.ndarray) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
     for i in range(256):
         out += bytes((i, i, i))
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    ipacked = 0x40 if interlace else 0
+    if local_palette is not None:
+        if local_palette.shape != (256, 3):
+            raise ValueError("local_palette must be (256, 3)")
+        ipacked |= 0x80 | 0x07  # LCT present, 256 entries
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
+    if local_palette is not None:
+        out += local_palette.astype(np.uint8).tobytes()
     out.append(8)  # LZW minimum code size
-    comp = lzw_compress(px.astype(np.uint8).tobytes(), 8)
+    body = px[_interlace_order(h), :] if interlace else px
+    comp = lzw_compress(body.astype(np.uint8).tobytes(), 8)
     for i in range(0, len(comp), 255):
         block = comp[i : i + 255]
         out.append(len(block))
@@ -157,14 +203,22 @@ def encode_gif(px: np.ndarray) -> bytes:
 
 
 def decode_gif(buf: bytes) -> np.ndarray:
-    """GIF87a/89a → 2-D uint8 index array (== luma for the grayscale
-    palette this tier writes)."""
+    """GIF87a/89a → 2-D uint8 luma array: indices mapped through the
+    active palette's integer BT.601 luma (local color table when
+    present, else global, else identity).  For the identity-gray
+    palettes this tier writes, luma == index, so lossless fixtures
+    round-trip bit-exactly.  Interlaced images are deinterlaced."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
     pos = 13
+    gct: np.ndarray | None = None
     if packed & 0x80:
-        pos += 3 * (2 << (packed & 0x07))  # skip global color table
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
     while pos < len(buf):
         b = buf[pos]
         if b == 0x3B:  # trailer
@@ -179,10 +233,13 @@ def decode_gif(buf: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
         pos += 10
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF")
-        if ipacked & 0x80:
-            raise NotImplementedError("local color table")
+        pal = gct
+        if ipacked & 0x80:  # local color table overrides the global one
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                buf[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
         min_code = buf[pos]
         pos += 1
         comp = bytearray()
@@ -194,7 +251,14 @@ def decode_gif(buf: bytes) -> np.ndarray:
         raw = lzw_decompress(bytes(comp), min_code)
         if len(raw) != w * h:
             raise ValueError(f"decoded {len(raw)} px, expected {w * h}")
-        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:  # deinterlace: stored rows are in pass order
+            out = np.empty_like(px)
+            out[_interlace_order(h), :] = px
+            px = out
+        if pal is not None:
+            px = _palette_luma(pal)[px]
+        return px
     raise ValueError(f"no image block in GIF ({sw}x{sh} screen)")
 
 
@@ -210,16 +274,31 @@ def make_gif_image(image_id: int) -> bytes:
     return encode_gif(px)
 
 
-def synthesize_gif_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def make_gif_image_interlaced(image_id: int) -> bytes:
+    """Same closed-form pixels as :func:`make_gif_image` but stored
+    INTERLACED — a correct decoder returns identical pixels, so the
+    same SQL oracle verifies the deinterlacing path end-to-end."""
+    w, h = image_id % 20 + 4, image_id % 12 + 4
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    px = ((image_id * 5 + 7 * x + 11 * y) % 256).astype(np.uint8)
+    return encode_gif(px, interlace=True)
+
+
+def synthesize_gif_media(
+    ids: DataFrame, id_col: str = "doc_id", interlace: bool = False
+) -> DataFrame:
     """Deterministic corpus of REAL (LZW-compressed) GIFs —
     MEDIA_SCHEMA output, Arrow-batched."""
     from .multimodal import MEDIA_SCHEMA
+
+    maker = make_gif_image_interlaced if interlace else make_gif_image
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf[id_col]:
-                buf = make_gif_image(int(i))
+                buf = maker(int(i))
                 rows.append((str(int(i)), "image/gif", buf, len(buf)))
             yield pd.DataFrame(
                 rows, columns=["path", "media_type", "content", "length"]

@@ -27,6 +27,87 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _d2_col(x: str, cv: str):
+    """Round-6 squared L2 distance between two ARRAY<DOUBLE> columns —
+    per-dim round-12 terms summed as DECIMAL(38,12), the deterministic
+    arithmetic every distance in this module uses."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                x,
+                cv,
+                lambda a, b: F.round((a - b) * (a - b), 12).cast(
+                    "decimal(38,12)"
+                ),
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, v: (acc + v).cast("decimal(38,12)"),
+        ).cast("double"),
+        6,
+    )
+
+
+def farthest_point_seed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+) -> DataFrame:
+    """Deterministic k-means++-style seeding by greedy farthest-point
+    traversal (the argmax variant of the D² rule — kmeans|| papers call
+    it "greedy k-means++"; fully deterministic, so oracle-replayable):
+
+    * seed 0 = the vector with the smallest id;
+    * seed t = the vector maximizing its round-6 squared distance to the
+      NEAREST already-chosen seed, ties broken by id ascending.
+
+    Each round is ONE corpus scan against the broadcast chosen set
+    (≤ k×d doubles) + a per-vector min + a global top-1 — the same
+    broadcast-assignment shape as a Lloyd iteration, k−1 times.  No
+    driver-side data movement beyond the k chosen rows themselves.
+
+    Returns (c, vec_id, cv ARRAY<DOUBLE>, sep_d2) where sep_d2 is the
+    selection-time distance-to-nearest-prior-seed (0.0 for seed 0).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chosen = (
+        base.orderBy("_id")
+        .limit(1)
+        .select(
+            F.lit(0).alias("c"),
+            F.col("_id").alias("vec_id"),
+            F.col("x").alias("cv"),
+            F.lit(0.0).alias("sep_d2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, k):
+        picked = (
+            base.crossJoin(F.broadcast(chosen.select("cv")))
+            .select("_id", "x", _d2_col("x", "cv").alias("d2"))
+            .groupBy("_id")
+            .agg(F.min("d2").alias("mind2"), F.first("x").alias("x"))
+            .orderBy(F.col("mind2").desc(), F.col("_id").asc())
+            .limit(1)
+            .select(
+                F.lit(t).alias("c"),
+                F.col("_id").alias("vec_id"),
+                F.col("x").alias("cv"),
+                F.col("mind2").alias("sep_d2"),
+            )
+        )
+        chosen = chosen.unionByName(picked).localCheckpoint(eager=True)
+    return chosen
+
+
 def lloyd_kmeans(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1,0 +1,518 @@
+"""Round-7 continuation: Brandes-sampled betweenness centrality and
+deterministic k-means++ (farthest-point) seeding — the two operators the
+round-6 NOTES flagged as the natural next graph/clustering additions.
+
+Oracle discipline per plans/registry.py: every iterative operator is
+fixed-iteration and replayed stage-by-stage as MATERIALIZED CTEs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register, table
+
+# Same co-purchase graph as graph_harmonic_closeness (round6b):
+# parts co-occurring on an order, orders < CAP, seeds every 50th part.
+BW_ORDER_CAP = 1000
+BW_SEED_MOD = 50
+BW_MAX_HOPS = 4
+BW_TOPK = 15
+
+
+def _betweenness_oracle() -> str:
+    parts = [
+        f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {BW_ORDER_CAP}
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS v FROM adj),
+f0 AS MATERIALIZED (
+  SELECT v AS src, v, CAST(1 AS BIGINT) AS sigma FROM nodes
+  WHERE v % {BW_SEED_MOD} = 0
+),
+vis0 AS MATERIALIZED (SELECT src, v FROM f0)"""
+    ]
+    for i in range(1, BW_MAX_HOPS + 1):
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT p.src, adj.v, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM adj JOIN f{i - 1} p ON adj.u = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{i - 1} w
+                    WHERE w.src = p.src AND w.v = adj.v)
+  GROUP BY p.src, adj.v
+),
+vis{i} AS MATERIALIZED (
+  SELECT src, v FROM vis{i - 1} UNION ALL SELECT src, v FROM f{i}
+)"""
+        )
+    parts.append(
+        f"""d{BW_MAX_HOPS} AS MATERIALIZED (
+  SELECT src, v, CAST(0 AS DECIMAL(38,12)) AS delta FROM f{BW_MAX_HOPS}
+)"""
+    )
+    for i in range(BW_MAX_HOPS - 1, 0, -1):
+        parts.append(
+            f"""t{i} AS (
+  SELECT f.src AS g_src, f.v AS g_v,
+         CAST(SUM(CAST(ROUND(CAST(f.sigma AS DOUBLE)
+               / CAST(n.n_sigma AS DOUBLE)
+               * (1.0 + CAST(n.n_delta AS DOUBLE)), 12)
+             AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s
+  FROM f{i} f
+  JOIN adj ON adj.u = f.v
+  JOIN (SELECT d.src, d.v, d.delta AS n_delta, ff.sigma AS n_sigma
+        FROM d{i + 1} d JOIN f{i + 1} ff ON ff.src = d.src AND ff.v = d.v) n
+    ON n.src = f.src AND n.v = adj.v
+  GROUP BY f.src, f.v
+),
+d{i} AS MATERIALIZED (
+  SELECT f.src, f.v, COALESCE(t.s, CAST(0 AS DECIMAL(38,12))) AS delta
+  FROM f{i} f LEFT JOIN t{i} t ON t.g_src = f.src AND t.g_v = f.v
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT src, v, delta FROM d{i}" for i in range(1, BW_MAX_HOPS + 1)
+    )
+    parts.append(f"alld AS (\n{union}\n)")
+    final = f"""
+SELECT CAST(v AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_source_paths,
+       ROUND(CAST(SUM(delta) AS DOUBLE), 6) AS betweenness
+FROM alld GROUP BY v
+ORDER BY betweenness DESC, node ASC
+LIMIT {BW_TOPK}
+"""
+    return ",\n".join(parts) + final
+
+
+@register(
+    "graph_betweenness_sampled",
+    family="graph",
+    doc="Hop-bounded Brandes betweenness over sampled sources "
+    "(operators/betweenness.py): forward labeled BFS carries exact "
+    "BIGINT shortest-path counts (one (src,v)-keyed hash aggregate "
+    "per level — sigma(v) = Σ sigma(pred)); backward dependency "
+    "accumulation descends the levels (delta(u) = Σ σu/σw·(1+δw) "
+    "over next-level successors, round-12 terms DECIMAL-summed).  "
+    "Every 50th part seeds the co-purchase graph — the Brandes–Pich "
+    "sampling recipe that makes centrality affordable at scale: cost "
+    "is |seeds|·levels frontier joins, never |V|² — and 4-hop "
+    "bounding makes each phase a fixed, oracle-replayable join "
+    "count.  Top-15 by summed dependency with full tie-break.",
+    oracle=_betweenness_oracle(),
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.betweenness import betweenness_sampled
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < BW_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    seeds = (
+        adj.select("u")
+        .distinct()
+        .withColumnRenamed("u", "v")
+        .where(F.col("v") % BW_SEED_MOD == 0)
+    )
+    bc = betweenness_sampled(adj, seeds, BW_MAX_HOPS)
+    return (
+        bc.select(
+            F.col("v").cast("bigint").alias("node"),
+            "n_source_paths",
+            F.round(F.col("betweenness").cast("double"), 6).alias(
+                "betweenness"
+            ),
+        )
+        .orderBy(F.col("betweenness").desc(), F.col("node").asc())
+        .limit(BW_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means++ (greedy farthest-point) seeding
+# ---------------------------------------------------------------------------
+
+KPP_K = 6
+KPP_DIM = 64
+
+
+def _kmeanspp_oracle(k: int = KPP_K, dim: int = KPP_DIM) -> str:
+    d2 = (
+        f"ROUND(CAST(list_sum(list_transform(range({dim}), i -> "
+        "CAST(ROUND((e.x[i+1] - c.cv[i+1]) * (e.x[i+1] - c.cv[i+1]), 12) "
+        "AS DECIMAL(38,12)))) AS DOUBLE), 6)"
+    )
+    blocks = [
+        "emb AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS x FROM embeddings)",
+        "ch0 AS MATERIALIZED (SELECT 0 AS c, vec_id, x AS cv, 0.0 AS sep_d2 "
+        "FROM emb WHERE vec_id = (SELECT MIN(vec_id) FROM emb))",
+    ]
+    for t in range(1, k):
+        blocks += [
+            f"m{t} AS (SELECT e.vec_id, MIN({d2}) AS mind2 "
+            f"FROM emb e CROSS JOIN ch{t - 1} c GROUP BY e.vec_id)",
+            f"p{t} AS MATERIALIZED (SELECT vec_id, mind2 FROM m{t} "
+            "ORDER BY mind2 DESC, vec_id ASC LIMIT 1)",
+            f"ch{t} AS MATERIALIZED (SELECT * FROM ch{t - 1} UNION ALL "
+            f"SELECT {t} AS c, e.vec_id, e.x AS cv, p.mind2 AS sep_d2 "
+            f"FROM emb e JOIN p{t} p USING (vec_id))",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT CAST(c AS INT) AS seed_rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(sep_d2, 6) AS sep_d2,
+       ROUND(sqrt(CAST(list_sum(list_transform(range({dim}), i ->
+         CAST(ROUND(cv[i+1] * cv[i+1], 12) AS DECIMAL(38,12))))
+         AS DOUBLE)), 6) AS centroid_norm
+FROM ch{k - 1}
+ORDER BY seed_rank ASC
+"""
+    )
+
+
+@register(
+    "cluster_kmeanspp_seeding",
+    family="similarity",
+    doc="Deterministic k-means++-style seeding by greedy farthest-point "
+    "traversal (operators/kmeans.py::farthest_point_seed, k=6): seed 0 "
+    "is the min-id vector; each subsequent seed maximizes its round-6 "
+    "distance-to-nearest-chosen (ties by id) — the argmax variant of "
+    "the D² rule, fully deterministic so the oracle replays all k−1 "
+    "selection rounds as CTE stages.  Each round is one corpus scan "
+    "against the BROADCAST chosen set (≤ k×d doubles) + per-vector "
+    "min + global top-1; nothing corpus-sized ever moves.  This is "
+    "how the IVF coarse quantizer and Lloyd runs in this repo get "
+    "well-spread initial centroids at scale.  Output: seed rank, "
+    "chosen vec_id, selection-time separation, centroid norm.",
+    oracle=_kmeanspp_oracle(),
+)
+def cluster_kmeanspp_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import farthest_point_seed
+
+    e = table(spark, sf_dir, "embeddings")
+    chosen = farthest_point_seed(
+        e, vec_col="embedding", id_col="vec_id", k=KPP_K
+    )
+    return (
+        chosen.select(
+            F.col("c").cast("int").alias("seed_rank"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.round(F.col("sep_d2"), 6).alias("sep_d2"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            "cv",
+                            lambda v: F.round(v * v, 12).cast(
+                                "decimal(38,12)"
+                            ),
+                        ),
+                        F.lit(0).cast("decimal(38,12)"),
+                        lambda acc, v: (acc + v).cast("decimal(38,12)"),
+                    ).cast("double")
+                ),
+                6,
+            ).alias("centroid_norm"),
+        )
+        .orderBy(F.col("seed_rank").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA via the max-min closed form) on score bins
+# ---------------------------------------------------------------------------
+
+ISO_BINS = 20
+ISO_WIDTH = 25
+
+
+@register(
+    "quality_isotonic_calibration",
+    family="drift",
+    doc="Isotonic (monotone non-decreasing) calibration of purchase "
+    "rate over 20 fixed value bins — PAVA computed via the "
+    "Robertson-Wright max-min closed form "
+    "(operators/isotonic.py::isotonic_fit_binned): iso(i) = "
+    "max_{j<=i} min_{k>=i} mean(pos/n over bins j..k).  PAVA's "
+    "sequential sweep is useless distributed; on the BOUNDED bin "
+    "domain the minimax form is three broadcast triangular joins "
+    "(cubic in 20 bins = trivial), while the corpus-scale work is "
+    "ONE hash aggregate.  Interval means are round-12 doubles "
+    "(identical IEEE division both engines); output raw vs fitted "
+    "rate per bin, fitted column monotone by construction.",
+    oracle=f"""
+WITH src AS (
+  SELECT LEAST(CAST(FLOOR(value / {ISO_WIDTH}) AS BIGINT), {ISO_BINS - 1})
+           AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+b AS MATERIALIZED (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM src GROUP BY bin
+),
+jk AS MATERIALIZED (
+  SELECT j.bin AS j, k.bin AS k,
+         ROUND(CAST(SUM(m.pos) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE), 12) AS m
+  FROM b j JOIN b k ON j.bin <= k.bin
+  JOIN b m ON m.bin >= j.bin AND m.bin <= k.bin
+  GROUP BY j.bin, k.bin
+),
+mn AS (
+  SELECT i.bin AS bin, jk.j, MIN(jk.m) AS mn
+  FROM b i JOIN jk ON jk.j <= i.bin AND jk.k >= i.bin
+  GROUP BY i.bin, jk.j
+),
+iso AS (SELECT bin, MAX(mn) AS iso_m FROM mn GROUP BY bin)
+SELECT b.bin, b.n, b.pos,
+       ROUND(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+       ROUND(iso.iso_m, 6) AS iso_rate
+FROM b JOIN iso USING (bin)
+ORDER BY b.bin
+""",
+)
+def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.isotonic import isotonic_fit_binned
+
+    ev = table(spark, sf_dir, "events")
+    src = ev.select(
+        F.least(
+            F.floor(F.col("value") / ISO_WIDTH).cast("bigint"),
+            F.lit(ISO_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    b = src.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    fit = isotonic_fit_binned(b)
+    return fit.select(
+        "bin",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6)
+        .alias("raw_rate"),
+        F.round(F.col("iso_m"), 6).alias("iso_rate"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Additive 7-day seasonal decomposition of the daily event series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_decompose",
+    family="events",
+    doc="Classical additive seasonal decomposition of daily event "
+    "counts: trend = centered 7-day moving average (band self-join "
+    "over the calendar-BOUNDED day frame, full-window days only — "
+    "the repo's no-global-window discipline), seasonal(dow) = mean "
+    "detrended deviation re-centered to sum 0 over the week (1-row "
+    "broadcast mean scalar), residual = y − trend − seasonal.  "
+    "Moment discipline: detrended terms round-12 then DECIMAL-"
+    "summed; per-dow RMSE of residuals surfaces model fit.  Output "
+    "7 rows: ISO weekday, day count, seasonal index, residual RMSE.",
+    oracle="""
+WITH d AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tr AS MATERIALIZED (
+  SELECT a.day,
+         ROUND(CAST(SUM(b.y) AS DOUBLE) / 7, 12) AS trend
+  FROM d a JOIN d b ON b.day BETWEEN a.day - 3 AND a.day + 3
+  GROUP BY a.day HAVING COUNT(*) = 7
+),
+det AS MATERIALIZED (
+  SELECT d.day, CAST(isodow(d.day) - 1 AS INT) AS dow,
+         ROUND(CAST(d.y AS DOUBLE) - tr.trend, 12) AS z
+  FROM d JOIN tr ON tr.day = d.day
+),
+sea AS MATERIALIZED (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         ROUND(CAST(SUM(CAST(z AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*), 12)
+           AS s_raw
+  FROM det GROUP BY dow
+),
+ms AS (
+  SELECT ROUND(CAST(SUM(CAST(s_raw AS DECIMAL(20,12))) AS DOUBLE)
+               / COUNT(*), 12) AS m
+  FROM sea
+),
+seac AS MATERIALIZED (
+  SELECT sea.dow, sea.n_days, ROUND(sea.s_raw - ms.m, 12) AS seasonal
+  FROM sea CROSS JOIN ms
+),
+res AS (
+  SELECT det.dow, ROUND(det.z - seac.seasonal, 12) AS r
+  FROM det JOIN seac ON seac.dow = det.dow
+)
+SELECT seac.dow, seac.n_days,
+       ROUND(seac.seasonal, 6) AS seasonal,
+       ROUND(sqrt(CAST(rr.ssq AS DOUBLE) / rr.n), 6) AS rmse_residual
+FROM seac
+JOIN (SELECT dow, SUM(CAST(ROUND(r * r, 12) AS DECIMAL(28,12))) AS ssq,
+             COUNT(*) AS n
+      FROM res GROUP BY dow) rr ON rr.dow = seac.dow
+ORDER BY seac.dow
+""",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint()  # bounded calendar frame, reused on both band sides
+    )
+    a = d.select(F.col("day").alias("aday"))
+    tr = (
+        a.join(
+            F.broadcast(d),
+            (F.col("day") >= F.date_sub(F.col("aday"), 3))
+            & (F.col("day") <= F.date_add(F.col("aday"), 3)),
+        )
+        .groupBy("aday")
+        .agg(
+            F.sum("y").alias("sy"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") == 7)
+        .select(
+            F.col("aday").alias("day"),
+            F.round(F.col("sy").cast("double") / 7, 12).alias("trend"),
+        )
+    )
+    det = (
+        d.join(tr, "day")
+        .select(
+            "day",
+            F.weekday("day").cast("int").alias("dow"),
+            F.round(F.col("y").cast("double") - F.col("trend"), 12).alias("z"),
+        )
+        .localCheckpoint()  # reused: seasonal means + residuals
+    )
+    sea = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum(F.col("z").cast("decimal(20,12)")).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("s_raw"),
+    )
+    ms = sea.agg(
+        F.round(
+            F.sum(F.col("s_raw").cast("decimal(20,12)")).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("m")
+    )
+    seac = sea.crossJoin(F.broadcast(ms)).select(
+        "dow",
+        "n_days",
+        F.round(F.col("s_raw") - F.col("m"), 12).alias("seasonal"),
+    )
+    res = det.join(F.broadcast(seac), "dow").select(
+        "dow", F.round(F.col("z") - F.col("seasonal"), 12).alias("r")
+    )
+    rr = res.groupBy("dow").agg(
+        F.sum(F.round(F.col("r") * F.col("r"), 12).cast("decimal(28,12)"))
+        .alias("ssq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        seac.join(rr, "dow")
+        .select(
+            "dow",
+            "n_days",
+            F.round(F.col("seasonal"), 6).alias("seasonal"),
+            F.round(
+                F.sqrt(F.col("ssq").cast("double") / F.col("n")), 6
+            ).alias("rmse_residual"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interlaced-GIF decode path (round-7 codec seam closure)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_gif_interlaced_stats",
+    family="multimodal",
+    doc="Pixel statistics over INTERLACED GIFs (operators/gif.py round-7 "
+    "seam closure: rows stored in the 4-pass 8/8/4/2 stride order and "
+    "deinterlaced on decode; local color tables and palette-luma "
+    "mapping landed in the same change).  The fixtures carry the same "
+    "closed-form pixels as multimodal_gif_pixel_stats but physically "
+    "reordered by the interlace passes, so the identical closed-form "
+    "oracle passes ONLY if deinterlacing restores scanline order "
+    "exactly — a wrong-stride bug shifts rows and breaks px_sum per "
+    "dimension class.  Blobs never leave the executor Arrow batch.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 20 + 4 AS w, doc_id % 12 + 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 5 + 7 * xs.x + 11 * ys.y) % 256 AS v
+  FROM dims, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)
+),
+per AS (
+  SELECT doc_id, w, h,
+         CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(s) AS BIGINT) AS px_sum,
+       CAST(MIN(mn) AS INT) AS px_min,
+       CAST(MAX(mx) AS INT) AS px_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gif import gif_pixel_stats, synthesize_gif_media
+
+    d = table(spark, sf_dir, "documents")
+    stats = gif_pixel_stats(
+        synthesize_gif_media(d.select("doc_id"), interlace=True)
+    )
+    return stats.groupBy(
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )

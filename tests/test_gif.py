@@ -60,12 +60,47 @@ def test_not_a_gif_raises():
         decode_gif(b"PNG\r\n")
 
 
-def test_interlaced_flag_raises():
-    buf = bytearray(make_gif_image(3))
-    idesc = buf.index(0x2C, 13 + 768)
-    buf[idesc + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(buf))
+def test_interlaced_roundtrip():
+    rng = np.random.default_rng(13)
+    for h in (1, 2, 4, 5, 8, 9, 17, 33):
+        a = rng.integers(0, 256, (h, 7), dtype=np.uint8)
+        assert (decode_gif(encode_gif(a, interlace=True)) == a).all()
+
+
+def test_interlaced_storage_differs_but_decodes_equal():
+    # for h >= 2 the stored row order differs from scanline order, so the
+    # two encodings are different byte streams that decode identically
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    plain, inter = encode_gif(a), encode_gif(a, interlace=True)
+    assert plain != inter
+    assert (decode_gif(plain) == decode_gif(inter)).all()
+
+
+def test_local_color_table_luma_mapping():
+    # inverted-gray local palette: decoded luma must be 255 - index
+    a = np.arange(32, dtype=np.uint8).reshape(4, 8)
+    pal = np.stack([np.arange(255, -1, -1, dtype=np.uint8)] * 3, axis=1)
+    got = decode_gif(encode_gif(a, local_palette=pal))
+    assert (got == 255 - a).all()
+
+
+def test_color_palette_bt601_luma():
+    # pure-red palette entry: luma = (299*255 + 500) // 1000 = 76
+    a = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[0] = (255, 0, 0)
+    got = decode_gif(encode_gif(a, local_palette=pal))
+    assert (got == 76).all()
+
+
+def test_interlaced_closed_form_fixture():
+    from nemsis_xml_parser_spark.operators.gif import make_gif_image_interlaced
+
+    for i in (0, 7, 123):
+        assert (
+            decode_gif(make_gif_image_interlaced(i))
+            == decode_gif(make_gif_image(i))
+        ).all()
 
 
 def test_color_encode_not_implemented():

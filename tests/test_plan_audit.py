@@ -102,6 +102,11 @@ JUSTIFIED_BNLJ = {
     "dedup_edit_distance_pairs",   # bounded quadratic tier by design
                                    # (doc_id<60 x 24-char prefixes; the
                                    # scale path is FastSS/LSH candidates)
+    "quality_isotonic_calibration",  # bounded 20-bin triangular joins
+                                     # (minimax PAVA closed form)
+    "events_seasonal_decompose",   # 7-day band self-join over the
+                                   # calendar-bounded day frame + 1-row
+                                   # weekly-mean scalar
     "layout_zorder_skipping",      # broadcast 1-row min/max bounds scalar
     "quality_perplexity_buckets",  # broadcast 1-row corpus-token-total scalar
     "window_scalable_running_total",  # broadcast per-partition-total
