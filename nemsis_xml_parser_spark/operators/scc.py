@@ -50,36 +50,64 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def _min_label_fixpoint(
+def _dual_min_label_fixpoint(
     edges: DataFrame, nodes: DataFrame, max_iter: int
 ) -> DataFrame:
-    """(node, lbl): lbl = min id over the node's ancestors along
-    ``edges`` (u, v) direction, including itself.
+    """Run the forward (min-ancestor) and backward (min-descendant)
+    fixpoints SIMULTANEOUSLY on a direction-tagged label frame —
+    (node, dir, lbl) with dir 0 = along edges, dir 1 = reversed — so
+    each iteration is ONE join + ONE min-aggregate + ONE convergence
+    probe covering both directions (the round-6 NOTES fusion: the
+    sequential fwd-then-bwd loops paid two probe collects and two job
+    chains per iteration for the same shuffle volume).
 
-    Pointer jumping is sound for min-ANCESTOR labels exactly as for
-    undirected components: lbl(v) is always an ancestor-or-self of v
+    Pointer jumping is sound per direction exactly as before: lbl(v)
+    is always an ancestor-or-self of v within its own direction
     (invariant holds at init, under min-of-predecessors updates, and
-    under composition — an ancestor of an ancestor is an ancestor), so
-    taking least(lbl(v), lbl(lbl(v))) stays within the ancestor set and
-    cuts convergence from O(diameter) to O(log diameter) rounds."""
-    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
+    under composition), so least(lbl(v), lbl(lbl(v))) — joined on the
+    SAME dir tag — stays within the ancestor set and cuts convergence
+    from O(diameter) to O(log diameter) rounds.  The probe (sum of
+    labels over both directions) is monotone non-increasing and both
+    fixpoints are monotone, so an unchanged sum means BOTH converged.
+
+    Returns (node, lbl, blbl): forward and backward min labels."""
+    de = (
+        edges.select(F.lit(0).alias("dir"), "u", "v")
+        .unionByName(
+            edges.select(
+                F.lit(1).alias("dir"),
+                F.col("v").alias("u"),
+                F.col("u").alias("v"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nodes.select(
+            "node",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("dir"),
+        )
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev = labels.agg(probe).collect()[0][0]
     for _ in range(max_iter):
-        msgs = edges.join(
-            labels.withColumnRenamed("node", "u"), "u"
-        ).select(F.col("v").alias("node"), "lbl")
+        msgs = de.join(
+            labels.withColumnRenamed("node", "u"), ["dir", "u"]
+        ).select("dir", F.col("v").alias("node"), "lbl")
         new = (
             labels.unionByName(msgs)
-            .groupBy("node")
+            .groupBy("dir", "node")
             .agg(F.min("lbl").alias("lbl"))
         )
         jump = new.select(
-            F.col("node").alias("lbl"), F.col("lbl").alias("lbl_jump")
+            "dir", F.col("node").alias("lbl"), F.col("lbl").alias("lbl_jump")
         )
         labels = (
-            new.join(jump, "lbl", "left")
+            new.join(jump, ["dir", "lbl"], "left")
             .select(
+                "dir",
                 "node",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("lbl_jump"), F.col("lbl"))
@@ -89,7 +117,10 @@ def _min_label_fixpoint(
         )
         cur = labels.agg(probe).collect()[0][0]
         if cur == prev:
-            return labels
+            return labels.groupBy("node").agg(
+                F.min(F.when(F.col("dir") == 0, F.col("lbl"))).alias("lbl"),
+                F.min(F.when(F.col("dir") == 1, F.col("lbl"))).alias("blbl"),
+            )
         prev = cur
     raise RuntimeError(f"min-label fixpoint: no convergence in {max_iter} rounds")
 
@@ -164,12 +195,7 @@ def strongly_connected_components(
             ).localCheckpoint(eager=True)
         if nodes.limit(1).count() == 0:
             break
-        fwd = _min_label_fixpoint(e, nodes, max_iter)
-        rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        bwd = _min_label_fixpoint(rev, nodes, max_iter).withColumnRenamed(
-            "lbl", "blbl"
-        )
-        both = fwd.join(bwd, "node")
+        both = _dual_min_label_fixpoint(e, nodes, max_iter)
         resolved = both.where(F.col("lbl") == F.col("blbl")).select(
             "node", F.col("lbl").alias("scc")
         )
