@@ -516,3 +516,60 @@ def multimodal_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFra
         F.min("px_min").cast("int").alias("px_min"),
         F.max("px_max").cast("int").alias("px_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF strip container + PackBits RLE (new codec, round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_tiff_pixel_stats",
+    family="multimodal",
+    doc="Pixel statistics over the REAL TIFF decode path "
+    "(operators/tiff.py — IFD tag walking with the inline-when-it-"
+    "fits value rule, multi-strip assembly via StripOffsets/"
+    "StripByteCounts/RowsPerStrip, PackBits RLE both directions, II "
+    "and MM byte orders): the scanned-document container every OCR "
+    "ingest meets.  The fixture corpus mixes layouts — every 3rd "
+    "image big-endian, every 5th uncompressed — and the pixel "
+    "formula (id*3 + 5y + x div 6, x-runs of 6) produces genuine RLE "
+    "runs, so the closed-form oracle breaks on any wrong strip "
+    "boundary, endian swap or run length.  Blobs never leave the "
+    "executor Arrow batch; narrow stat rows out.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 20 + 4 AS w, doc_id % 12 + 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 3 + 5 * ys.y + xs.x // 6) % 256 AS v
+  FROM dims, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)
+),
+per AS (
+  SELECT doc_id, w, h,
+         CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(s) AS BIGINT) AS px_sum,
+       CAST(MIN(mn) AS INT) AS px_min,
+       CAST(MAX(mx) AS INT) AS px_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tiff import synthesize_tiff_media, tiff_pixel_stats
+
+    d = table(spark, sf_dir, "documents")
+    stats = tiff_pixel_stats(synthesize_tiff_media(d.select("doc_id")))
+    return stats.groupBy(
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )

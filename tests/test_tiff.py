@@ -1,0 +1,99 @@
+"""TIFF codec: PackBits round-trips, strip assembly, both byte orders,
+inline vs offset IFD values, photometric inversion, named seams."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from nemsis_xml_parser_spark.operators.tiff import (
+    decode_tiff,
+    encode_tiff,
+    make_tiff_image,
+    packbits_compress,
+    packbits_decompress,
+)
+
+
+def test_packbits_known_vector():
+    # the classic Apple TN1023 example
+    data = bytes.fromhex("AAAAAA80002AAAAAAAAAAA800022AAAAAAAAAAAAAAAAAAAAAA")
+    comp = packbits_compress(data)
+    assert packbits_decompress(comp, len(data)) == data
+    assert len(comp) < len(data)
+
+
+def test_packbits_roundtrip_property():
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        n = int(rng.integers(0, 600))
+        d = rng.integers(0, 4, n).astype(np.uint8).tobytes()  # runny alphabet
+        assert packbits_decompress(packbits_compress(d), len(d)) == d
+
+
+def test_packbits_noop_header_skipped():
+    # 0x80 is a no-op and must not consume payload
+    assert packbits_decompress(b"\x80\x00A", 1) == b"A"
+
+
+def test_packbits_length_mismatch_raises():
+    with pytest.raises(ValueError, match="PackBits"):
+        packbits_decompress(b"\x00A", 5)
+
+
+@pytest.mark.parametrize("packbits", [True, False])
+@pytest.mark.parametrize("big_endian", [True, False])
+def test_tiff_roundtrip(packbits, big_endian):
+    rng = np.random.default_rng(11)
+    for h, w in ((1, 1), (3, 9), (4, 4), (9, 2), (13, 31)):
+        a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = decode_tiff(
+            encode_tiff(a, rows_per_strip=4, packbits=packbits, big_endian=big_endian)
+        )
+        assert (got == a).all()
+
+
+def test_single_strip_inline_offsets():
+    # h <= rows_per_strip → count-1 strip arrays stay inline in the IFD
+    a = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert (decode_tiff(encode_tiff(a, rows_per_strip=8)) == a).all()
+
+
+def test_white_is_zero_inverts():
+    a = np.full((2, 2), 10, dtype=np.uint8)
+    buf = bytearray(encode_tiff(a, packbits=False))
+    # patch PhotometricInterpretation (tag 262) from 1 to 0
+    i = buf.find(struct.pack("<HHIHH", 262, 3, 1, 1, 0))
+    assert i > 0
+    buf[i : i + 12] = struct.pack("<HHIHH", 262, 3, 1, 0, 0)
+    assert (decode_tiff(bytes(buf)) == 245).all()
+
+
+def test_fixture_closed_form():
+    for i in (0, 3, 5, 7, 15, 60):
+        px = decode_tiff(make_tiff_image(i)).astype(np.int64)
+        w, h = i % 20 + 4, i % 12 + 4
+        x = np.arange(w).reshape(1, w)
+        y = np.arange(h).reshape(h, 1)
+        assert (px == (i * 3 + 5 * y + x // 6) % 256).all()
+
+
+def test_not_a_tiff_raises():
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"GIF87a")
+
+
+def test_unsupported_compression_seam():
+    a = np.zeros((2, 2), dtype=np.uint8)
+    buf = bytearray(encode_tiff(a, packbits=False))
+    i = buf.find(struct.pack("<HHIHH", 259, 3, 1, 1, 0))
+    buf[i : i + 12] = struct.pack("<HHIHH", 259, 3, 1, 5, 0)  # LZW
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(buf))
+
+
+def test_color_encode_seam():
+    with pytest.raises(NotImplementedError):
+        encode_tiff(np.zeros((2, 2, 3), dtype=np.uint8))

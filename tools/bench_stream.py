@@ -39,8 +39,15 @@ import pyspark.sql.functions as F  # noqa: E402
 from nemsis_xml_parser_spark.plans.registry import table  # noqa: E402
 from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
 
-N_SOURCE_FILES = 16
-FILES_PER_TRIGGER = 2  # -> ~8 microbatches per run
+import os
+
+# env-tunable so the same bench sweeps microbatch sizes: fewer, fatter
+# batches stress per-batch fixed costs (sink txn overhead, state commit),
+# many small ones stress scheduling — both matter at cluster scale
+N_SOURCE_FILES = int(os.environ.get("STREAM_BENCH_SOURCE_FILES", "16"))
+FILES_PER_TRIGGER = int(
+    os.environ.get("STREAM_BENCH_FILES_PER_TRIGGER", "2")
+)  # default -> ~8 microbatches per run
 
 
 def _drain(stream_df, checkpoint: str) -> dict:
