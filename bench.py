@@ -91,6 +91,10 @@ HEADLINE = [
     "graph_harmonic_closeness",
     # round 7 flagships (subtract when comparing totals vs earlier rounds)
     "dedup_ladder_full",
+    "graph_betweenness_sampled",
+    "cluster_kmeanspp_seeding",
+    "quality_isotonic_calibration",
+    "multimodal_tiff_pixel_stats",
 ]
 
 

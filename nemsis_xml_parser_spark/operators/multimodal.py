@@ -1313,6 +1313,89 @@ def wav_dft_peak(media: DataFrame) -> DataFrame:
     return media.mapInPandas(stats, schema=DFT_PEAK_SCHEMA)
 
 
+def make_wav_sweep_bytes(audio_id: int) -> bytes:
+    """Deterministic TWO-SEGMENT tone WAV for the STFT path: 512 mono
+    int16 samples at 8 kHz — the first 256-sample frame carries exactly
+    k1 = id%31+1 cycles, the second k2 = (id*7)%31+1 cycles (both
+    bin-aligned in their own frame, amplitude 12000, phase 0).  A
+    whole-file DFT smears the two lines; only a correctly-framed STFT
+    recovers (k1, k2) per frame — which is what the closed-form oracle
+    asserts."""
+    import numpy as np
+
+    i = np.arange(TONE_N_SAMPLES)
+    segs = []
+    for k in (audio_id % 31 + 1, (audio_id * 7) % 31 + 1):
+        segs.append(
+            np.round(
+                12000.0 * np.sin(2.0 * np.pi * k * i / TONE_N_SAMPLES)
+            ).astype("<i2")
+        )
+    data = np.concatenate(segs).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, TONE_RATE, TONE_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_sweep_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of REAL two-segment PCM WAVs — MEDIA_SCHEMA,
+    Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_wav_sweep_bytes(int(i))
+                rows.append((str(int(i)), "audio/wav", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+STFT_SCHEMA = StructType(
+    [
+        StructField("audio_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("peak_bin", IntegerType(), True),
+        StructField("band", StringType(), True),
+    ]
+)
+
+
+def wav_stft_peaks(media: DataFrame, frame: int = 256) -> DataFrame:
+    """Short-time Fourier transform over real PCM decode: deinterleave
+    channel 0, split into non-overlapping ``frame``-sample windows, run
+    a REAL DFT per window (numpy rfft) and classify each frame's
+    spectral argmax into low/mid/high bands — the framing primitive
+    under every audio feature extractor (VAD, language-ID frontends,
+    music/speech discrimination).  Only integer-safe quantities surface
+    (frame index, argmax bin, band label), so the oracle never depends
+    on FFT rounding."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr = decode_wav_samples(bytes(content))
+                x = arr[:, 0].astype(np.float64)
+                n_frames = len(x) // frame
+                for fi in range(n_frames):
+                    seg = x[fi * frame : (fi + 1) * frame]
+                    spec = np.abs(np.fft.rfft(seg))
+                    peak = int(np.argmax(spec[1:]) + 1)  # exclude DC
+                    band = (
+                        "low" if peak <= 10 else "mid" if peak <= 21 else "high"
+                    )
+                    rows.append((int(path), fi, peak, band))
+            yield pd.DataFrame(rows, columns=[f.name for f in STFT_SCHEMA])
+
+    return media.mapInPandas(stats, schema=STFT_SCHEMA)
+
+
 def synthesize_progressive_jpeg_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -573,3 +573,134 @@ def multimodal_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("px_min").cast("int").alias("px_min"),
         F.max("px_max").cast("int").alias("px_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STFT per-frame spectral peaks (audio framing primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_stft_bands",
+    family="multimodal",
+    doc="Short-time Fourier analysis over the REAL audio path "
+    "(operators/multimodal.py::wav_stft_peaks): RIFF chunk walk, "
+    "int16 PCM decode, non-overlapping 256-sample framing, REAL DFT "
+    "per frame, per-frame spectral argmax classified into low/mid/"
+    "high bands — the framing primitive under every audio feature "
+    "extractor.  Fixtures are two-segment sweeps (frame 0 carries "
+    "exactly k1 = id%31+1 cycles, frame 1 k2 = (id*7)%31+1): a "
+    "whole-file DFT smears the two lines, so the closed-form oracle "
+    "passes ONLY if the framing boundaries are exact.  Blobs stay "
+    "inside the executor Arrow batch.",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id, f.frame_idx,
+         CASE WHEN f.frame_idx = 0 THEN doc_id % 31 + 1
+              ELSE (doc_id * 7) % 31 + 1 END AS pk
+  FROM documents, UNNEST([0, 1]) AS f(frame_idx)
+)
+SELECT CAST(doc_id AS BIGINT) AS audio_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(pk AS INT) AS peak_bin,
+       CASE WHEN pk <= 10 THEN 'low'
+            WHEN pk <= 21 THEN 'mid'
+            ELSE 'high' END AS band
+FROM frames
+""",
+)
+def multimodal_audio_stft_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthesize_sweep_media, wav_stft_peaks
+
+    d = table(spark, sf_dir, "documents")
+    return wav_stft_peaks(synthesize_sweep_media(d.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Poisson rate-ratio test (early vs late exposure windows)
+# ---------------------------------------------------------------------------
+
+PRT_T1_DAYS = 10  # exposure window 1: first 10 calendar days; rest is window 2
+
+
+@register(
+    "quality_poisson_rate_test",
+    family="drift",
+    doc="Two-sample Poisson rate-ratio test per event type: counts in "
+    "the first 10 calendar days vs the remainder (exposures derived "
+    "from the data's own min/max day — a 1-row broadcast scalar), "
+    "rate ratio (x1/t1)/(x2/t2) and the standard log-ratio z "
+    "statistic ln(ratio)/sqrt(1/x1 + 1/x2) — the rate-drift monitor "
+    "for error/event volumes that PSI/KS (value drift, elsewhere in "
+    "this battery) don't cover.  One corpus hash-aggregate + "
+    "constant-size arithmetic; identical double expression order on "
+    "both engines, rounded to 6.",
+    oracle=f"""
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < span.d0 + {PRT_T1_DAYS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= span.d0 + {PRT_T1_DAYS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+         CAST(MIN(span.d1 - span.d0 + 1 - {PRT_T1_DAYS}) AS BIGINT) AS t2
+  FROM events CROSS JOIN span
+  GROUP BY event_type
+)
+SELECT event_type, x1, x2,
+       ROUND(CAST(x1 AS DOUBLE) / {PRT_T1_DAYS}, 6) AS rate1,
+       ROUND(CAST(x2 AS DOUBLE) / t2, 6) AS rate2,
+       ROUND((CAST(x1 AS DOUBLE) / {PRT_T1_DAYS}) / (CAST(x2 AS DOUBLE) / t2), 6)
+         AS rate_ratio,
+       ROUND(LN((CAST(x1 AS DOUBLE) / {PRT_T1_DAYS}) / (CAST(x2 AS DOUBLE) / t2))
+             / SQRT(1.0 / x1 + 1.0 / x2), 6) AS z_stat
+FROM c
+""",
+)
+def quality_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    span = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("day") < F.date_add(F.col("d0"), PRT_T1_DAYS), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x1"),
+            F.sum(
+                F.when(
+                    F.col("day") >= F.date_add(F.col("d0"), PRT_T1_DAYS), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x2"),
+            F.min(
+                F.datediff(F.col("d1"), F.col("d0")) + 1 - PRT_T1_DAYS
+            )
+            .cast("bigint")
+            .alias("t2"),
+        )
+    )
+    r1 = F.col("x1").cast("double") / PRT_T1_DAYS
+    r2 = F.col("x2").cast("double") / F.col("t2")
+    return c.select(
+        "event_type",
+        "x1",
+        "x2",
+        F.round(r1, 6).alias("rate1"),
+        F.round(r2, 6).alias("rate2"),
+        F.round(r1 / r2, 6).alias("rate_ratio"),
+        F.round(
+            F.log(r1 / r2)
+            / F.sqrt(1.0 / F.col("x1") + 1.0 / F.col("x2")),
+            6,
+        ).alias("z_stat"),
+    )

@@ -102,6 +102,7 @@ JUSTIFIED_BNLJ = {
     "dedup_edit_distance_pairs",   # bounded quadratic tier by design
                                    # (doc_id<60 x 24-char prefixes; the
                                    # scale path is FastSS/LSH candidates)
+    "quality_poisson_rate_test",   # broadcast 1-row calendar-span scalar
     "quality_isotonic_calibration",  # bounded 20-bin triangular joins
                                      # (minimax PAVA closed form)
     "events_seasonal_decompose",   # 7-day band self-join over the
