@@ -704,3 +704,97 @@ def quality_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss community cores by support peeling
+# ---------------------------------------------------------------------------
+
+KT_K = 4
+KT_ROUNDS = 3
+
+
+def _ktruss_oracle(k: int = KT_K, rounds: int = KT_ROUNDS) -> str:
+    parts = [
+        f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {BW_ORDER_CAP}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""adj{t - 1} AS (
+  SELECT u, v FROM e{t - 1} UNION ALL SELECT v, u FROM e{t - 1}
+),
+s{t} AS MATERIALIZED (
+  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM e{t - 1} e
+  JOIN adj{t - 1} a ON a.u = e.u
+  JOIN adj{t - 1} b ON b.u = e.v AND b.v = a.v
+  GROUP BY e.u, e.v
+),
+e{t} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{t - 1} e
+  JOIN s{t} s ON s.u = e.u AND s.v = e.v AND s.support >= {k - 2}
+)"""
+        )
+    parts.append(
+        f"""adjF AS (
+  SELECT u, v FROM e{rounds} UNION ALL SELECT v, u FROM e{rounds}
+),
+sf AS (
+  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM e{rounds} e
+  JOIN adjF a ON a.u = e.u
+  JOIN adjF b ON b.u = e.v AND b.v = a.v
+  GROUP BY e.u, e.v
+)"""
+    )
+    return ",\n".join(parts) + """
+SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM sf GROUP BY support ORDER BY support
+"""
+
+
+@register(
+    "graph_ktruss_peeling",
+    family="graph",
+    doc="k-truss community cores (operators/ktruss.py, k=4, 3 bulk-"
+    "peeling rounds): per round ONE wedge join computes every edge's "
+    "in-subgraph triangle support (the same node-keyed shuffle shape "
+    "as triangle counting) and every under-supported edge drops at "
+    "once — Cohen's truss decomposition, the cohesion tier between "
+    "triangles and cliques that community-mining pipelines use "
+    "because it's computable by joins (unlike clique finding).  "
+    "Fixed rounds keep it oracle-replayable; the oracle unrolls "
+    "support→filter per round and recomputes final support on the "
+    "survivors.  Output: support histogram of the surviving core.",
+    oracle=_ktruss_oracle(),
+)
+def graph_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ktruss import ktruss_edges
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < BW_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    truss = ktruss_edges(e, k=KT_K, rounds=KT_ROUNDS)
+    return (
+        truss.groupBy("support")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .orderBy("support")
+    )
