@@ -94,7 +94,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     """(h, w) uint8 sample array of an 8-bit palettized BMP (values are
     palette indices; the writers above use the identity grayscale
     palette).  Handles BI_RGB row padding and the full BI_RLE8 marker
-    set except the delta escape."""
+    set including the 00 02 dx dy delta escape (skipped pixels stay
+    0, per the spec's undefined-gap convention)."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP (missing BM magic)")
     off = struct.unpack_from("<I", buf, 10)[0]

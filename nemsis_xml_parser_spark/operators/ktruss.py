@@ -81,5 +81,16 @@ def ktruss_edges(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-    # final support on the surviving subgraph
-    return _support(e)
+    # final support on the surviving subgraph; LEFT join so survivors
+    # whose support dropped to 0 on the residual graph still appear
+    # (the wedge join alone would silently omit them)
+    return (
+        e.join(_support(e), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("support"), F.lit(0))
+            .cast("bigint")
+            .alias("support"),
+        )
+    )

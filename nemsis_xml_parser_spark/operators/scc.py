@@ -209,6 +209,11 @@ def strongly_connected_components(
             .select("node")
             .localCheckpoint(eager=True)
         )
+        if nodes.limit(1).count() == 0:
+            # resolution emptied the graph on this round — success even
+            # when it happens on the final max_rounds iteration (the
+            # trim-phase emptiness check would never run again)
+            break
         e = (
             e.join(nodes.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")

@@ -69,7 +69,21 @@ def prefix_candidates(
     """Candidate (id_a < id_b) pairs sharing >= 1 prefix token.
 
     ``tokens``: one row per DISTINCT (id, token).  Returns
-    (id_a, id_b, sz_a, sz_b) distinct pairs after the length filter.
+    (id_a, id_b, sz_a, sz_b) distinct pairs after the length filter
+    AND the PPJoin positional filter (both lossless).
+
+    Positional filter (Xiao et al. 2008 §4, re-derived for the
+    symmetric prefix join): tokens carry their rank in the GLOBAL
+    rarity order, identical in every record.  For a pair, take the
+    FIRST token shared by both prefixes — min (rnk_a, rnk_b); shared
+    tokens appear in the same relative order on both sides, so min
+    rnk_a picks min rnk_b too.  No common token can precede it (it
+    would sit inside both prefixes, contradicting firstness), so
+    overlap <= 1 + min(|a|-i, |b|-j).  Jaccard >= t needs overlap >=
+    ceil(t/(1+t)·(|a|+|b|)) = ceil(p·(|a|+|b|)/(p+q)); for integer
+    ubound that is ubound·(p+q) >= p·(|a|+|b|) exactly — candidates
+    failing it can never verify and are dropped before the expensive
+    overlap count.
     """
     sz = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfreq = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("df"))
@@ -85,26 +99,33 @@ def prefix_candidates(
         )
         .join(sz, id_col)
         .where(F.col("rnk") <= prefix_length(F.col("sz"), threshold))
-        .select(id_col, token_col, "sz")
+        .select(id_col, token_col, "sz", "rnk")
     )
     a = ranked.select(
         F.col(id_col).alias("id_a"), F.col(token_col).alias("tk"),
-        F.col("sz").alias("sz_a"),
+        F.col("sz").alias("sz_a"), F.col("rnk").alias("rnk_a"),
     )
     b = ranked.select(
         F.col(id_col).alias("id_b"), F.col(token_col).alias("tk"),
-        F.col("sz").alias("sz_b"),
+        F.col("sz").alias("sz_b"), F.col("rnk").alias("rnk_b"),
     )
     p, q = _rational(threshold)
     # length filter t*|a| <= |b| <= |a|/t in exact integer form:
     # |b|*q >= |a|*p and |a|*q >= |b|*p (no float rounding at the bound)
+    first = F.min(F.struct("rnk_a", "rnk_b")).alias("first")
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("first.rnk_a"),
+        F.col("sz_b") - F.col("first.rnk_b"),
+    )
     return (
         a.join(b, "tk")
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.col("sz_b") * q >= F.col("sz_a") * p)
         .where(F.col("sz_a") * q >= F.col("sz_b") * p)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(first)
+        .where(ubound * (p + q) >= (F.col("sz_a") + F.col("sz_b")) * p)
         .select("id_a", "id_b", "sz_a", "sz_b")
-        .distinct()
     )
 
 

@@ -91,31 +91,35 @@ def packbits_decompress(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def encode_tiff(
+def _page_segment(
     px: np.ndarray,
-    rows_per_strip: int = 4,
-    packbits: bool = True,
-    big_endian: bool = False,
-) -> bytes:
-    """Grayscale 2-D uint8 → single-IFD strip TIFF (PackBits or raw)."""
-    if px.ndim != 2:
-        raise NotImplementedError("grayscale (2-D) TIFF encode only")
-    h, w = px.shape
-    bo = ">" if big_endian else "<"
+    rows_per_strip: int,
+    packbits: bool,
+    bo: str,
+    base: int,
+) -> tuple[bytes, list[bytes]]:
+    """One page's (data segment, IFD entries) with every file offset
+    computed against ``base`` (where the segment will start).  The data
+    segment holds strip bytes plus the out-of-line offset/count arrays
+    (and the 3-SHORT BitsPerSample array for RGB, which at 6 bytes
+    never fits the inline value field)."""
+    if px.ndim == 2:
+        spp, photometric = 1, 1  # BlackIsZero grayscale
+    elif px.ndim == 3 and px.shape[2] == 3:
+        spp, photometric = 3, 2  # chunky RGB
+    else:
+        raise NotImplementedError("grayscale (2-D) or RGB (h,w,3) only")
+    h, w = px.shape[0], px.shape[1]
     strips = []
     for r0 in range(0, h, rows_per_strip):
-        raw = px[r0 : r0 + rows_per_strip, :].astype(np.uint8).tobytes()
+        raw = px[r0 : r0 + rows_per_strip].astype(np.uint8).tobytes()
         strips.append(packbits_compress(raw) if packbits else raw)
     n_strips = len(strips)
-    # layout: 8-byte header | strip data | [strip offset/count arrays] | IFD
-    header = struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 0)
-    data_start = 8
     offsets = []
-    pos = data_start
+    pos = base
     for s in strips:
         offsets.append(pos)
         pos += len(s)
-    # arrays for offsets/counts when they don't fit inline (count > 1)
     arrays = bytearray()
     if n_strips > 1:
         off_array_pos = pos
@@ -125,7 +129,10 @@ def encode_tiff(
         for s in strips:
             arrays += struct.pack(bo + "I", len(s))
         pos += len(arrays)
-    ifd_pos = pos
+    if spp == 3:
+        bps_array_pos = pos
+        arrays += struct.pack(bo + "HHH", 8, 8, 8)
+        pos += 6
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # type 3 = SHORT: value left-justified in the 4-byte field
@@ -137,16 +144,20 @@ def encode_tiff(
     entries = [
         entry(_WIDTH, 4, 1, w),
         entry(_LENGTH, 4, 1, h),
-        entry(_BPS, 3, 1, 8),
+        (
+            entry(_BPS, 3, 1, 8)
+            if spp == 1
+            else entry(_BPS, 3, 3, bps_array_pos)
+        ),
         entry(_COMPRESSION, 3, 1, 32773 if packbits else 1),
-        entry(_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
+        entry(_PHOTOMETRIC, 3, 1, photometric),
         entry(
             _STRIP_OFFSETS,
             4,
             n_strips,
             offsets[0] if n_strips == 1 else off_array_pos,
         ),
-        entry(_SPP, 3, 1, 1),
+        entry(_SPP, 3, 1, spp),
         entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip),
         entry(
             _STRIP_COUNTS,
@@ -155,16 +166,58 @@ def encode_tiff(
             len(strips[0]) if n_strips == 1 else cnt_array_pos,
         ),
     ]
-    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) + struct.pack(
-        bo + "I", 0
+    return b"".join(strips) + bytes(arrays), entries
+
+
+def encode_tiff_multipage(
+    pages: list[np.ndarray],
+    rows_per_strip: int = 4,
+    packbits: bool | list[bool] = True,
+    big_endian: bool = False,
+) -> bytes:
+    """uint8 page arrays (2-D grayscale or (h,w,3) RGB, freely mixed) →
+    one multi-IFD TIFF: header | page0 data | page0 IFD | page1 data |
+    page1 IFD | …, each IFD's next pointer chaining to the following
+    page (0 on the last — the baseline multi-page layout every fax /
+    scanned-document reader walks)."""
+    if not pages:
+        raise ValueError("need at least one page")
+    pb = (
+        list(packbits)
+        if isinstance(packbits, (list, tuple))
+        else [packbits] * len(pages)
     )
-    out = bytearray(header)
-    out[4:8] = struct.pack(bo + "I", ifd_pos)
-    for s in strips:
-        out += s
-    out += arrays
-    out += ifd
+    bo = ">" if big_endian else "<"
+    out = bytearray(
+        struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 0)
+    )
+    prev_next_ptr: int | None = None  # file position of the previous
+    for i, px in enumerate(pages):    # page's next-IFD field, patched
+        data, entries = _page_segment(px, rows_per_strip, pb[i], bo, len(out))
+        ifd_pos = len(out) + len(data)
+        if i == 0:
+            out[4:8] = struct.pack(bo + "I", ifd_pos)
+        else:
+            out[prev_next_ptr : prev_next_ptr + 4] = struct.pack(
+                bo + "I", ifd_pos
+            )
+        out += data
+        out += struct.pack(bo + "H", len(entries))
+        out += b"".join(entries)
+        prev_next_ptr = len(out)
+        out += struct.pack(bo + "I", 0)
     return bytes(out)
+
+
+def encode_tiff(
+    px: np.ndarray,
+    rows_per_strip: int = 4,
+    packbits: bool = True,
+    big_endian: bool = False,
+) -> bytes:
+    """uint8 image (2-D grayscale or (h,w,3) RGB) → single-IFD strip
+    TIFF (PackBits or raw)."""
+    return encode_tiff_multipage([px], rows_per_strip, packbits, big_endian)
 
 
 def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
@@ -181,18 +234,9 @@ def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
     return list(struct.unpack_from(bo + fmt * count, buf, off))
 
 
-def decode_tiff(buf: bytes) -> np.ndarray:
-    """Strip TIFF → 2-D uint8 array (8-bit grayscale, Compression 1 or
-    PackBits, either byte order)."""
-    if buf[:2] == b"II":
-        bo = "<"
-    elif buf[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF")
-    magic, ifd_off = struct.unpack_from(bo + "HI", buf, 2)
-    if magic != 42:
-        raise ValueError("bad TIFF magic")
+def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
+    """Decode one IFD's image; returns (pixels, next-IFD offset).
+    Grayscale pages come back 2-D, RGB pages (h, w, 3)."""
     (n_entries,) = struct.unpack_from(bo + "H", buf, ifd_off)
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
@@ -201,14 +245,19 @@ def decode_tiff(buf: bytes) -> np.ndarray:
         tags[tag] = _read_values(
             buf, bo, typ, count, buf[base + 8 : base + 12]
         )
-    (next_ifd,) = struct.unpack_from(bo + "I", buf, ifd_off + 2 + 12 * n_entries)
-    if next_ifd != 0:
-        raise NotImplementedError("multi-IFD (multi-page) TIFF")
+    (next_ifd,) = struct.unpack_from(
+        bo + "I", buf, ifd_off + 2 + 12 * n_entries
+    )
     w, h = tags[_WIDTH][0], tags[_LENGTH][0]
-    if tags.get(_BPS, [8])[0] != 8 or tags.get(_SPP, [1])[0] != 1:
-        raise NotImplementedError("only 8-bit single-sample TIFF")
-    if tags.get(_PHOTOMETRIC, [1])[0] not in (0, 1):
+    spp = tags.get(_SPP, [1])[0]
+    bps = tags.get(_BPS, [8] * spp)
+    if any(b != 8 for b in bps) or spp not in (1, 3):
+        raise NotImplementedError("only 8-bit gray or 8-bit chunky RGB TIFF")
+    photometric = tags.get(_PHOTOMETRIC, [1])[0]
+    if spp == 1 and photometric not in (0, 1):
         raise NotImplementedError("only grayscale photometric TIFF")
+    if spp == 3 and photometric != 2:
+        raise NotImplementedError("3-sample TIFF must be photometric RGB")
     comp = tags.get(_COMPRESSION, [1])[0]
     if comp not in (1, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
@@ -220,7 +269,7 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     out = bytearray()
     for si, (o, c) in enumerate(zip(offsets, counts)):
         rows = min(rps, h - si * rps)
-        expected = rows * w
+        expected = rows * w * spp
         chunk = buf[o : o + c]
         if comp == 32773:
             out += packbits_decompress(chunk, expected)
@@ -228,9 +277,46 @@ def decode_tiff(buf: bytes) -> np.ndarray:
             if len(chunk) != expected:
                 raise ValueError("strip byte count mismatch")
             out += chunk
-    if tags.get(_PHOTOMETRIC, [1])[0] == 0:  # WhiteIsZero: invert
-        return (255 - np.frombuffer(bytes(out), dtype=np.uint8)).reshape(h, w)
-    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+    px = np.frombuffer(bytes(out), dtype=np.uint8)
+    px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+    if photometric == 0:  # WhiteIsZero: invert
+        px = 255 - px
+    return px, next_ifd
+
+
+def decode_tiff_pages(buf: bytes) -> list[np.ndarray]:
+    """Walk the whole IFD chain — one array per page (the baseline
+    multi-page layout: fax bundles, scanned multi-sheet documents)."""
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, ifd_off = struct.unpack_from(bo + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    pages: list[np.ndarray] = []
+    seen: set[int] = set()
+    while ifd_off != 0:
+        if ifd_off in seen:
+            raise ValueError("IFD chain loop")
+        seen.add(ifd_off)
+        px, ifd_off = _decode_ifd(buf, bo, ifd_off)
+        pages.append(px)
+    return pages
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Single-page strip TIFF → uint8 array (2-D gray or (h,w,3) RGB).
+    Raises on multi-IFD files rather than silently dropping pages —
+    use ``decode_tiff_pages`` for those."""
+    pages = decode_tiff_pages(buf)
+    if len(pages) != 1:
+        raise ValueError(
+            f"multi-IFD TIFF with {len(pages)} pages: use decode_tiff_pages"
+        )
+    return pages[0]
 
 
 def make_tiff_image(image_id: int) -> bytes:
@@ -296,3 +382,93 @@ def tiff_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in TIFF_STATS_SCHEMA])
 
     return media.mapInPandas(stats, schema=TIFF_STATS_SCHEMA)
+
+
+def make_tiff_multipage_image(image_id: int) -> bytes:
+    """Deterministic REAL multi-IFD TIFF: id%3+2 pages chained through
+    the next-IFD pointer, grayscale and chunky RGB alternating.  Page p
+    has width (id+2p)%14+4, height (id+3p)%8+3, sample
+    v(x,y,c) = (id*5 + 7p + 3y + x div 4 + 50c) mod 256 (c = 0 on
+    grayscale pages) — x-runs of 4 exercise PackBits, per-page
+    compression alternates ((id+p)%5 uncompressed), and the whole file
+    is big-endian every 3rd id.  Closed-form for the SQL oracle."""
+    n_pages = image_id % 3 + 2
+    pages: list[np.ndarray] = []
+    pb: list[bool] = []
+    for p in range(n_pages):
+        w = (image_id + 2 * p) % 14 + 4
+        h = (image_id + 3 * p) % 8 + 3
+        x = np.arange(w).reshape(1, w)
+        y = np.arange(h).reshape(h, 1)
+        base = image_id * 5 + 7 * p
+        if p % 2 == 0:
+            px = ((base + 3 * y + x // 4) % 256).astype(np.uint8)
+        else:
+            c = np.arange(3).reshape(1, 1, 3)
+            px = (
+                (base + 3 * y[..., None] + x[..., None] // 4 + 50 * c) % 256
+            ).astype(np.uint8)
+        pages.append(px)
+        pb.append((image_id + p) % 5 != 0)
+    return encode_tiff_multipage(
+        pages, rows_per_strip=3, packbits=pb, big_endian=(image_id % 3 == 0)
+    )
+
+
+def synthesize_tiff_multipage_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL multi-page TIFFs — MEDIA_SCHEMA
+    output, Arrow-batched."""
+    from .multimodal import MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_tiff_multipage_image(int(i))
+                rows.append((str(int(i)), "image/tiff", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+TIFF_PAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType(), False),
+        StructField("page_idx", IntegerType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("px_min", IntegerType(), True),
+        StructField("px_max", IntegerType(), True),
+    ]
+)
+
+
+def tiff_multipage_stats(media: DataFrame) -> DataFrame:
+    """Per-page integer pixel statistics via the full IFD-chain walk
+    (``decode_tiff_pages``) — one output row per (file, page)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for p, px in enumerate(decode_tiff_pages(bytes(content))):
+                    a = px.astype(np.int64)
+                    h, w = a.shape[0], a.shape[1]
+                    ch = 1 if a.ndim == 2 else a.shape[2]
+                    rows.append(
+                        (
+                            int(path), p, w, h, ch,
+                            int(a.sum()), int(a.min()), int(a.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_PAGE_STATS_SCHEMA]
+            )
+
+    return media.mapInPandas(stats, schema=TIFF_PAGE_STATS_SCHEMA)

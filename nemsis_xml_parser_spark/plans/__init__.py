@@ -25,6 +25,7 @@ from . import round6  # noqa: F401,E402
 from . import round6b  # noqa: F401,E402
 from . import round7  # noqa: F401,E402
 from . import round7b  # noqa: F401,E402
+from . import round8  # noqa: F401,E402
 
 # The driver's correctness run records the first ~50 queries in registration
 # order.  Track, per query, the most recent round whose CORRECTNESS_r0N.json
@@ -176,6 +177,33 @@ _RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
         "scalar_regex_battery", "scalar_timestamp_battery",
         "sketch_hll_mergeable", "text_burstiness_dispersion",
         "text_kneser_ney_bigram", "window_session_concurrency",
+    }),
+    7: frozenset({
+        "agg_hodges_lehmann", "agg_jackknife_variance",
+        "cluster_dbscan_grid", "cluster_kmeans_lloyd",
+        "cluster_kmeanspp_seeding", "dedup_edit_distance_pairs",
+        "dedup_ladder_full", "dedup_simhash_band_pairs",
+        "events_fano_overdispersion", "events_max_drawdown",
+        "events_seasonal_decompose", "events_vshape_patterns",
+        "graph_assortativity", "graph_betweenness_sampled",
+        "graph_ktruss_peeling", "graph_local_clustering",
+        "graph_scc_peeling", "join_asof_tolerance",
+        "join_interval_overlap_agg", "join_point_in_polygon_grid",
+        "json_variant_battery", "multimodal_audio_dft_peak",
+        "multimodal_audio_stft_bands", "multimodal_bmp_pixel_stats",
+        "multimodal_gif_interlaced_stats", "multimodal_gif_pixel_stats",
+        "multimodal_jpeg_progressive_stats", "multimodal_tiff_pixel_stats",
+        "multimodal_video_scene_cuts", "q13_customer_order_distribution",
+        "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_quantity_revenue", "q21_last_shipper_multi_supplier",
+        "q22_dormant_high_balance", "quality_auc_mann_whitney",
+        "quality_calibration_bins", "quality_cohens_kappa",
+        "quality_dedup_recall", "quality_emd_drift",
+        "quality_isotonic_calibration", "quality_poisson_rate_test",
+        "quality_ratio_delta_method", "recursive_bom_rollup",
+        "retrieval_prf_expansion", "sketch_hll_intersection",
+        "sql_surface_topk_months", "text_sentence_stats", "text_zipf_slope",
+        "window_median_filter",
     }),
 }
 

@@ -747,12 +747,17 @@ e{t} AS MATERIALIZED (
         f"""adjF AS (
   SELECT u, v FROM e{rounds} UNION ALL SELECT v, u FROM e{rounds}
 ),
-sf AS (
+sfj AS (
   SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support
   FROM e{rounds} e
   JOIN adjF a ON a.u = e.u
   JOIN adjF b ON b.u = e.v AND b.v = a.v
   GROUP BY e.u, e.v
+),
+sf AS (
+  SELECT e.u, e.v, COALESCE(s.support, 0) AS support
+  FROM e{rounds} e
+  LEFT JOIN sfj s ON s.u = e.u AND s.v = e.v
 )"""
     )
     return ",\n".join(parts) + """

@@ -57,8 +57,21 @@ def exactly_once_batch_writer(
     batch_size: int = 1000,
     after_commit: Callable[[int], None] | None = None,
     commits_create_sql: str = _CREATE_COMMITS,
+    max_collect_rows: int = 100_000,
 ) -> Callable[[DataFrame, int], None]:
-    """A ``foreachBatch`` function with transactional batch-id dedup.
+    """Single-connection ``foreachBatch`` with transactional batch-id
+    dedup — the SMALL-BATCH compat path.  Every microbatch funnels
+    through one driver-side ``collect()``; at scale use
+    ``exactly_once_batch_writer_distributed`` (executor-parallel
+    staging, one driver promote txn, identical crash semantics), the
+    recommended entry for any real deployment.
+
+    ``max_collect_rows`` is the driver-funnel guard (the streaming twin
+    of ``stage_to_warehouse``'s ≥100k distributed dispatcher): a
+    microbatch larger than this raises instead of silently pulling the
+    rows through the driver — the error tells the caller to switch to
+    the distributed writer.  The guard is enforced via ``limit(n+1)``
+    so driver memory is capped even on the failing batch.
 
     ``conn_factory`` opens a DBAPI connection per batch (qmark style —
     DuckDB/JDBC-bridged drivers; swap the placeholder for psycopg2).
@@ -87,7 +100,19 @@ def exactly_once_batch_writer(
             )
             if cur.fetchone() is not None:
                 return  # replayed batch: committed atomically in a prior life
-            rows = [tuple(r) for r in batch_df.select(*columns).collect()]
+            rows = [
+                tuple(r)
+                for r in batch_df.select(*columns)
+                .limit(max_collect_rows + 1)
+                .collect()
+            ]
+            if len(rows) > max_collect_rows:
+                raise ValueError(
+                    f"microbatch {batch_id} exceeds max_collect_rows="
+                    f"{max_collect_rows}; use "
+                    "exactly_once_batch_writer_distributed (executor-side "
+                    "staging) instead of this driver-collect compat path"
+                )
             try:
                 sql = _qmark_insert(table, len(columns))
                 for i in range(0, len(rows), batch_size):
@@ -177,6 +202,10 @@ def exactly_once_batch_writer_distributed(
     cols = list(columns)
     types = dict(column_types or {})
 
+    from ..operators.jdbc_sink import _PLACEHOLDERS
+
+    ph = _PLACEHOLDERS[paramstyle]  # ledger SQL follows the same paramstyle
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         conn = driver_conn_factory()
         try:
@@ -188,7 +217,7 @@ def exactly_once_batch_writer_distributed(
                     conn.rollback()  # engine without IF NOT EXISTS (Derby)
             cur.execute(
                 f'SELECT 1 FROM "{COMMITS_TABLE}" '
-                'WHERE "sink_id" = ? AND "batch_id" = ?;',
+                f'WHERE "sink_id" = {ph} AND "batch_id" = {ph};',
                 (sink_id, batch_id),
             )
             if cur.fetchone() is not None:
@@ -236,7 +265,8 @@ def exactly_once_batch_writer_distributed(
                         f"SELECT {collist} FROM {stage_ref(pid)};"
                     )
                 cur.execute(
-                    f'INSERT INTO "{COMMITS_TABLE}" VALUES (?, ?, ?, ?);',
+                    f'INSERT INTO "{COMMITS_TABLE}" '
+                    f"VALUES ({ph}, {ph}, {ph}, {ph});",
                     (
                         sink_id,
                         batch_id,

@@ -94,6 +94,85 @@ def test_unsupported_compression_seam():
         decode_tiff(bytes(buf))
 
 
-def test_color_encode_seam():
+def test_unsupported_shape_seam():
     with pytest.raises(NotImplementedError):
-        encode_tiff(np.zeros((2, 2, 3), dtype=np.uint8))
+        encode_tiff(np.zeros((2, 2, 4), dtype=np.uint8))  # RGBA: not yet
+
+
+@pytest.mark.parametrize("packbits", [True, False])
+@pytest.mark.parametrize("big_endian", [True, False])
+def test_rgb_roundtrip(packbits, big_endian):
+    rng = np.random.default_rng(23)
+    for h, w in ((1, 1), (3, 9), (9, 2), (7, 13)):
+        a = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        got = decode_tiff(
+            encode_tiff(a, packbits=packbits, big_endian=big_endian)
+        )
+        assert got.shape == (h, w, 3)
+        assert (got == a).all()
+
+
+def test_multipage_roundtrip_mixed_pages():
+    from nemsis_xml_parser_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_multipage,
+    )
+
+    rng = np.random.default_rng(29)
+    pages = [
+        rng.integers(0, 256, (5, 8)).astype(np.uint8),
+        rng.integers(0, 256, (7, 4, 3)).astype(np.uint8),
+        rng.integers(0, 256, (3, 14)).astype(np.uint8),
+    ]
+    buf = encode_tiff_multipage(pages, 2, [True, False, True], True)
+    got = decode_tiff_pages(buf)
+    assert len(got) == 3
+    for a, b in zip(pages, got):
+        assert a.shape == b.shape and (a == b).all()
+
+
+def test_multipage_fixture_closed_form():
+    from nemsis_xml_parser_spark.operators.tiff import (
+        decode_tiff_pages,
+        make_tiff_multipage_image,
+    )
+
+    for i in (0, 1, 2, 3, 4, 5, 7, 11, 30):
+        got = decode_tiff_pages(make_tiff_multipage_image(i))
+        assert len(got) == i % 3 + 2
+        for p, px in enumerate(got):
+            w, h = (i + 2 * p) % 14 + 4, (i + 3 * p) % 8 + 3
+            x = np.arange(w).reshape(1, w)
+            y = np.arange(h).reshape(h, 1)
+            base = i * 5 + 7 * p
+            if p % 2 == 0:
+                exp = ((base + 3 * y + x // 4) % 256).astype(np.uint8)
+            else:
+                c = np.arange(3).reshape(1, 1, 3)
+                exp = (
+                    (base + 3 * y[..., None] + x[..., None] // 4 + 50 * c)
+                    % 256
+                ).astype(np.uint8)
+            assert px.shape == exp.shape and (px == exp).all(), (i, p)
+
+
+def test_decode_tiff_refuses_multipage():
+    from nemsis_xml_parser_spark.operators.tiff import (
+        make_tiff_multipage_image,
+    )
+
+    with pytest.raises(ValueError, match="decode_tiff_pages"):
+        decode_tiff(make_tiff_multipage_image(3))
+
+
+def test_ifd_chain_loop_detected():
+    from nemsis_xml_parser_spark.operators.tiff import decode_tiff_pages
+
+    buf = bytearray(encode_tiff(np.zeros((2, 2), dtype=np.uint8)))
+    # point the (single) IFD's next pointer back at itself
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
+    next_pos = ifd_off + 2 + 12 * n_entries
+    buf[next_pos : next_pos + 4] = struct.pack("<I", ifd_off)
+    with pytest.raises(ValueError, match="loop"):
+        decode_tiff_pages(bytes(buf))
