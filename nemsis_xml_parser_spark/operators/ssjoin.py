@@ -85,10 +85,15 @@ def prefix_candidates(
     failing it can never verify and are dropped before the expensive
     overlap count.
     """
-    sz = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     dfreq = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("df"))
+    # set size via an unordered window over the SAME id partitioning the
+    # rank needs — one shuffle supplies both, instead of a separate
+    # groupBy + join back (two extra ops on the full token frame)
     ranked = (
         tokens.join(dfreq, token_col)
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
         .withColumn(
             "rnk",
             F.row_number().over(
@@ -97,7 +102,6 @@ def prefix_candidates(
                 )
             ),
         )
-        .join(sz, id_col)
         .where(F.col("rnk") <= prefix_length(F.col("sz"), threshold))
         .select(id_col, token_col, "sz", "rnk")
     )
