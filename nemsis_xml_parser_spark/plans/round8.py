@@ -88,3 +88,104 @@ def multimodal_tiff_multipage_stats(
         F.min("px_min").cast("int").alias("px_min"),
         F.max("px_max").cast("int").alias("px_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (rank-band variant)
+# ---------------------------------------------------------------------------
+
+SD_K = 8
+SD_BAND = 10
+SD_T = 0.38
+SD_DIM = 64
+
+
+def _semdedup_oracle(
+    k: int = SD_K, band: int = SD_BAND, t: float = SD_T, dim: int = SD_DIM
+) -> str:
+    d2 = (
+        f"ROUND(CAST(list_sum(list_transform(range({dim}), i -> "
+        "CAST(ROUND((e.x[i+1] - c.cv[i+1]) * (e.x[i+1] - c.cv[i+1]), 12) "
+        "AS DECIMAL(38,12)))) AS DOUBLE), 6)"
+    )
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, x AS cv
+  FROM emb WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k})
+),
+s AS (SELECT e.vec_id, c.c, {d2} AS d2 FROM emb e CROSS JOIN seeds c),
+a AS MATERIALIZED (
+  SELECT vec_id, c, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC)
+      AS rn FROM s) WHERE rn = 1
+),
+r AS MATERIALIZED (
+  SELECT vec_id, c, d2,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY d2 ASC, vec_id ASC) AS rnk
+  FROM a
+),
+cand AS (
+  SELECT x.c, x.vec_id AS id_a, y.vec_id AS id_b
+  FROM r x JOIN r y ON x.c = y.c AND y.rnk BETWEEN x.rnk + 1 AND x.rnk + {band}
+),
+dup AS MATERIALIZED (
+  SELECT cand.c, id_a, id_b,
+         ROUND(list_dot_product(ea.x, eb.x) /
+           (sqrt(list_dot_product(ea.x, ea.x)) *
+            sqrt(list_dot_product(eb.x, eb.x))), 6) AS cosine
+  FROM cand
+  JOIN emb ea ON ea.vec_id = id_a
+  JOIN emb eb ON eb.vec_id = id_b
+  WHERE list_dot_product(ea.x, eb.x) /
+          (sqrt(list_dot_product(ea.x, ea.x)) *
+           sqrt(list_dot_product(eb.x, eb.x))) >= {t}
+),
+per AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+         CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_removed,
+         CAST(SUM(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) AS cos_mass,
+         MAX(cosine) AS max_cosine
+  FROM dup GROUP BY c
+)
+SELECT CAST(m.c AS INT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       COALESCE(ANY_VALUE(p.n_dup_pairs), 0) AS n_dup_pairs,
+       COALESCE(ANY_VALUE(p.n_removed), 0) AS n_removed,
+       ROUND(COALESCE(ANY_VALUE(p.cos_mass), 0.0), 6) AS cos_mass,
+       ROUND(COALESCE(ANY_VALUE(p.max_cosine), 0.0), 6) AS max_cosine
+FROM a m LEFT JOIN per p ON p.c = m.c
+GROUP BY m.c
+"""
+
+
+@register(
+    "dedup_semdedup_band",
+    family="dedup",
+    doc="SemDeDup-style semantic dedup (operators/semdedup.py; Abbas "
+    "et al. 2023): one corpus scan assigns every embedding to its "
+    "nearest of k=8 BROADCAST seed centroids (the ivf.py coarse-"
+    "quantizer shape, DECIMAL round-12/round-6 distance discipline), "
+    "members rank by (distance-to-centroid, id) inside their cell, and "
+    "near-duplicate candidates are ONLY the 10 ranks after each member "
+    "— an explode-of-offsets equi-join on (cell, rank), exactly "
+    "N·band rows, never the paper's within-cluster all-pairs (which "
+    "is only tractable when k grows with N).  Exact duplicates have "
+    "identical centroid distance, so they sit on adjacent ranks and "
+    "are always caught; near-dups concentrate nearby by the triangle "
+    "inequality — the bounded-recall trade MinHash-LSH makes for "
+    "Jaccard, applied to embedding space.  Survivors follow the "
+    "paper's rule (keep the member closest to the centroid).  Output "
+    "per cell: members, dup pairs, removals, DECIMAL-summed cosine "
+    "mass.  The generated oracle replays assignment, ranking, band "
+    "join and cosine verify bit-for-bit.",
+    oracle=_semdedup_oracle(),
+)
+def dedup_semdedup_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semdedup import semantic_dedup_summary
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_summary(e, k=SD_K, band=SD_BAND, threshold=SD_T)
