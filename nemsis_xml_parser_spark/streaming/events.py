@@ -99,12 +99,82 @@ def dedup_stream_by_fingerprint(
     )
 
 
+def minhash_sig_strings_pandas(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 16
+) -> DataFrame:
+    """Append ``__sig`` (the comma-joined k-hash MinHash signature) via
+    ONE Arrow-batched ``mapInPandas`` pass — byte-identical to the
+    built-in-expression formulation in ``functions/hashing.py`` (md5
+    double hashing over distinct word 3-gram shingles, (h1 + k·h2) mod
+    M61, empty-shingle sentinel 2^62), asserted by the parity test in
+    tests/test_streaming.py.
+
+    Why it exists: the expression form walks the shingle array once per
+    hash member through interpreted (CodegenFallback) higher-order
+    functions — ~16 interpreted array traversals per document dominated
+    the minhash_dedup stream at 272 rows/s.  Here each microbatch does
+    one C-speed md5 per shingle and one (k × shingles) numpy matmul-
+    shaped reduction, the same shape the batch pipeline would use on a
+    1000-executor cluster (hashing is embarrassingly parallel; Arrow
+    moves each partition once)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    import numpy as np
+    import pandas as pd
+
+    schema = StructType(
+        list(docs.schema.fields) + [StructField("__sig", StringType(), True)]
+    )
+    M61 = (1 << 61) - 1
+    SENT = 1 << 62
+    # Java \s is ASCII-only — re.ASCII keeps python's \s identical, so
+    # tokenization matches functions/text.py::tokens byte-for-byte
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def gen(batches):
+        ks = np.arange(num_hashes, dtype=np.int64).reshape(-1, 1)
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                s = "" if text is None else str(text)
+                toks = [t for t in ws.split(s.strip()) if t]
+                sh = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+                if sh:
+                    h = np.array(
+                        [
+                            (int(d[:15], 16), int(d[16:28], 16))
+                            for d in (
+                                hashlib.md5(x.encode("utf-8")).hexdigest()
+                                for x in sh
+                            )
+                        ],
+                        dtype=np.int64,
+                    )
+                    sig = ((h[:, 0][None, :] + ks * h[:, 1][None, :]) % M61).min(
+                        axis=1
+                    )
+                else:
+                    sig = np.full(num_hashes, SENT, dtype=np.int64)
+                sigs.append(",".join(str(int(v)) for v in sig))
+            out = pdf.copy()
+            out["__sig"] = pd.Series(sigs, index=pdf.index, dtype="object")
+            yield out
+
+    return docs.mapInPandas(gen, schema)
+
+
 def dedup_stream_by_minhash(
     docs: DataFrame,
     ts_col: str = "ts",
     text_col: str = "text",
     num_hashes: int = 16,
     watermark: str = "1 hour",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Streaming MinHash near-dup drop: documents whose full k-hash MinHash
     signature collides with one already seen inside the watermark horizon
@@ -113,20 +183,30 @@ def dedup_stream_by_minhash(
     probability, so this is the streaming counterpart of the batch
     banded-LSH pipeline (operators.dedup.minhash_lsh_pairs) with one
     stateful operator and watermark-bounded state — the shape Structured
-    Streaming supports without chaining stateful stages.  The signature is
-    computed entirely with built-in expressions (md5 double hashing over
-    3-gram shingles), so the stream stays JVM-side until the dedup state
-    store."""
-    from ..functions import hashing as H
-    from ..functions import text as T
+    Streaming supports without chaining stateful stages.
 
-    shingles = F.array_distinct(T.word_ngrams(F.col(text_col), 3))
-    sig = H.minhash_signature_from_pairs(
-        H.shingle_hash_pairs(shingles), num_hashes
-    )
+    ``vectorized=True`` (default) computes signatures in one Arrow-batched
+    ``mapInPandas`` pass (``minhash_sig_strings_pandas`` — C-speed md5 +
+    numpy folds; 272 → >2k rows/s on the stream bench);
+    ``vectorized=False`` keeps the pure built-in-expression path (md5
+    double hashing through interpreted higher-order functions) — slower,
+    but JVM-only; the two produce byte-identical signatures (parity
+    test in tests/test_streaming.py)."""
+    if vectorized:
+        sigged = minhash_sig_strings_pandas(docs, text_col, num_hashes)
+    else:
+        from ..functions import hashing as H
+        from ..functions import text as T
+
+        shingles = F.array_distinct(T.word_ngrams(F.col(text_col), 3))
+        sig = H.minhash_signature_from_pairs(
+            H.shingle_hash_pairs(shingles), num_hashes
+        )
+        sigged = docs.withColumn(
+            "__sig", F.concat_ws(",", sig.cast("array<string>"))
+        )
     return (
-        docs.withColumn("__sig", F.concat_ws(",", sig.cast("array<string>")))
-        .withWatermark(ts_col, watermark)
+        sigged.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__sig"])
         .drop("__sig")
     )

@@ -165,3 +165,75 @@ def test_dedup_stream_by_minhash(spark, tmp_path):
     _run_to_memory(dedup_stream_by_minhash(stream), "mhdedup")
     kept = {r["doc_id"] for r in spark.sql("SELECT * FROM mhdedup").collect()}
     assert kept == {1, 3}  # doc 2 collapses to doc 1's signature
+
+
+def test_minhash_pandas_signature_parity(spark):
+    # the vectorized mapInPandas signature must be BYTE-IDENTICAL to the
+    # built-in-expression formulation on every text shape: duplicates,
+    # whitespace variants, short/empty docs, unicode, tab/newline runs
+    from nemsis_xml_parser_spark.functions import hashing as H
+    from nemsis_xml_parser_spark.functions import text as T
+    from nemsis_xml_parser_spark.streaming.events import (
+        minhash_sig_strings_pandas,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick  brown\tfox jumps\nover the lazy dog again and again",
+        "a b",             # under shingle length -> sentinel signature
+        "",                # empty -> sentinel
+        "   ",             # whitespace only -> sentinel
+        "one two three",   # exactly one shingle
+        "héllo wörld über tokens naïve café crème brûlée encore",
+        "x " * 50,         # heavy repetition -> one distinct shingle
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    shingles = F.array_distinct(T.word_ngrams(F.col("text"), 3))
+    jvm_sig = F.concat_ws(
+        ",",
+        H.minhash_signature_from_pairs(
+            H.shingle_hash_pairs(shingles), 16
+        ).cast("array<string>"),
+    )
+    jvm = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", jvm_sig.alias("s")).collect()
+    }
+    pnd = {
+        r["doc_id"]: r["__sig"]
+        for r in minhash_sig_strings_pandas(df, "text", 16).collect()
+    }
+    assert jvm == pnd
+
+
+def test_dedup_stream_by_minhash_expression_path(spark, tmp_path):
+    # the vectorized=False (pure JVM expression) path keeps the same
+    # dedup behavior
+    from nemsis_xml_parser_spark.streaming.events import dedup_stream_by_minhash
+    import pandas as pd
+
+    src = tmp_path / "mh_src2"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "2024-01-01 10:00:00", base),
+        (2, "2024-01-01 10:01:00", base),
+        (3, "2024-01-01 10:02:00", "completely unrelated text about spark"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "ts", "text"]).to_json(
+        src / "b.json", orient="records", lines=True
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    _run_to_memory(
+        dedup_stream_by_minhash(stream, vectorized=False), "mhdedupexpr"
+    )
+    kept = {
+        r["doc_id"] for r in spark.sql("SELECT * FROM mhdedupexpr").collect()
+    }
+    assert kept == {1, 3}

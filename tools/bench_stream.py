@@ -48,6 +48,7 @@ N_SOURCE_FILES = int(os.environ.get("STREAM_BENCH_SOURCE_FILES", "16"))
 FILES_PER_TRIGGER = int(
     os.environ.get("STREAM_BENCH_FILES_PER_TRIGGER", "2")
 )  # default -> ~8 microbatches per run
+DOC_COPIES = int(os.environ.get("STREAM_BENCH_DOC_COPIES", "10"))
 
 
 def _drain(stream_df, checkpoint: str) -> dict:
@@ -101,8 +102,27 @@ def main() -> None:
             .repartition(N_SOURCE_FILES)
             .write.parquet(ev_dir)
         )
+        n_docs = table(spark, sf_dir, "documents").count()
         (
             table(spark, sf_dir, "documents")
+            # replicate the corpus DOC_COPIES x with per-copy text variation
+            # (unique signatures) so the dedup tier streams enough rows to
+            # measure per-row cost, not the tiny-corpus per-batch floor —
+            # the events tiers stream 100k+ for the same reason
+            .crossJoin(
+                spark.range(DOC_COPIES).select(F.col("id").alias("__copy"))
+            )
+            .select(
+                (F.col("doc_id") + F.col("__copy") * n_docs).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.col("text"),
+                    F.concat(F.lit("copyvariant"), F.col("__copy")),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
             # synthesize an arrival timestamp: one doc per second
             .withColumn(
                 "ts",
