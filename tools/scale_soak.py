@@ -263,12 +263,99 @@ def run_doc_tier(spark, sf_dir: str, scale: str, max_bucket: int | None) -> dict
     return out
 
 
+def run_ladder_tier(
+    spark, sf_dir: str, scale: str, max_bucket: int | None
+) -> dict:
+    """The dedup_ladder_full flagship at its exact operating point
+    (plan_minhash_lsh(0.3, 16, fn_budget=0.05) -> 16 one-row bands,
+    threshold=0 verify-everything, PageRank survivor election), with the
+    star-mode bucket cap engaged — proving the flagship COMPOSITION
+    inherits the skew guard measured for minhash_lsh_pairs in isolation
+    (the r7 verdict's open question)."""
+    from nemsis_xml_parser_spark.operators.lsh_planner import plan_minhash_lsh
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        "tier": "ladder",
+        "scale": scale,
+        "n_docs": docs.count(),
+        "max_bucket": max_bucket,
+    }
+    plan = plan_minhash_lsh(0.3, num_hashes=16, fn_budget=0.05)
+    t = time.time()
+    cand = D.minhash_lsh_pairs(
+        docs,
+        num_hashes=plan.num_hashes,
+        bands=plan.bands,
+        n=3,
+        threshold=0.0,
+        max_bucket=max_bucket,
+        candidates_only=True,
+    )
+    out["candidate_pairs"] = cand.count()
+    out["candidates_sec"] = round(time.time() - t, 2)
+    t = time.time()
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        num_hashes=plan.num_hashes,
+        bands=plan.bands,
+        n=3,
+        threshold=0.0,
+        max_bucket=max_bucket,
+    ).localCheckpoint(eager=True)
+    out["verified_pairs"] = pairs.count()
+    no_cartesian(pairs)
+    out["verify_sec"] = round(time.time() - t, 2)
+    t = time.time()
+    surv = C.elect_survivors(
+        pairs.select("doc_a", "doc_b"), nodes=docs.select("doc_id")
+    )
+    out["survivor_rows"] = surv.count()
+    no_cartesian(surv)
+    out["election_sec"] = round(time.time() - t, 2)
+    out["ladder_sec"] = round(
+        out["candidates_sec"] + out["verify_sec"] + out["election_sec"], 2
+    )
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-soak")
     if "--regen" in sys.argv or not os.path.isdir(f"{DST}/documents.parquet"):
         generate(spark)
     if "--regen" in sys.argv or not os.path.isdir(f"{HOT}/documents.parquet"):
         generate_hot(spark)
+    if "--ladder" in sys.argv:
+        # flagship-composition soak: 1x vs 10x-hot, star cap engaged
+        # (use --ladder-uncapped to measure the unguarded blowup once)
+        cap = None if "--ladder-uncapped" in sys.argv else 256
+        l1 = run_ladder_tier(spark, SRC, "1x", max_bucket=cap)
+        print(json.dumps(l1))
+        lhot = run_ladder_tier(spark, HOT, "10x-hot", max_bucket=cap)
+        print(json.dumps(lhot))
+        summary = {
+            "ladder_hot_vs_1x_wall": round(
+                lhot["ladder_sec"] / max(l1["ladder_sec"], 1e-9), 2
+            ),
+            "ladder_hot_vs_1x_candidates": round(
+                lhot["candidate_pairs"] / max(l1["candidate_pairs"], 1), 2
+            ),
+        }
+        print(json.dumps({"ladder_summary": summary}))
+        if cap is not None:
+            # The hot corpus embeds GENUINE near-dup structure: each base
+            # doc becomes a 10-replica family -> C(10,2)=45 true pairs per
+            # family (4.5/doc) is the correct answer, so total candidates
+            # legitimately grow ~90x vs the structureless 1x corpus.  The
+            # skew gate is therefore per-doc boundedness (star mode keeps
+            # template cross-family candidates O(bucket), never bucket^2:
+            # uncapped r7 measurement was 12.5M candidates = 250/doc) and
+            # near-linear wall-clock on 10x data.
+            per_doc = lhot["candidate_pairs"] / max(lhot["n_docs"], 1)
+            assert per_doc < 3 * REPLICAS, (per_doc, summary)
+            assert summary["ladder_hot_vs_1x_wall"] < 10, summary
+        spark.stop()
+        return
     if "--skew-only" in sys.argv:
         # reuse the last MEASURED uniform-10x numbers so the hot tier can
         # be iterated without the ~20 min uniform re-run.  Baselines are
