@@ -36,6 +36,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 _DEC = "decimal(38,12)"
 
 
@@ -58,10 +60,10 @@ def betweenness_sampled(
         seeds.select(F.col("v").alias("src"), "v")
         .distinct()
         .select("src", "v", F.lit(1).cast("bigint").alias("sigma"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     levels.append(frontier)
-    visited = frontier.select("src", "v").localCheckpoint(eager=True)
+    visited = frontier.select("src", "v").transform(cut_lineage)
     for _ in range(1, max_hops + 1):
         nxt = (
             adj.join(
@@ -70,11 +72,9 @@ def betweenness_sampled(
             .join(visited, ["src", "v"], "left_anti")
             .groupBy("src", "v")
             .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
-        visited = visited.unionByName(nxt.select("src", "v")).localCheckpoint(
-            eager=True
-        )
+        visited = visited.unionByName(nxt.select("src", "v")).transform(cut_lineage)
         levels.append(nxt)
         frontier = nxt
     # backward: deepest level has delta = 0
@@ -144,7 +144,7 @@ def betweenness_sampled(
                 .cast(_DEC)
                 .alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         acc = acc.unionByName(delta)
     return acc.groupBy("v").agg(

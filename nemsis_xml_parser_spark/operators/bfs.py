@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 
 def bfs_hops(adj: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """Label every node reachable from ``seeds`` within ``max_hops``.
@@ -31,19 +33,19 @@ def bfs_hops(adj: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    frontier = seeds.select("v").distinct().localCheckpoint(eager=True)
-    visited = frontier.select("v", F.lit(0).alias("hop")).localCheckpoint(eager=True)
+    frontier = seeds.select("v").distinct().transform(cut_lineage)
+    visited = frontier.select("v", F.lit(0).alias("hop")).transform(cut_lineage)
     for i in range(1, max_hops + 1):
         nxt = (
             adj.join(frontier.withColumnRenamed("v", "u"), "u")
             .select("v")
             .distinct()
             .join(visited.select("v"), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         visited = visited.unionByName(
             nxt.select("v", F.lit(i).alias("hop"))
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         frontier = nxt
     return visited
 
@@ -67,11 +69,9 @@ def bfs_hops_per_source(
     frontier = (
         seeds.select(F.col("v").alias("src"), "v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
-    visited = frontier.select("src", "v", F.lit(0).alias("hop")).localCheckpoint(
-        eager=True
-    )
+    visited = frontier.select("src", "v", F.lit(0).alias("hop")).transform(cut_lineage)
     for i in range(1, max_hops + 1):
         nxt = (
             adj.join(
@@ -80,10 +80,10 @@ def bfs_hops_per_source(
             .select("src", "v")
             .distinct()
             .join(visited.select("src", "v"), ["src", "v"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         visited = visited.unionByName(
             nxt.select("src", "v", F.lit(i).alias("hop"))
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         frontier = nxt
     return visited

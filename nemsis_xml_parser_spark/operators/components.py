@@ -30,6 +30,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .lineage import cut_lineage
+
 
 def connected_components(
     edges: DataFrame,
@@ -59,13 +61,13 @@ def connected_components(
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     # Convergence probe: labels only ever decrease, so sum(comp) strictly
     # decreases until the fixpoint — one scalar aggregate per round on the
@@ -98,7 +100,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("comp_jump"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         labels = new
         cur_sum = labels.agg(_probe).collect()[0][0]
@@ -172,7 +174,7 @@ def elect_survivors(
     # checkpoint their own derived edge lists, and without this the
     # candidate-generation pipeline upstream (e.g. MinHash/LSH or a shingle
     # self-join) would re-execute for each
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(cut_lineage)
     clusters = dedup_clusters(pairs, nodes=nodes, src=src, dst=dst, id_col=id_col)
     edges = pairs.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")

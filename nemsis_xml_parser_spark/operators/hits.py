@@ -23,6 +23,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 _DEC = "decimal(20,12)"
 
 
@@ -62,11 +64,11 @@ def hits(edges: DataFrame, iters: int = 2) -> tuple[DataFrame, DataFrame]:
         # input twice (L1 total + the division) and the next iteration
         # references this one — without truncation the plan doubles per
         # level (measured: 44 exchanges at iters=2, ~6 with checkpoints)
-        auth = _l1_normalize(auth_raw, "dst", "auth_raw", "auth").localCheckpoint()
+        auth = _l1_normalize(auth_raw, "dst", "auth_raw", "auth").transform(cut_lineage)
         hub_raw = (
             e.join(auth, "dst")
             .groupBy("src")
             .agg(F.sum(F.round(F.col("auth"), 12).cast(_DEC)).alias("hub_raw"))
         )
-        hubs = _l1_normalize(hub_raw, "src", "hub_raw", "hub").localCheckpoint()
+        hubs = _l1_normalize(hub_raw, "src", "hub_raw", "hub").transform(cut_lineage)
     return auth, hubs

@@ -28,6 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 
 def isotonic_fit_binned(bins: DataFrame, max_bins: int = 256) -> DataFrame:
     """Fit isotonic (non-decreasing) rates over a bounded bin frame.
@@ -42,7 +44,7 @@ def isotonic_fit_binned(bins: DataFrame, max_bins: int = 256) -> DataFrame:
     Returns (bin, n, pos, iso_m) where iso_m is the round-12 fitted
     rate; monotone non-decreasing in ``bin`` by construction.
     """
-    b = bins.localCheckpoint(eager=True)
+    b = bins.transform(cut_lineage)
     cnt = b.count()
     if cnt > max_bins:
         raise ValueError(

@@ -30,6 +30,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .lineage import cut_lineage
+
 from ..functions import vectors as V
 
 
@@ -107,7 +109,7 @@ def train_centroids(
         # materialize the KB-scale centroid table eagerly: without this each
         # Lloyd round deepens the lineage and every downstream action
         # re-scans the corpus once per iteration (at 100 TB, iters× scans)
-        centroids = centroids.localCheckpoint(eager=True)
+        centroids = centroids.transform(cut_lineage)
     return centroids
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 
 def degrees(edges: DataFrame) -> DataFrame:
     """(v, d) node degrees of an undirected (a, b) a<b edge list."""
@@ -43,7 +45,7 @@ def kcore_edges(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     Returns the surviving (a, b) edges; the empty frame when no k-core
     exists.
     """
-    e = edges.select("a", "b").localCheckpoint()
+    e = edges.select("a", "b").transform(cut_lineage)
     prev_nodes = -1
     for _ in range(max_iter):
         keep = degrees(e).where(F.col("d") >= k).select("v")
@@ -55,7 +57,7 @@ def kcore_edges(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
             e.join(keep.withColumnRenamed("v", "a"), "a")
             .join(keep.withColumnRenamed("v", "b"), "b")
             .select("a", "b")
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         if n == 0:
             break

@@ -26,6 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .lineage import cut_lineage
+
 
 def _d2_col(x: str, cv: str):
     """Round-6 squared L2 distance between two ARRAY<DOUBLE> columns —
@@ -76,7 +78,7 @@ def farthest_point_seed(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     chosen = (
         base.orderBy("_id")
@@ -87,7 +89,7 @@ def farthest_point_seed(
             F.col("x").alias("cv"),
             F.lit(0.0).alias("sep_d2"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     for t in range(1, k):
         picked = (
@@ -104,7 +106,7 @@ def farthest_point_seed(
                 F.col("mind2").alias("sep_d2"),
             )
         )
-        chosen = chosen.unionByName(picked).localCheckpoint(eager=True)
+        chosen = chosen.unionByName(picked).transform(cut_lineage)
     return chosen
 
 
@@ -132,14 +134,14 @@ def lloyd_kmeans(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     w = Window.orderBy("_id")  # applied below a LIMIT k — k rows, never corpus
     cents = (
         base.orderBy("_id")
         .limit(k)
         .select((F.row_number().over(w) - 1).alias("c"), F.col("x").alias("cv"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     assigned = None
     for _ in range(iters):
@@ -171,7 +173,7 @@ def lloyd_kmeans(
             scored.withColumn("rn", F.row_number().over(best))
             .where(F.col("rn") == 1)
             .select("_id", "c", "d2")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         upd = (
             assigned.join(base, "_id")
@@ -194,6 +196,6 @@ def lloyd_kmeans(
                     lambda s: s["m"],
                 ).alias("cv")
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return assigned, cents

@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 
 def ktruss_edges(
     edges: DataFrame, k: int, rounds: int
@@ -47,7 +49,7 @@ def ktruss_edges(
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     e = edges.select("u", "v").where(F.col("u") < F.col("v")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(cut_lineage)
 
     def _support(edge_df: DataFrame) -> DataFrame:
         # support(u,v) = |N(u) ∩ N(v)|: wedge join on the shared
@@ -79,7 +81,7 @@ def ktruss_edges(
             e.join(sup, ["u", "v"], "left")
             .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     # final support on the surviving subgraph; LEFT join so survivors
     # whose support dropped to 0 on the residual graph still appear

@@ -27,6 +27,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 
 def propagate_labels(edges: DataFrame, iters: int = 4) -> DataFrame:
     """(node, label) after ``iters`` synchronous rounds.
@@ -40,7 +42,7 @@ def propagate_labels(edges: DataFrame, iters: int = 4) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lab")).transform(cut_lineage)
     for _ in range(iters):
         neigh = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -55,7 +57,7 @@ def propagate_labels(edges: DataFrame, iters: int = 4) -> DataFrame:
         labels = (
             labels.join(pick, "node", "left")
             .select("node", F.coalesce("new_lab", "lab").alias("lab"))
-            .localCheckpoint()  # cut lineage: round t+1 must not replay 1..t
+            .transform(cut_lineage)  # cut lineage: round t+1 must not replay 1..t
         )
     return labels
 
@@ -103,7 +105,7 @@ def community_stats(edges_undirected: DataFrame, labels: DataFrame) -> DataFrame
         - (F.col("d_sum") / (2 * F.col("m"))) * (F.col("d_sum") / (2 * F.col("m"))),
         12,
     ).cast("decimal(38,12)")
-    withq = comm.crossJoin(F.broadcast(m)).localCheckpoint()
+    withq = comm.crossJoin(F.broadcast(m)).transform(cut_lineage)
     q = withq.agg(F.sum(term).cast("double").alias("q"))
     return (
         withq.crossJoin(F.broadcast(q))

@@ -20,6 +20,8 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from .lineage import cut_lineage
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -173,7 +175,7 @@ def gram_power_components(
     never appears in (and cannot regress) an audited consumer plan."""
     from pyspark.sql import Window
 
-    g = mirror_full(gram_upper).coalesce(1).localCheckpoint(eager=True)
+    g = mirror_full(gram_upper).coalesce(1).transform(cut_lineage)
     out: DataFrame | None = None
     spark = gram_upper.sparkSession
     whole = Window.partitionBy()
@@ -213,7 +215,7 @@ def gram_power_components(
                 .select(
                     "i", F.round(F.col("u") / F.col("nrm"), 12).alias("vc"), "nrm"
                 )
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
         comp = v.select(
             F.lit(c).cast("int").alias("comp_idx"),
@@ -241,6 +243,6 @@ def gram_power_components(
                     ).alias("gram"),
                 )
                 .coalesce(1)
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
     return out

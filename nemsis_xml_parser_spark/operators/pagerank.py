@@ -28,6 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -47,12 +49,12 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # bound lineage once: every iteration re-scans the edge list
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(cut_lineage)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = nodes.count()  # driver scalar, same footprint as CC probe
@@ -101,7 +103,7 @@ def pagerank(
                     12,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return pr.join(deg, pr["node"] == deg["src"], "left").select(
         "node",
@@ -130,7 +132,7 @@ def personalized_pagerank(
     iteration, seed flags ride the (node)-sized rank vector.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(cut_lineage)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -140,7 +142,7 @@ def personalized_pagerank(
     nodes_s = (
         nodes.join(sd.withColumn("_s", F.lit(1)), "node", "left")
         .select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n_seeds = nodes_s.agg(F.sum("is_seed")).collect()[0][0]  # driver scalar
     if not n_seeds:
@@ -190,7 +192,7 @@ def personalized_pagerank(
                     12,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return pr.join(deg, pr["node"] == deg["src"], "left").select(
         "node",

@@ -30,6 +30,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 from ..functions import vectors as V
 
 
@@ -82,7 +84,7 @@ def power_iteration_components(
         mu = _as_vector(stats.withColumnRenamed("m", "c"), "c")
         base = base.crossJoin(F.broadcast(mu)).select(
             F.zip_with("embedding", "v", lambda a, b: a - b).alias("embedding")
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     out: DataFrame | None = None
     for comp_idx in range(k):
         comp = power_iteration_top_component(
@@ -107,7 +109,7 @@ def power_iteration_components(
             F.zip_with(
                 "embedding", "vd", lambda xi, vi: xi - F.col("s") * vi
             ).alias("embedding")
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     return out
 
 
@@ -140,7 +142,7 @@ def power_iteration_top_component(
         base = base.crossJoin(F.broadcast(mu)).select(
             F.zip_with("x", "v", lambda a, b: a - b).alias("x")
         )
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(cut_lineage)
     n_df = base.agg(F.count(F.lit(1)).alias("n"))
 
     v = base.sparkSession.range(1).select(
@@ -182,7 +184,7 @@ def power_iteration_top_component(
                 "i", F.round(F.col("u") / F.col("nrm"), 12).alias("c")
             ),
             "c",
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         nrm_last = nrm
     return (
         v.select(F.posexplode("v").alias("i", "component"))

@@ -28,6 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .lineage import cut_lineage
+
 from ..functions import vectors as V
 
 
@@ -117,7 +119,7 @@ def train_pq(
         )
         # KB-scale table; checkpoint so each Lloyd round doesn't deepen the
         # lineage into iters× corpus re-scans (same rationale as ivf.py)
-        codebooks = codebooks.localCheckpoint(eager=True)
+        codebooks = codebooks.transform(cut_lineage)
     return codebooks
 
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .lineage import cut_lineage
+
 
 def scalable_running_sum(
     df: DataFrame,
@@ -53,7 +55,7 @@ def scalable_running_sum(
     r = (
         df.repartitionByRange(num_ranges, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     # partition-local running sum — window is partitioned, never global.
     # rangeBetween(unboundedPreceding, currentRow) over the ORDER BY value

@@ -49,6 +49,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .lineage import cut_lineage
+
 
 def _dual_min_label_fixpoint(
     edges: DataFrame, nodes: DataFrame, max_iter: int
@@ -80,7 +82,7 @@ def _dual_min_label_fixpoint(
                 F.col("u").alias("v"),
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     labels = (
         nodes.select(
@@ -88,7 +90,7 @@ def _dual_min_label_fixpoint(
             F.explode(F.array(F.lit(0), F.lit(1))).alias("dir"),
         )
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev = labels.agg(probe).collect()[0][0]
@@ -113,7 +115,7 @@ def _dual_min_label_fixpoint(
                     F.col("lbl"), F.coalesce(F.col("lbl_jump"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         cur = labels.agg(probe).collect()[0][0]
         if cur == prev:
@@ -141,15 +143,15 @@ def _trim(e: DataFrame, nodes: DataFrame, max_trim: int):
         gone = nodes.join(on_cycle_candidates, "node", "left_anti")
         if gone.limit(1).count() == 0:
             break
-        gone = gone.localCheckpoint(eager=True)
+        gone = gone.transform(cut_lineage)
         trimmed = (
             gone if trimmed is None else trimmed.unionByName(gone)
-        ).localCheckpoint(eager=True)
-        nodes = nodes.join(gone, "node", "left_anti").localCheckpoint(eager=True)
+        ).transform(cut_lineage)
+        nodes = nodes.join(gone, "node", "left_anti").transform(cut_lineage)
         e = (
             e.join(nodes.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return e, nodes, trimmed
 
@@ -177,13 +179,13 @@ def strongly_connected_components(
         )
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     out: DataFrame | None = None
     for _ in range(max_rounds):
@@ -192,7 +194,7 @@ def strongly_connected_components(
             singletons = trimmed.select("node", F.col("node").alias("scc"))
             out = (
                 singletons if out is None else out.unionByName(singletons)
-            ).localCheckpoint(eager=True)
+            ).transform(cut_lineage)
         if nodes.limit(1).count() == 0:
             break
         both = _dual_min_label_fixpoint(e, nodes, max_iter)
@@ -203,11 +205,11 @@ def strongly_connected_components(
             resolved
             if out is None
             else out.unionByName(resolved)
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         nodes = (
             both.where(F.col("lbl") != F.col("blbl"))
             .select("node")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if nodes.limit(1).count() == 0:
             # resolution emptied the graph on this round — success even
@@ -217,7 +219,7 @@ def strongly_connected_components(
         e = (
             e.join(nodes.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     else:
         raise RuntimeError(

@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .lineage import cut_lineage
+
 from ..functions import vectors as V
 
 
@@ -376,8 +378,8 @@ def mmr_rerank(
     if k < 1:
         raise ValueError("k must be >= 1")
     selected = None
-    remaining = cand.localCheckpoint(eager=True)
-    pair_sims = pair_sims.localCheckpoint(eager=True)
+    remaining = cand.transform(cut_lineage)
+    pair_sims = pair_sims.transform(cut_lineage)
     for i in range(1, k + 1):
         if selected is None:
             scores = remaining.select(
@@ -405,13 +407,13 @@ def mmr_rerank(
             scores.orderBy(F.col("score").desc(), F.col("vec_id").asc())
             .limit(1)
             .select(F.lit(i).alias("pick"), "vec_id", "score")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         selected = (
             pick if selected is None
-            else selected.unionByName(pick).localCheckpoint(eager=True)
+            else selected.unionByName(pick).transform(cut_lineage)
         )
         remaining = remaining.join(
             pick.select("vec_id"), "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     return selected

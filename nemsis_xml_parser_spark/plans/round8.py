@@ -189,3 +189,124 @@ def dedup_semdedup_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return semantic_dedup_summary(e, k=SD_K, band=SD_BAND, threshold=SD_T)
+
+
+# ---------------------------------------------------------------------------
+# Borůvka minimum spanning forest (bulk-parallel MST)
+# ---------------------------------------------------------------------------
+
+MST_ORDER_CAP = 600
+MST_ROUNDS = 4
+
+
+def _boruvka_oracle(cap: int = MST_ORDER_CAP, rounds: int = MST_ROUNDS) -> str:
+    blocks = [
+        f"""li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {cap}
+),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS MATERIALIZED (SELECT u, v, (u * 7 + v * 13) % 1000 AS w FROM e0),
+n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+c0 AS MATERIALIZED (SELECT node, node AS c FROM n)"""
+    ]
+    for t in range(1, rounds + 1):
+        blocks.append(
+            f"""ce{t} AS (
+  SELECT a.c AS cu, b.c AS cv, e.u, e.v, e.w
+  FROM e JOIN c{t - 1} a ON a.node = e.u JOIN c{t - 1} b ON b.node = e.v
+  WHERE a.c <> b.c
+),
+both{t} AS (
+  SELECT cu AS c, w, u, v, cv AS oc FROM ce{t}
+  UNION ALL SELECT cv, w, u, v, cu FROM ce{t}
+),
+pick{t} AS MATERIALIZED (
+  SELECT c, oc, u, v, w FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM both{t}) WHERE rn = 1
+),
+par{t} AS MATERIALIZED (
+  SELECT p.c, CASE WHEN q.oc = p.c THEN LEAST(p.c, p.oc) ELSE p.oc END AS par
+  FROM pick{t} p LEFT JOIN pick{t} q ON q.c = p.oc
+),
+walk{t}(c, cur) AS (
+  SELECT c, par FROM par{t}
+  UNION ALL
+  SELECT w.c, p.par FROM walk{t} w JOIN par{t} p ON p.c = w.cur
+  WHERE p.par <> w.cur
+),
+root{t} AS MATERIALIZED (
+  SELECT c, cur AS root FROM walk{t} w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM par{t} p WHERE p.c = w.cur AND p.par <> p.c)
+),
+c{t} AS MATERIALIZED (
+  SELECT m.node, COALESCE(r.root, m.c) AS c
+  FROM c{t - 1} m LEFT JOIN root{t} r ON r.c = m.c
+)"""
+        )
+    per_round = "\nUNION ALL ".join(
+        f"SELECT {t} AS round, CAST(COUNT(*) AS BIGINT) AS n_edges, "
+        f"CAST(SUM(w) AS BIGINT) AS w_sum "
+        f"FROM (SELECT DISTINCT u, v, w FROM pick{t})"
+        for t in range(1, rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(blocks)
+        + f"\n{per_round}\nORDER BY round"
+    )
+
+
+@register(
+    "graph_boruvka_msf",
+    family="graph",
+    doc="Borůvka minimum spanning forest (operators/mst.py, 4 bulk "
+    "rounds): per round EVERY component picks its minimum outgoing "
+    "edge under the TOTAL order (w, u, v) — one (component)-keyed hash "
+    "aggregate after two node-keyed label joins — and the picked edges "
+    "contract components by pointer jumping (the only cycles in the "
+    "pointer graph are mutual-min 2-cycles, provable from order "
+    "totality, so cycle breaking is local).  Component count at least "
+    "halves per round; 4 fixed rounds give the replayable partial "
+    "forest (the ktruss convention), log2(n) rounds the full MSF — the "
+    "naturally data-parallel MST every distributed framework uses "
+    "(Lattanzi et al. MapReduce filtering).  Graph: co-purchase parts "
+    "(orders < 600), weight (7u+13v) mod 1000.  Output: per-round "
+    "picked-edge count and weight sum — wrong labels in round t "
+    "corrupt every later round, so the hash verifies the whole "
+    "contraction cascade.  The generated oracle replays each round "
+    "with a recursive-CTE pointer-chain resolution.",
+    oracle=_boruvka_oracle(),
+)
+def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mst import boruvka_forest
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < MST_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .withColumn("w", (F.col("u") * 7 + F.col("v") * 13) % 1000)
+    )
+    picked, _comp = boruvka_forest(e, rounds=MST_ROUNDS)
+    return (
+        picked.groupBy("round")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("w").cast("bigint").alias("w_sum"),
+        )
+        .orderBy("round")
+    )
