@@ -47,7 +47,7 @@ The reference (a psycopg2 ETL) has no graph surface; §2.I tier.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 from .lineage import cut_lineage
 
@@ -58,19 +58,26 @@ def _dual_min_label_fixpoint(
     """Run the forward (min-ancestor) and backward (min-descendant)
     fixpoints SIMULTANEOUSLY on a direction-tagged label frame —
     (node, dir, lbl) with dir 0 = along edges, dir 1 = reversed — so
-    each iteration is ONE join + ONE min-aggregate + ONE convergence
-    probe covering both directions (the round-6 NOTES fusion: the
-    sequential fwd-then-bwd loops paid two probe collects and two job
-    chains per iteration for the same shuffle volume).
+    each iteration is ONE join + ONE min-aggregate covering both
+    directions (the round-6 NOTES fusion: the sequential fwd-then-bwd
+    loops paid two probe collects and two job chains per iteration for
+    the same shuffle volume).
 
     Pointer jumping is sound per direction exactly as before: lbl(v)
     is always an ancestor-or-self of v within its own direction
     (invariant holds at init, under min-of-predecessors updates, and
     under composition), so least(lbl(v), lbl(lbl(v))) — joined on the
     SAME dir tag — stays within the ancestor set and cuts convergence
-    from O(diameter) to O(log diameter) rounds.  The probe (sum of
-    labels over both directions) is monotone non-increasing and both
-    fixpoints are monotone, so an unchanged sum means BOTH converged.
+    from O(diameter) to O(log diameter) rounds.  (Fusing a SECOND
+    jump into the same materialization was measured and rejected:
+    the composed self-referencing sub-plans re-execute the round's
+    aggregate enough times to cost more than the saved iterations.)
+    The convergence probe (sum of labels over both directions,
+    monotone non-increasing; both fixpoints monotone, so an unchanged
+    sum means BOTH converged) rides the SAME job as the round's
+    lineage cut via ``observe`` — zero dedicated probe jobs (the
+    round-8 rework: the old loop paid a cut job + a probe-collect job
+    per iteration; this pays one).
 
     Returns (node, lbl, blbl): forward and backward min labels."""
     de = (
@@ -84,16 +91,18 @@ def _dual_min_label_fixpoint(
         )
         .transform(cut_lineage)
     )
+    probe = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
     labels = (
         nodes.select(
             "node",
             F.explode(F.array(F.lit(0), F.lit(1))).alias("dir"),
         )
         .withColumn("lbl", F.col("node"))
+        .observe(obs0, probe)
         .transform(cut_lineage)
     )
-    probe = F.sum(F.col("lbl").cast("decimal(38,0)"))
-    prev = labels.agg(probe).collect()[0][0]
+    prev = obs0.get["s"]
     for _ in range(max_iter):
         msgs = de.join(
             labels.withColumnRenamed("node", "u"), ["dir", "u"]
@@ -104,20 +113,20 @@ def _dual_min_label_fixpoint(
             .agg(F.min("lbl").alias("lbl"))
         )
         jump = new.select(
-            "dir", F.col("node").alias("lbl"), F.col("lbl").alias("lbl_jump")
+            "dir",
+            F.col("node").alias("lbl"),
+            F.col("lbl").alias("lbl_jump"),
         )
-        labels = (
-            new.join(jump, ["dir", "lbl"], "left")
-            .select(
-                "dir",
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("lbl_jump"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .transform(cut_lineage)
+        new = new.join(jump, ["dir", "lbl"], "left").select(
+            "dir",
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("lbl_jump"), F.col("lbl"))
+            ).alias("lbl"),
         )
-        cur = labels.agg(probe).collect()[0][0]
+        obs = Observation()
+        labels = new.observe(obs, probe).transform(cut_lineage)
+        cur = obs.get["s"]
         if cur == prev:
             return labels.groupBy("node").agg(
                 F.min(F.when(F.col("dir") == 0, F.col("lbl"))).alias("lbl"),
@@ -129,31 +138,48 @@ def _dual_min_label_fixpoint(
 
 def _trim(e: DataFrame, nodes: DataFrame, max_trim: int):
     """Peel nodes that cannot lie on any cycle — in-degree 0, out-degree
-    0, or isolated (the FW-BW 'trim' phase of Slota et al.): each
-    sub-iteration removes EVERY current source/sink in two semi-joins,
-    so a DAG of depth d (trees, dependency graphs) fully dissolves in
-    O(d) cheap rounds instead of O(n) double-fixpoint peeling rounds.
-    Returns (edges, nodes, trimmed) — trimmed nodes are singleton SCCs
-    by construction (no cycle passes through a source or sink)."""
-    trimmed: DataFrame | None = None
+    0, or isolated (the FW-BW 'trim' phase of Slota et al.): the loop
+    iterates the edge set to its 'every endpoint has both an in- and an
+    out-edge' fixpoint, so a DAG of depth d (trees, dependency graphs)
+    fully dissolves in O(d) cheap rounds instead of O(n) double-fixpoint
+    peeling rounds.  The convergence probe — the surviving edge
+    count — rides the cut job via ``observe``, so each sub-iteration
+    is exactly ONE Spark job (round-8 rework: the old loop paid an
+    emptiness probe + four cut jobs per sub-iteration; fusing two peel
+    steps per job was measured and rejected — the repeated degree
+    sub-plans re-execute and cost more than the saved job overhead).
+    Node bookkeeping falls
+    out ONCE at the end: survivors = endpoints of the fixpoint edge
+    set, trimmed = the rest — trimmed nodes are singleton SCCs by
+    construction (no cycle passes through a source or sink).
+    Returns (edges, nodes, trimmed)."""
+    cnt = F.count(F.lit(1)).alias("n")
+    prev = e.count()  # e arrives checkpointed from the caller
     for _ in range(max_trim):
+        if prev == 0:
+            break
         has_in = e.select(F.col("v").alias("node")).distinct()
         has_out = e.select(F.col("u").alias("node")).distinct()
-        on_cycle_candidates = has_in.join(has_out, "node", "left_semi")
-        gone = nodes.join(on_cycle_candidates, "node", "left_anti")
-        if gone.limit(1).count() == 0:
+        core = has_in.join(has_out, "node", "left_semi")
+        cur = e.join(
+            core.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(core.withColumnRenamed("node", "v"), "v", "left_semi")
+        obs = Observation()
+        e2 = cur.observe(obs, cnt).transform(cut_lineage)
+        n = obs.get["n"]
+        e = e2
+        if n == prev:
             break
-        gone = gone.transform(cut_lineage)
-        trimmed = (
-            gone if trimmed is None else trimmed.unionByName(gone)
-        ).transform(cut_lineage)
-        nodes = nodes.join(gone, "node", "left_anti").transform(cut_lineage)
-        e = (
-            e.join(nodes.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
-            .transform(cut_lineage)
-        )
-    return e, nodes, trimmed
+        prev = n
+    survivors = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    new_nodes = nodes.join(survivors, "node", "left_semi").transform(cut_lineage)
+    gone = nodes.join(survivors, "node", "left_anti")
+    trimmed = gone if gone.limit(1).count() > 0 else None
+    return e, new_nodes, trimmed
 
 
 def strongly_connected_components(
@@ -197,7 +223,9 @@ def strongly_connected_components(
             ).transform(cut_lineage)
         if nodes.limit(1).count() == 0:
             break
-        both = _dual_min_label_fixpoint(e, nodes, max_iter)
+        both = _dual_min_label_fixpoint(e, nodes, max_iter).transform(
+            cut_lineage
+        )
         resolved = both.where(F.col("lbl") == F.col("blbl")).select(
             "node", F.col("lbl").alias("scc")
         )
@@ -206,12 +234,14 @@ def strongly_connected_components(
             if out is None
             else out.unionByName(resolved)
         ).transform(cut_lineage)
+        obs_n = Observation()
         nodes = (
             both.where(F.col("lbl") != F.col("blbl"))
             .select("node")
+            .observe(obs_n, F.count(F.lit(1)).alias("n"))
             .transform(cut_lineage)
         )
-        if nodes.limit(1).count() == 0:
+        if obs_n.get["n"] == 0:
             # resolution emptied the graph on this round — success even
             # when it happens on the final max_rounds iteration (the
             # trim-phase emptiness check would never run again)
