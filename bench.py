@@ -95,6 +95,10 @@ HEADLINE = [
     "cluster_kmeanspp_seeding",
     "quality_isotonic_calibration",
     "multimodal_tiff_pixel_stats",
+    # round 8 flagships (subtract when comparing totals vs earlier rounds)
+    "dedup_semdedup_band",
+    "graph_boruvka_msf",
+    "multimodal_tiff_multipage_stats",
 ]
 
 
