@@ -310,3 +310,307 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — sublinear near-dup fingerprint selection
+# ---------------------------------------------------------------------------
+
+WIN_K = 5          # words per shingle
+WIN_W = 4          # winnowing window (shingles per window)
+WIN_POS_BITS = 20  # pos packed below the hash: docs < 2^20 shingles
+WIN_MAXDF = 50     # stop-fingerprint guard: drop gh seen in > 50 docs
+WIN_MINSHARED = 3  # surface pairs sharing >= 3 fingerprints
+
+_WIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+),
+idx AS (
+  SELECT doc_id, ts, UNNEST(range(1, len(ts) - {WIN_K} + 2)) AS i FROM toks
+),
+ng AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ts[i:i+{WIN_K - 1}], ' ') AS g
+  FROM idx
+),
+h AS (
+  SELECT doc_id, pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, LENGTH(g) + 1),
+             j -> CAST(ascii(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS gh,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_ng
+  FROM ng
+),
+sel AS (
+  SELECT doc_id, pos, n_ng,
+         MIN(gh * {1 << WIN_POS_BITS} + ({(1 << WIN_POS_BITS) - 1} - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS wkey
+  FROM h
+),
+fps0 AS (
+  SELECT DISTINCT doc_id, wkey // {1 << WIN_POS_BITS} AS gh
+  FROM sel WHERE pos <= n_ng - {WIN_W}
+),
+ok AS (SELECT gh FROM fps0 GROUP BY gh HAVING COUNT(*) <= {WIN_MAXDF}),
+fps AS (SELECT f.doc_id, f.gh FROM fps0 f JOIN ok USING (gh)),
+cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM fps a JOIN fps b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {WIN_MINSHARED}
+)
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+       CAST(p.doc_b AS BIGINT) AS doc_b,
+       CAST(p.shared AS BIGINT) AS shared,
+       ROUND(CAST(p.shared AS DOUBLE) / (ca.n_fp + cb.n_fp - p.shared), 6)
+         AS sim
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+"""
+
+
+@register(
+    "dedup_winnowing_pairs",
+    family="dedup",
+    doc="Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/"
+    "Aiken SIGMOD'03 — the MOSS algorithm): word-5-gram shingles are "
+    "rolling-hashed, and each sliding window of 4 consecutive shingle "
+    "hashes SELECTS its minimum (ties to the rightmost position — "
+    "robust winnowing, packed as hash*2^20 + (2^20-1-pos) so one "
+    "integer MIN implements the lexicographic rule on both engines), "
+    "guaranteeing any shared substring of >= w+k-1 words yields a "
+    "shared fingerprint while storing only ~2/(w+1) of the shingles — "
+    "the sublinear-storage middle ground between exact-substring "
+    "dedup (dedup_duplicate_spans) and MinHash sketching.  Pairs "
+    "sharing >= 3 selected fingerprints are surfaced with a "
+    "fingerprint-Jaccard estimate.  Scale shape: one explode, one "
+    "bounded per-doc window (ROWS frame, partitioned by doc), distinct, "
+    "a document-frequency stop-fingerprint guard (df <= 50 caps any "
+    "bucket fan-out, the same skew bound as the LSH star-cap), and a "
+    "fingerprint-keyed equi-join — never an all-pairs comparison.  "
+    "Position packing assumes < 2^20 shingles/doc; chunk longer docs.",
+    oracle=_WIN_ORACLE,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    ng = d.select(
+        "doc_id",
+        F.posexplode(T.word_ngrams(F.col("text"), WIN_K)).alias("pos", "g"),
+    )
+    h = ng.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        T.rolling_hash(F.col("g")).alias("gh"),
+    )
+    pos_mask = F.lit((1 << WIN_POS_BITS) - 1)
+    key = F.col("gh") * F.lit(1 << WIN_POS_BITS) + (pos_mask - F.col("pos"))
+    w_cnt = Window.partitionBy("doc_id")
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WIN_W - 1)
+    )
+    sel = h.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(w_cnt).alias("n_ng"),
+        F.min(key).over(w_min).alias("wkey"),
+    )
+    fps0 = (
+        sel.where(F.col("pos") <= F.col("n_ng") - WIN_W)
+        .select(
+            "doc_id",
+            F.floor(F.col("wkey") / F.lit(1 << WIN_POS_BITS)).alias("gh"),
+        )
+        .distinct()
+    )
+    ok = (
+        fps0.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= WIN_MAXDF)
+        .select("gh")
+    )
+    fps = fps0.join(ok, "gh", "left_semi")
+    cnt = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "gh")
+    pairs = (
+        a.join(b, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= WIN_MINSHARED)
+    )
+    return (
+        pairs.join(cnt.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_fp", "n_fp_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_fp_a") + F.col("n_fp") - F.col("shared")),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (sign matrix, functional)
+# ---------------------------------------------------------------------------
+
+JL_DIM = 64
+JL_K = 8
+JL_PROBE = 8
+_JL_A, _JL_B, _JL_P = 2654435761, 40503, 2147483647
+
+_JL_SIGN_SQL = (
+    f"(CASE WHEN (((j + 1) * {_JL_A} + (s.k + 1) * {_JL_B}) "
+    f"% {_JL_P}) % 2 = 0 THEN 1 ELSE -1 END)"
+)
+
+_JL_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+),
+dims AS (SELECT UNNEST(range({JL_DIM})) AS j),
+ex AS MATERIALIZED (
+  SELECT vec_id, d.j, x[d.j + 1] AS xj FROM emb, dims d
+),
+ks AS (SELECT UNNEST(range({JL_K})) AS k),
+y AS MATERIALIZED (
+  SELECT vec_id, s.k,
+         CAST(SUM(CAST(ROUND(xj * {_JL_SIGN_SQL}, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) / sqrt({JL_K}.0) AS y
+  FROM ex, ks s GROUP BY 1, 2
+),
+pe AS (SELECT * FROM ex WHERE vec_id < {JL_PROBE}),
+orig AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM(CAST(ROUND((a.xj - b.xj) * (a.xj - b.xj), 12)
+              AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM pe a JOIN pe b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+yp AS (SELECT * FROM y WHERE vec_id < {JL_PROBE}),
+proj AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM(CAST(ROUND((a.y - b.y) * (a.y - b.y), 12)
+              AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM yp a JOIN yp b ON a.k = b.k AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(o.va AS BIGINT) AS vec_a, CAST(o.vb AS BIGINT) AS vec_b,
+       ROUND(o.d2, 6) AS orig_d2, ROUND(p.d2, 6) AS proj_d2,
+       ROUND(p.d2 / o.d2, 6) AS ratio
+FROM orig o JOIN proj p ON p.va = o.va AND p.vb = o.vb
+"""
+
+
+@register(
+    "embedding_jl_projection",
+    family="similarity",
+    doc="Johnson–Lindenstrauss random projection (Achlioptas'03 sign "
+    "variant): every 64-d embedding is projected to 8-d as y_k = "
+    "(1/sqrt(8)) * sum_j sign(j,k) * x_j, with the +-1 sign matrix "
+    "FUNCTIONAL — sign(j,k) from a Knuth-multiplicative hash of the "
+    "(dimension, component) pair — so there is no model state at all: "
+    "no broadcast, no training scan, just one O(N*d*K) map-side "
+    "fan-out into a (vec_id,k)-keyed hash aggregate.  That is the "
+    "whole 100 TB story of JL: the cheapest dimensionality reduction "
+    "that still guarantees (1+-eps) pairwise-distance preservation, "
+    "and the standard preconditioner in front of clustering / ANN "
+    "when PCA's covariance pass is too expensive.  The audit output "
+    "surfaces the guarantee: all 28 probe pairs (vec_id < 8) with "
+    "exact-decimal squared L2 before and after projection and the "
+    "distortion ratio.  Decimal-sum discipline at every reduction "
+    "(ROUND 12 then DECIMAL(38,12) sum) keeps both engines "
+    "order-independent and bit-identical.",
+    oracle=_JL_ORACLE,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    ex = e.select("vec_id", x.alias("x")).select(
+        "vec_id", F.posexplode("x").alias("j", "xj")
+    )
+    exk = ex.select(
+        "vec_id",
+        "j",
+        "xj",
+        F.explode(F.sequence(F.lit(0), F.lit(JL_K - 1))).alias("k"),
+    )
+    sign = F.when(
+        ((F.col("j") + 1) * F.lit(_JL_A) + (F.col("k") + 1) * F.lit(_JL_B))
+        % F.lit(_JL_P) % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    y = (
+        exk.groupBy("vec_id", "k")
+        .agg(
+            F.sum(
+                F.round(F.col("xj") * sign, 12).cast("decimal(38,12)")
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            "k",
+            (F.col("s").cast("double") / F.lit(float(JL_K) ** 0.5)).alias("y"),
+        )
+    )
+    pe = ex.where(F.col("vec_id") < JL_PROBE)
+    pa = pe.select(F.col("vec_id").alias("va"), "j", F.col("xj").alias("xa"))
+    pb = pe.select(F.col("vec_id").alias("vb"), "j", F.col("xj").alias("xb"))
+    orig = (
+        pa.join(pb, "j")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("orig_d2")
+        )
+    )
+    yp = y.where(F.col("vec_id") < JL_PROBE)
+    ya = yp.select(F.col("vec_id").alias("va"), "k", F.col("y").alias("ya"))
+    yb = yp.select(F.col("vec_id").alias("vb"), "k", F.col("y").alias("yb"))
+    proj = (
+        ya.join(yb, "k")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("proj_d2")
+        )
+    )
+    return orig.join(proj, ["va", "vb"]).select(
+        F.col("va").cast("bigint").alias("vec_a"),
+        F.col("vb").cast("bigint").alias("vec_b"),
+        F.round("orig_d2", 6).alias("orig_d2"),
+        F.round("proj_d2", 6).alias("proj_d2"),
+        F.round(F.col("proj_d2") / F.col("orig_d2"), 6).alias("ratio"),
+    )

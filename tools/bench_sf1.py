@@ -43,6 +43,11 @@ SF1_QUERIES = [
     "mine_fpgrowth_itemsets",
     "join_spatial_grid_knn",
     "dedup_ladder_full",
+    # round 8 additions
+    "dedup_semdedup_band",
+    "graph_boruvka_msf",
+    "dedup_winnowing_pairs",
+    "embedding_jl_projection",
 ]
 
 
