@@ -614,3 +614,187 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("proj_d2", 6).alias("proj_d2"),
         F.round(F.col("proj_d2") / F.col("orig_d2"), 6).alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing ladder — fingerprint pairs -> clusters -> survivor election
+# ---------------------------------------------------------------------------
+
+_ELECTION_TAIL_SQL = """
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
+gnodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM gnodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM gnodes),
+{iters},
+elect AS (
+  SELECT c.cluster_id, s.cluster_size, c.doc_id, ROUND(p.pr, 6) AS pr,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY ROUND(p.pr, 6) DESC, c.doc_id ASC) AS rn
+  FROM comp c
+  JOIN csize s USING (cluster_id)
+  JOIN pr3 p ON p.node = c.doc_id
+  WHERE s.cluster_size >= 2
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(doc_id AS BIGINT) AS survivor_doc_id,
+       pr AS survivor_pagerank,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM elect WHERE rn = 1
+"""
+
+
+def _election_tail() -> str:
+    """The transitive-closure + 3-iteration PageRank + per-cluster
+    election SQL tail shared with round7._ladder_oracle (same rounding
+    discipline at every step; equality of the two Spark ladders against
+    this identical tail pins both pair generators to one election
+    semantics).  Expects a ``pairs(doc_a, doc_b)`` CTE upstream."""
+    pr_iter = """
+pr{t} AS (
+  SELECT n2.node,
+         ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(CAST(SUM(CAST(ROUND(p.pr / dg.d, 12)
+                     AS DECIMAL(20,12))) AS DOUBLE), 0.0), 12) AS pr
+  FROM gnodes n2
+  LEFT JOIN edges e ON e.dst = n2.node
+  LEFT JOIN pr{p} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n2.node
+)"""
+    iters = ",".join(pr_iter.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return _ELECTION_TAIL_SQL.format(iters=iters)
+
+
+_WIN_PAIRS_SQL = f"""
+toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+),
+idx AS (
+  SELECT doc_id, ts, UNNEST(range(1, len(ts) - {WIN_K} + 2)) AS i FROM toks
+),
+ng AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ts[i:i+{WIN_K - 1}], ' ') AS g
+  FROM idx
+),
+h AS (
+  SELECT doc_id, pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, LENGTH(g) + 1),
+             j -> CAST(ascii(substr(g, CAST(j AS INTEGER), 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS gh,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_ng
+  FROM ng
+),
+sel AS (
+  SELECT doc_id, pos, n_ng,
+         MIN(gh * {1 << WIN_POS_BITS} + ({(1 << WIN_POS_BITS) - 1} - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS wkey
+  FROM h
+),
+fps0 AS (
+  SELECT DISTINCT doc_id, wkey // {1 << WIN_POS_BITS} AS gh
+  FROM sel WHERE pos <= n_ng - {WIN_W}
+),
+ok AS (SELECT gh FROM fps0 GROUP BY gh HAVING COUNT(*) <= {WIN_MAXDF}),
+fps AS MATERIALIZED (SELECT f.doc_id, f.gh FROM fps0 f JOIN ok USING (gh)),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fps a JOIN fps b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {WIN_MINSHARED}
+)"""
+
+
+@register(
+    "dedup_winnowing_ladder",
+    family="dedup",
+    doc="The winnowing twin of dedup_ladder_full: MOSS winnowing "
+    "fingerprint pairs (same selection pipeline as "
+    "dedup_winnowing_pairs — window-min shingle hashes, df<=50 "
+    "stop-fingerprint guard, >=3 shared fingerprints) fed through the "
+    "SAME downstream composition — connected components by min-label "
+    "pointer jumping, PageRank on the symmetrized pair graph, one "
+    "survivor elected per cluster of size >=2 "
+    "(operators/components.py::elect_survivors).  The oracle replays "
+    "the fingerprint pipeline, a recursive-CTE transitive closure, 3 "
+    "unrolled PageRank iterations and the election with the identical "
+    "SQL tail the LSH ladder uses — the two pair generators are pinned "
+    "to one election semantics, so a curation run can swap candidate "
+    "generators without touching the dedup decision logic.  Scale "
+    "shape: inherited — explode + bounded per-doc window + "
+    "fingerprint-keyed join upstream, (node,label) iteration + one "
+    "struct-max election downstream; no stage materializes pairs "
+    "beyond the candidate graph.",
+    oracle="WITH RECURSIVE " + _WIN_PAIRS_SQL + ",\n" + _election_tail(),
+)
+def dedup_winnowing_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+    from ..operators.components import elect_survivors
+
+    d = table(spark, sf_dir, "documents")
+    ng = d.select(
+        "doc_id",
+        F.posexplode(T.word_ngrams(F.col("text"), WIN_K)).alias("pos", "g"),
+    )
+    h = ng.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        T.rolling_hash(F.col("g")).alias("gh"),
+    )
+    pos_mask = F.lit((1 << WIN_POS_BITS) - 1)
+    key = F.col("gh") * F.lit(1 << WIN_POS_BITS) + (pos_mask - F.col("pos"))
+    w_cnt = Window.partitionBy("doc_id")
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WIN_W - 1)
+    )
+    sel = h.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(w_cnt).alias("n_ng"),
+        F.min(key).over(w_min).alias("wkey"),
+    )
+    fps0 = (
+        sel.where(F.col("pos") <= F.col("n_ng") - WIN_W)
+        .select(
+            "doc_id",
+            F.floor(F.col("wkey") / F.lit(1 << WIN_POS_BITS)).alias("gh"),
+        )
+        .distinct()
+    )
+    ok = (
+        fps0.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= WIN_MAXDF)
+        .select("gh")
+    )
+    fps = fps0.join(ok, "gh", "left_semi")
+    a = fps.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "gh")
+    pairs = (
+        a.join(b, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= WIN_MINSHARED)
+    )
+    return elect_survivors(
+        pairs.select("doc_a", "doc_b"), nodes=d.select("doc_id")
+    )
