@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 # TIFF tag ids
 _WIDTH, _LENGTH, _BPS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
+_TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
 
 
 def packbits_compress(data: bytes) -> bytes:
@@ -220,6 +221,105 @@ def encode_tiff(
     return encode_tiff_multipage([px], rows_per_strip, packbits, big_endian)
 
 
+def encode_tiff_tiled(
+    px: np.ndarray,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    packbits: bool = True,
+    big_endian: bool = False,
+) -> bytes:
+    """uint8 image (2-D grayscale or (h,w,3) RGB) → single-IFD TILED
+    TIFF (TileWidth/TileLength/TileOffsets/TileByteCounts instead of
+    the strip tags): the layout large scans and geo rasters use so
+    readers can fetch a spatial region without the full raster.  Tiles
+    run left-to-right, top-to-bottom; EVERY tile is padded to the full
+    tile_w × tile_h (the spec's edge rule — decoders must clip), pad
+    bytes zero.  Tile dims default to the spec-mandated multiple of
+    16."""
+    if tile_w % 16 or tile_h % 16:
+        raise ValueError("TIFF tile dimensions must be multiples of 16")
+    if px.ndim == 2:
+        spp, photometric = 1, 1
+    elif px.ndim == 3 and px.shape[2] == 3:
+        spp, photometric = 3, 2
+    else:
+        raise NotImplementedError("grayscale (2-D) or RGB (h,w,3) only")
+    h, w = px.shape[0], px.shape[1]
+    a = px.astype(np.uint8)
+    if spp == 1:
+        a = a[..., None]
+    tiles: list[bytes] = []
+    for ty in range(0, h, tile_h):
+        for tx in range(0, w, tile_w):
+            tile = np.zeros((tile_h, tile_w, spp), dtype=np.uint8)
+            part = a[ty : ty + tile_h, tx : tx + tile_w]
+            tile[: part.shape[0], : part.shape[1]] = part
+            raw = tile.tobytes()
+            tiles.append(packbits_compress(raw) if packbits else raw)
+    bo = ">" if big_endian else "<"
+    out = bytearray(
+        struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 0)
+    )
+    offsets = []
+    pos = len(out)
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    arrays = bytearray()
+    n_tiles = len(tiles)
+    if n_tiles > 1:
+        off_array_pos = pos
+        for o in offsets:
+            arrays += struct.pack(bo + "I", o)
+        cnt_array_pos = pos + 4 * n_tiles
+        for t in tiles:
+            arrays += struct.pack(bo + "I", len(t))
+        pos += len(arrays)
+    if spp == 3:
+        bps_array_pos = pos
+        arrays += struct.pack(bo + "HHH", 8, 8, 8)
+        pos += 6
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:
+            return struct.pack(bo + "HHIHH", tag, typ, count, value, 0)
+        return struct.pack(bo + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(_WIDTH, 4, 1, w),
+        entry(_LENGTH, 4, 1, h),
+        (
+            entry(_BPS, 3, 1, 8)
+            if spp == 1
+            else entry(_BPS, 3, 3, bps_array_pos)
+        ),
+        entry(_COMPRESSION, 3, 1, 32773 if packbits else 1),
+        entry(_PHOTOMETRIC, 3, 1, photometric),
+        entry(_SPP, 3, 1, spp),
+        entry(_TILE_WIDTH, 3, 1, tile_w),
+        entry(_TILE_LENGTH, 3, 1, tile_h),
+        entry(
+            _TILE_OFFSETS,
+            4,
+            n_tiles,
+            offsets[0] if n_tiles == 1 else off_array_pos,
+        ),
+        entry(
+            _TILE_COUNTS,
+            4,
+            n_tiles,
+            len(tiles[0]) if n_tiles == 1 else cnt_array_pos,
+        ),
+    ]
+    ifd_pos = pos
+    out[4:8] = struct.pack(bo + "I", ifd_pos)
+    out += b"".join(tiles) + bytes(arrays)
+    out += struct.pack(bo + "H", len(entries))
+    out += b"".join(entries)
+    out += struct.pack(bo + "I", 0)
+    return bytes(out)
+
+
 def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
     """IFD entry value(s): inline when they fit in 4 bytes, else at the
     offset the value field points to."""
@@ -261,24 +361,53 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
     comp = tags.get(_COMPRESSION, [1])[0]
     if comp not in (1, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
-    if _STRIP_OFFSETS not in tags:
-        raise NotImplementedError("tiled TIFF (no strip offsets)")
-    offsets = tags[_STRIP_OFFSETS]
-    counts = tags[_STRIP_COUNTS]
-    rps = tags.get(_ROWS_PER_STRIP, [h])[0]
-    out = bytearray()
-    for si, (o, c) in enumerate(zip(offsets, counts)):
-        rows = min(rps, h - si * rps)
-        expected = rows * w * spp
-        chunk = buf[o : o + c]
-        if comp == 32773:
-            out += packbits_decompress(chunk, expected)
-        else:
-            if len(chunk) != expected:
-                raise ValueError("strip byte count mismatch")
-            out += chunk
-    px = np.frombuffer(bytes(out), dtype=np.uint8)
-    px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+    if _STRIP_OFFSETS in tags:
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_COUNTS]
+        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        out = bytearray()
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - si * rps)
+            expected = rows * w * spp
+            chunk = buf[o : o + c]
+            if comp == 32773:
+                out += packbits_decompress(chunk, expected)
+            else:
+                if len(chunk) != expected:
+                    raise ValueError("strip byte count mismatch")
+                out += chunk
+        px = np.frombuffer(bytes(out), dtype=np.uint8)
+        px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+    elif _TILE_OFFSETS in tags:
+        # tiled layout: every tile is a full tile_w × tile_h raster
+        # (edge tiles padded by the writer); the reader clips
+        tw = tags[_TILE_WIDTH][0]
+        th = tags[_TILE_LENGTH][0]
+        offsets = tags[_TILE_OFFSETS]
+        counts = tags[_TILE_COUNTS]
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"tiled TIFF: {len(offsets)} tiles, expected {across * down}"
+            )
+        full = np.zeros((h, w, spp), dtype=np.uint8)
+        expected = tw * th * spp
+        for ti, (o, c) in enumerate(zip(offsets, counts)):
+            chunk = buf[o : o + c]
+            if comp == 32773:
+                raw = packbits_decompress(chunk, expected)
+            else:
+                if len(chunk) != expected:
+                    raise ValueError("tile byte count mismatch")
+                raw = chunk
+            tile = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, spp)
+            ty, tx = (ti // across) * th, (ti % across) * tw
+            ch, cw = min(th, h - ty), min(tw, w - tx)
+            full[ty : ty + ch, tx : tx + cw] = tile[:ch, :cw]
+        px = full[:, :, 0] if spp == 1 else full
+    else:
+        raise ValueError("TIFF with neither strip nor tile offsets")
     if photometric == 0:  # WhiteIsZero: invert
         px = 255 - px
     return px, next_ifd
@@ -382,6 +511,91 @@ def tiff_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in TIFF_STATS_SCHEMA])
 
     return media.mapInPandas(stats, schema=TIFF_STATS_SCHEMA)
+
+
+def make_tiff_tiled_image(image_id: int) -> bytes:
+    """Deterministic REAL tiled TIFF: width = id%37+17, height =
+    id%23+17 (always >= 2 tiles in each 16-px dimension with clipped
+    edge tiles), sample v(x,y,c) = (id*7 + 3y + x div 5 + 50c) mod 256
+    (c = 0 on grayscale), chunky RGB every 4th id, PackBits unless
+    id%5 == 0, big-endian every 3rd id — closed-form for the SQL
+    oracle, so a wrong tile origin, pad clip, channel interleave or
+    run length breaks the hash."""
+    w, h = image_id % 37 + 17, image_id % 23 + 17
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    base = image_id * 7
+    if image_id % 4 == 1:
+        c = np.arange(3).reshape(1, 1, 3)
+        px = ((base + 3 * y[..., None] + x[..., None] // 5 + 50 * c) % 256).astype(
+            np.uint8
+        )
+    else:
+        px = ((base + 3 * y + x // 5) % 256).astype(np.uint8)
+    return encode_tiff_tiled(
+        px,
+        tile_w=16,
+        tile_h=16,
+        packbits=(image_id % 5 != 0),
+        big_endian=(image_id % 3 == 0),
+    )
+
+
+def synthesize_tiff_tiled_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL tiled TIFFs — MEDIA_SCHEMA output,
+    Arrow-batched."""
+    from .multimodal import MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_tiff_tiled_image(int(i))
+                rows.append((str(int(i)), "image/tiff", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+TIFF_TILED_STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("px_min", IntegerType(), True),
+        StructField("px_max", IntegerType(), True),
+    ]
+)
+
+
+def tiff_tiled_stats(media: DataFrame) -> DataFrame:
+    """Integer pixel statistics via the tiled decode path (decode_tiff
+    dispatches on TileOffsets vs StripOffsets)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_tiff(bytes(content)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                ch = 1 if px.ndim == 2 else px.shape[2]
+                rows.append(
+                    (
+                        int(path), w, h, ch,
+                        int(px.sum()), int(px.min()), int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_TILED_STATS_SCHEMA]
+            )
+
+    return media.mapInPandas(stats, schema=TIFF_TILED_STATS_SCHEMA)
 
 
 def make_tiff_multipage_image(image_id: int) -> bytes:

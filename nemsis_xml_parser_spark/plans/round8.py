@@ -798,3 +798,69 @@ def dedup_winnowing_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return elect_survivors(
         pairs.select("doc_a", "doc_b"), nodes=d.select("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tiled TIFF (TileOffsets layout) — the last major TIFF layout seam
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_tiff_tiled_stats",
+    family="multimodal",
+    doc="Pixel statistics over the REAL tiled-TIFF decode path "
+    "(operators/tiff.py::encode_tiff_tiled / the TileOffsets branch of "
+    "_decode_ifd): the TileWidth/TileLength/TileOffsets/TileByteCounts "
+    "layout large scans and geo rasters use so readers can fetch a "
+    "spatial region without the whole raster — the layout seam the "
+    "strip decoder had raised at since round 7.  Every tile is a full "
+    "16x16 raster (edge tiles written padded, clipped on read, per "
+    "the spec's edge rule); fixtures are always >= 2 tiles in each "
+    "dimension with clipped edges, chunky RGB every 4th id, PackBits/"
+    "uncompressed and II/MM mixes, pixel formula id*7 + 3y + x div 5 "
+    "+ 50c — the closed-form oracle breaks on any wrong tile origin, "
+    "pad clip, channel interleave or run length.  Blobs never leave "
+    "the executor Arrow batch; narrow stat rows out.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 37 + 17 AS w, doc_id % 23 + 17 AS h,
+         CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ch,
+         (doc_id * 7 + 3 * ys.y + xs.x // 5 + 50 * cs.c) % 256 AS v
+  FROM dims,
+       UNNEST(range(0, w)) AS xs(x),
+       UNNEST(range(0, h)) AS ys(y),
+       UNNEST(range(0, ch)) AS cs(c)
+),
+per AS (
+  SELECT doc_id, w, ch,
+         CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(ch AS INT) AS channels, CAST(w AS INT) AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(s) AS BIGINT) AS px_sum,
+       CAST(MIN(mn) AS INT) AS px_min,
+       CAST(MAX(mx) AS INT) AS px_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_tiff_tiled_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.tiff import synthesize_tiff_tiled_media, tiff_tiled_stats
+
+    d = table(spark, sf_dir, "documents")
+    stats = tiff_tiled_stats(synthesize_tiff_tiled_media(d.select("doc_id")))
+    return stats.groupBy(
+        F.col("channels").cast("int").alias("channels"),
+        F.col("width").cast("int").alias("width"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )

@@ -176,3 +176,56 @@ def test_ifd_chain_loop_detected():
     buf[next_pos : next_pos + 4] = struct.pack("<I", ifd_off)
     with pytest.raises(ValueError, match="loop"):
         decode_tiff_pages(bytes(buf))
+
+
+def test_tiled_roundtrip_gray_and_rgb():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_tiled,
+    )
+
+    rng = np.random.default_rng(8)
+    for shape in [(10, 12), (17, 33), (23, 53, 3), (16, 16), (48, 32, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for pb in (True, False):
+            for be in (True, False):
+                out = decode_tiff(
+                    encode_tiff_tiled(px, packbits=pb, big_endian=be)
+                )
+                assert out.shape == px.shape
+                assert (out == px).all()
+
+
+def test_tiled_fixture_matches_formula():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.tiff import (
+        decode_tiff,
+        make_tiff_tiled_image,
+    )
+
+    for i in (0, 1, 3, 5, 12, 37, 97):
+        px = decode_tiff(make_tiff_tiled_image(i))
+        w, h = i % 37 + 17, i % 23 + 17
+        x = np.arange(w).reshape(1, w)
+        y = np.arange(h).reshape(h, 1)
+        if i % 4 == 1:
+            c = np.arange(3).reshape(1, 1, 3)
+            exp = (
+                (i * 7 + 3 * y[..., None] + x[..., None] // 5 + 50 * c) % 256
+            ).astype(np.uint8)
+        else:
+            exp = ((i * 7 + 3 * y + x // 5) % 256).astype(np.uint8)
+        assert (px == exp).all()
+
+
+def test_tiled_rejects_non_multiple_of_16():
+    import numpy as np
+    import pytest
+
+    from nemsis_xml_parser_spark.operators.tiff import encode_tiff_tiled
+
+    with pytest.raises(ValueError):
+        encode_tiff_tiled(np.zeros((8, 8), dtype=np.uint8), tile_w=12)
