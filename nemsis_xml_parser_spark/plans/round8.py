@@ -396,58 +396,16 @@ JOIN cnt cb ON cb.doc_id = p.doc_b
     oracle=_WIN_ORACLE,
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..functions import text as T
+    from ..operators.winnow import winnowing_fingerprints, winnowing_pairs
 
     d = table(spark, sf_dir, "documents")
-    ng = d.select(
-        "doc_id",
-        F.posexplode(T.word_ngrams(F.col("text"), WIN_K)).alias("pos", "g"),
+    fps = winnowing_fingerprints(
+        d, k=WIN_K, w=WIN_W, max_df=WIN_MAXDF, pos_bits=WIN_POS_BITS
     )
-    h = ng.select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        T.rolling_hash(F.col("g")).alias("gh"),
-    )
-    pos_mask = F.lit((1 << WIN_POS_BITS) - 1)
-    key = F.col("gh") * F.lit(1 << WIN_POS_BITS) + (pos_mask - F.col("pos"))
-    w_cnt = Window.partitionBy("doc_id")
-    w_min = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WIN_W - 1)
-    )
-    sel = h.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(w_cnt).alias("n_ng"),
-        F.min(key).over(w_min).alias("wkey"),
-    )
-    fps0 = (
-        sel.where(F.col("pos") <= F.col("n_ng") - WIN_W)
-        .select(
-            "doc_id",
-            F.floor(F.col("wkey") / F.lit(1 << WIN_POS_BITS)).alias("gh"),
-        )
-        .distinct()
-    )
-    ok = (
-        fps0.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= WIN_MAXDF)
-        .select("gh")
-    )
-    fps = fps0.join(ok, "gh", "left_semi")
     cnt = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fps.select(F.col("doc_id").alias("doc_a"), "gh")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "gh")
-    pairs = (
-        a.join(b, "gh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= WIN_MINSHARED)
+    pairs = winnowing_pairs(
+        d, k=WIN_K, w=WIN_W, max_df=WIN_MAXDF,
+        min_shared=WIN_MINSHARED, pos_bits=WIN_POS_BITS,
     )
     return (
         pairs.join(cnt.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -742,58 +700,13 @@ pairs AS MATERIALIZED (
     oracle="WITH RECURSIVE " + _WIN_PAIRS_SQL + ",\n" + _election_tail(),
 )
 def dedup_winnowing_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..functions import text as T
     from ..operators.components import elect_survivors
+    from ..operators.winnow import winnowing_pairs
 
     d = table(spark, sf_dir, "documents")
-    ng = d.select(
-        "doc_id",
-        F.posexplode(T.word_ngrams(F.col("text"), WIN_K)).alias("pos", "g"),
-    )
-    h = ng.select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        T.rolling_hash(F.col("g")).alias("gh"),
-    )
-    pos_mask = F.lit((1 << WIN_POS_BITS) - 1)
-    key = F.col("gh") * F.lit(1 << WIN_POS_BITS) + (pos_mask - F.col("pos"))
-    w_cnt = Window.partitionBy("doc_id")
-    w_min = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WIN_W - 1)
-    )
-    sel = h.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(w_cnt).alias("n_ng"),
-        F.min(key).over(w_min).alias("wkey"),
-    )
-    fps0 = (
-        sel.where(F.col("pos") <= F.col("n_ng") - WIN_W)
-        .select(
-            "doc_id",
-            F.floor(F.col("wkey") / F.lit(1 << WIN_POS_BITS)).alias("gh"),
-        )
-        .distinct()
-    )
-    ok = (
-        fps0.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= WIN_MAXDF)
-        .select("gh")
-    )
-    fps = fps0.join(ok, "gh", "left_semi")
-    a = fps.select(F.col("doc_id").alias("doc_a"), "gh")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "gh")
-    pairs = (
-        a.join(b, "gh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= WIN_MINSHARED)
+    pairs = winnowing_pairs(
+        d, k=WIN_K, w=WIN_W, max_df=WIN_MAXDF,
+        min_shared=WIN_MINSHARED, pos_bits=WIN_POS_BITS,
     )
     return elect_survivors(
         pairs.select("doc_a", "doc_b"), nodes=d.select("doc_id")

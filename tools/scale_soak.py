@@ -319,12 +319,81 @@ def run_ladder_tier(
     return out
 
 
+def run_winnowing_tier(
+    spark, sf_dir: str, scale: str, max_df: int | None
+) -> dict:
+    """The winnowing pair generator under the hot-template corpus: the
+    df-guard must drop the boilerplate's shared fingerprints (the
+    template is verbatim in 20% of docs, so its fingerprints have
+    df ~ 0.2 * n_docs >> max_df), keeping cross-family candidates
+    bounded while every 10-replica family still pairs up through its
+    own rare fingerprints (replicas differ by one tail token, so they
+    share nearly all selected fingerprints)."""
+    from nemsis_xml_parser_spark.operators.winnow import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        "tier": "winnowing",
+        "scale": scale,
+        "n_docs": docs.count(),
+        "max_df": max_df,
+    }
+    t = time.time()
+    fps = winnowing_fingerprints(docs, max_df=max_df).localCheckpoint(
+        eager=True
+    )
+    out["fingerprints"] = fps.count()
+    out["fingerprint_sec"] = round(time.time() - t, 2)
+    unguarded = winnowing_fingerprints(docs, max_df=None)
+    out["fingerprints_dropped_by_guard"] = (
+        unguarded.count() - out["fingerprints"]
+    )
+    t = time.time()
+    pairs = winnowing_pairs(docs, max_df=max_df)
+    out["pairs"] = pairs.count()
+    no_cartesian(pairs)
+    out["pairs_sec"] = round(time.time() - t, 2)
+    out["winnowing_sec"] = round(
+        out["fingerprint_sec"] + out["pairs_sec"], 2
+    )
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-soak")
     if "--regen" in sys.argv or not os.path.isdir(f"{DST}/documents.parquet"):
         generate(spark)
     if "--regen" in sys.argv or not os.path.isdir(f"{HOT}/documents.parquet"):
         generate_hot(spark)
+    if "--winnowing" in sys.argv:
+        cap = None if "--winnowing-unguarded" in sys.argv else 50
+        w1 = run_winnowing_tier(spark, SRC, "1x", max_df=cap)
+        print(json.dumps(w1))
+        whot = run_winnowing_tier(spark, HOT, "10x-hot", max_df=cap)
+        print(json.dumps(whot))
+        summary = {
+            "winnowing_hot_vs_1x_wall": round(
+                whot["winnowing_sec"] / max(w1["winnowing_sec"], 1e-9), 2
+            ),
+            "winnowing_hot_pairs_per_doc": round(
+                whot["pairs"] / max(whot["n_docs"], 1), 2
+            ),
+        }
+        print(json.dumps({"winnowing_summary": summary}))
+        if cap is not None:
+            # same gate shape as the ladder: each 10-replica family is
+            # C(10,2)=45 true pairs (4.5/doc); the df guard must keep the
+            # 20%-of-corpus boilerplate from pairing families with each
+            # other, so per-doc pairs stay O(replicas), and the guard must
+            # actually fire (dropped > 0) on the hot corpus.
+            assert summary["winnowing_hot_pairs_per_doc"] < 3 * REPLICAS, summary
+            assert whot["fingerprints_dropped_by_guard"] > 0, whot
+            assert summary["winnowing_hot_vs_1x_wall"] < 10, summary
+        spark.stop()
+        return
     if "--ladder" in sys.argv:
         # flagship-composition soak: 1x vs 10x-hot, star cap engaged
         # (use --ladder-uncapped to measure the unguarded blowup once)
