@@ -777,3 +777,149 @@ def multimodal_tiff_tiled_stats(
         F.min("px_min").cast("int").alias("px_min"),
         F.max("px_max").cast("int").alias("px_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NSW beam-search ANN — the graph-based third ANN scale path
+# ---------------------------------------------------------------------------
+
+NSW_NLIST = 8
+NSW_G = 6
+NSW_LINKS = 3
+NSW_BEAM = 8
+NSW_HOPS = 3
+NSW_K = 5
+NSW_Q = 3
+
+
+def _nsw_oracle() -> str:
+    """Replays graph build AND every unrolled beam hop in SQL — the
+    entire graph-ANN search path hash-checked against Spark."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    blocks = [
+        """vecs AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings)""",
+        f"""strata AS (
+  SELECT vec_id % {NSW_NLIST} AS cid, MIN(vec_id) AS svid
+  FROM vecs GROUP BY 1)""",
+        """cents AS MATERIALIZED (
+  SELECT s.cid, s.svid, v.v AS c
+  FROM strata s JOIN vecs v ON v.vec_id = s.svid)""",
+        """asgn_d AS MATERIALIZED (
+  SELECT v.vec_id, ce.cid,
+         ROUND(sqrt(list_sum(list_transform(range(64),
+               i -> (v.v[i+1] - ce.c[i+1]) * (v.v[i+1] - ce.c[i+1])))), 6) AS d
+  FROM vecs v CROSS JOIN cents ce)""",
+        """ranked AS MATERIALIZED (
+  SELECT vec_id, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, cid ASC) AS rn
+  FROM asgn_d)""",
+        """cells AS MATERIALIZED (
+  SELECT vec_id AS item_id, cid FROM ranked WHERE rn = 1)""",
+        f"""intra AS (
+  SELECT src, dst FROM (
+    SELECT a.item_id AS src, b.item_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY a.item_id
+             ORDER BY {cos("va.v", "vb.v")} DESC, b.item_id ASC) AS rn
+    FROM cells a JOIN cells b ON a.cid = b.cid AND a.item_id != b.item_id
+    JOIN vecs va ON va.vec_id = a.item_id
+    JOIN vecs vb ON vb.vec_id = b.item_id
+  ) WHERE rn <= {NSW_G})""",
+        f"""lk AS (
+  SELECT r.vec_id AS node, c.svid
+  FROM ranked r JOIN cents c ON c.cid = r.cid
+  WHERE r.rn <= {NSW_LINKS} AND c.svid != r.vec_id)""",
+        """graph AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM intra
+    UNION ALL SELECT node, svid FROM lk
+    UNION ALL SELECT svid, node FROM lk))""",
+        f"""qset AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {NSW_Q})""",
+        f"""state0 AS (
+  SELECT r.vec_id AS query_id, c.svid AS node
+  FROM ranked r JOIN cents c ON c.cid = r.cid
+  WHERE r.vec_id < {NSW_Q} AND r.rn = 1)""",
+    ]
+    for t in range(1, NSW_HOPS + 1):
+        blocks.append(
+            f"""kept{t} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT s.query_id, s.node,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+             ORDER BY {cos("q.qv", "n.v")} DESC, s.node ASC) AS rn
+    FROM (SELECT DISTINCT query_id, node FROM state{t - 1}) s
+    JOIN qset q USING (query_id)
+    JOIN vecs n ON n.vec_id = s.node
+  ) WHERE rn <= {NSW_BEAM})"""
+        )
+        blocks.append(
+            f"""state{t} AS (
+  SELECT query_id, node FROM kept{t}
+  UNION ALL
+  SELECT k.query_id, g.dst
+  FROM kept{t} k JOIN graph g ON g.src = k.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT s.query_id, s.node AS neighbor_id,
+         {cos("q.qv", "n.v")} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id
+           ORDER BY {cos("q.qv", "n.v")} DESC, s.node ASC) AS rank
+  FROM (SELECT DISTINCT query_id, node FROM state{NSW_HOPS}) s
+  JOIN qset q USING (query_id)
+  JOIN vecs n ON n.vec_id = s.node
+  WHERE s.node != s.query_id
+) WHERE rank <= {NSW_K}
+"""
+    )
+
+
+@register(
+    "ann_nsw_beam_topk",
+    family="similarity",
+    doc="Navigable-small-world beam-search ANN (operators/nsw.py — the "
+    "graph-based family of Malkov/Yashunin NSW/HNSW and DiskANN, next "
+    "to the IVF and PQ scale paths): the index is per-node top-6 "
+    "in-cell cosine neighbors plus bidirectional navigation links to "
+    "the seed members of each node's 3 nearest cells (the flat hub "
+    "stand-in for HNSW's upper layers); search starts at the query's "
+    "nearest-cell seed and runs 3 beam-8 hops — per hop one graph "
+    "equi-join expansion and one bounded per-query ranking window, "
+    "candidate volume O(queries x beam x degree), never a cross join.  "
+    "Deterministic end to end (seeded quantizer, ROUND-6 scores, ties "
+    "to the smaller vec_id), so the generated oracle replays the graph "
+    "BUILD and every unrolled hop in SQL — a graph-ANN whose whole "
+    "search path is hash-checked; recall vs brute force asserted in "
+    "tests/test_nsw.py.  At scale: raise nlist so cells stay bounded "
+    "(the graph build touches only within-cell pairs) and persist the "
+    "graph partitioned by src — hops are then src-keyed shuffle joins.",
+    oracle=_nsw_oracle(),
+)
+def ann_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nsw import nsw_beam_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < NSW_Q)
+    return nsw_beam_topk(
+        queries,
+        e,
+        k=NSW_K,
+        nlist=NSW_NLIST,
+        g_intra=NSW_G,
+        seed_links=NSW_LINKS,
+        beam=NSW_BEAM,
+        hops=NSW_HOPS,
+    )

@@ -1,0 +1,97 @@
+"""NSW beam-search ANN (operators/nsw.py): graph shape, determinism,
+and the recall contract vs brute force."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pyspark.sql.functions as F  # noqa: E402
+import pytest  # noqa: E402
+
+from nemsis_xml_parser_spark.operators.nsw import (  # noqa: E402
+    build_nsw_graph,
+    nsw_beam_topk,
+)
+from nemsis_xml_parser_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from nemsis_xml_parser_spark.plans.registry import table
+
+    return table(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
+
+
+def test_graph_shape(spark, emb):
+    n = emb.count()
+    g = build_nsw_graph(emb, nlist=8, g_intra=4, seed_links=2)
+    rows = g.collect()
+    assert all(r.src != r.dst for r in rows)
+    # every node has out-edges (>= its navigation links)
+    out_nodes = {r.src for r in rows}
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert out_nodes == ids
+    # bounded degree: g_intra + links out + hub fan-in only for seeds
+    from collections import Counter
+
+    deg = Counter(r.src for r in rows)
+    seeds = {min(i for i in ids if i % 8 == c) for c in range(8)}
+    for node, d in deg.items():
+        if node not in seeds:
+            assert d <= 4 + 2, (node, d)
+    assert n > 0
+
+
+def test_beam_output_contract(spark, emb):
+    q = emb.where(F.col("vec_id") < 3)
+    out = nsw_beam_topk(q, emb, k=5, beam=8, hops=3).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.cosine <= 1.0
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        scores = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_deterministic(spark, emb):
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, nsw_beam_topk(q, emb, k=5).collect()))
+    b = sorted(map(tuple, nsw_beam_topk(q, emb, k=5).collect()))
+    assert a == b
+
+
+def test_recall_vs_brute_force(spark, emb):
+    # measured 0.78 at sf0.01 with beam=12/hops=3; the 0.6 floor leaves
+    # corpus-shape margin while still proving the graph navigates
+    q = emb.where(F.col("vec_id") < 20)
+    approx = nsw_beam_topk(q, emb, k=10, beam=12, hops=3)
+    exact = brute_force_topk(q, emb, k=10)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    x = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(a & x) / len(x) >= 0.6
+
+
+def test_wider_beam_does_not_lose_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5)
+    x = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(beam):
+        a = {
+            (r.query_id, r.neighbor_id)
+            for r in nsw_beam_topk(q, emb, k=5, beam=beam, hops=3).collect()
+        }
+        return len(a & x) / len(x)
+
+    assert recall(16) >= recall(4)
