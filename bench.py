@@ -99,6 +99,8 @@ HEADLINE = [
     "dedup_semdedup_band",
     "graph_boruvka_msf",
     "multimodal_tiff_multipage_stats",
+    "dedup_winnowing_ladder",
+    "ann_nsw_beam_topk",
 ]
 
 

@@ -75,16 +75,29 @@ def build_nsw_graph(
             corpus, nlist=nlist, iters=0, id_col=id_col, vec_col=vec_col
         ).transform(cut_lineage)
     cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    a = cells.select("cid", F.col("item_id").alias("src"), F.col("iv").alias("sv"))
-    b = cells.select("cid", F.col("item_id").alias("dst"), F.col("iv").alias("dv"))
+    # hoist each node's norm out of the pair loop: the pair score is then
+    # ONE interpreted array fold (dot) instead of three — higher-order
+    # functions bypass whole-stage codegen, so per-pair folds dominate
+    # the build.  sqrt(dot(v,v)) here is the exact expression the
+    # per-pair form evaluates, so scores stay bit-identical to the
+    # generated oracle.
+    cells = cells.withColumn("nrm", V.norm(F.col("iv")))
+    a = cells.select(
+        "cid", F.col("item_id").alias("src"),
+        F.col("iv").alias("sv"), F.col("nrm").alias("sn"),
+    )
+    b = cells.select(
+        "cid", F.col("item_id").alias("dst"),
+        F.col("iv").alias("dv"), F.col("nrm").alias("dn"),
+    )
+    denom = F.col("sn") * F.col("dn")
+    pair_cos = F.when(
+        denom > 0, V.dot(F.col("sv"), F.col("dv")) / denom
+    ).otherwise(F.lit(0.0))
     scored = (
         a.join(b, "cid")
         .where(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(V.cosine_similarity(F.col("sv"), F.col("dv")), 6).alias("cos"),
-        )
+        .select("src", "dst", F.round(pair_cos, 6).alias("cos"))
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cos").desc(), F.col("dst").asc()
