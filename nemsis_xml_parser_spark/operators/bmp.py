@@ -39,14 +39,18 @@ def _headers(w: int, h: int, compression: int, data_len: int) -> bytes:
     return fileh + infoh + palette
 
 
-def encode_bmp_raw(px: np.ndarray) -> bytes:
-    """Uncompressed (BI_RGB) 8-bit BMP: bottom-up rows, 4-byte padded."""
+def encode_bmp_raw(px: np.ndarray, top_down: bool = False) -> bytes:
+    """Uncompressed (BI_RGB) 8-bit BMP, 4-byte padded rows.  Bottom-up
+    by default; ``top_down=True`` writes the negative-biHeight variant
+    (rows in natural order — the layout DIBs from screen captures and
+    many video pipelines use; the spec allows it ONLY for BI_RGB)."""
     px = np.asarray(px, dtype=np.uint8)
     h, w = px.shape
     pad = (-w) % 4
-    rows = [px[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    rows = [px[y].tobytes() + b"\x00" * pad for y in ys]
     data = b"".join(rows)
-    return _headers(w, h, _BI_RGB, len(data)) + data
+    return _headers(w, -h if top_down else h, _BI_RGB, len(data)) + data
 
 
 def encode_bmp_rle8(px: np.ndarray) -> bytes:
@@ -95,7 +99,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     palette indices; the writers above use the identity grayscale
     palette).  Handles BI_RGB row padding and the full BI_RLE8 marker
     set including the 00 02 dx dy delta escape (skipped pixels stay
-    0, per the spec's undefined-gap convention)."""
+    0, per the spec's undefined-gap convention), and negative-biHeight
+    top-down BI_RGB bitmaps."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP (missing BM magic)")
     off = struct.unpack_from("<I", buf, 10)[0]
@@ -105,8 +110,11 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", buf, 18)
     bpp = struct.unpack_from("<H", buf, 28)[0]
     comp = struct.unpack_from("<I", buf, 30)[0]
-    if h < 0:
-        raise NotImplementedError("top-down BMP")
+    top_down = h < 0
+    if top_down:
+        if comp != _BI_RGB:
+            raise ValueError("top-down BMP must be BI_RGB (spec)")
+        h = -h
     if bpp != 8:
         raise NotImplementedError(f"{bpp}-bit BMP (only 8-bit palettized)")
     out = np.zeros((h, w), dtype=np.uint8)
@@ -114,7 +122,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         stride = w + ((-w) % 4)
         for y in range(h):
             row = buf[off + y * stride : off + y * stride + w]
-            out[h - 1 - y] = np.frombuffer(row, dtype=np.uint8)
+            dst = y if top_down else h - 1 - y
+            out[dst] = np.frombuffer(row, dtype=np.uint8)
         return out
     if comp != _BI_RLE8:
         raise NotImplementedError(f"BMP compression {comp}")

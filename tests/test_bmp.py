@@ -87,3 +87,34 @@ def test_delta_escape_moves_cursor():
     exp[2, 0:3] = 7          # bottom row (stored first)
     exp[1, 5:7] = 9          # one row up, columns 5-6 after the delta
     assert (px == exp).all()
+
+
+def test_top_down_roundtrip():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.bmp import decode_bmp, encode_bmp_raw
+
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7), (12, 16), (1, 9), (9, 1)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        buf = encode_bmp_raw(px, top_down=True)
+        # negative biHeight on the wire
+        import struct
+
+        assert struct.unpack_from("<i", buf, 22)[0] == -shape[0]
+        assert (decode_bmp(buf) == px).all()
+
+
+def test_top_down_rle_rejected():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from nemsis_xml_parser_spark.operators.bmp import decode_bmp, encode_bmp_rle8
+
+    px = np.zeros((4, 4), dtype=np.uint8)
+    buf = bytearray(encode_bmp_rle8(px))
+    struct.pack_into("<i", buf, 22, -4)  # forge a top-down RLE8 header
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(buf))
