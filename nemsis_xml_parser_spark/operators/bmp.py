@@ -53,6 +53,25 @@ def encode_bmp_raw(px: np.ndarray, top_down: bool = False) -> bytes:
     return _headers(w, -h if top_down else h, _BI_RGB, len(data)) + data
 
 
+def encode_bmp_core(px: np.ndarray) -> bytes:
+    """BITMAPCOREHEADER (OS/2 1.x) 8-bit BMP: the 12-byte header with
+    16-bit width/height and a 3-byte-per-entry (BGR, no reserved byte)
+    palette — always uncompressed, always bottom-up.  Still emitted by
+    legacy scanners and clipboard paths."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    if w > 0xFFFF or h > 0xFFFF:
+        raise ValueError("BITMAPCOREHEADER dimensions are 16-bit")
+    palette = b"".join(struct.pack("<BBB", i, i, i) for i in range(256))
+    off = 14 + 12 + len(palette)
+    pad = (-w) % 4
+    rows = [px[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+    data = b"".join(rows)
+    fileh = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    coreh = struct.pack("<IHHHH", 12, w, h, 1, 8)
+    return fileh + coreh + palette + data
+
+
 def encode_bmp_rle8(px: np.ndarray) -> bytes:
     """RLE8-compressed 8-bit BMP.  Maximal equal runs of length >= 2
     become encoded runs (count, value); singletons are batched — 3+ in a
@@ -99,17 +118,23 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     palette indices; the writers above use the identity grayscale
     palette).  Handles BI_RGB row padding and the full BI_RLE8 marker
     set including the 00 02 dx dy delta escape (skipped pixels stay
-    0, per the spec's undefined-gap convention), and negative-biHeight
-    top-down BI_RGB bitmaps."""
+    0, per the spec's undefined-gap convention), negative-biHeight
+    top-down BI_RGB bitmaps, and the 12-byte BITMAPCOREHEADER (OS/2)
+    variant."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP (missing BM magic)")
     off = struct.unpack_from("<I", buf, 10)[0]
     hdr_size = struct.unpack_from("<I", buf, 14)[0]
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP")
-    w, h = struct.unpack_from("<ii", buf, 18)
-    bpp = struct.unpack_from("<H", buf, 28)[0]
-    comp = struct.unpack_from("<I", buf, 30)[0]
+    if hdr_size == 12:  # BITMAPCOREHEADER: 16-bit dims, BI_RGB only
+        w, h = struct.unpack_from("<HH", buf, 18)
+        bpp = struct.unpack_from("<H", buf, 24)[0]
+        comp = _BI_RGB
+    elif hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size}")
+    else:
+        w, h = struct.unpack_from("<ii", buf, 18)
+        bpp = struct.unpack_from("<H", buf, 28)[0]
+        comp = struct.unpack_from("<I", buf, 30)[0]
     top_down = h < 0
     if top_down:
         if comp != _BI_RGB:

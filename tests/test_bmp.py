@@ -118,3 +118,18 @@ def test_top_down_rle_rejected():
     struct.pack_into("<i", buf, 22, -4)  # forge a top-down RLE8 header
     with pytest.raises(ValueError):
         decode_bmp(bytes(buf))
+
+
+def test_core_header_roundtrip():
+    import struct
+
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.bmp import decode_bmp, encode_bmp_core
+
+    rng = np.random.default_rng(4)
+    for shape in [(6, 6), (3, 11), (17, 5)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        buf = encode_bmp_core(px)
+        assert struct.unpack_from("<I", buf, 14)[0] == 12
+        assert (decode_bmp(buf) == px).all()
