@@ -86,6 +86,16 @@ _AC_SYMBOLS = [0x00, 0xF0] + [
 _DC_CODES = {s: (i, 4) for i, s in enumerate(_DC_SYMBOLS)}
 _AC_CODES = {s: (i, 9) for i, s in enumerate(sorted(_AC_SYMBOLS))}
 
+# 12-bit (extended sequential) alphabets: DC categories 0..15 (5-bit
+# codes, 16/32 of the space), AC run 0..15 x size 1..14 plus EOB/ZRL
+# (226 10-bit codes, 226/1024 — all-ones stays unused as required)
+_DC12_SYMBOLS = list(range(16))
+_AC12_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+_DC12_CODES = {s: (i, 5) for i, s in enumerate(_DC12_SYMBOLS)}
+_AC12_CODES = {s: (i, 10) for i, s in enumerate(sorted(set(_AC12_SYMBOLS)))}
+
 
 def _dht_payload(table_class: int, table_id: int, codes: dict[int, tuple[int, int]]) -> bytes:
     """DHT segment body: Tc/Th, BITS[1..16], then symbols in code order."""
@@ -271,6 +281,59 @@ def encode_baseline_jpeg(px: np.ndarray, restart_interval: int = 0) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
+def encode_jpeg12(px: np.ndarray) -> bytes:
+    """12-bit EXTENDED SEQUENTIAL grayscale JPEG (SOF1, precision 12 —
+    the medical/scientific-imaging profile): samples in [0, 4095],
+    level shift 2048, 16-bit DQT entries (Pq=1, the form 12-bit
+    streams use), and the extended Huffman alphabets (DC categories to
+    15, AC sizes to 14).  Dimensions pad to 8-multiples by edge
+    replication; the decoder crops via the SOF dimensions."""
+    px = np.asarray(px)
+    if px.ndim != 2:
+        raise NotImplementedError("encode_jpeg12 writes grayscale only")
+    if px.min() < 0 or px.max() > 4095:
+        raise ValueError("12-bit samples must lie in [0, 4095]")
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    q = np.empty((8, 8), dtype=np.float64)
+    for idx, (u, v) in enumerate(ZIGZAG):
+        q[u, v] = QTABLE_ZZ[idx]
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            prev_dc = _encode_block_stream(
+                bw,
+                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                q,
+                prev_dc,
+                level_shift=2048.0,
+                dc_codes=_DC12_CODES,
+                ac_codes=_AC12_CODES,
+            )
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(
+        0xDB,
+        bytes([0x10]) + b"".join(struct.pack(">H", int(x)) for x in QTABLE_ZZ),
+    )
+    sof = seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, _dht_payload(0, 0, _DC12_CODES)) + seg(
+        0xC4, _dht_payload(1, 0, _AC12_CODES)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -326,12 +389,16 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                qtables[tq] = np.frombuffer(
-                    body[o + 1 : o + 65], dtype=np.uint8
-                ).astype(np.int32)
-                o += 65
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        body[o + 1 : o + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    o += 65
+                else:  # Pq=1: 16-bit big-endian entries (12-bit streams)
+                    qtables[tq] = np.frombuffer(
+                        body[o + 1 : o + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    o += 129
         elif marker == 0xC4:  # DHT
             o = 0
             while o < len(body):
@@ -341,10 +408,16 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
                 vals = body[o + 17 : o + 17 + n]
                 htables[(tc, th)] = _build_huffman(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8:
-                raise NotImplementedError("only 8-bit precision")
+            if marker == 0xC0 and precision != 8:
+                raise ValueError("SOF0 requires 8-bit precision")
+            if precision not in (8, 12):
+                raise NotImplementedError(f"{precision}-bit precision")
+            if precision == 12 and ncomp != 1:
+                raise NotImplementedError(
+                    "12-bit JPEG decode is grayscale-only here"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -355,9 +428,7 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
                         "4:4:4, 4:2:0, 4:2:2)"
                     )
                 comps.append((cid, tq, hi, vi))
-            frame = (h, w, comps)
-        elif marker in (0xC1,):  # extended sequential — same decode path
-            raise NotImplementedError("extended sequential JPEG (SOF1)")
+            frame = (h, w, comps, precision)
         elif marker == 0xC2:  # progressive DCT — dedicated multi-scan path
             from .jpeg_progressive import decode_progressive_jpeg
 
@@ -380,7 +451,10 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
         # APPn/COM/others: skipped
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
-    h, w, comps = frame
+    h, w, comps, precision = frame
+    shift = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
+    out_dtype = np.uint8 if precision == 8 else np.uint16
     qt_by_cid = {cid: qtables[tq] for cid, tq, _, _ in comps}
     hv_by_cid = {cid: (hi, vi) for cid, _, hi, vi in comps}
     hmax = max(hi for _, _, hi, _ in comps)
@@ -436,7 +510,7 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
                             u, v = ZIGZAG[k]
                             s[u, v] = _receive_extend(r, size)
                             k += 1
-                        block = _A.T @ (s * q_spatial[cid]) @ _A + 128.0
+                        block = _A.T @ (s * q_spatial[cid]) @ _A + shift
                         py = (my * vi + dy) * 8
                         px = (mx * hi + dx) * 8
                         planes[cid][py : py + 8, px : px + 8] = block
@@ -448,7 +522,7 @@ def decode_baseline_jpeg(buf: bytes) -> np.ndarray:
                 np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
             )
         out.append(
-            np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+            np.clip(np.round(plane[:h, :w]), 0, maxval).astype(out_dtype)
         )
     if len(out) == 1:
         return out[0]
@@ -498,15 +572,26 @@ def make_jpeg_image(image_id: int) -> bytes:
 
 
 def _encode_block_stream(
-    bw: _BitWriter, block: np.ndarray, q: np.ndarray, prev_dc: int
+    bw: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    prev_dc: int,
+    level_shift: float = 128.0,
+    dc_codes: dict[int, tuple[int, int]] | None = None,
+    ac_codes: dict[int, tuple[int, int]] | None = None,
 ) -> int:
-    """DCT → quantize → Huffman-encode one 8×8 block; returns its DC."""
-    coefs = _A @ (block - 128.0) @ _A.T
+    """DCT → quantize → Huffman-encode one 8×8 block; returns its DC.
+    ``level_shift``/``dc_codes``/``ac_codes`` default to the 8-bit
+    baseline; the 12-bit extended-sequential writer passes 2048 and the
+    extended alphabets."""
+    dc_codes = _DC_CODES if dc_codes is None else dc_codes
+    ac_codes = _AC_CODES if ac_codes is None else ac_codes
+    coefs = _A @ (block - level_shift) @ _A.T
     qz = np.round(coefs / q).astype(np.int64)
     zz = [int(qz[u, v]) for (u, v) in ZIGZAG]
     diff = zz[0] - prev_dc
     cat = _category(diff)
-    code, ln = _DC_CODES[cat]
+    code, ln = dc_codes[cat]
     bw.write(code, ln)
     if cat:
         bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
@@ -516,16 +601,16 @@ def _encode_block_stream(
             run += 1
             continue
         while run > 15:
-            code, ln = _AC_CODES[0xF0]
+            code, ln = ac_codes[0xF0]
             bw.write(code, ln)
             run -= 16
         size = _category(zz[k])
-        code, ln = _AC_CODES[(run << 4) | size]
+        code, ln = ac_codes[(run << 4) | size]
         bw.write(code, ln)
         bw.write(zz[k] if zz[k] >= 0 else zz[k] + (1 << size) - 1, size)
         run = 0
     if run:
-        code, ln = _AC_CODES[0x00]
+        code, ln = ac_codes[0x00]
         bw.write(code, ln)
     return zz[0]
 
@@ -642,3 +727,18 @@ def make_jpeg420_image(image_id: int) -> bytes:
     cb = np.repeat(np.repeat(cbv, 8, axis=0), 8, axis=1)
     cr = np.repeat(np.repeat(crv, 8, axis=0), 8, axis=1)
     return encode_baseline_jpeg_420(y, cb, cr)
+
+
+def make_jpeg12_image(image_id: int) -> bytes:
+    """Deterministic REAL 12-bit JPEG: (id%3+2) x (id%4+2) grid of
+    constant 8x8 blocks, block value v(bx, by) = (id*37 + 131*bx +
+    197*by) mod 4096 — constant blocks quantize losslessly under the
+    DC-step-8 table, so decoded pixels are closed-form for the SQL
+    oracle (wrong level shift, 16-bit DQT parse or extended-alphabet
+    decode breaks the hash)."""
+    bh, bw = image_id % 3 + 2, image_id % 4 + 2
+    by = np.arange(bh).reshape(bh, 1)
+    bx = np.arange(bw).reshape(1, bw)
+    blocks = (image_id * 37 + 131 * bx + 197 * by) % 4096
+    px = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint16)
+    return encode_jpeg12(px)

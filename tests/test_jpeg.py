@@ -210,3 +210,68 @@ def test_420_uses_both_quant_and_huffman_table_pairs():
     # two DQT tables (ids 0 and 1) and four DHT tables (DC0/AC0/DC1/AC1)
     assert buf.count(b"\xff\xdb") == 2
     assert buf.count(b"\xff\xc4") == 4
+
+
+def test_jpeg12_constant_blocks_lossless():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_jpeg12,
+    )
+
+    rng = np.random.default_rng(12)
+    for _ in range(4):
+        bh, bw = rng.integers(1, 4), rng.integers(1, 5)
+        blocks = rng.integers(0, 4096, size=(bh, bw))
+        px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint16)
+        out = decode_baseline_jpeg(encode_jpeg12(px))
+        assert out.dtype == np.uint16
+        assert (out == px).all()
+
+
+def test_jpeg12_wire_format():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.jpeg import encode_jpeg12
+
+    buf = encode_jpeg12(np.zeros((8, 8), dtype=np.uint16))
+    assert b"\xff\xc1" in buf  # SOF1
+    assert b"\xff\xc0" not in buf
+    i = buf.index(b"\xff\xc1")
+    assert buf[i + 4] == 12  # precision field
+    j = buf.index(b"\xff\xdb")
+    assert buf[j + 4] == 0x10  # Pq=1 16-bit DQT
+
+
+def test_jpeg12_gradient_within_quant_error():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_jpeg12,
+    )
+
+    y, x = np.mgrid[0:24, 0:32]
+    px = ((y * 50 + x * 30) % 4096).astype(np.uint16)
+    out = decode_baseline_jpeg(encode_jpeg12(px))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 64
+
+
+def test_jpeg12_fixture_matches_formula():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        make_jpeg12_image,
+    )
+
+    for i in (0, 1, 5, 11, 23):
+        out = decode_baseline_jpeg(make_jpeg12_image(i))
+        bh, bw = i % 3 + 2, i % 4 + 2
+        by = np.arange(bh).reshape(bh, 1)
+        bx = np.arange(bw).reshape(1, bw)
+        exp = np.repeat(
+            np.repeat((i * 37 + 131 * bx + 197 * by) % 4096, 8, 0), 8, 1
+        )
+        assert (out == exp).all()
