@@ -1,0 +1,119 @@
+"""Distributed BPE merge-table training (Sennrich et al. 2016 semantics).
+
+The trainer every LLM tokenizer pipeline runs: collapse the corpus to a
+word-frequency table ONCE (the only corpus-sized shuffle), then iterate
+merge rounds over the vocabulary — count adjacent symbol pairs weighted
+by word frequency, pick the most frequent pair (deterministic
+count-desc / pair-asc tie-break), fuse it everywhere, repeat.  At 100 TB
+the word table is millions of rows where the corpus is trillions of
+tokens, so the per-round cost is a bounded hash aggregate — exactly the
+scaling shape sentencepiece/fastBPE use.
+
+Cross-engine-exact merge application
+------------------------------------
+A word's symbol sequence is stored as a *cell string*: ``abc`` →
+``(a)(b)(c)``.  Applying merge (x, y) is then a single literal
+``replace('(x)(y)' → '(xy)')``.  Because every cell carries its own
+opening AND closing paren, adjacent pair occurrences share no
+characters, so the left-to-right non-overlapping scan that
+``replace`` performs on every engine (Spark ``UTF8String.replace``,
+DuckDB ``replace``, Python ``str.replace``) IS Sennrich's greedy
+re.sub application: in a run ``aaaa`` the merge (a,a) produces
+``(aa)(aa)``, never ``(aa)(a)(a)`` — and a pair can never false-match
+inside a longer symbol (``(ll)(o)`` does not contain ``(l)(o)``).
+The alphabet guard (``^[a-z0-9]+$``) keeps the paren delimiters
+unambiguous, mirroring the normalization pass real trainers run first.
+
+Reference parity: none — the reference (a single-threaded psycopg2 ETL)
+has no tokenizer training; this is the §2.I LLM-pipeline tier.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .lineage import cut_lineage
+
+WORD_GUARD = "^[a-z0-9]+$"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt) over whitespace tokens of lowercased text, restricted to
+    the trainer alphabet (lowercase alnum) so the cell delimiters are
+    unambiguous.  This is the one corpus-sized aggregate."""
+    from ..functions import text as T
+
+    w = docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"))
+    return (
+        w.where(F.col("w").rlike(WORD_GUARD))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def train_bpe_merges(words: DataFrame, rounds: int) -> DataFrame:
+    """Learn ``rounds`` BPE merges from a (w, cnt) word-frequency frame.
+
+    Returns a tiny local frame ``(round, left_tok, right_tok, merged,
+    merge_count)`` — merge_count is the pair's corpus frequency at the
+    moment it was chosen (i.e. before it was fused).  Each round is one
+    distributed pair-count aggregate over the vocabulary plus a 1-row
+    argmax collect (the scalar-probe pattern); the merge is applied with
+    a narrow literal replace and the vocabulary lineage is cut per round
+    (operators/lineage.py — never bare localCheckpoint in a loop).
+    """
+    spark = words.sparkSession
+    vocab = cut_lineage(
+        words.select(
+            F.regexp_replace(F.col("w"), "(.)", "($1)").alias("cells"),
+            F.col("cnt"),
+        )
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        toks = vocab.select(
+            "cnt",
+            F.split(
+                F.expr("substring(cells, 2, length(cells) - 2)"), r"\)\("
+            ).alias("toks"),
+        ).where(F.size("toks") >= 2)
+        pairs = toks.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("x"),
+                        F.element_at("toks", i + 1).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully fused — nothing left to merge
+            break
+        x, y, c = best[0].x, best[0].y, int(best[0].c)
+        merges.append((r, x, y, x + y, c))
+        if r < rounds:
+            vocab = cut_lineage(
+                vocab.withColumn(
+                    "cells",
+                    F.replace(
+                        F.col("cells"),
+                        F.lit(f"({x})({y})"),
+                        F.lit(f"({x}{y})"),
+                    ),
+                )
+            )
+    return spark.createDataFrame(
+        merges,
+        "round int, left_tok string, right_tok string, merged string, "
+        "merge_count bigint",
+    )

@@ -923,3 +923,140 @@ def ann_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         beam=NSW_BEAM,
         hops=NSW_HOPS,
     )
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended-sequential JPEG (SOF1) — the precision seam
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg12_stats",
+    family="multimodal",
+    doc="Pixel statistics over the REAL 12-bit extended-sequential "
+    "JPEG path (operators/jpeg.py::encode_jpeg12 + the SOF1 branch of "
+    "decode_baseline_jpeg): precision 12 with level shift 2048, 16-bit "
+    "DQT entries (Pq=1, the form 12-bit streams use), and the extended "
+    "Huffman alphabets (DC categories to 15, AC sizes to 14) — the "
+    "medical/scientific-imaging profile that was the decoder's last "
+    "named precision seam.  Fixtures are grids of constant 8x8 blocks "
+    "(losslessly quantized under the DC-step-8 table) with closed-form "
+    "block values, so the oracle breaks on a wrong level shift, DQT "
+    "width or alphabet decode.  Blobs stay in executor Arrow batches; "
+    "narrow stat rows out.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 3 + 2 AS bh, doc_id % 4 + 2 AS bw FROM documents
+),
+blk AS (
+  SELECT doc_id, bh, bw,
+         (doc_id * 37 + 131 * xs.x + 197 * ys.y) % 4096 AS v
+  FROM dims, UNNEST(range(0, bw)) AS xs(x), UNNEST(range(0, bh)) AS ys(y)
+),
+per AS (
+  SELECT doc_id, bw * 8 AS w, bh * 8 AS h,
+         CAST(SUM(v) * 64 AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM blk GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(s) AS BIGINT) AS px_sum,
+       CAST(MIN(mn) AS INT) AS px_min,
+       CAST(MAX(mx) AS INT) AS px_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_jpeg12_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import jpeg_pixel_stats, synthesize_jpeg12_media
+
+    d = table(spark, sf_dir, "documents")
+    stats = jpeg_pixel_stats(synthesize_jpeg12_media(d.select("doc_id")))
+    return stats.groupBy(
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge-table training — the tokenizer-trainer flagship
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 8
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unroll the full merge loop as chained CTEs: each round's pair
+    count reads the previous vocabulary, ORDER BY count DESC / pair ASC
+    LIMIT 1 picks the same deterministic argmax as the Spark loop, and
+    replace() on the paren-cell form applies the identical greedy fuse
+    (operators/bpe.py module docstring).  Every CTE read twice is
+    MATERIALIZED (DuckDB inlines plain CTEs — NOTES gotcha #1)."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS cells, cnt FROM (
+    SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ) WHERE regexp_matches(term, '^[a-z0-9]+$') GROUP BY term
+  )
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, toks[i] AS x, toks[i + 1] AS y FROM (
+      SELECT cnt,
+             string_split(substr(cells, 2, len(cells) - 2), ')(') AS toks
+      FROM w{r - 1} WHERE instr(cells, ')(') > 0
+    ), UNNEST(range(1, len(toks))) AS r(i)
+  ) GROUP BY x, y
+),
+m{r} AS MATERIALIZED (
+  SELECT x, y, c FROM p{r} ORDER BY c DESC, x ASC, y ASC LIMIT 1
+)"""
+        )
+        if r < rounds:
+            parts.append(
+                f"""w{r} AS MATERIALIZED (
+  SELECT replace(cells, '(' || x || ')(' || y || ')',
+                 '(' || x || y || ')') AS cells, cnt
+  FROM w{r - 1}, m{r}
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, x AS left_tok, y AS right_tok,"
+        f" x || y AS merged, c AS merge_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@register(
+    "text_bpe_train_merges",
+    family="text",
+    doc="FULL distributed BPE merge-table training (Sennrich 2016), "
+    f"{BPE_ROUNDS} rounds: the corpus collapses to a word-frequency "
+    "table once (the only corpus-sized shuffle), then every round is "
+    "one pair-count hash aggregate over the VOCABULARY plus a 1-row "
+    "argmax collect (scalar-probe pattern) and a narrow literal "
+    "replace — sentencepiece/fastBPE's exact scaling shape, so at "
+    "100 TB the loop runs over millions of vocab rows, not trillions "
+    "of corpus tokens.  Merge application is cross-engine exact via "
+    "the paren-cell representation (operators/bpe.py docstring): "
+    "left-to-right non-overlapping replace == Sennrich's greedy "
+    "re.sub on both engines, with a lowercase-alnum alphabet guard "
+    "keeping the delimiters unambiguous.  The oracle unrolls all "
+    f"{BPE_ROUNDS} rounds as chained MATERIALIZED CTEs.",
+    oracle=_bpe_oracle(BPE_ROUNDS),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe_merges, word_frequencies
+
+    d = table(spark, sf_dir, "documents")
+    return train_bpe_merges(word_frequencies(d), BPE_ROUNDS)
