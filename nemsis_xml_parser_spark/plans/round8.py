@@ -1060,3 +1060,212 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return train_bpe_merges(word_frequencies(d), BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# weighted multi-source shortest paths — fixed-round Bellman-Ford
+# ---------------------------------------------------------------------------
+
+SSSP_ORDER_CAP = 1000
+SSSP_SEED_MOD = 50
+SSSP_ROUNDS = 6
+
+
+def _sssp_oracle() -> str:
+    parts = [
+        f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {SSSP_ORDER_CAP}
+),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b,
+         11 - LEAST(COUNT(*), 10) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+adj AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM e UNION ALL SELECT b, a, w FROM e
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM adj),
+d0 AS MATERIALIZED (
+  SELECT v, CAST(0 AS BIGINT) AS dist FROM nodes
+  WHERE v % {SSSP_SEED_MOD} = 0
+)"""
+    ]
+    for i in range(1, SSSP_ROUNDS + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d{i - 1}
+    UNION ALL
+    SELECT adj.dst AS v, p.dist + adj.w AS dist
+    FROM d{i - 1} p JOIN adj ON adj.src = p.v
+  ) GROUP BY v
+)"""
+        )
+    parts.append(
+        f"""hist AS (
+  SELECT CAST(dist AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM d{SSSP_ROUNDS} GROUP BY 1
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT dist, n_nodes FROM hist
+UNION ALL
+SELECT -1 AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM nodes WHERE NOT EXISTS (SELECT 1 FROM d{SSSP_ROUNDS} d
+                             WHERE d.v = nodes.v)
+"""
+    )
+
+
+@register(
+    "graph_sssp_bellman_ford",
+    family="graph",
+    doc="Multi-source WEIGHTED shortest paths (operators/sssp.py, "
+    f"{SSSP_ROUNDS} synchronous Bellman-Ford relaxation rounds) on the "
+    "part co-purchase graph with proximity weights 11 - min(co-orders, "
+    "10): strongly co-purchased parts are close, hub parts (key % "
+    f"{SSSP_SEED_MOD} = 0) seed at distance 0 — the weighted "
+    "complement of graph_bfs_hops.  Per round ONE node-keyed "
+    "adjacency join plus a min fold; integer weights make every "
+    "distance exact (no float discipline).  The oracle unrolls all "
+    "rounds as MATERIALIZED CTEs.  Output: node count per final "
+    "distance plus the count unreached within the round budget "
+    "(dist = -1).",
+    oracle=_sssp_oracle(),
+)
+def graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sssp import bellman_ford_rounds
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < SSSP_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg((F.lit(11) - F.least(F.count(F.lit(1)), F.lit(10))).alias("w"))
+    )
+    adj = e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    nodes = adj.select(F.col("src").alias("v")).distinct()
+    seeds = nodes.where(F.col("v") % SSSP_SEED_MOD == 0)
+    dist = bellman_ford_rounds(adj, seeds, SSSP_ROUNDS)
+    hist = dist.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    unreached = (
+        nodes.join(dist.select("v"), "v", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.lit(-1).cast("int").alias("dist"), "n_nodes")
+    )
+    return hist.unionByName(unreached)
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-walk corpus (DeepWalk / node2vec input stage)
+# ---------------------------------------------------------------------------
+
+WALK_ORDER_CAP = 1000
+WALK_SEED_MOD = 50
+WALK_STEPS = 8
+
+
+def _walks_oracle() -> str:
+    from ..operators.walks import WALK_P
+
+    parts = [
+        f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {WALK_ORDER_CAP}
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+),
+f0 AS MATERIALIZED (
+  SELECT v AS walk_id, v AS cur
+  FROM (SELECT DISTINCT src AS v FROM adj) WHERE v % {WALK_SEED_MOD} = 0
+)"""
+    ]
+    for t in range(1, WALK_STEPS + 1):
+        parts.append(
+            f"""f{t} AS MATERIALIZED (
+  SELECT walk_id, CAST(m % 2147483648 AS BIGINT) AS cur FROM (
+    SELECT walk_id,
+           MIN((((walk_id % {WALK_P}) * 31 + {t * 101}
+                 + (adj.dst % {WALK_P}) * 977) % {WALK_P})
+               * 2147483648 + adj.dst) AS m
+    FROM f{t - 1} p JOIN adj ON adj.src = p.cur GROUP BY walk_id)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS step, cur AS node FROM f{t}"
+        for t in range(WALK_STEPS + 1)
+    )
+    parts.append(f"visits AS (\n{union}\n)")
+    return (
+        ",\n".join(parts)
+        + """
+SELECT walk_id,
+       string_agg(CAST(node AS VARCHAR), '->' ORDER BY step) AS path,
+       CAST(arg_max(node, step) AS BIGINT) AS end_node
+FROM visits GROUP BY walk_id
+"""
+    )
+
+
+@register(
+    "graph_node2vec_walks",
+    family="graph",
+    doc="Deterministic random-walk corpus (operators/walks.py, "
+    f"{WALK_STEPS} steps) over the part co-purchase graph — the "
+    "DeepWalk/node2vec input stage, generated with a counter-based "
+    "PRNG so every retry/partitioning reproduces the same corpus: the "
+    "choice at (walk, step) is a pure integer hash argmin over the "
+    "neighbors, packed as score*2^31+nbr so one MIN does the "
+    "lexicographic tie-break on both engines (the winnowing packing "
+    "trick).  Per step ONE frontier-adjacency equi-join + a per-walk "
+    "min aggregate — frontier-sized shuffles, never graph-sized.  "
+    "The oracle unrolls every step as MATERIALIZED CTEs and rebuilds "
+    "the '->' paths with an ordered string_agg.",
+    oracle=_walks_oracle(),
+)
+def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.walks import deterministic_walks, walk_paths
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < WALK_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        adj.select(F.col("src").alias("v"))
+        .distinct()
+        .where(F.col("v") % WALK_SEED_MOD == 0)
+    )
+    return walk_paths(deterministic_walks(adj, seeds, WALK_STEPS))

@@ -252,6 +252,38 @@ def main() -> None:
             "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
             "peak_state_rows": 0,
         }
+        # incremental CC maintenance (streaming/components.py): identity-
+        # stitching edges (user_id ↔ synthetic device id) fold into the
+        # txlog-versioned label store per microbatch; rows/s is edge
+        # throughput including the per-batch root-graph CC solve and the
+        # store version commit
+        from nemsis_xml_parser_spark.streaming.components import (
+            read_state,
+            start_components_maintenance,
+        )
+
+        edges = source(ev_dir, ev_schema).select(
+            F.col("user_id").alias("src"),
+            (F.col("event_id") % 4096 + 1_000_000).alias("dst"),
+        )
+        q = start_components_maintenance(
+            edges, str(work / "cc_state"), str(work / "cp9")
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        # numInputRows double-counts foreachBatch's multi-branch source
+        # re-scans; the true edge count is the staged source's row count
+        rows = spark.read.parquet(ev_dir).count()
+        out["cc_maintenance"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": read_state(
+                spark, str(work / "cc_state")
+            ).count(),  # label-store rows, the state this op actually keeps
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
