@@ -1269,3 +1269,177 @@ def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("v") % WALK_SEED_MOD == 0)
     )
     return walk_paths(deterministic_walks(adj, seeds, WALK_STEPS))
+
+
+# ---------------------------------------------------------------------------
+# per-group multiple linear regression — normal equations + Cramer solve
+# ---------------------------------------------------------------------------
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    """Textual 3x3 determinant (expansion along the first row) — used to
+    emit the IDENTICAL operation order on both engines."""
+    return (
+        f"({a} * ({e} * {i} - {f} * {h}) "
+        f"- {b} * ({d} * {i} - {f} * {g}) "
+        f"+ {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+def _linprobe_select() -> str:
+    """Shared post-aggregate arithmetic: solve the 3x3 normal equations
+    [s11 s12 s1; s12 s22 s2; s1 s2 n][b1 b2 b0] = [s1y s2y sy] by
+    Cramer's rule.  Moments are EXACT integer sums cast to DOUBLE once;
+    everything after is the same double expression on both engines
+    (plans/registry.py determinism conventions)."""
+    m = {k: f"CAST({k} AS DOUBLE)" for k in
+         ["n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]}
+    d = _det3(m["s11"], m["s12"], m["s1"], m["s12"], m["s22"], m["s2"],
+              m["s1"], m["s2"], m["n"])
+    d1 = _det3(m["s1y"], m["s12"], m["s1"], m["s2y"], m["s22"], m["s2"],
+               m["sy"], m["s2"], m["n"])
+    d2 = _det3(m["s11"], m["s1y"], m["s1"], m["s12"], m["s2y"], m["s2"],
+               m["s1"], m["sy"], m["n"])
+    d0 = _det3(m["s11"], m["s12"], m["s1y"], m["s12"], m["s22"], m["s2y"],
+               m["s1"], m["s2"], m["sy"])
+    b1, b2, b0 = f"({d1} / {d})", f"({d2} / {d})", f"({d0} / {d})"
+    sse = (f"({m['syy']} - {b1} * {m['s1y']} - {b2} * {m['s2y']}"
+           f" - {b0} * {m['sy']})")
+    sst = f"({m['syy']} - {m['sy']} * {m['sy']} / {m['n']})"
+    return (
+        f"SELECT lang, CAST(n AS BIGINT) AS n, ROUND({b0}, 6) AS b0, "
+        f"ROUND({b1}, 6) AS b1, ROUND({b2}, 6) AS b2, "
+        f"ROUND(1.0 - {sse} / {sst}, 6) AS r2"
+    )
+
+
+@register(
+    "quality_linear_probe",
+    family="quality",
+    doc="One-pass multi-feature linear-probe training, one model per "
+    "language group: fit n_chars ~ b0 + b1*tokens + b2*longwords "
+    "(whitespace-token count; tokens longer than 5 chars) by "
+    "ordinary least squares via the NORMAL EQUATIONS — ten exact "
+    "integer moment sums per group in a single hash aggregate (the "
+    "agg_regression_battery discipline extended to a 3x3 system), "
+    "then Cramer's rule solves for the coefficients driver-free with "
+    "the identical double operation order on both engines; r² from "
+    "the moment identity SSE = syy - b·[s1y s2y sy].  The shape every "
+    "quality-classifier/probe fit over a 100 TB corpus wants: "
+    "training IS one map-side-combinable aggregate, never an "
+    "iterative pass (use this as the closed-form baseline against "
+    "which GD-trained probes are sanity-checked).",
+    oracle="""
+WITH feat AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '')) AS x1,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> len(t) > 5)) AS x2,
+         n_chars AS y
+  FROM documents
+),
+mom AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM feat GROUP BY lang HAVING COUNT(*) >= 3
+)
+"""
+    + _linprobe_select()
+    + "\nFROM mom",
+)
+def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    feat = d.select(
+        "lang",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("x1"),
+        F.size(
+            F.filter(T.tokens(F.col("text")), lambda t: F.length(t) > 5)
+        ).cast("long").alias("x2"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    mom = (
+        feat.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x1").cast("bigint").alias("s1"),
+            F.sum("x2").cast("bigint").alias("s2"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+            F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    mom.createOrReplaceTempView("_linprobe_mom")
+    return spark.sql(_linprobe_select() + " FROM _linprobe_mom")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout — data-skipping file statistics
+# ---------------------------------------------------------------------------
+
+ZO_BITS = 10  # cluster on 10-bit projections of the two keys
+ZO_FILE_BITS = 6  # 64 z-contiguous files
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import z_value_sql
+
+    z = z_value_sql("px", "sy", ZO_BITS)
+    return f"""
+WITH pts AS (
+  SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sy FROM lineitem
+),
+zed AS (
+  SELECT px, sy, {z} >> {2 * ZO_BITS - ZO_FILE_BITS} AS file_id FROM pts
+)
+SELECT CAST(file_id AS INT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(px) AS BIGINT) AS x_min, CAST(MAX(px) AS BIGINT) AS x_max,
+       CAST(MIN(sy) AS BIGINT) AS y_min, CAST(MAX(sy) AS BIGINT) AS y_max
+FROM zed GROUP BY file_id
+"""
+
+
+@register(
+    "curation_zorder_layout",
+    family="curation",
+    doc="Z-order (Morton) layout statistics (operators/zorder.py) — the "
+    "clustering step behind Delta/Iceberg OPTIMIZE ZORDER: interleave "
+    "the bits of two clustering keys (10-bit projections of partkey "
+    "and suppkey) with pure JVM bit arithmetic, assign rows to the 64 "
+    "z-contiguous files via the z-value's high bits, and report the "
+    "per-file min/max footer statistics a predicate scan skips on — "
+    "with the interleave, BOTH columns' per-file ranges are ~2^7-wide "
+    "cells of the 1024x1024 key space instead of one tight and one "
+    "full-width.  In a real write the same z column feeds "
+    "repartitionByRange + sortWithinPartitions; the high-bit file "
+    "assignment here is its deterministic oracle-expressible twin.  "
+    "Scale: one projection + one bounded hash aggregate, no shuffle "
+    "beyond the aggregate's own.",
+    oracle=_zorder_oracle(),
+)
+def curation_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import zorder_file_stats
+
+    li = table(spark, sf_dir, "lineitem")
+    return zorder_file_stats(
+        li,
+        F.col("l_partkey") % 1024,
+        F.col("l_suppkey") % 1024,
+        ZO_BITS,
+        ZO_FILE_BITS,
+    )
