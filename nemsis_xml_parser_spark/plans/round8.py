@@ -1443,3 +1443,83 @@ def curation_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ZO_BITS,
         ZO_FILE_BITS,
     )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked HyperLogLog (md5-register sketch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_hll_distinct",
+    family="sketch",
+    doc="HyperLogLog distinct-term estimation per language with FULLY "
+    "oracle-checked registers (operators/hll.py): the builtin HLL++ "
+    "behind agg_approx_distinct is engine-private (rows-only check), "
+    "but a sketch is just a deterministic function of a hash — built "
+    "over the repo's cross-engine md5 hash, register index = low 6 "
+    "bits, rho via the exact integer bit-length (length(bin(w)), no "
+    "float log2), the estimate reproduces bit-for-bit in SQL.  "
+    "Determinism: the harmonic denominator is the EXACT integer "
+    "sum Σ 2^(61-M_j) in DECIMAL(38,0) (empty registers in closed "
+    "form) with ONE double division at the end; the linear-counting "
+    "branch compares exact integers so both engines take the same "
+    "branch.  Scale: COUNT(DISTINCT) shuffles the key universe — the "
+    "sketch is a map-side-combinable 64-registers-per-group max "
+    "aggregate (the exact count rides along per register only as the "
+    "accuracy tie-out).",
+    oracle="""
+WITH tok AS (
+  SELECT lang, term FROM (
+    SELECT lang, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents) WHERE term <> ''
+),
+h AS (
+  SELECT lang, term,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+reg AS (
+  SELECT lang, h % 64 AS j,
+         MAX(55 - CASE WHEN (h >> 6) = 0 THEN 0
+                       ELSE length(bin(h >> 6)) END) AS mj,
+         COUNT(DISTINCT term) AS nd
+  FROM h GROUP BY 1, 2
+),
+per AS (
+  SELECT lang, CAST(SUM(nd) AS BIGINT) AS n_exact,
+         SUM(CAST((CAST(1 AS BIGINT) << (61 - mj)) AS DECIMAL(38,0)))
+           AS num_present,
+         COUNT(*) AS n_present
+  FROM reg GROUP BY lang
+),
+est AS (
+  SELECT lang, n_exact,
+         CAST(64 - n_present AS DOUBLE) AS zeros,
+         ((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0)
+           * 2305843009213693952.0
+           / CAST(num_present + CAST(64 - n_present AS DECIMAL(38,0))
+                  * CAST(2305843009213693952 AS DECIMAL(38,0))
+                  AS DOUBLE) AS raw
+  FROM per
+)
+SELECT lang, n_exact,
+       ROUND(CASE WHEN raw <= 160.0 AND zeros > 0
+                  THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 6)
+         AS hll_estimate,
+       ROUND(ABS(CASE WHEN raw <= 160.0 AND zeros > 0
+                      THEN 64.0 * ln(64.0 / zeros) ELSE raw END
+                 - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+         AS rel_error
+FROM est
+""",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+    from ..operators.hll import hll_estimate
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    return hll_estimate(tok, "lang", "term")
