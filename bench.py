@@ -101,6 +101,14 @@ HEADLINE = [
     "multimodal_tiff_multipage_stats",
     "dedup_winnowing_ladder",
     "ann_nsw_beam_topk",
+    # round 8 session-4 flagships (subtract when comparing vs earlier)
+    "text_bpe_train_merges",
+    "graph_sssp_bellman_ford",
+    "graph_node2vec_walks",
+    "quality_linear_probe",
+    "curation_zorder_layout",
+    "sketch_hll_distinct",
+    "multimodal_jpeg12_stats",
 ]
 
 

@@ -452,19 +452,91 @@ def encode_png(px, filter_mode: str = "cycle") -> bytes:
     )
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def encode_png_interlaced(px) -> bytes:
+    """Adam7-interlaced 8-bit RGB PNG: each of the seven passes is an
+    independently filtered sub-image (filter type y % 5 within the pass,
+    previous row resets per pass), concatenated into one zlib stream —
+    the progressive layout old web encoders emit."""
+    import zlib
+
+    h, w, ch = px.shape
+    if ch != 3:
+        raise NotImplementedError("encode_png_interlaced writes RGB only")
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = bytes(pw * ch)
+        for y in range(ph):
+            row = sub[y].tobytes()
+            ft = y % 5
+            raw.append(ft)
+            raw += _filter_row(ft, row, prev, ch)
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(idx, palette) -> bytes:
+    """8-bit palettized PNG (colortype 3): PLTE chunk of (r, g, b)
+    triples, IDAT of filtered index scanlines (filter y % 5)."""
+    import zlib
+
+    h, w = idx.shape
+    if len(palette) > 256:
+        raise ValueError("PNG palette holds at most 256 entries")
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        row = idx[y].tobytes()
+        ft = y % 5
+        raw.append(ft)
+        raw += _filter_row(ft, row, prev, 1)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes(v for rgb in palette for v in rgb)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_pixels(buf: bytes):
     """Real PNG pixel decode with stdlib zlib: chunk walk → IDAT inflate →
     per-scanline unfilter → (h, w, channels) uint8 array.  Supports 8-bit
-    non-interlaced greyscale (colortype 0) and RGB (colortype 2); palette/
-    alpha/interlaced layouts raise ``NotImplementedError`` (the remaining
-    seam where pillow plugs in)."""
+    greyscale (colortype 0), RGB (2) and palette (3, expanded to RGB via
+    PLTE), each in both non-interlaced and Adam7-interlaced layouts;
+    alpha and sub-byte depths raise ``NotImplementedError`` (the
+    remaining seam where pillow plugs in)."""
     import zlib
 
     import numpy as np
 
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, idat = 8, b""
+    pos, idat, plte = 8, b"", None
     w = h = bitdepth = colortype = interlace = None
     while pos + 8 <= len(buf):
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
@@ -474,6 +546,8 @@ def decode_png_pixels(buf: bytes):
             w, h, bitdepth, colortype, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -481,20 +555,40 @@ def decode_png_pixels(buf: bytes):
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bitdepth != 8 or colortype not in (0, 2) or interlace:
+    if bitdepth != 8 or colortype not in (0, 2, 3) or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit non-interlaced grey/RGB PNG decode is implemented"
+            "only 8-bit grey/RGB/palette PNG decode is implemented"
         )
+    if colortype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     ch = 3 if colortype == 2 else 1
     data = zlib.decompress(idat)
-    stride = w * ch
-    rows, prev = [], bytes(stride)
-    for y in range(h):
-        off = y * (stride + 1)
-        cur = _unfilter_row(data[off], data[off + 1 : off + 1 + stride], prev, ch)
-        rows.append(np.frombuffer(cur, dtype=np.uint8))
-        prev = cur
-    return np.stack(rows).reshape(h, w, ch)
+
+    def unfilter_block(ph: int, pw: int, off: int):
+        stride = pw * ch
+        rows, prev = [], bytes(stride)
+        for y in range(ph):
+            o = off + y * (stride + 1)
+            cur = _unfilter_row(data[o], data[o + 1 : o + 1 + stride], prev, ch)
+            rows.append(np.frombuffer(cur, dtype=np.uint8))
+            prev = cur
+        return np.stack(rows).reshape(ph, pw, ch), off + ph * (stride + 1)
+
+    if interlace == 0:
+        out, _ = unfilter_block(h, w, 0)
+    else:
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy
+            pw = (w - x0 + dx - 1) // dx
+            if ph <= 0 or pw <= 0:
+                continue
+            sub, off = unfilter_block(ph, pw, off)
+            out[y0::dy, x0::dx] = sub
+    if colortype == 3:
+        out = plte[out[:, :, 0]]
+    return out
 
 
 def make_png_image(image_id: int) -> bytes:
@@ -509,6 +603,48 @@ def make_png_image(image_id: int) -> bytes:
     c = np.arange(3).reshape(1, 1, 3)
     px = ((image_id * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
     return encode_png(px)
+
+
+def make_png_variant_image(image_id: int) -> bytes:
+    """Deterministic REAL png exercising the layout seams: even ids are
+    Adam7-INTERLACED RGB with make_png_image's pixel formula (interlacing
+    is lossless, so the closed form is unchanged); odd ids are PALETTE
+    (colortype 3) with index (id*7 + 3x + 5y) % 64 and palette entry
+    j → ((3j) % 256, (5j) % 256, (7j) % 256), i.e. decoded channel c is
+    (index * (3 + 2c)) % 256."""
+    import numpy as np
+
+    w, h = image_id % 24 + 4, image_id % 16 + 4
+    if image_id % 2 == 0:
+        x = np.arange(w).reshape(1, w, 1)
+        y = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        px = ((image_id * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+        return encode_png_interlaced(px)
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    idx = ((image_id * 7 + 3 * x + 5 * y) % 64).astype(np.uint8)
+    palette = [((3 * j) % 256, (5 * j) % 256, (7 * j) % 256) for j in range(64)]
+    return encode_png_palette(idx, palette)
+
+
+def synthesize_png_variant_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus alternating Adam7-interlaced and palette
+    PNGs — MEDIA_SCHEMA output, Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_png_variant_image(int(i))
+                rows.append((str(int(i)), "image/png", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1523,3 +1523,187 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
     )
     return hll_estimate(tok, "lang", "term")
+
+
+# ---------------------------------------------------------------------------
+# Adam7-interlaced + palette PNG — the two remaining PNG layout seams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_variants_stats",
+    family="multimodal",
+    doc="Pixel statistics over the REAL Adam7-interlaced and palette "
+    "PNG decode paths (operators/multimodal.py::decode_png_pixels — "
+    "the two layout seams the round-6 decoder left raising): even ids "
+    "encode Adam7 (seven independently filtered passes re-woven by "
+    "the pass geometry; fixture dims down to 4x4 exercise empty/edge "
+    "passes), odd ids encode colortype-3 palette streams expanded "
+    "through PLTE on read.  Interlacing is lossless so the even "
+    "closed form is make_png_image's; palette channel c decodes to "
+    "(index * (3 + 2c)) % 256.  The oracle breaks on any wrong pass "
+    "offset, per-pass filter reset, or palette lookup.  Blobs stay in "
+    "executor Arrow batches; narrow stat rows out.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h,
+         doc_id % 2 AS odd
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, odd,
+         CASE WHEN odd = 0
+              THEN (doc_id * 7 + 3 * xs.x + 5 * ys.y + 11 * cs.c) % 256
+              ELSE (((doc_id * 7 + 3 * xs.x + 5 * ys.y) % 64)
+                    * (3 + 2 * cs.c)) % 256 END AS v
+  FROM dims,
+       UNNEST(range(0, w)) AS xs(x),
+       UNNEST(range(0, h)) AS ys(y),
+       UNNEST(range(0, 3)) AS cs(c)
+),
+per AS (
+  SELECT doc_id, w, odd,
+         CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN odd = 0 THEN 'adam7' ELSE 'palette' END AS layout,
+       CAST(w AS INT) AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(s) AS BIGINT) AS px_sum,
+       CAST(MIN(mn) AS INT) AS px_min,
+       CAST(MAX(mx) AS INT) AS px_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_png_variants_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        png_pixel_stats,
+        synthesize_png_variant_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    stats = png_pixel_stats(synthesize_png_variant_media(d.select("doc_id")))
+    return stats.select(
+        F.when(F.col("image_id") % 2 == 0, F.lit("adam7"))
+        .otherwise(F.lit("palette"))
+        .alias("layout"),
+        F.col("width").cast("int").alias("width"),
+        "px_sum",
+        "px_min",
+        "px_max",
+    ).groupBy("layout", "width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing — exact cross-engine fold
+# ---------------------------------------------------------------------------
+
+HOLT_A = 0.3  # level smoothing
+HOLT_B = 0.2  # trend smoothing
+
+
+@register(
+    "timeseries_holt_linear",
+    family="timeseries",
+    doc="Holt double-exponential (linear-trend) smoothing of the daily "
+    "event-count series per type - the forecasting step after "
+    "events_ewma_daily's level-only smoother: state (level, trend) "
+    "folds through the day sequence with level' = a*x + (1-a)*(level+"
+    "trend) and the non-duplicating trend form trend' = a*b*(x-level) "
+    "+ (b*(1-a)+(1-b))*trend, seeded at (x_1, 0); the composite "
+    "literals are formatted from the SAME Python floats into both "
+    "texts so each step is the identical double arithmetic.  Spark "
+    "folds with aggregate() over the day-sorted array; the oracle "
+    "folds with a RECURSIVE CTE over the row-numbered day sequence - "
+    "NOT list_reduce, whose struct accumulator updates fields "
+    "sequentially in place (trend would see the already-updated "
+    "level; NOTES gotcha).  Scale shape: one (type, day) aggregate "
+    "collapses the corpus; recursion depth = calendar days.  Output: "
+    "final state + the 7-day-ahead forecast level + 7*trend.",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+seq AS MATERIALIZED (
+  SELECT event_type, CAST(cnt AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+st AS (
+  SELECT event_type, rn, n, x AS lvl, CAST(0 AS DOUBLE) AS tr
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.event_type, q.rn, q.n,
+         {HOLT_A} * q.x + {1 - HOLT_A} * (s.lvl + s.tr),
+         {HOLT_B * HOLT_A} * (q.x - s.lvl)
+           + {HOLT_B * (1 - HOLT_A) + (1 - HOLT_B)} * s.tr
+  FROM st s JOIN seq q
+    ON q.event_type = s.event_type AND q.rn = s.rn + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(lvl, 6) AS level, ROUND(tr, 6) AS trend,
+       ROUND(lvl + 7 * tr, 6) AS forecast_7d
+FROM st WHERE rn = n
+""",
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+    def merge(acc, x):
+        return F.struct(
+            (
+                F.lit(HOLT_A) * x["level"]
+                + F.lit(1 - HOLT_A) * (acc["level"] + acc["trend"])
+            ).alias("level"),
+            (
+                F.lit(HOLT_B * HOLT_A) * (x["level"] - acc["level"])
+                + F.lit(HOLT_B * (1 - HOLT_A) + (1 - HOLT_B)) * acc["trend"]
+            ).alias("trend"),
+        )
+
+    folded = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.array_sort(F.collect_list(F.struct("d", "cnt"))).alias("xs"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.transform(
+                "xs",
+                lambda s: F.struct(
+                    s["cnt"].cast("double").alias("level"),
+                    F.lit(0.0).alias("trend"),
+                ),
+            ).alias("vals"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.aggregate(
+                F.slice("vals", F.lit(2), F.size("vals") - 1),
+                F.element_at("vals", 1),
+                merge,
+            ).alias("st"),
+        )
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.level"), 6).alias("level"),
+        F.round(F.col("st.trend"), 6).alias("trend"),
+        F.round(F.col("st.level") + 7 * F.col("st.trend"), 6).alias(
+            "forecast_7d"
+        ),
+    )

@@ -48,6 +48,11 @@ SF1_QUERIES = [
     "graph_boruvka_msf",
     "dedup_winnowing_pairs",
     "embedding_jl_projection",
+    # round 8 session-4 additions
+    "text_bpe_train_merges",
+    "graph_node2vec_walks",
+    "sketch_hll_distinct",
+    "curation_zorder_layout",
 ]
 
 
