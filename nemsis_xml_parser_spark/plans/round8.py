@@ -1707,3 +1707,111 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph coarsening by heavy-edge matching (METIS contraction phase)
+# ---------------------------------------------------------------------------
+
+HEM_ORDER_CAP = 1000
+HEM_ROUNDS = 3
+
+
+def _hem_oracle() -> str:
+    parts = [
+        f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {HEM_ORDER_CAP}
+),
+e1 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)"""
+    ]
+    for r in range(1, HEM_ROUNDS + 1):
+        parts.append(
+            f"""adj{r} AS (
+  SELECT u, v, w FROM e{r} UNION ALL SELECT v, u, w FROM e{r}
+),
+prop{r} AS MATERIALIZED (
+  SELECT u AS node,
+         2147483647 - (MAX(w * 2147483648 + (2147483647 - v))
+                       % 2147483648) AS pick
+  FROM adj{r} GROUP BY u
+),
+m{r} AS MATERIALIZED (
+  SELECT a.node AS u, a.pick AS v, e.w
+  FROM prop{r} a
+  JOIN prop{r} b ON b.node = a.pick AND b.pick = a.node
+  JOIN e{r} e ON e.u = a.node AND e.v = a.pick
+  WHERE a.node < a.pick
+),
+s{r} AS (
+  SELECT {r} AS round,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT DISTINCT u FROM adj{r})) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges,
+         (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM e{r})
+           AS total_weight,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM m{r}) AS n_matched,
+         (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM m{r})
+           AS matched_weight
+)"""
+        )
+        if r < HEM_ROUNDS:
+            parts.append(
+                f"""e{r + 1} AS MATERIALIZED (
+  SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+         CAST(SUM(w) AS BIGINT) AS w
+  FROM (
+    SELECT COALESCE(mu.u, e.u) AS a, COALESCE(mv.u, e.v) AS b, e.w
+    FROM e{r} e
+    LEFT JOIN m{r} mu ON mu.v = e.u
+    LEFT JOIN m{r} mv ON mv.v = e.v
+  ) WHERE a <> b GROUP BY 1, 2
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{r}" for r in range(1, HEM_ROUNDS + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
+@register(
+    "graph_heavy_edge_coarsening",
+    family="graph",
+    doc="Multilevel graph coarsening by heavy-edge matching "
+    f"(operators/coarsen.py, {HEM_ROUNDS} rounds — the METIS "
+    "contraction phase, Karypis & Kumar 1998) on the weighted part "
+    "co-purchase graph: each node proposes to its heaviest neighbor "
+    "(integer weights; (w, partner) packed as w*2^31 + (2^31-1-v) so "
+    "one MAX does the max-weight/min-partner argmax — the winnowing "
+    "packing trick), mutual proposals contract onto min(u, v) with "
+    "parallel edge weights summed exactly.  Per round three node-"
+    "keyed hash shuffles and a geometrically SHRINKING edge list — "
+    "the scaling argument of the whole multilevel-partitioning "
+    "family.  Output per round: the graph the round started from and "
+    "what the matching captured.  The oracle unrolls all rounds as "
+    "MATERIALIZED CTEs.",
+    oracle=_hem_oracle(),
+)
+def graph_heavy_edge_coarsening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.coarsen import coarsen_stats
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < HEM_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return coarsen_stats(e, HEM_ROUNDS)
