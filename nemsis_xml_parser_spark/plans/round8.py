@@ -1286,7 +1286,7 @@ def _det3(a, b, c, d, e, f, g, h, i):
     )
 
 
-def _linprobe_select() -> str:
+def _linprobe_select() -> list[str]:
     """Shared post-aggregate arithmetic: solve the 3x3 normal equations
     [s11 s12 s1; s12 s22 s2; s1 s2 n][b1 b2 b0] = [s1y s2y sy] by
     Cramer's rule.  Moments are EXACT integer sums cast to DOUBLE once;
@@ -1306,11 +1306,14 @@ def _linprobe_select() -> str:
     sse = (f"({m['syy']} - {b1} * {m['s1y']} - {b2} * {m['s2y']}"
            f" - {b0} * {m['sy']})")
     sst = f"({m['syy']} - {m['sy']} * {m['sy']} / {m['n']})"
-    return (
-        f"SELECT lang, CAST(n AS BIGINT) AS n, ROUND({b0}, 6) AS b0, "
-        f"ROUND({b1}, 6) AS b1, ROUND({b2}, 6) AS b2, "
-        f"ROUND(1.0 - {sse} / {sst}, 6) AS r2"
-    )
+    return [
+        "lang",
+        "CAST(n AS BIGINT) AS n",
+        f"ROUND({b0}, 6) AS b0",
+        f"ROUND({b1}, 6) AS b1",
+        f"ROUND({b2}, 6) AS b2",
+        f"ROUND(1.0 - {sse} / {sst}, 6) AS r2",
+    ]
 
 
 @register(
@@ -1352,7 +1355,7 @@ mom AS (
   FROM feat GROUP BY lang HAVING COUNT(*) >= 3
 )
 """
-    + _linprobe_select()
+    + "SELECT " + ", ".join(_linprobe_select())
     + "\nFROM mom",
 )
 def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1383,8 +1386,7 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") >= 3)
     )
-    mom.createOrReplaceTempView("_linprobe_mom")
-    return spark.sql(_linprobe_select() + " FROM _linprobe_mom")
+    return mom.selectExpr(*_linprobe_select())
 
 
 # ---------------------------------------------------------------------------
