@@ -129,6 +129,48 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH band-bucket keys every
+    MinHash consumer joins on.  Factored out so the streaming historical
+    index (streaming/dedup_index.py) builds byte-identical keys to the
+    batch pair generator below."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, fast)
+
+    def band_key(parts):
+        joined = F.concat_ws(",", *parts)
+        if fast:
+            return F.xxhash64(joined).cast("string")
+        return F.md5(joined)
+
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    band_key(
+                        [
+                            F.col("sig")[i].cast("string")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -181,29 +223,8 @@ def minhash_lsh_pairs(
     762 s → 28 s).  That trade — bounded recall loss on
     stop-shingle collisions for a 27x speedup — is the standard
     production posture for web-scale dedup."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, fast)
-
-    def band_key(parts):
-        joined = F.concat_ws(",", *parts)
-        if fast:
-            return F.xxhash64(joined).cast("string")
-        return F.md5(joined)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    band_key(
-                        [
-                            F.col("sig")[i].cast("string")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    banded = minhash_band_keys(
+        df, text_col, id_col, num_hashes, bands, n, fast
     )
     if max_bucket is not None:
         # one aggregate per band bucket: size + representative (min doc_id).
