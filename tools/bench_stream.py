@@ -284,6 +284,36 @@ def main() -> None:
                 spark, str(work / "cc_state")
             ).count(),  # label-store rows, the state this op actually keeps
         }
+        # historical near-dup index (streaming/dedup_index.py): per batch
+        # band + join vs the append-only LSH bucket index + batch-keyed
+        # overwrite commits; rows/s includes candidate emission
+        from nemsis_xml_parser_spark.streaming.dedup_index import (
+            read_candidate_pairs,
+            start_dedup_index_stream,
+        )
+
+        q = start_dedup_index_stream(
+            source(doc_dir, doc_schema),
+            str(work / "ndidx"),
+            str(work / "ndpairs"),
+            str(work / "cp10"),
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = spark.read.parquet(doc_dir).count()
+        out["dedup_history_index"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": spark.read.parquet(
+                str(work / "ndidx") + "/batch=*"
+            ).count(),  # index keys = the state this op actually keeps
+            "candidate_pairs": read_candidate_pairs(
+                spark, str(work / "ndpairs")
+            ).count(),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
