@@ -1817,3 +1817,107 @@ def graph_heavy_edge_coarsening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
     return coarsen_stats(e, HEM_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Louvain phase-1 gain sweep — integer-exact community detection round
+# ---------------------------------------------------------------------------
+
+LV_ORDER_CAP = 1000
+
+
+@register(
+    "graph_louvain_sweep",
+    family="graph",
+    doc="Louvain phase-1 modularity-gain sweep, one synchronous round "
+    "from singletons (operators/louvain.py; Blondel 2008) on the "
+    "weighted part co-purchase graph: each node joins the neighbor "
+    "maximizing gain(i->j) = 2*m*w_ij - k_i*k_j when positive (ALL "
+    "integer arithmetic — no float ranking), tie-break min j; the "
+    "resulting partition's Newman modularity is evaluated via the "
+    "integer identity Q*4m^2 = sum_c(4*m*w_in(c) - d_c^2) with ONE "
+    "double division at the end.  Gains are one edge-keyed join "
+    "against the degree table + a node-keyed argmax; modularity one "
+    "same-community edge check + a community-keyed aggregate — "
+    "nothing beyond edge-list size materializes.  Iterated sweeps / "
+    "the contraction phase are a driver loop over this operator "
+    "(graph_heavy_edge_coarsening is the contraction's matching "
+    "kernel).",
+    oracle=f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {LV_ORDER_CAP}
+),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+adj AS MATERIALIZED (
+  SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e
+),
+deg AS MATERIALIZED (SELECT u, SUM(w) AS k FROM adj GROUP BY u),
+mm AS MATERIALIZED (SELECT SUM(w) AS m FROM e),
+gains AS MATERIALIZED (
+  SELECT a.u, a.v,
+         2 * (SELECT m FROM mm) * a.w - d1.k * d2.k AS g
+  FROM adj a
+  JOIN deg d1 ON d1.u = a.u
+  JOIN deg d2 ON d2.u = a.v
+  WHERE 2 * (SELECT m FROM mm) * a.w - d1.k * d2.k > 0
+),
+best AS (SELECT u, MAX(g) AS gmax FROM gains GROUP BY u),
+move AS MATERIALIZED (
+  SELECT g.u, MIN(g.v) AS anchor
+  FROM gains g JOIN best b ON b.u = g.u AND g.g = b.gmax
+  GROUP BY g.u
+),
+part AS MATERIALIZED (
+  SELECT d.u AS node, d.k, COALESCE(mv.anchor, d.u) AS c
+  FROM deg d LEFT JOIN move mv ON mv.u = d.u
+),
+comm AS MATERIALIZED (
+  SELECT c, COUNT(*) AS size, SUM(k) AS dc FROM part GROUP BY c
+),
+win AS (
+  SELECT pu.c, SUM(e.w) AS win
+  FROM e
+  JOIN part pu ON pu.node = e.u
+  JOIN part pv ON pv.node = e.v
+  WHERE pu.c = pv.c GROUP BY pu.c
+),
+qnum AS (
+  SELECT CAST(SUM(4 * (SELECT m FROM mm) * COALESCE(w.win, 0)
+              - comm.dc * comm.dc) AS DECIMAL(38,0)) AS qn
+  FROM comm LEFT JOIN win w ON w.c = comm.c
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM part WHERE c <> node)
+         AS n_moved,
+       (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) FROM part)
+         AS n_communities,
+       (SELECT CAST(MAX(size) AS BIGINT) FROM comm) AS largest_community,
+       ROUND(CAST((SELECT qn FROM qnum) AS DOUBLE)
+             / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE),
+             6) AS modularity
+""",
+)
+def graph_louvain_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.louvain import louvain_sweep_summary
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < LV_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return louvain_sweep_summary(e)

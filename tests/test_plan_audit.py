@@ -48,6 +48,7 @@ JUSTIFIED_BNLJ = {
     "mine_bitext_margin",    # bounded cross-side brute tier (broadcast side A)
     "text_pmi_collocations", # broadcast 1-row corpus-total scalars (Nu, Nb)
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
+    "graph_louvain_sweep",   # broadcast 1-row summary scalars (largest, qn)
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
     "curation_waterfill_budget",   # bounded 20-source triangular join + 1-row level/budget scalars
     "text_keyword_extraction",     # broadcast 1-row corpus-size scalar
