@@ -109,6 +109,10 @@ HEADLINE = [
     "curation_zorder_layout",
     "sketch_hll_distinct",
     "multimodal_jpeg12_stats",
+    "timeseries_holt_linear",
+    "multimodal_png_variants_stats",
+    "graph_heavy_edge_coarsening",
+    "graph_louvain_sweep",
 ]
 
 

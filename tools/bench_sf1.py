@@ -53,6 +53,8 @@ SF1_QUERIES = [
     "graph_node2vec_walks",
     "sketch_hll_distinct",
     "curation_zorder_layout",
+    "graph_heavy_edge_coarsening",
+    "graph_louvain_sweep",
 ]
 
 
