@@ -196,3 +196,178 @@ def make_bmp_image(image_id: int) -> bytes:
     y = np.arange(h).reshape(-1, 1)
     v = (image_id * 3 + 5 * y + x // (1 + image_id % 3)) % 251
     return encode_bmp_rle8(v.astype(np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# 4-bit (16-color) BMP — BI_RGB packed nibbles and BI_RLE4
+# ---------------------------------------------------------------------------
+
+_BI_RLE4 = 2
+
+
+def _headers4(w: int, h: int, compression: int, data_len: int) -> bytes:
+    """File + info header with biBitCount=4 and a 16-entry palette
+    (palette[i] = (17i, 17i, 17i, 0): index == sample, spread to the
+    full gray range)."""
+    palette = b"".join(
+        struct.pack("<BBBB", 17 * i, 17 * i, 17 * i, 0) for i in range(16)
+    )
+    off = 14 + 40 + len(palette)
+    fileh = struct.pack("<2sIHHI", b"BM", off + data_len, 0, 0, off)
+    infoh = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 4, compression, data_len, 2835, 2835, 16, 0
+    )
+    return fileh + infoh + palette
+
+
+def _pack_nibbles(vals) -> bytes:
+    out = bytearray()
+    for i in range(0, len(vals), 2):
+        hi = vals[i] & 0x0F
+        lo = vals[i + 1] & 0x0F if i + 1 < len(vals) else 0
+        out.append((hi << 4) | lo)
+    return bytes(out)
+
+
+def encode_bmp4_raw(px: np.ndarray) -> bytes:
+    """Uncompressed 4-bit BMP: two pixels per byte (high nibble first),
+    rows padded to 4-byte boundaries, bottom-up."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.max(initial=0) > 15:
+        raise ValueError("4-bit BMP samples must be < 16")
+    h, w = px.shape
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = _pack_nibbles(list(px[y]))
+        rows.append(row + b"\x00" * ((-len(row)) % 4))
+    data = b"".join(rows)
+    return _headers4(w, h, _BI_RGB, len(data)) + data
+
+
+def encode_bmp_rle4(px: np.ndarray) -> bytes:
+    """BI_RLE4: encoded runs carry TWO alternating nibbles per data
+    byte (a run of one value v encodes as (n, v<<4|v)); rows end with
+    EOL 00 00, the bitmap with EOB 00 01.  Bottom-up.  This writer
+    emits single-value encoded runs plus absolute literal blocks for
+    length-1/2 stretches (16-bit aligned), so decoders see both
+    modes."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.max(initial=0) > 15:
+        raise ValueError("4-bit BMP samples must be < 16")
+    h, w = px.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = px[y]
+        runs = []
+        i = 0
+        while i < w:
+            j = i
+            while j < w and row[j] == row[i]:
+                j += 1
+            runs.append((j - i, int(row[i])))
+            i = j
+        i = 0
+        while i < len(runs):
+            if runs[i][0] <= 2:
+                j = i
+                lits: list[int] = []
+                while j < len(runs) and runs[j][0] <= 2:
+                    lits += [runs[j][1]] * runs[j][0]
+                    j += 1
+                if len(lits) >= 3:  # absolute mode (spec minimum 3)
+                    payload = _pack_nibbles(lits)
+                    out += bytes([0x00, len(lits)]) + payload
+                    if len(payload) % 2:
+                        out += b"\x00"  # 16-bit alignment
+                    i = j
+                    continue
+            n, v = runs[i]
+            while n > 255:
+                out += bytes([254, (v << 4) | v])
+                n -= 254
+            out += bytes([n, (v << 4) | v])
+            i += 1
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOB
+    return _headers4(w, h, _BI_RLE4, len(out)) + bytes(out)
+
+
+def decode_bmp4(buf: bytes) -> np.ndarray:
+    """(h, w) uint8 index array of a 4-bit BMP: BI_RGB packed nibbles
+    (4-byte padded rows) or BI_RLE4 (runs of alternating nibbles,
+    absolute blocks, EOL/EOB, bottom-up)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(f"4-bit BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 4:
+        raise ValueError("decode_bmp4 handles 4-bit BMPs only")
+    if h < 0:
+        raise NotImplementedError("top-down 4-bit BMP")
+    out = np.zeros((h, w), dtype=np.uint8)
+
+    def unpack(row: bytes, n: int) -> list[int]:
+        vals: list[int] = []
+        for b in row:
+            vals.append(b >> 4)
+            vals.append(b & 0x0F)
+        return vals[:n]
+
+    if comp == _BI_RGB:
+        stride = ((w * 4 + 31) // 32) * 4
+        for y in range(h):
+            row = buf[off + y * stride : off + y * stride + (w + 1) // 2]
+            out[h - 1 - y] = unpack(row, w)
+        return out
+    if comp != _BI_RLE4:
+        raise NotImplementedError(f"4-bit BMP compression {comp}")
+    x, y = 0, 0
+    pos = off
+    while pos + 1 < len(buf):
+        c0, c1 = buf[pos], buf[pos + 1]
+        pos += 2
+        if c0 > 0:  # encoded run of alternating nibbles
+            if y >= h or x + c0 > w:
+                raise ValueError("RLE4 run past bitmap bounds")
+            pair = [c1 >> 4, c1 & 0x0F]
+            for i in range(c0):
+                out[h - 1 - y, x + i] = pair[i % 2]
+            x += c0
+        elif c1 == 0:  # EOL
+            x, y = 0, y + 1
+        elif c1 == 1:  # EOB
+            return out
+        elif c1 == 2:  # delta — gaps stay 0
+            if pos + 2 > len(buf):
+                raise ValueError("RLE4 delta escape truncated")
+            dx, dy = buf[pos], buf[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y >= h:
+                raise ValueError("RLE4 delta past bitmap bounds")
+        else:  # absolute block of c1 nibbles, 16-bit aligned
+            nbytes = (c1 + 1) // 2
+            vals = unpack(buf[pos : pos + nbytes], c1)
+            pos += nbytes + (nbytes % 2)
+            if y >= h or x + c1 > w:
+                raise ValueError("RLE4 absolute run past bitmap bounds")
+            out[h - 1 - y, x : x + c1] = vals
+            x += c1
+    raise ValueError("RLE4 stream ended without EOB")
+
+
+def make_bmp4_image(image_id: int) -> bytes:
+    """Deterministic REAL 4-bit BMP: width = id%14+4, height = id%9+3,
+    sample (x, y) = (id*3 + 2*x + 5*y) % 16 — even ids RLE4 (runs +
+    absolute blocks), odd ids raw packed nibbles; both decode to the
+    same closed form."""
+    w, h = image_id % 14 + 4, image_id % 9 + 3
+    x = np.arange(w).reshape(1, -1)
+    y = np.arange(h).reshape(-1, 1)
+    v = ((image_id * 3 + 2 * x + 5 * y) % 16).astype(np.uint8)
+    return encode_bmp_rle4(v) if image_id % 2 == 0 else encode_bmp4_raw(v)

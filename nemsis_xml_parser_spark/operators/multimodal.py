@@ -1570,3 +1570,48 @@ def synthesize_jpeg12_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
             )
 
     return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_bmp4_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of REAL 4-bit BMPs (operators/bmp.py — even
+    ids BI_RLE4 runs + absolute nibble blocks, odd ids raw packed
+    nibbles with row padding) — MEDIA_SCHEMA, Arrow-batched."""
+    from .bmp import make_bmp4_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_bmp4_image(int(i))
+                rows.append((str(int(i)), "image/bmp", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def bmp4_pixel_stats(media: DataFrame) -> DataFrame:
+    """Pixel statistics via the REAL 4-bit BMP decode path (packed
+    nibbles / RLE4 alternating-nibble runs): PIXEL_STATS_SCHEMA rows."""
+    from .bmp import decode_bmp4
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_bmp4(bytes(content))
+                h, w = px.shape
+                rows.append(
+                    (int(path), w, h, int(px.size), int(px.sum()),
+                     int(px.min()), int(px.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height",
+                    "n_subpixels", "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)

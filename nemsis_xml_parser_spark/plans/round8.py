@@ -1921,3 +1921,49 @@ def graph_louvain_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
     return louvain_sweep_summary(e)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit (16-color) BMP — packed nibbles + BI_RLE4
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_bmp4_pixel_stats",
+    family="multimodal",
+    doc="REAL 4-bit BMP decode (operators/bmp.py::decode_bmp4): packed "
+    "nibbles (high first, 4-byte-padded rows) for odd ids and BI_RLE4 "
+    "for even ids — encoded runs carry TWO alternating nibbles per "
+    "data byte, absolute blocks pack nibbles with the 16-bit "
+    "alignment pad, EOL/EOB markers, bottom-up rows.  The 16-color "
+    "depth is the legacy icon/sensor-dump shape left raising after "
+    "round 7's RLE8.  Pixels are closed-form (id*3 + 2x + 5y) mod 16 "
+    "so the oracle reproduces every decoded sample; any nibble-order, "
+    "alignment or marker drift breaks the hash.  Blobs stay inside "
+    "the Arrow batch.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 14 + 4 AS w, doc_id % 9 + 3 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 3 + 2 * xs.x + 5 * ys.y) % 16 AS v
+  FROM dims,
+       UNNEST(range(0, w)) AS xs(x),
+       UNNEST(range(0, h)) AS ys(y)
+)
+SELECT doc_id AS image_id,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height,
+       CAST(MIN(w) * MIN(h) AS BIGINT) AS n_subpixels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_bmp4_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import bmp4_pixel_stats, synthesize_bmp4_media
+
+    d = table(spark, sf_dir, "documents")
+    return bmp4_pixel_stats(synthesize_bmp4_media(d.select("doc_id")))

@@ -133,3 +133,63 @@ def test_core_header_roundtrip():
         buf = encode_bmp_core(px)
         assert struct.unpack_from("<I", buf, 14)[0] == 12
         assert (decode_bmp(buf) == px).all()
+
+
+# ---------------------------------------------------------------------------
+# 4-bit (16-color) BMP
+# ---------------------------------------------------------------------------
+
+
+def test_bmp4_roundtrip_raw_and_rle4():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.bmp import (
+        decode_bmp4,
+        encode_bmp4_raw,
+        encode_bmp_rle4,
+    )
+
+    rng = np.random.default_rng(44)
+    for _ in range(10):
+        h, w = rng.integers(1, 10), rng.integers(1, 18)
+        px = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+        assert (decode_bmp4(encode_bmp4_raw(px)) == px).all()
+        assert (decode_bmp4(encode_bmp_rle4(px)) == px).all()
+
+
+def test_bmp4_rle4_alternating_nibble_run():
+    import struct
+
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.bmp import _headers4, decode_bmp4
+
+    # hand-built stream: one row '5 2 5 2 5' as a single encoded run of
+    # 5 pixels with value byte 0x52, then EOL + EOB — pins the
+    # alternating-nibble semantics an all-same-value encoder never emits
+    data = bytes([5, 0x52]) + b"\x00\x00" + b"\x00\x01"
+    buf = _headers4(5, 1, 2, len(data)) + data
+    assert decode_bmp4(buf).tolist() == [[5, 2, 5, 2, 5]]
+    # and an absolute block of 5 nibbles: 3 data bytes (odd) + the
+    # 16-bit alignment pad the spec requires
+    data = (
+        bytes([0x00, 5, 0x7A, 0xB0, 0xE0, 0x00]) + b"\x00\x00" + b"\x00\x01"
+    )
+    buf = _headers4(5, 1, 2, len(data)) + data
+    assert decode_bmp4(buf).tolist() == [[7, 10, 11, 0, 14]]
+
+
+def test_bmp4_fixture_matches_formula():
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.bmp import (
+        decode_bmp4,
+        make_bmp4_image,
+    )
+
+    for i in (0, 1, 4, 9, 27, 100):
+        w, h = i % 14 + 4, i % 9 + 3
+        out = decode_bmp4(make_bmp4_image(i))
+        x = np.arange(w).reshape(1, -1)
+        y = np.arange(h).reshape(-1, 1)
+        assert (out == (i * 3 + 2 * x + 5 * y) % 16).all(), i

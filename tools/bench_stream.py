@@ -284,6 +284,37 @@ def main() -> None:
                 spark, str(work / "cc_state")
             ).count(),  # label-store rows, the state this op actually keeps
         }
+        # incremental MSF maintenance (streaming/msf.py): forest ∪ batch
+        # re-solved per microbatch via the sparsification identity; state
+        # is the forest (O(nodes)), metric includes the Borůvka solve +
+        # txlog commit
+        from nemsis_xml_parser_spark.streaming.msf import (
+            read_forest,
+            start_msf_maintenance,
+        )
+
+        wedges = source(ev_dir, ev_schema).select(
+            F.col("user_id").alias("u"),
+            (F.col("event_id") % 4096 + 1_000_000).alias("v"),
+            (F.col("event_id") % 97 + 1).alias("w"),
+        )
+        q = start_msf_maintenance(
+            wedges, str(work / "msf_state"), str(work / "cp11")
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = spark.read.parquet(ev_dir).count()
+        out["msf_maintenance"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": read_forest(
+                spark, str(work / "msf_state")
+            ).count(),  # forest edges — the O(nodes) state bound
+        }
+
         # historical near-dup index (streaming/dedup_index.py): per batch
         # band + join vs the append-only LSH bucket index + batch-keyed
         # overwrite commits; rows/s includes candidate emission
