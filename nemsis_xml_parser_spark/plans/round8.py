@@ -1967,3 +1967,129 @@ def multimodal_bmp4_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bmp4_pixel_stats(synthesize_bmp4_media(d.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# Holt one-step-ahead backtest — rolling-origin forecast evaluation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_holt_backtest",
+    family="timeseries",
+    doc="Rolling-origin one-step-ahead backtest of the Holt linear "
+    "smoother (the evaluation loop behind every forecasting deploy): "
+    "for each day t the model fitted on days 1..t forecasts day t+1 "
+    "(level_t + trend_t), and the per-type MAPE aggregates the "
+    "absolute percentage errors.  The Spark side materializes the "
+    "whole state TRAJECTORY in one aggregate fold (the accumulator is "
+    "the array of states, array_append per step — no per-prefix "
+    "refits, O(days) not O(days^2)); the oracle reads the same "
+    "trajectory off the recursive CTE's intermediate rows.  "
+    "Determinism: each APE is a ratio of doubles from the identical "
+    "fold, ROUNDed to 12 before an EXACT DECIMAL sum, so the "
+    "aggregation order never matters (the PMI/pagerank discipline).  "
+    "Scale shape: one (type, day) corpus aggregate; everything after "
+    "runs on calendar-bounded arrays.",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+seq AS MATERIALIZED (
+  SELECT event_type, CAST(cnt AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+st AS (
+  SELECT event_type, rn, n, x AS lvl, CAST(0 AS DOUBLE) AS tr
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.event_type, q.rn, q.n,
+         {HOLT_A} * q.x + {1 - HOLT_A} * (s.lvl + s.tr),
+         {HOLT_B * HOLT_A} * (q.x - s.lvl)
+           + {HOLT_B * (1 - HOLT_A) + (1 - HOLT_B)} * s.tr
+  FROM st s JOIN seq q
+    ON q.event_type = s.event_type AND q.rn = s.rn + 1
+),
+ape AS (
+  SELECT s.event_type,
+         CAST(ROUND(ABS(s.lvl + s.tr - q.x) / q.x, 12)
+              AS DECIMAL(20,12)) AS e
+  FROM st s JOIN seq q
+    ON q.event_type = s.event_type AND q.rn = s.rn + 1
+)
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+       ROUND(CAST(SUM(a.e) AS DOUBLE) / COUNT(*), 6) AS mape
+FROM ape a GROUP BY a.event_type
+""",
+)
+def timeseries_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+    def step(acc_last, x):
+        lvl = F.lit(HOLT_A) * x["level"] + F.lit(1 - HOLT_A) * (
+            acc_last["level"] + acc_last["trend"]
+        )
+        return F.struct(
+            lvl.alias("level"),
+            (
+                F.lit(HOLT_B * HOLT_A) * (x["level"] - acc_last["level"])
+                + F.lit(HOLT_B * (1 - HOLT_A) + (1 - HOLT_B))
+                * acc_last["trend"]
+            ).alias("trend"),
+        )
+
+    traj = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cnt"))).alias("xs"))
+        .select(
+            "event_type",
+            F.transform(
+                "xs",
+                lambda s: F.struct(
+                    s["cnt"].cast("double").alias("level"),
+                    F.lit(0.0).alias("trend"),
+                ),
+            ).alias("vals"),
+        )
+        .select(
+            "event_type",
+            "vals",
+            F.aggregate(
+                F.slice("vals", F.lit(2), F.size("vals") - 1),
+                F.array(F.element_at("vals", 1)),
+                lambda acc, x: F.array_append(
+                    acc, step(F.element_at(acc, -1), x)
+                ),
+            ).alias("states"),
+        )
+    )
+    errs = traj.select(
+        "event_type",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("vals") - 1),
+                lambda i: F.round(
+                    F.abs(
+                        F.element_at("states", i)["level"]
+                        + F.element_at("states", i)["trend"]
+                        - F.element_at("vals", i + 1)["level"]
+                    )
+                    / F.element_at("vals", i + 1)["level"],
+                    12,
+                ).cast("decimal(20,12)"),
+            )
+        ).alias("e"),
+    )
+    return errs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+        F.round(
+            F.sum("e").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mape"),
+    )
