@@ -2093,3 +2093,111 @@ def timeseries_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("e").cast("double") / F.count(F.lit(1)), 6
         ).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter record-linkage scoring
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# (m, u) per comparison field: P(agree | match) and P(agree | non-match).
+# The log-weights are computed ONCE in Python and injected as identical
+# double literals into both engines — no engine-side ln() anywhere.
+FS_FIELDS = {
+    "seg": (0.95, 0.20),   # mktsegment equality
+    "bal": (0.90, 0.05),   # account balance within 10.0
+    "key": (0.85, 0.02),   # customer number within 5
+}
+FS_W = {
+    f: (_math.log(m / u), _math.log((1 - m) / (1 - u)))
+    for f, (m, u) in FS_FIELDS.items()
+}
+FS_MATCH, FS_POSSIBLE = 2.0, 0.0
+
+
+@register(
+    "er_fellegi_sunter",
+    family="quality",
+    doc="Fellegi–Sunter probabilistic record-linkage scoring (the 1969 "
+    "decision model behind every production linker) over blocked "
+    "customer pairs: candidates block on (nationkey, acctbal//500) — "
+    "the fine-blocking posture that keeps within-block comparison "
+    "quadratics bounded — and each pair scores "
+    "sum_f(agree_f ? ln(m_f/u_f) : ln((1-m_f)/(1-u_f))) over three "
+    "field comparators (segment equality, balance within 10, customer "
+    "number within 5).  The log-weights are Python-computed literals "
+    "injected into BOTH engines, so no libm ln() enters either plan; "
+    "the score is a fixed-order sum of three identical doubles.  "
+    "Output: the match / possible / non-match decision counts with "
+    "DECIMAL-disciplined mean scores (round-12 per pair, exact sum, "
+    "one division).",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS blk
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         (CASE WHEN a.c_mktsegment = b.c_mktsegment
+               THEN {FS_W['seg'][0]!r} ELSE {FS_W['seg'][1]!r} END)
+       + (CASE WHEN ABS(a.c_acctbal - b.c_acctbal) < 10.0
+               THEN {FS_W['bal'][0]!r} ELSE {FS_W['bal'][1]!r} END)
+       + (CASE WHEN ABS(a.c_custkey - b.c_custkey) < 5
+               THEN {FS_W['key'][0]!r} ELSE {FS_W['key'][1]!r} END)
+           AS score
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+),
+scored AS (
+  SELECT CASE WHEN score > {FS_MATCH!r} THEN 'match'
+              WHEN score > {FS_POSSIBLE!r} THEN 'possible'
+              ELSE 'non_match' END AS decision,
+         CAST(ROUND(score, 12) AS DECIMAL(20,12)) AS s
+  FROM pairs
+)
+SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_score
+FROM scored GROUP BY decision
+""",
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+
+    def w(field, cond):
+        wa, wd = FS_W[field]
+        return F.when(cond, F.lit(wa)).otherwise(F.lit(wd))
+
+    score = (
+        w("seg", F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        + w("bal", F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 10.0)
+        + w("key", F.abs(F.col("a.c_custkey") - F.col("b.c_custkey")) < 5)
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(score.alias("score"))
+    scored = pairs.select(
+        F.when(F.col("score") > FS_MATCH, F.lit("match"))
+        .when(F.col("score") > FS_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+        F.round("score", 12).cast("decimal(20,12)").alias("s"),
+    )
+    return scored.groupBy("decision").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+    )
