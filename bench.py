@@ -113,6 +113,9 @@ HEADLINE = [
     "multimodal_png_variants_stats",
     "graph_heavy_edge_coarsening",
     "graph_louvain_sweep",
+    "timeseries_holt_backtest",
+    "er_fellegi_sunter",
+    "multimodal_bmp4_pixel_stats",
 ]
 
 
