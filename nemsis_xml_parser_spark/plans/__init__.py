@@ -205,6 +205,30 @@ _RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
         "sql_surface_topk_months", "text_sentence_stats", "text_zipf_slope",
         "window_median_filter",
     }),
+    8: frozenset({
+        "agg_approx_distinct", "agg_count_distinct",
+        "agg_groupby_multi", "agg_variance_manual", "ann_nsw_beam_topk",
+        "cube_agg", "curation_zorder_layout", "dedup_semdedup_band",
+        "dedup_winnowing_ladder", "dedup_winnowing_pairs",
+        "embedding_jl_projection", "er_fellegi_sunter",
+        "filter_project", "graph_boruvka_msf",
+        "graph_heavy_edge_coarsening", "graph_louvain_sweep",
+        "graph_node2vec_walks", "graph_sssp_bellman_ford",
+        "grouping_sets_agg", "join_anti", "join_broadcast_decode",
+        "join_inner", "join_left_outer", "join_range_band", "join_semi",
+        "multimodal_bmp4_pixel_stats", "multimodal_jpeg12_stats",
+        "multimodal_png_variants_stats",
+        "multimodal_tiff_multipage_stats",
+        "multimodal_tiff_tiled_stats", "q11_important_stock",
+        "q20_dominant_suppliers", "q2_cheapest_supplier",
+        "quality_linear_probe", "rollup_agg", "scalar_date_battery",
+        "scalar_math_battery", "scalar_string_battery", "set_except",
+        "set_intersect", "set_union_distinct", "sketch_hll_distinct",
+        "sort_limit_topn", "text_bpe_train_merges",
+        "timeseries_holt_backtest", "timeseries_holt_linear",
+        "topk_per_group", "window_lag_gap", "window_rank_orders",
+        "window_running_total",
+    }),
 }
 
 _vintage: dict[str, int] = {}
