@@ -37,8 +37,31 @@ def heavy_edge_matching_round(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     edges (u, v, w).  Returns (contracted_edges, matches) where matches
     is (u, v, w) — the mutually-proposed pairs that merged (u < v) —
     and contracted_edges is the coarse graph in canonical form."""
-    adj = edges.select("u", "v", "w").unionByName(
-        edges.select(
+    checked = edges.select(
+        "u",
+        # Packing assumes ids (and weights) fit beside each other in one
+        # BIGINT; an id >= 2^31 would silently corrupt the argmax pick,
+        # so out-of-range ids fail loudly at scan time instead.
+        F.when(
+            (F.col("v") >= 0) & (F.col("v") < _PACK)
+            & (F.col("u") >= 0) & (F.col("u") < _PACK),
+            F.col("v"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("heavy_edge_round: node id out of packable "
+                          "range [0, 2^31): ("),
+                    F.col("u").cast("string"), F.lit(", "),
+                    F.col("v").cast("string"), F.lit(")"),
+                )
+            )
+        )
+        .alias("v"),
+        "w",
+    )
+    adj = checked.unionByName(
+        checked.select(
             F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
         )
     )

@@ -27,6 +27,9 @@ Reference parity: none — §2.I sketch tier.
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -37,6 +40,22 @@ _M = 1 << HLL_P
 # alpha_m * m^2, written with the same literal arithmetic as the oracle
 _ALPHA_M2 = f"(0.7213 / (1.0 + 1.079 / {_M}.0)) * {_M * _M}.0"
 _POW61 = 1 << 61
+
+# Linear-counting branch (raw <= 2.5*m) decided on the EXACT integer
+# denominator instead of the double `raw`:
+#   raw <= 2.5*m  ⟺  alpha_m2 * 2^61 / num <= 2.5*m  ⟺  num >= threshold
+# with threshold = alpha_m2 * 2^61 / (2.5*m) computed exactly here (the
+# double alpha_m2 is the same IEEE value Python / Spark / DuckDB all
+# evaluate from the literal above; Fraction lifts it losslessly).  For
+# integer num, `num >= threshold` ⟺ `num >= ceil(threshold)` — so both
+# engines compare the same DECIMAL against the same integer literal and
+# provably take the same branch, with no reliance on double-division
+# rounding at the boundary.
+_LC_THRESHOLD = math.ceil(
+    Fraction((0.7213 / (1.0 + 1.079 / float(_M))) * float(_M * _M))
+    * _POW61
+    / (Fraction(5, 2) * _M)
+)
 
 
 def hll_rho(h: Column) -> Column:
@@ -78,15 +97,18 @@ def hll_estimate(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         ).alias("num_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    num = (
-        F.col("num_present")
-        + (F.lit(_M) - F.col("n_present")).cast("decimal(38,0)")
-        * F.lit(_POW61).cast("decimal(38,0)")
-    ).cast("double")
+    num_dec = F.col("num_present") + (
+        F.lit(_M) - F.col("n_present")
+    ).cast("decimal(38,0)") * F.lit(_POW61).cast("decimal(38,0)")
+    num = num_dec.cast("double")
     zeros = (F.lit(_M) - F.col("n_present")).cast("double")
     raw = F.expr(_ALPHA_M2) * F.lit(float(_POW61)) / num
+    # branch on the exact DECIMAL num, not the double raw (see
+    # _LC_THRESHOLD) — raw <= 2.5*m ⟺ num >= threshold
     est = F.when(
-        (raw <= 2.5 * _M) & (zeros > 0),
+        # threshold exceeds BIGINT range — inject as a DECIMAL literal
+        (num_dec >= F.expr(f"CAST('{_LC_THRESHOLD}' AS DECIMAL(38,0))"))
+        & (zeros > 0),
         F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
     ).otherwise(raw)
     return per.select(

@@ -54,6 +54,10 @@ def louvain_sweep_summary(edges: DataFrame) -> DataFrame:
     )
     deg = adj.groupBy("u").agg(F.sum("w").alias("k"))
     m = e.agg(F.sum("w")).collect()[0][0] or 0
+    if m == 0:
+        # Modularity divides by 4*m^2; an empty / all-zero-weight graph has
+        # no defined partition quality — fail loudly instead of emitting NaN.
+        raise ValueError("louvain_sweep_summary: total edge weight is 0")
     gains = (
         adj.join(deg.withColumnRenamed("u", "v").withColumnRenamed("k", "kj"), "v")
         .join(deg, "u")

@@ -43,7 +43,7 @@ from .ivf import _nearest, assign_cells, train_centroids
 from .lineage import cut_lineage
 
 
-def _seed_members(corpus: DataFrame, nlist: int, id_col: str, vec_col: str):
+def _seed_members(corpus: DataFrame, nlist: int, id_col: str):
     """(cid, svid) — the seeded quantizer's defining member per cell
     (min id of the ``id % nlist`` stratum, matching train_centroids
     iters=0)."""
@@ -113,7 +113,7 @@ def build_nsw_graph(
     probes = _nearest(vecs, centroids, keep=seed_links).select(
         F.col("__vid").alias("node"), "cid"
     )
-    seeds = _seed_members(corpus, nlist, id_col, vec_col)
+    seeds = _seed_members(corpus, nlist, id_col)
     linked = probes.join(seeds, "cid").where(F.col("node") != F.col("svid"))
     links = linked.select(
         F.col("node").alias("src"), F.col("svid").alias("dst")
@@ -159,7 +159,7 @@ def nsw_beam_topk(
         centroids,
         keep=1,
     ).select(F.col("__vid").alias("query_id"), "cid")
-    seeds = _seed_members(corpus, nlist, id_col, vec_col)
+    seeds = _seed_members(corpus, nlist, id_col)
     state = qcell.join(seeds, "cid").select(
         "query_id", F.col("svid").alias("node")
     )

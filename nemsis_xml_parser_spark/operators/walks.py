@@ -52,7 +52,24 @@ def deterministic_walks(
     seed id, step 0 at the seed), each step choosing the hash-argmin
     neighbor.  A walk ends early only at a node with no out-edges."""
     a = adj.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        F.col(src).cast("long").alias("src"),
+        # The argmin pack multiplies the score by 2^31 and adds the
+        # neighbor id; an id >= 2^31 would silently corrupt the argmin,
+        # so out-of-range ids fail loudly at scan time instead.
+        F.when(
+            (F.col(dst).cast("long") >= 0) & (F.col(dst).cast("long") < _PACK),
+            F.col(dst).cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("deterministic_walks: node id out of packable "
+                          "range [0, 2^31): "),
+                    F.col(dst).cast("string"),
+                )
+            )
+        )
+        .alias("dst"),
     )
     frontier = cut_lineage(
         seeds.select(F.col(node).cast("long").alias("walk_id")).distinct()

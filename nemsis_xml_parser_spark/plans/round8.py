@@ -1498,22 +1498,31 @@ per AS (
 est AS (
   SELECT lang, n_exact,
          CAST(64 - n_present AS DOUBLE) AS zeros,
+         num_present + CAST(64 - n_present AS DECIMAL(38,0))
+           * CAST(2305843009213693952 AS DECIMAL(38,0)) AS num_dec,
          ((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0)
            * 2305843009213693952.0
            / CAST(num_present + CAST(64 - n_present AS DECIMAL(38,0))
                   * CAST(2305843009213693952 AS DECIMAL(38,0))
                   AS DOUBLE) AS raw
   FROM per
+),
+-- linear-counting branch decided on the EXACT integer denominator
+-- (raw <= 2.5*m  ⟺  num >= ceil(alpha_m2*2^61/(2.5*m)) — the same
+-- DECIMAL-vs-integer-literal compare operators/hll.py makes), so both
+-- engines provably take the same branch
+br AS (
+  SELECT *, (num_dec >= CAST('41872099375760238183' AS DECIMAL(38,0))
+             AND zeros > 0) AS lc
+  FROM est
 )
 SELECT lang, n_exact,
-       ROUND(CASE WHEN raw <= 160.0 AND zeros > 0
-                  THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 6)
+       ROUND(CASE WHEN lc THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 6)
          AS hll_estimate,
-       ROUND(ABS(CASE WHEN raw <= 160.0 AND zeros > 0
-                      THEN 64.0 * ln(64.0 / zeros) ELSE raw END
+       ROUND(ABS(CASE WHEN lc THEN 64.0 * ln(64.0 / zeros) ELSE raw END
                  - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
          AS rel_error
-FROM est
+FROM br
 """,
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,6 +37,7 @@ Reference parity: none — §2.I streaming-dedup tier.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -51,7 +52,11 @@ def read_index(spark: SparkSession, index_root: str) -> DataFrame:
         return spark.read.schema(BAND_SCHEMA).parquet(
             f"{index_root}/batch=*"
         )
-    except Exception:
+    except AnalysisException:
+        # Only "path does not exist" (first batch) is expected; any other
+        # read-time error must propagate so the microbatch retries instead
+        # of silently contributing zero history pairs to an append-only
+        # index that would never regenerate them.
         return spark.createDataFrame([], BAND_SCHEMA)
 
 
