@@ -263,26 +263,42 @@ def minhash_lsh_pairs(
         )
     if candidates_only:
         return candidates
-    # exact verification on candidates only
-    shingles = _distinct_shingles(df, text_col, id_col, n)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh"))
-    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh"))
-    common = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verification on candidates only.  Each doc's DISTINCT shingle
+    # set is collected ONCE as an array and joined onto the candidate
+    # pairs; the intersection count is computed codegen-side with
+    # array_intersect.  Same exact Jaccard as the explode-join shape this
+    # replaces, but the (candidate x shingle) exploded relation is never
+    # materialized or shuffled — the old plan shuffled it on
+    # (doc_b, shingle) and then again for the per-pair groupBy, which
+    # SOAK_ladder_r08 measured as the dominant hot-tier stage.  Shuffle
+    # volume is the same order (each doc's shingles ship once per pair
+    # touching it either way); the two extra wide shuffles are gone.
+    sets_ = (
+        _distinct_shingles(df, text_col, id_col, n)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shs"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    va = sets_.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    vb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    scored = (
+        candidates.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+            F.size("shs_a").alias("sz_a"),
+            F.size("shs_b").alias("sz_b"),
+        )
+    )
     jac = F.col("n_common").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     )
+    # n_common >= 1 replicates the old inner-join semantics: pairs with
+    # no shared shingle never surfaced (they vanished in the shingle
+    # equi-join), even at threshold 0.0.
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .where(jac >= threshold)
+        scored.where((F.col("n_common") >= 1) & (jac >= threshold))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
