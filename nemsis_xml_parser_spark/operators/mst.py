@@ -35,18 +35,34 @@ Reference parity: the reference (psycopg2 ETL) has no graph surface;
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 
 from .lineage import cut_lineage
 
+# Node-state row count below which the per-round label joins broadcast
+# the (small) state side instead of shuffling both sides — cut_lineage
+# erases the stats AQE would have used for the same decision (the
+# operators/scc.py convention).  At scale the guard fails and the
+# shuffle path is untouched.
+_BROADCAST_STATE_MAX = 4_000_000
 
-def _resolve_roots(ptr: DataFrame, max_jump: int = 25) -> DataFrame:
+
+def _resolve_roots(
+    ptr: DataFrame, max_jump: int = 25, small: bool = False
+) -> DataFrame:
     """(c, root) for every component in ``ptr`` (c -> oc, its min-edge
     neighbor).  Breaks the 2-cycles (mutual pairs root at the smaller
-    label), then pointer-jumps to the chain root by doubling."""
+    label), then pointer-jumps to the chain root by doubling.
+
+    Each jump is ONE Spark job: the moved-pointer count rides the
+    round's checkpoint via ``observe`` (the scc.py probe fusion — the
+    old loop paid a dedicated changed-probe job per jump), and with
+    ``small`` the jump's lookup side broadcasts (it is a projection of
+    the checkpointed state, so the broadcast re-scan is a leaf read)."""
+    hint = F.broadcast if small else (lambda d: d)
     q = ptr.select(F.col("c").alias("qc"), F.col("oc").alias("qoc"))
     par = (
-        ptr.join(q, ptr["oc"] == q["qc"], "left")
+        ptr.join(hint(q), ptr["oc"] == q["qc"], "left")
         .select(
             "c",
             F.when(
@@ -59,23 +75,24 @@ def _resolve_roots(ptr: DataFrame, max_jump: int = 25) -> DataFrame:
     )
     for _ in range(max_jump):
         b = par.select(F.col("c").alias("bc"), F.col("par").alias("bpar"))
+        obs = Observation()
         jumped = (
-            par.join(b, par["par"] == b["bc"], "left")
+            par.join(hint(b), par["par"] == b["bc"], "left")
             .select(
-                "c", F.coalesce(F.col("bpar"), F.col("par")).alias("par")
+                "c",
+                F.coalesce(F.col("bpar"), F.col("par")).alias("par"),
+                (
+                    F.col("bpar").isNotNull()
+                    & (F.col("bpar") != F.col("par"))
+                )
+                .cast("long")
+                .alias("moved"),
             )
+            .observe(obs, F.sum("moved").alias("m"))
             .transform(cut_lineage)
         )
-        changed = (
-            jumped.join(
-                par.withColumnRenamed("par", "old"), "c"
-            )
-            .where(F.col("par") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        par = jumped
-        if changed == 0:
+        par = jumped.select("c", "par")
+        if (obs.get["m"] or 0) == 0:
             return par.withColumnRenamed("par", "root")
     raise RuntimeError(f"pointer jumping did not converge in {max_jump} rounds")
 
@@ -105,20 +122,26 @@ def boruvka_forest(
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    comp = nodes.select(
-        "node", F.col("node").alias("c")
-    ).transform(cut_lineage)
-    picked = None
+    obs0 = Observation()
+    comp = (
+        nodes.select("node", F.col("node").alias("c"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .transform(cut_lineage)
+    )
+    small = (obs0.get["n"] or 0) <= _BROADCAST_STATE_MAX
+    hint = F.broadcast if small else (lambda d: d)
+    # per-round picks accumulate LAZILY (each part is a cheap select
+    # over its round's checkpointed pick) and union once at the end —
+    # the old loop paid an accumulator checkpoint job per round
+    picked_parts: list[DataFrame] = []
     for r in range(1, rounds + 1):
         cu = comp.select(F.col("node").alias("u"), F.col("c").alias("cu"))
         cv = comp.select(F.col("node").alias("v"), F.col("c").alias("cv"))
         ce = (
-            e.join(cu, "u")
-            .join(cv, "v")
+            e.join(hint(cu), "u")
+            .join(hint(cv), "v")
             .where(F.col("cu") != F.col("cv"))
         )
-        if ce.limit(1).count() == 0:
-            break
         both = ce.select(
             F.col("cu").alias("c"), "w", "u", "v", F.col("cv").alias("oc")
         ).unionByName(
@@ -126,6 +149,7 @@ def boruvka_forest(
                 F.col("cv").alias("c"), "w", "u", "v", F.col("cu").alias("oc")
             )
         )
+        obs = Observation()
         pick = (
             both.withColumn(
                 "rn",
@@ -135,20 +159,21 @@ def boruvka_forest(
             )
             .where(F.col("rn") == 1)
             .select("c", "oc", "u", "v", "w")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .transform(cut_lineage)
         )
-        new_edges = pick.select("u", "v", "w").distinct().withColumn(
-            "round", F.lit(r)
+        # an empty pick means no cross-component edge survived — the
+        # emptiness probe rides the pick checkpoint (the old loop paid
+        # a dedicated limit(1).count() job per round)
+        if (obs.get["n"] or 0) == 0:
+            break
+        picked_parts.append(
+            pick.select("u", "v", "w").distinct().withColumn("round", F.lit(r))
         )
-        picked = (
-            new_edges
-            if picked is None
-            else picked.unionByName(new_edges)
-        ).transform(cut_lineage)
-        roots = _resolve_roots(pick.select("c", "oc"))
+        roots = _resolve_roots(pick.select("c", "oc"), small=small)
         comp = (
             comp.join(
-                roots.withColumnRenamed("c", "c_old"),
+                hint(roots.withColumnRenamed("c", "c_old")),
                 comp["c"] == F.col("c_old"),
                 "left",
             )
@@ -157,8 +182,64 @@ def boruvka_forest(
             )
             .transform(cut_lineage)
         )
-    if picked is None:
+    if not picked_parts:
         picked = e.limit(0).withColumn("round", F.lit(0)).select(
             "round", "u", "v", "w"
         )
+    else:
+        picked = picked_parts[0]
+        for part in picked_parts[1:]:
+            picked = picked.unionByName(part)
     return picked.select("round", "u", "v", "w"), comp
+
+
+# Residual edge count that comfortably solves inside ONE executor task
+# (~48 bytes/edge -> ~100 MB at the bound, seconds of union-find).
+LOCAL_FINISH_MAX = 2_000_000
+
+
+def kruskal_local(edges: DataFrame) -> DataFrame:
+    """Single-task Kruskal over a residual edge set that fits in one
+    executor — the endgame of the MapReduce MST recipe (Lattanzi et
+    al., SPAA'11: run filtering/Borůvka rounds only until the residual
+    fits in memory, then finish locally).  Under the same (w, u, v)
+    total order the MSF is unique, so this picks EXACTLY the edges the
+    distributed Borůvka rounds would (tests/test_mst.py parity).
+
+    Input must be canonical (u < v) min-reduced edges; returns the
+    forest as (u, v, w).  One Arrow batch in, O(nodes) rows out —
+    callers guard with ``LOCAL_FINISH_MAX``.
+    """
+    import pandas as pd
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        keep_u: list[int] = []
+        keep_v: list[int] = []
+        keep_w: list[int] = []
+        order = sorted(zip(pdf["w"], pdf["u"], pdf["v"]))
+        for w, u, v in order:
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                keep_u.append(int(u))
+                keep_v.append(int(v))
+                keep_w.append(int(w))
+        return pd.DataFrame({"u": keep_u, "v": keep_v, "w": keep_w})
+
+    return (
+        edges.select("u", "v", "w")
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda pdf: finish(pdf), "u long, v long, w long"
+        )
+    )
