@@ -345,6 +345,37 @@ def main() -> None:
                 spark, str(work / "ndpairs")
             ).count(),
         }
+
+        # historical winnowing index (streaming/winnow_index.py): per
+        # batch fingerprint + cumulative-df stop-list + join vs the
+        # append-only fingerprint index; rows/s includes pair emission
+        from nemsis_xml_parser_spark.streaming.winnow_index import (
+            read_winnow_pairs,
+            start_winnow_index_stream,
+        )
+
+        q = start_winnow_index_stream(
+            source(doc_dir, doc_schema),
+            str(work / "wnidx"),
+            str(work / "wnpairs"),
+            str(work / "cp12"),
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = spark.read.parquet(doc_dir).count()
+        out["winnow_history_index"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": spark.read.parquet(
+                str(work / "wnidx") + "/batch=*"
+            ).count(),
+            "candidate_pairs": read_winnow_pairs(
+                spark, str(work / "wnpairs")
+            ).count(),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
