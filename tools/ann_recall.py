@@ -1,0 +1,138 @@
+"""ANN quality cross-comparison: recall@k of every approximate index
+against brute force on the SAME corpus and query set.
+
+Each method's recall floor is pytest-asserted in isolation
+(test_similarity / test_ivf / test_ivfpq / test_nsw); this tool puts
+them side by side — the comparison a user choosing an index actually
+needs — and records wall time so the recall/cost trade is visible.
+
+Methods (all over the embeddings table, queries = a deterministic
+every-Nth sample of the corpus, self excluded everywhere):
+
+* brute      — exact cosine top-k (the ground truth; recall 1.0)
+* lsh        — random-hyperplane bucket, compare within bucket
+* ivf        — k-means cells, probe nprobe nearest cells
+* ivfpq      — IVF cells + product-quantized residuals, ADC ranking
+* nsw        — navigable-small-world beam search
+
+Usage: python tools/ann_recall.py [sf_dir] [--out FILE]
+Writes ONE JSON line; rounds commit it as ANN_RECALL_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from nemsis_xml_parser_spark.operators.ivf import ivf_topk  # noqa: E402
+from nemsis_xml_parser_spark.operators.ivfpq import (  # noqa: E402
+    ivfpq_topk,
+    train_ivfpq,
+)
+from nemsis_xml_parser_spark.operators.nsw import nsw_beam_topk  # noqa: E402
+from nemsis_xml_parser_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    lsh_topk,
+)
+from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
+
+K = 10
+QUERY_STRIDE = 20  # every 20th corpus vector is a query
+
+
+def _collect(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.select("query_id", "neighbor_id").collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(truth: dict[int, set[int]], got: dict[int, set[int]]) -> float:
+    num = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    den = sum(len(truth[q]) for q in truth)
+    return round(num / den, 4) if den else 0.0
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    spark = get_spark("ann-recall")
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0)
+    n_corpus = corpus.count()
+    n_queries = queries.count()
+
+    def run(name, fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        got = _collect(fn())
+        return name, got, round(time.time() - t0, 2)
+
+    results = {}
+    name, truth, wall = run("brute", lambda: brute_force_topk(queries, corpus, k=K))
+    results[name] = {"recall_at_k": 1.0, "wall_sec": wall}
+
+    # two operating points per method: the shipped default and a
+    # higher-recall setting, so the recall/cost FRONTIER is visible
+    # (a single point per index is not a comparison)
+    cases = {
+        "lsh_planes8": lambda: lsh_topk(queries, corpus, k=K, num_planes=8),
+        "lsh_planes4": lambda: lsh_topk(queries, corpus, k=K, num_planes=4),
+        "ivf_probe3of8": lambda: ivf_topk(queries, corpus, k=K, nlist=8, nprobe=3),
+        "ivf_probe6of8": lambda: ivf_topk(queries, corpus, k=K, nlist=8, nprobe=6),
+        "nsw_beam8x3": lambda: nsw_beam_topk(queries, corpus, k=K),
+        "nsw_beam16x4": lambda: nsw_beam_topk(
+            queries, corpus, k=K, beam=16, hops=4, g_intra=10
+        ),
+    }
+    for name, fn in cases.items():
+        name, got, wall = run(name, fn)
+        results[name] = {"recall_at_k": _recall(truth, got), "wall_sec": wall}
+
+    centroids, codebooks, codes = train_ivfpq(corpus)
+    for df in (centroids, codebooks, codes):
+        df.persist().count()
+    for name, nprobe in (("ivfpq_probe3of8", 3), ("ivfpq_probe8of8", 8)):
+        name, got, wall = run(
+            name,
+            lambda np=nprobe: ivfpq_topk(
+                queries, centroids, codebooks, codes, k=K, nprobe=np
+            ),
+        )
+        results[name] = {"recall_at_k": _recall(truth, got), "wall_sec": wall}
+
+    spark.stop()
+    line = json.dumps(
+        {
+            "metric": "ann_recall_cross_comparison",
+            "sf_dir": sf_dir,
+            "k": K,
+            "n_corpus": n_corpus,
+            "n_queries": n_queries,
+            "methods": results,
+            "note": "wall_sec is warm query time incl. index build per "
+            "call (ivfpq index pre-trained and persisted, matching its "
+            "write-once/query-many deployment); recall averaged over "
+            "all (query, true-neighbor) pairs",
+        }
+    )
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
