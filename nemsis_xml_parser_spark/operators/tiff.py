@@ -39,7 +39,135 @@ from pyspark.sql.types import (
 # TIFF tag ids
 _WIDTH, _LENGTH, _BPS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
+_PLANAR, _PREDICTOR = 284, 317
 _TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
+
+# TIFF LZW (spec section 13): MSB-first bit packing, Clear=256, EOI=257,
+# first data code 258, and the "early change" — the code width bumps one
+# code EARLIER than the table size strictly requires (at next-code 511,
+# 1023, 2047), the quirk that distinguishes TIFF LZW from GIF LZW.
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_compress(data: bytes) -> bytes:
+    """TIFF-variant LZW compression (early-change, MSB-first)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(_LZW_CLEAR, width)
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # early change: width grows when the NEXT code to assign hits
+        # 2^width - 1 (511/1023/2047), not 2^width
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table full (early change leaves 4094 max)
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prefix = bytes([byte])
+    if prefix:
+        put(table[prefix], width)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decompress(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW decompression; stops at EOI or ``expected``
+    output bytes (strip/tile size), whichever comes first."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    def get() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return _LZW_EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    while len(out) < expected:
+        code = get()
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        # early change, mirroring the writer: the writer bumps when its
+        # next assignable code reaches 2^width - 1; the reader's table
+        # trails the writer's by ONE entry (it adds nothing on the
+        # first code after Clear), so the same moment is table length
+        # 2^width - 2 — the classic 510/1022/2046 decoder switch points
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(
+            f"LZW strip ended early: {len(out)} of {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
+def _hdiff_encode(raw: bytes, w: int, spp: int) -> bytes:
+    """Predictor 2 (horizontal differencing), per row per sample."""
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, w * spp).astype(np.int16)
+    d = a.copy()
+    d[:, spp:] = a[:, spp:] - a[:, :-spp]
+    return (d % 256).astype(np.uint8).tobytes()
+
+
+def _hdiff_decode(raw: bytes, w: int, spp: int) -> bytes:
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, w * spp).astype(np.int64)
+    for x in range(spp, w * spp, spp):
+        a[:, x : x + spp] = (a[:, x : x + spp] + a[:, x - spp : x]) % 256
+    return a.astype(np.uint8).tobytes()
 
 
 def packbits_compress(data: bytes) -> bytes:
@@ -320,6 +448,118 @@ def encode_tiff_tiled(
     return bytes(out)
 
 
+def encode_tiff_lzw(
+    px: np.ndarray,
+    rows_per_strip: int = 4,
+    compression: int = 5,
+    predictor: int = 1,
+    planar: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """uint8 image (2-D grayscale or (h,w,3) RGB) → single-IFD strip
+    TIFF with LZW (compression 5) or none (1), optional horizontal-
+    differencing predictor (317 = 2), and optional PLANAR configuration
+    (284 = 2: the strip sequence is all of sample 0's strips, then
+    sample 1's, then sample 2's — StripOffsets/ByteCounts carry
+    SamplesPerPixel × StripsPerImage entries, spec section 14)."""
+    if compression not in (1, 5):
+        raise ValueError("encode_tiff_lzw writes compression 1 or 5 only")
+    if predictor not in (1, 2) or planar not in (1, 2):
+        raise ValueError("predictor and planar must be 1 or 2")
+    if px.ndim == 2:
+        spp, photometric = 1, 1
+    elif px.ndim == 3 and px.shape[2] == 3:
+        spp, photometric = 3, 2
+    else:
+        raise NotImplementedError("grayscale (2-D) or RGB (h,w,3) only")
+    if planar == 2 and spp == 1:
+        planar = 1  # planar is meaningless for one sample
+    h, w = px.shape[0], px.shape[1]
+    a = px.astype(np.uint8)
+    if spp == 1:
+        a = a[..., None]
+    strips: list[bytes] = []
+    planes = range(spp) if planar == 2 else (None,)
+    for plane in planes:
+        for r0 in range(0, h, rows_per_strip):
+            if plane is None:
+                raw = a[r0 : r0 + rows_per_strip].tobytes()
+                row_spp = spp
+            else:
+                raw = np.ascontiguousarray(
+                    a[r0 : r0 + rows_per_strip, :, plane]
+                ).tobytes()
+                row_spp = 1
+            if predictor == 2:
+                raw = _hdiff_encode(raw, w, row_spp)
+            strips.append(
+                lzw_compress(raw) if compression == 5 else raw
+            )
+    bo = ">" if big_endian else "<"
+    out = bytearray(
+        struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 0)
+    )
+    offsets = []
+    pos = len(out)
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    arrays = bytearray()
+    n_strips = len(strips)
+    if n_strips > 1:
+        off_array_pos = pos
+        for o in offsets:
+            arrays += struct.pack(bo + "I", o)
+        cnt_array_pos = pos + 4 * n_strips
+        for s in strips:
+            arrays += struct.pack(bo + "I", len(s))
+        pos += len(arrays)
+    if spp == 3:
+        bps_array_pos = pos
+        arrays += struct.pack(bo + "HHH", 8, 8, 8)
+        pos += 6
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:
+            return struct.pack(bo + "HHIHH", tag, typ, count, value, 0)
+        return struct.pack(bo + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(_WIDTH, 4, 1, w),
+        entry(_LENGTH, 4, 1, h),
+        (
+            entry(_BPS, 3, 1, 8)
+            if spp == 1
+            else entry(_BPS, 3, 3, bps_array_pos)
+        ),
+        entry(_COMPRESSION, 3, 1, compression),
+        entry(_PHOTOMETRIC, 3, 1, photometric),
+        entry(
+            _STRIP_OFFSETS,
+            4,
+            n_strips,
+            offsets[0] if n_strips == 1 else off_array_pos,
+        ),
+        entry(_SPP, 3, 1, spp),
+        entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip),
+        entry(
+            _STRIP_COUNTS,
+            4,
+            n_strips,
+            len(strips[0]) if n_strips == 1 else cnt_array_pos,
+        ),
+        entry(_PLANAR, 3, 1, planar),
+        entry(_PREDICTOR, 3, 1, predictor),
+    ]
+    ifd_pos = pos
+    out[4:8] = struct.pack(bo + "I", ifd_pos)
+    out += b"".join(strips) + bytes(arrays)
+    out += struct.pack(bo + "H", len(entries))
+    out += b"".join(entries)
+    out += struct.pack(bo + "I", 0)
+    return bytes(out)
+
+
 def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
     """IFD entry value(s): inline when they fit in 4 bytes, else at the
     offset the value field points to."""
@@ -359,25 +599,63 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
     if spp == 3 and photometric != 2:
         raise NotImplementedError("3-sample TIFF must be photometric RGB")
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    planar = tags.get(_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
+
+    def _unstrip(chunk: bytes, expected: int, row_spp: int) -> bytes:
+        if comp == 32773:
+            raw = packbits_decompress(chunk, expected)
+        elif comp == 5:
+            raw = lzw_decompress(chunk, expected)
+        else:
+            if len(chunk) != expected:
+                raise ValueError("strip byte count mismatch")
+            raw = chunk
+        # predictor 2 differences within each row, per sample — undo
+        # AFTER decompression (spec section 14: prediction is applied
+        # to the data before compression)
+        if predictor == 2:
+            raw = _hdiff_decode(raw, w, row_spp)
+        return raw
+
     if _STRIP_OFFSETS in tags:
         offsets = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_COUNTS]
         rps = tags.get(_ROWS_PER_STRIP, [h])[0]
-        out = bytearray()
-        for si, (o, c) in enumerate(zip(offsets, counts)):
-            rows = min(rps, h - si * rps)
-            expected = rows * w * spp
-            chunk = buf[o : o + c]
-            if comp == 32773:
-                out += packbits_decompress(chunk, expected)
-            else:
-                if len(chunk) != expected:
-                    raise ValueError("strip byte count mismatch")
-                out += chunk
-        px = np.frombuffer(bytes(out), dtype=np.uint8)
-        px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+        strips_per_image = (h + rps - 1) // rps
+        if planar == 2 and spp == 3:
+            # planar layout: all of sample 0's strips, then 1's, then
+            # 2's — each strip holds ONE sample's rows
+            if len(offsets) != 3 * strips_per_image:
+                raise ValueError("planar TIFF: wrong StripOffsets count")
+            full = np.zeros((h, w, 3), dtype=np.uint8)
+            for p in range(3):
+                out = bytearray()
+                for si in range(strips_per_image):
+                    idx = p * strips_per_image + si
+                    rows = min(rps, h - si * rps)
+                    out += _unstrip(
+                        buf[offsets[idx] : offsets[idx] + counts[idx]],
+                        rows * w,
+                        1,
+                    )
+                full[:, :, p] = np.frombuffer(bytes(out), dtype=np.uint8).reshape(
+                    h, w
+                )
+            px = full
+        else:
+            out = bytearray()
+            for si, (o, c) in enumerate(zip(offsets, counts)):
+                rows = min(rps, h - si * rps)
+                out += _unstrip(buf[o : o + c], rows * w * spp, spp)
+            px = np.frombuffer(bytes(out), dtype=np.uint8)
+            px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
     elif _TILE_OFFSETS in tags:
         # tiled layout: every tile is a full tile_w × tile_h raster
         # (edge tiles padded by the writer); the reader clips
@@ -391,12 +669,18 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
             raise ValueError(
                 f"tiled TIFF: {len(offsets)} tiles, expected {across * down}"
             )
+        if predictor == 2 or planar == 2:
+            raise NotImplementedError(
+                "predictor/planar tiled TIFF (tile-row differencing)"
+            )
         full = np.zeros((h, w, spp), dtype=np.uint8)
         expected = tw * th * spp
         for ti, (o, c) in enumerate(zip(offsets, counts)):
             chunk = buf[o : o + c]
             if comp == 32773:
                 raw = packbits_decompress(chunk, expected)
+            elif comp == 5:
+                raw = lzw_decompress(chunk, expected)
             else:
                 if len(chunk) != expected:
                     raise ValueError("tile byte count mismatch")
@@ -686,3 +970,73 @@ def tiff_multipage_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema=TIFF_PAGE_STATS_SCHEMA)
+
+
+def make_tiff_lzw_image(image_id: int) -> bytes:
+    """Deterministic REAL LZW-strip TIFF exercising the compression-5
+    seams as a design matrix: RGB on even ids, horizontal-differencing
+    predictor unless id%3==0, PLANAR configuration on id%4==2 (RGB
+    only — planar collapses to chunky for one sample), uncompressed
+    control on id%7==0, big-endian on id%5==0.  pixel(x, y, c) =
+    (id*11 + 7y + x div 4 + 31c) mod 256 — x-runs of 4 give LZW real
+    repeats; closed-form for the SQL oracle."""
+    w, h = image_id % 17 + 5, image_id % 9 + 4
+    ch = 3 if image_id % 2 == 0 else 1
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(ch).reshape(1, 1, ch)
+    px = ((image_id * 11 + 7 * y + x // 4 + 31 * c) % 256).astype(np.uint8)
+    if ch == 1:
+        px = px[:, :, 0]
+    return encode_tiff_lzw(
+        px,
+        rows_per_strip=3,
+        compression=(1 if image_id % 7 == 0 else 5),
+        predictor=(1 if image_id % 3 == 0 else 2),
+        planar=(2 if image_id % 4 == 2 else 1),
+        big_endian=(image_id % 5 == 0),
+    )
+
+
+def synthesize_tiff_lzw_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL LZW/predictor/planar strip TIFFs —
+    MEDIA_SCHEMA output, Arrow-batched."""
+    from .multimodal import MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_tiff_lzw_image(int(i))
+                rows.append((str(int(i)), "image/tiff", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def tiff_lzw_stats(media: DataFrame) -> DataFrame:
+    """Integer pixel statistics via the LZW/predictor/planar strip
+    decode path (same narrow-rows-out shape as tiff_tiled_stats)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_tiff(bytes(content)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                ch = 1 if px.ndim == 2 else px.shape[2]
+                rows.append(
+                    (
+                        int(path), w, h, ch,
+                        int(px.sum()), int(px.min()), int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_TILED_STATS_SCHEMA]
+            )
+
+    return media.mapInPandas(stats, schema=TIFF_TILED_STATS_SCHEMA)
