@@ -1,0 +1,140 @@
+"""Content-defined chunking (CDC) — Gear-hash boundary detection and
+cross-document chunk-level dedup.
+
+Fixed-size chunking breaks dedup the moment one byte is inserted (every
+later chunk shifts); CONTENT-DEFINED boundaries re-synchronize after an
+edit because a boundary depends only on the bytes near it.  This is the
+storage-dedup workhorse (LBFS' Rabin chunking; Gear/FastCDC — Xia et
+al., USENIX ATC'16 — replace Rabin with one shift+add per byte) and the
+chunk-level complement to the repo's document-level dedup ladder: two
+near-identical documents share almost every chunk fingerprint, and the
+shared-chunk table is the byte-range evidence a curation pipeline uses
+to locate WHAT is duplicated, not just THAT a pair is similar.
+
+Algorithm (basic Gear-CDC):
+
+* gear value per character: ``G(ch) = md5_long(ch)`` — the repo's
+  cross-engine 60-bit md5 hash, so the oracle recomputes it verbatim;
+* rolling hash ``h_i = (2 * h_{i-1} + G(ch_i)) mod 2^61`` — expanding
+  the recurrence, the multiplier of ``G(ch_j)`` is ``2^(i-j) mod 2^61``
+  which vanishes once ``i - j >= 61``, so the TRUE sequential gear
+  state equals a fold over a BOUNDED per-document window of the last
+  61 characters (a ROWS frame — never a global window, and the mod-61
+  argument is what makes the distributed rendering exact, not an
+  approximation);
+* boundary after position i when ``h_i mod 2^mask_bits == 0`` (average
+  chunk length 2^mask_bits), plus an implicit boundary at end-of-doc.
+  Plain Gear-CDC: no min/max chunk clamps — those make boundary
+  eligibility depend on the previous boundary (a sequential chain) and
+  are the part of FastCDC that does NOT distribute; the unclamped
+  variant is fully content-local, hence embarrassingly parallel.
+
+Scale: one per-character explode (the same volume class as the shingle
+explode every dedup tier pays), one bounded window, one hash-keyed
+aggregate per chunk.  61 fold steps per character are codegen-side
+integer ops; (2*acc + g) stays under 2^63 so both engines compute the
+identical wrapped-free arithmetic.
+
+Reference parity: none — the reference (psycopg2 ETL) has no dedup
+surface; §2.I LLM-curation tier.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.hashing import md5_long
+
+_P61 = 1 << 61
+GEAR_WINDOW = 61  # 2^(i-j) mod 2^61 == 0 past this lag — exactness bound
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    mask_bits: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_len, chunk_hash) — Gear-CDC chunks per
+    document; ``chunk_hash`` is the repo md5_long of the chunk text."""
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
+    ).where(F.col("ch") != "")
+    g = (md5_long(F.col("ch")) % _P61).alias("g")
+    w_gear = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(GEAR_WINDOW - 1), Window.currentRow)
+    )
+    hashed = chars.select(
+        "doc_id",
+        "pos",
+        "ch",
+        F.aggregate(
+            F.collect_list(g).over(w_gear),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 2 + x) % F.lit(_P61),
+        ).alias("h"),
+    )
+    mask = 1 << mask_bits
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # chunk index = number of boundaries strictly before this position
+    marked = hashed.select(
+        "doc_id",
+        "pos",
+        "ch",
+        F.coalesce(
+            F.sum((F.col("h") % mask == 0).cast("long")).over(w_cum),
+            F.lit(0),
+        ).alias("chunk_idx"),
+    )
+    return (
+        marked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("chunk_len"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                    lambda s: s["ch"],
+                ),
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("chunk_len").cast("long").alias("chunk_len"),
+            md5_long(F.col("chunk_text")).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_dedup_summary(chunks: DataFrame) -> DataFrame:
+    """One-row corpus summary of chunk-level duplication: total /
+    distinct chunk counts, chunks appearing in more than one document,
+    the maximum cross-document reuse of any single chunk, and mean
+    chunk length — the numbers that size a chunk-store."""
+    per_chunk = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.max("chunk_len").alias("chunk_len"),
+    )
+    return per_chunk.agg(
+        F.sum("n_copies").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum((F.col("n_docs") > 1).cast("long"))
+        .cast("bigint")
+        .alias("cross_doc_chunks"),
+        F.max("n_docs").cast("bigint").alias("max_doc_reuse"),
+        F.round(
+            F.sum(F.col("chunk_len") * F.col("n_copies"))
+            / F.sum("n_copies"),
+            4,
+        ).alias("mean_chunk_len"),
+    )

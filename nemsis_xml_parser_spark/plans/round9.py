@@ -80,3 +80,89 @@ def multimodal_tiff_lzw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("px_min").cast("int").alias("px_min"),
         F.max("px_max").cast("int").alias("px_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — chunk-level dedup (Gear-CDC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cdc_chunks",
+    family="dedup",
+    doc="Content-defined chunking dedup (operators/cdc.py — Gear/"
+    "FastCDC family, Xia et al. ATC'16): per-character md5 gear values, "
+    "rolling hash h = (2h + g) mod 2^61 rendered EXACTLY as a bounded "
+    "61-row window fold (2^(i-j) mod 2^61 vanishes past lag 61 — the "
+    "distributed form is the sequential recurrence, not an "
+    "approximation), boundaries where h mod 64 == 0, chunk fingerprints "
+    "md5 of the chunk text.  Returns the one-row chunk-store sizing "
+    "summary: total/distinct chunks, cross-document shared chunks, max "
+    "reuse, mean chunk length.  Unlike fixed-size chunking, an edit "
+    "re-synchronizes at the next content boundary — the storage-dedup "
+    "workhorse, and byte-range evidence of WHAT is duplicated for the "
+    "curation pipeline.  No min/max chunk clamps: those chain each "
+    "boundary to the previous one (the non-distributable part of "
+    "FastCDC); plain Gear-CDC is content-local, hence parallel.  "
+    "Scale: one per-char explode (shingle-explode volume class), one "
+    "bounded ROWS window, hash-keyed aggregates.  Oracle replays the "
+    "gear fold via list() window + list_reduce (scalar fold — safe per "
+    "NOTES gotcha 11) and the same md5 arithmetic.",
+    oracle="""
+WITH cs AS (
+  SELECT doc_id, string_split(text, '') AS arr FROM documents
+),
+chars AS (
+  SELECT doc_id, p.i AS pos, arr[CAST(p.i AS INT) + 1] AS ch
+  FROM cs, UNNEST(range(0, len(arr))) AS p(i)
+  WHERE arr[CAST(p.i AS INT) + 1] <> ''
+),
+g AS (
+  SELECT doc_id, pos, ch,
+         CAST(('0x' || substr(md5(ch), 1, 15)) AS BIGINT)
+           % 2305843009213693952 AS gv
+  FROM chars
+),
+h AS (
+  SELECT doc_id, pos, ch,
+         list_reduce(
+           list(gv) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 60 PRECEDING AND CURRENT ROW),
+           (acc, x) -> (acc * 2 + x) % 2305843009213693952
+         ) AS hh
+  FROM g
+),
+marked AS (
+  SELECT doc_id, pos, ch,
+         COALESCE(SUM(CASE WHEN hh % 64 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS chunk_idx
+  FROM h
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, COUNT(*) AS chunk_len,
+         CAST(('0x' || substr(md5(string_agg(ch, '' ORDER BY pos)), 1, 15))
+              AS BIGINT) AS chunk_hash
+  FROM marked GROUP BY 1, 2
+),
+per_chunk AS (
+  SELECT chunk_hash, COUNT(*) AS n_copies,
+         COUNT(DISTINCT doc_id) AS n_docs, MAX(chunk_len) AS chunk_len
+  FROM chunks GROUP BY 1
+)
+SELECT CAST(SUM(n_copies) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cross_doc_chunks,
+       CAST(MAX(n_docs) AS BIGINT) AS max_doc_reuse,
+       ROUND(CAST(SUM(chunk_len * n_copies) AS DOUBLE)
+             / CAST(SUM(n_copies) AS DOUBLE), 4) AS mean_chunk_len
+FROM per_chunk
+""",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import cdc_chunks, cdc_dedup_summary
+
+    d = table(spark, sf_dir, "documents")
+    return cdc_dedup_summary(cdc_chunks(d, mask_bits=6))
