@@ -24,6 +24,7 @@ extends SURVEY §2.I multimodal operators.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -462,8 +463,8 @@ def encode_tiff_lzw(
     (284 = 2: the strip sequence is all of sample 0's strips, then
     sample 1's, then sample 2's — StripOffsets/ByteCounts carry
     SamplesPerPixel × StripsPerImage entries, spec section 14)."""
-    if compression not in (1, 5):
-        raise ValueError("encode_tiff_lzw writes compression 1 or 5 only")
+    if compression not in (1, 5, 8):
+        raise ValueError("encode_tiff_lzw writes compression 1, 5 or 8 only")
     if predictor not in (1, 2) or planar not in (1, 2):
         raise ValueError("predictor and planar must be 1 or 2")
     if px.ndim == 2:
@@ -492,9 +493,11 @@ def encode_tiff_lzw(
                 row_spp = 1
             if predictor == 2:
                 raw = _hdiff_encode(raw, w, row_spp)
-            strips.append(
-                lzw_compress(raw) if compression == 5 else raw
-            )
+            if compression == 5:
+                raw = lzw_compress(raw)
+            elif compression == 8:  # Adobe Deflate: plain zlib stream
+                raw = zlib.compress(raw)
+            strips.append(raw)
     bo = ">" if big_endian else "<"
     out = bytearray(
         struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 0)
@@ -599,7 +602,7 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
     if spp == 3 and photometric != 2:
         raise NotImplementedError("3-sample TIFF must be photometric RGB")
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = tags.get(_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -613,6 +616,10 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
             raw = packbits_decompress(chunk, expected)
         elif comp == 5:
             raw = lzw_decompress(chunk, expected)
+        elif comp == 8:
+            raw = zlib.decompress(chunk)
+            if len(raw) != expected:
+                raise ValueError("deflate strip size mismatch")
         else:
             if len(chunk) != expected:
                 raise ValueError("strip byte count mismatch")
@@ -976,8 +983,9 @@ def make_tiff_lzw_image(image_id: int) -> bytes:
     """Deterministic REAL LZW-strip TIFF exercising the compression-5
     seams as a design matrix: RGB on even ids, horizontal-differencing
     predictor unless id%3==0, PLANAR configuration on id%4==2 (RGB
-    only — planar collapses to chunky for one sample), uncompressed
-    control on id%7==0, big-endian on id%5==0.  pixel(x, y, c) =
+    only — planar collapses to chunky for one sample), Adobe Deflate
+    (compression 8, zlib) on id%11==0, uncompressed control on id%7==0,
+    big-endian on id%5==0.  pixel(x, y, c) =
     (id*11 + 7y + x div 4 + 31c) mod 256 — x-runs of 4 give LZW real
     repeats; closed-form for the SQL oracle."""
     w, h = image_id % 17 + 5, image_id % 9 + 4
@@ -991,7 +999,11 @@ def make_tiff_lzw_image(image_id: int) -> bytes:
     return encode_tiff_lzw(
         px,
         rows_per_strip=3,
-        compression=(1 if image_id % 7 == 0 else 5),
+        compression=(
+            8 if image_id % 11 == 0
+            else 1 if image_id % 7 == 0
+            else 5
+        ),
         predictor=(1 if image_id % 3 == 0 else 2),
         planar=(2 if image_id % 4 == 2 else 1),
         big_endian=(image_id % 5 == 0),

@@ -89,8 +89,8 @@ def test_unsupported_compression_seam():
     a = np.zeros((2, 2), dtype=np.uint8)
     buf = bytearray(encode_tiff(a, packbits=False))
     i = buf.find(struct.pack("<HHIHH", 259, 3, 1, 1, 0))
-    # Deflate (8): still a named seam (LZW became real in round 9)
-    buf[i : i + 12] = struct.pack("<HHIHH", 259, 3, 1, 8, 0)
+    # JPEG-in-TIFF (7): still a named seam (LZW and Deflate are real)
+    buf[i : i + 12] = struct.pack("<HHIHH", 259, 3, 1, 7, 0)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(buf))
 
