@@ -897,12 +897,43 @@ def decode_wav_samples(content: bytes):
         elif cid == b"data":
             data = content[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
-    if codec != 1 or bits != 16:
-        raise NotImplementedError("only 16-bit PCM WAV decode is implemented")
     if data is None or not chans:
         raise ValueError("WAV missing data/fmt")
-    arr = np.frombuffer(data, dtype="<i2")
+    if codec == 1 and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif codec == 7 and bits == 8:  # G.711 mu-law
+        arr = _ulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    elif codec == 6 and bits == 8:  # G.711 A-law
+        arr = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise NotImplementedError(
+            "only 16-bit PCM / 8-bit G.711 mu-law / A-law WAV decode"
+        )
     return arr.reshape(len(arr) // chans, chans)
+
+
+def _ulaw_to_linear(codes: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 mu-law expansion (the classic CCITT reference
+    arithmetic): v = ~code; t = (((v & 15) << 3) + 0x84) << exponent;
+    sign bit picks 0x84 - t vs t - 0x84."""
+    import numpy as np
+
+    v = (255 - codes.astype(np.int64)) & 0xFF
+    t = (((v & 0x0F) << 3) + 0x84) << ((v >> 4) & 0x07)
+    return np.where(v & 0x80, 0x84 - t, t - 0x84).astype(np.int64)
+
+
+def _alaw_to_linear(codes: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 A-law expansion: a = code ^ 0x55; segment 0 is
+    linear (t = m*16 + 8), higher segments shift (t = (m*16 + 0x108)
+    << (seg-1)); sign bit SET means positive."""
+    import numpy as np
+
+    a = codes.astype(np.int64) ^ 0x55
+    m = a & 0x0F
+    seg = (a >> 4) & 0x07
+    t = np.where(seg == 0, m * 16 + 8, (m * 16 + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int64)
 
 
 AUDIO_STATS_SCHEMA = StructType(
@@ -1615,3 +1646,41 @@ def bmp4_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+
+
+def make_wav_g711_bytes(audio_id: int) -> bytes:
+    """Deterministic REAL G.711 WAV: mu-law (format 7) unless id%3==0
+    which takes A-law (format 6); channels = id%2+1, n = id%80+1,
+    rate 8000 (the G.711 telephony rate), code(i, ch) = (id*17 + 11i +
+    5ch) mod 256 — the CODE bytes are the closed form, so the SQL
+    oracle replays the expansion arithmetic without touching a byte."""
+    import numpy as np
+
+    fmt_tag = 6 if audio_id % 3 == 0 else 7
+    channels = audio_id % 2 + 1
+    n = audio_id % 80 + 1
+    i = np.arange(n).reshape(n, 1)
+    ch = np.arange(channels).reshape(1, channels)
+    codes = ((audio_id * 17 + 11 * i + 5 * ch) % 256).astype(np.uint8)
+    data = codes.tobytes()
+    block = channels  # 8 bits per sample
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, 8000, 8000 * block, block, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_g711_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus of REAL G.711 WAVs (MEDIA_SCHEMA, Arrow-batched)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_wav_g711_bytes(int(i))
+                rows.append((str(int(i)), "audio/wav", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)

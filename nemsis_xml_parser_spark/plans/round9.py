@@ -166,3 +166,92 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return cdc_dedup_summary(cdc_chunks(d, mask_bits=6))
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law WAV — the telephony codec seam
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_g711_stats",
+    family="multimodal",
+    doc="Sample statistics over the REAL G.711 decode path "
+    "(operators/multimodal.py::_ulaw_to_linear/_alaw_to_linear + the "
+    "format-6/7 branches of decode_wav_samples): ITU-T G.711 mu-law "
+    "and A-law expansion — the telephony companding formats every call-"
+    "center/voice corpus arrives in, previously the named non-PCM WAV "
+    "seam.  Fixtures carry closed-form CODE bytes (id*17 + 11i + 5ch "
+    "mod 256) inside real RIFF containers, mu-law unless id%3==0 "
+    "(A-law), 1-2 channels; the oracle replays the exact CCITT "
+    "expansion arithmetic — complement/xor, segment shift, sign pick — "
+    "in SQL, so any wrong segment boundary or sign convention breaks "
+    "the hash.  Scale: blobs decode in executor Arrow batches, narrow "
+    "stat rows out.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 80 + 1 AS n, doc_id % 2 + 1 AS nch,
+         CASE WHEN doc_id % 3 = 0 THEN 'alaw' ELSE 'ulaw' END AS fmt
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, nch, fmt,
+         (doc_id * 17 + 11 * si.i + 5 * ci.c) % 256 AS code
+  FROM dims,
+       UNNEST(range(0, n)) AS si(i),
+       UNNEST(range(0, nch)) AS ci(c)
+),
+dec AS (
+  SELECT doc_id, nch, fmt,
+         CASE WHEN fmt = 'ulaw' THEN
+           CASE WHEN (255 - code) >= 128
+                THEN 132 - (((255 - code) % 16) * 8 + 132)
+                       * (1 << (((255 - code) // 16) % 8))
+                ELSE (((255 - code) % 16) * 8 + 132)
+                       * (1 << (((255 - code) // 16) % 8)) - 132
+           END
+         ELSE
+           CASE WHEN xor(code, 85) >= 128
+                THEN CASE WHEN (xor(code, 85) // 16) % 8 = 0
+                          THEN (xor(code, 85) % 16) * 16 + 8
+                          ELSE ((xor(code, 85) % 16) * 16 + 264)
+                                 * (1 << ((xor(code, 85) // 16) % 8 - 1))
+                     END
+                ELSE -(CASE WHEN (xor(code, 85) // 16) % 8 = 0
+                            THEN (xor(code, 85) % 16) * 16 + 8
+                            ELSE ((xor(code, 85) % 16) * 16 + 264)
+                                   * (1 << ((xor(code, 85) // 16) % 8 - 1))
+                       END)
+           END
+         END AS s
+  FROM codes
+),
+per AS (
+  SELECT doc_id, nch, fmt, CAST(SUM(s) AS BIGINT) AS ss,
+         MIN(s) AS mn, MAX(s) AS mx
+  FROM dec GROUP BY 1, 2, 3
+)
+SELECT fmt AS codec, CAST(nch AS INT) AS n_channels,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(ss) AS BIGINT) AS sample_sum,
+       CAST(MIN(mn) AS INT) AS sample_min,
+       CAST(MAX(mx) AS INT) AS sample_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthesize_g711_audio, wav_sample_stats
+
+    d = table(spark, sf_dir, "documents")
+    stats = wav_sample_stats(synthesize_g711_audio(d.select("doc_id")))
+    return stats.select(
+        "*",
+        F.when(F.col("audio_id") % 3 == 0, F.lit("alaw"))
+        .otherwise(F.lit("ulaw"))
+        .alias("codec"),
+    ).groupBy("codec", F.col("n_channels").cast("int").alias("n_channels")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.sum("sample_sum").cast("bigint").alias("sample_sum"),
+        F.min("sample_min").cast("int").alias("sample_min"),
+        F.max("sample_max").cast("int").alias("sample_max"),
+    )

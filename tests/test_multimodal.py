@@ -268,3 +268,56 @@ def test_wav_pcm_roundtrip_and_errors():
     bad = M.make_wav_bytes(8000, 1, 10, bits=8)
     with pytest.raises(NotImplementedError):
         M.decode_wav_samples(bad)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_known_anchor_values():
+    """Spec-anchored extremes: mu-law 0xFF is +0, 0x80 is +32124 (the
+    mu-law ceiling); A-law 0xAA expands to +32256 (the A-law ceiling),
+    0xD5 (0x80^0x55) is +8 (A-law has no true zero)."""
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+    )
+
+    u = _ulaw_to_linear(np.array([0xFF, 0x80, 0x7F, 0x00], dtype=np.uint8))
+    assert list(u) == [0, 32124, 0, -32124]
+    a = _alaw_to_linear(np.array([0xAA, 0xD5, 0x55, 0x2A], dtype=np.uint8))
+    assert list(a) == [32256, 8, -8, -32256]
+
+
+def test_g711_wav_decode_roundtrip_shapes():
+    from nemsis_xml_parser_spark.operators.multimodal import (
+        decode_wav_samples,
+        make_wav_g711_bytes,
+    )
+
+    for i in (0, 1, 2, 3, 7, 12, 80):
+        s = decode_wav_samples(make_wav_g711_bytes(i))
+        assert s.shape == (i % 80 + 1, i % 2 + 1)
+        # every G.711 expansion lands inside the 16-bit linear range
+        assert s.min() >= -32768 and s.max() <= 32767
+
+
+def test_non_g711_non_pcm_still_raises():
+    import struct
+
+    from nemsis_xml_parser_spark.operators.multimodal import (
+        decode_wav_samples,
+        make_wav_g711_bytes,
+    )
+
+    buf = bytearray(make_wav_g711_bytes(1))
+    i = buf.find(b"fmt ")
+    # splice format tag 2 (ADPCM): still a named seam
+    buf[i + 8 : i + 10] = struct.pack("<H", 2)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="G.711"):
+        decode_wav_samples(bytes(buf))
