@@ -255,3 +255,262 @@ def multimodal_audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sample_min").cast("int").alias("sample_min"),
         F.max("sample_max").cast("int").alias("sample_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch — oracled distinct estimation
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+_POW60 = 1 << 60  # md5_long hash space
+
+
+@register(
+    "sketch_kmv_distinct",
+    family="sketch",
+    doc="K-minimum-values (theta) sketch distinct estimation per "
+    "language — the second fully ORACLED sketch next to sketch_hll_"
+    "distinct: the estimate is a deterministic function of the k "
+    "smallest md5 hashes (Bar-Yossef et al. RANDOM'02; the Theta "
+    "sketch family of Dasgupta et al.), so DuckDB replays every "
+    "register.  estimate = (k-1) * 2^60 / h_k with h_k the k-th "
+    "smallest distinct hash (exact count when fewer than k distinct "
+    "values).  Scale note: the build here ranks DISTINCT hashes per "
+    "group with one bounded window; a production KMV keeps k values "
+    "per partition in a mergeable accumulator (map-side combine) — "
+    "the rank form is the oracle-replayable rendering of the same "
+    "estimator, ranking only distinct hashes (vocabulary-sized, not "
+    "corpus-sized).  rel_error rides along against the exact count "
+    "the same way the HLL row does.",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, term FROM (
+    SELECT lang, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents) WHERE term <> ''
+),
+h AS (
+  SELECT DISTINCT lang,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+  FROM tok
+),
+ranked AS (
+  SELECT lang, hv,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS nd
+  FROM h
+),
+per AS (
+  SELECT lang, CAST(MAX(nd) AS BIGINT) AS n_exact,
+         MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS hk
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY lang
+)
+SELECT lang, n_exact,
+       ROUND(CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+                  ELSE ({KMV_K} - 1) * {_POW60}.0 / CAST(hk AS DOUBLE)
+             END, 6) AS kmv_estimate,
+       ROUND(ABS(CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+                      ELSE ({KMV_K} - 1) * {_POW60}.0 / CAST(hk AS DOUBLE)
+                 END - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 6) AS rel_error
+FROM per
+""",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    h = tok.select("lang", md5_long(F.col("term")).alias("hv")).distinct()
+    w_rank = Window.partitionBy("lang").orderBy("hv")
+    w_all = Window.partitionBy("lang")
+    ranked = h.select(
+        "lang",
+        "hv",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("nd"),
+    )
+    per = (
+        ranked.where(F.col("rn") <= KMV_K)
+        .groupBy("lang")
+        .agg(
+            F.max("nd").cast("bigint").alias("n_exact"),
+            F.max(
+                F.when(F.col("rn") == KMV_K, F.col("hv"))
+            ).alias("hk"),
+        )
+    )
+    est = F.when(
+        F.col("hk").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(float(_POW60)) / F.col("hk").cast("double")
+    )
+    return per.select(
+        "lang",
+        "n_exact",
+        F.round(est, 6).alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking — the third ER candidate generator
+# ---------------------------------------------------------------------------
+
+SN_WINDOW = 5  # classic sorted-neighborhood sliding-window size
+
+
+@register(
+    "er_sorted_neighborhood",
+    family="er",
+    doc="Sorted-neighborhood blocking (Hernandez/Stolfo SIGMOD'95 — "
+    "the merge/purge method): records sort by a fuzzy key inside each "
+    "block and every record pairs with its w-1 successors, catching "
+    "near-matches that exact blocking keys split.  Third ER candidate "
+    "generator next to er_fellegi_sunter's exact blocks and the "
+    "dedup tier's LSH.  Distributed shape: rank windows live INSIDE "
+    "market-segment blocks (never a global sort), and the slide is an "
+    "EXPLODED-OFFSET EQUI-JOIN — each record emits (rank + d) for d in "
+    "1..w-1 and joins back on (segment, rank) — so there is no "
+    "quadratic within-block filter; volume is exactly (w-1) rows per "
+    "record.  Output: per (segment, rank_gap) pair counts and mean "
+    "account-balance gap — the numbers that tune w.",
+    oracle=f"""
+WITH ranked AS (
+  SELECT c_mktsegment AS seg, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY ROUND(c_acctbal, 2), c_custkey
+         ) AS rn
+  FROM customer
+),
+pairs AS (
+  SELECT a.seg, d.d AS rank_gap,
+         CAST(ROUND(ABS(b.c_acctbal - a.c_acctbal) * 100) AS BIGINT)
+           AS gap_cents
+  FROM ranked a,
+       UNNEST(range(1, {SN_WINDOW})) AS d(d)
+  JOIN ranked b
+    ON b.seg = a.seg AND b.rn = a.rn + d.d
+)
+SELECT seg, CAST(rank_gap AS INT) AS rank_gap,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(gap_cents) AS DOUBLE) / COUNT(*) / 100.0, 4)
+         AS mean_bal_gap
+FROM pairs GROUP BY 1, 2
+""",
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        "c_acctbal",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.round("c_acctbal", 2), "c_custkey"
+            )
+        )
+        .alias("rn"),
+    )
+    probes = ranked.select(
+        "seg",
+        F.col("c_acctbal").alias("bal_a"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(SN_WINDOW - 1))
+        ).alias("rank_gap"),
+        (F.col("rn") + F.col("rank_gap")).alias("rn_b"),
+    )
+    pairs = probes.join(
+        ranked.select(
+            "seg", F.col("rn").alias("rn_b"), F.col("c_acctbal").alias("bal_b")
+        ),
+        ["seg", "rn_b"],
+    )
+    # balance gaps sum as exact integer cents: one double division at
+    # the end, so the mean is order-independent on both engines
+    gap_cents = F.round(
+        F.abs(F.col("bal_b") - F.col("bal_a")) * 100
+    ).cast("long")
+    return pairs.groupBy(
+        "seg", F.col("rank_gap").cast("int").alias("rank_gap")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(gap_cents).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0),
+            4,
+        ).alias("mean_bal_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout — the locality-tighter Z-order sibling
+# ---------------------------------------------------------------------------
+
+HB_BITS = 10
+HB_FILE_BITS = 6
+
+
+def _hilbert_oracle() -> str:
+    from ..operators.hilbert import hilbert_sql_ctes
+
+    ctes = hilbert_sql_ctes("cx", "cy", HB_BITS, "keys")
+    return f"""
+WITH keys AS (
+  SELECT l_partkey % 1024 AS cx, l_suppkey % 1024 AS cy FROM lineitem
+),
+{ctes}
+SELECT CAST(h >> {2 * HB_BITS - HB_FILE_BITS} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(cx) AS BIGINT) AS x_min, CAST(MAX(cx) AS BIGINT) AS x_max,
+       CAST(MIN(cy) AS BIGINT) AS y_min, CAST(MAX(cy) AS BIGINT) AS y_max
+FROM hilbert GROUP BY 1
+"""
+
+
+@register(
+    "curation_hilbert_layout",
+    family="curation",
+    doc="Hilbert-curve layout statistics (operators/hilbert.py) — the "
+    "locality-tighter sibling of curation_zorder_layout: consecutive "
+    "Hilbert indices are always Manhattan-distance 1 apart (Morton "
+    "order jumps at every power-of-two boundary), which is why newer "
+    "lake clustering (e.g. Delta liquid clustering) and geo stores "
+    "prefer Hilbert keys — per-file min/max ranges on both clustering "
+    "columns are tighter on average, so footer-stats skipping prunes "
+    "more files.  The xy→index transform is the classic 10-level "
+    "reflect-and-swap bit loop, rendered as one chained projection per "
+    "level (Spark) and one chained CTE per level (oracle) so both "
+    "engines run the identical unrolled integer program — a wrong "
+    "reflection bound or swap order shifts every index.  Scale: pure "
+    "codegen integer arithmetic + one hash aggregate; in a real write "
+    "the h column feeds repartitionByRange + sortWithinPartitions "
+    "exactly like the z-value.",
+    oracle=_hilbert_oracle(),
+)
+def curation_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hilbert import hilbert_file_stats
+
+    li = table(spark, sf_dir, "lineitem")
+    return hilbert_file_stats(
+        li,
+        F.col("l_partkey") % 1024,
+        F.col("l_suppkey") % 1024,
+        HB_BITS,
+        HB_FILE_BITS,
+    )
