@@ -117,3 +117,46 @@ def train_bpe_merges(words: DataFrame, rounds: int) -> DataFrame:
         "round int, left_tok string, right_tok string, merged string, "
         "merge_count bigint",
     )
+
+
+def word_frequencies_by(
+    docs: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(group, cells, cnt) — the per-group word-frequency vocabulary in
+    paren-cell form, for the ENCODE side (training stays global)."""
+    from ..functions import text as T
+
+    w = docs.select(
+        F.col(group_col).alias(group_col),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    return (
+        w.where(F.col("w").rlike(WORD_GUARD))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            group_col,
+            F.regexp_replace(F.col("w"), "(.)", "($1)").alias("cells"),
+            "cnt",
+        )
+    )
+
+
+def apply_bpe_merges(
+    vocab: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a trained merge list IN ORDER to a paren-cell vocabulary —
+    Sennrich's greedy encode, the literal-replace argument of the
+    module docstring.  ``merges`` is [(left_tok, right_tok), ...]; each
+    is one narrow replace, so the apply never rescans the corpus."""
+    out = vocab
+    for left, right in merges:
+        out = out.withColumn(
+            "cells",
+            F.replace(
+                F.col("cells"),
+                F.lit(f"({left})({right})"),
+                F.lit(f"({left}{right})"),
+            ),
+        )
+    return out

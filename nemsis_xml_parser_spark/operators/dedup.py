@@ -362,3 +362,44 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DIRECTED shingle-containment pairs: containment(a → b) =
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| — the asymmetric
+    near-dup measure (Broder's containment, alongside resemblance):
+    a quote, excerpt, or boilerplate-wrapped copy of ``a`` inside a
+    larger ``b`` scores high even when Jaccard is low because ``b``'s
+    extra content inflates the union.  Returns BOTH directions
+    (doc_a != doc_b, no canonical ordering — direction is the point).
+
+    Quadratic shingle self-join — sample/candidate sets only, like
+    ngram_jaccard_pairs; at scale the LSH candidate generator bounds
+    the pair set first and this verify runs on candidates."""
+    shingles = _distinct_shingles(df, text_col, id_col, n)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("sz_a")
+    return (
+        common.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+            ),
+            "doc_a",
+        )
+        .where(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )

@@ -514,3 +514,187 @@ def curation_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         HB_BITS,
         HB_FILE_BITS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed shingle containment — asymmetric near-dup (quote detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment_pairs",
+    family="dedup",
+    doc="DIRECTED 3-gram shingle containment (Broder's containment "
+    "measure next to the resemblance/Jaccard tier): containment(a→b) = "
+    "|sh(a) ∩ sh(b)| / |sh(a)| flags quotes, excerpts, and boilerplate-"
+    "wrapped copies that symmetric Jaccard misses because the larger "
+    "document's extra content inflates the union.  Both directions "
+    "surface — direction IS the signal (which doc is the subset).  "
+    "Threshold 0.02 sits below the synthetic corpus' max observed "
+    "containment to keep the check non-trivial, same convention as "
+    "dedup_ngram_jaccard_pairs; bounded doc_id<120 tier because the "
+    "shingle self-join is quadratic — at scale the LSH candidate "
+    "generator bounds the pair set and this is the verify stage.",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+                  i -> array_to_string((string_split(trim(text), ' '))[i:i+2], ' '))) AS shingle
+    FROM documents WHERE doc_id < 120
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / sa.sz, 6) AS containment
+FROM common JOIN sizes sa ON sa.doc_id = doc_a
+WHERE CAST(n_common AS DOUBLE) / sa.sz >= 0.02
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return D.ngram_containment_pairs(d, n=3, threshold=0.02)
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE — the inference twin of text_bpe_train_merges
+# ---------------------------------------------------------------------------
+
+BPE_ENC_ROUNDS = 8  # same merge table as text_bpe_train_merges
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Re-derives the same merge table as _bpe_oracle (round8), then
+    applies all merges IN TRAINING ORDER to the per-language vocabulary
+    and aggregates tokenization stats.  Merge application is the same
+    literal paren-cell replace — Sennrich's greedy encode."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS cells, cnt FROM (
+    SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ) WHERE regexp_matches(term, '^[a-z0-9]+$') GROUP BY term
+  )
+)""",
+        """lv0 AS MATERIALIZED (
+  SELECT lang, regexp_replace(w, '(.)', '(\\1)', 'g') AS cells, cnt FROM (
+    SELECT lang, term AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT lang,
+             UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ) WHERE regexp_matches(term, '^[a-z0-9]+$') GROUP BY lang, term
+  )
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, toks[i] AS x, toks[i + 1] AS y FROM (
+      SELECT cnt,
+             string_split(substr(cells, 2, len(cells) - 2), ')(') AS toks
+      FROM w{r - 1} WHERE instr(cells, ')(') > 0
+    ), UNNEST(range(1, len(toks))) AS r(i)
+  ) GROUP BY x, y
+),
+m{r} AS MATERIALIZED (
+  SELECT x, y, c FROM p{r} ORDER BY c DESC, x ASC, y ASC LIMIT 1
+)"""
+        )
+        if r < rounds:
+            parts.append(
+                f"""w{r} AS MATERIALIZED (
+  SELECT replace(cells, '(' || x || ')(' || y || ')',
+                 '(' || x || y || ')') AS cells, cnt
+  FROM w{r - 1}, m{r}
+)"""
+            )
+        parts.append(
+            f"""lv{r} AS MATERIALIZED (
+  SELECT lang,
+         replace(cells, '(' || x || ')(' || y || ')',
+                 '(' || x || y || ')') AS cells, cnt
+  FROM lv{r - 1}, m{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * (len(cells) - len(replace(cells, ')(', ')'))
+                       + 1)) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt * (len(replace(replace(cells, '(', ''), ')', '')))
+           ) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(cnt * (len(cells) - len(replace(cells, ')(', ')'))
+                             + 1)) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE), 6) AS tokens_per_word
+FROM lv{rounds} GROUP BY lang
+"""
+    )
+
+
+@register(
+    "text_bpe_encode",
+    family="text",
+    doc="BPE ENCODE — the inference twin of text_bpe_train_merges: "
+    f"re-derive the {BPE_ENC_ROUNDS}-merge table, then apply every "
+    "merge IN TRAINING ORDER to the per-language vocabulary (the same "
+    "literal paren-cell replace — Sennrich's greedy encode, cross-"
+    "engine exact per operators/bpe.py) and report per-language "
+    "tokenization stats: words, post-merge tokens, characters, "
+    "tokens-per-word.  This is the operator a curation pipeline runs "
+    "per shard once training has fixed the merges — encoding touches "
+    "only the VOCABULARY (millions of rows at 100 TB), with corpus "
+    "totals recovered through the frequency weights, so the apply "
+    "stage never rescans the corpus.  Scale: 8 narrow literal "
+    "replaces on the vocab + one hash aggregate.",
+    oracle=_bpe_encode_oracle(BPE_ENC_ROUNDS),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import (
+        apply_bpe_merges,
+        train_bpe_merges,
+        word_frequencies_by,
+        word_frequencies,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(word_frequencies(d), BPE_ENC_ROUNDS)
+    pairs = [
+        (r.left_tok, r.right_tok)
+        for r in sorted(merges.collect(), key=lambda r: r.round)
+    ]
+    lv = word_frequencies_by(d, "lang")
+    enc = apply_bpe_merges(lv, pairs)
+    n_tok = (
+        F.length("cells")
+        - F.length(F.replace(F.col("cells"), F.lit(")("), F.lit(")")))
+        + 1
+    )
+    n_chr = F.length(
+        F.replace(
+            F.replace(F.col("cells"), F.lit("("), F.lit("")),
+            F.lit(")"),
+            F.lit(""),
+        )
+    )
+    return enc.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * n_tok).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * n_chr).cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum(F.col("cnt") * n_tok).cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("tokens_per_word"),
+    )
