@@ -116,6 +116,15 @@ HEADLINE = [
     "timeseries_holt_backtest",
     "er_fellegi_sunter",
     "multimodal_bmp4_pixel_stats",
+    # round 9 flagships (subtract when comparing totals vs earlier rounds)
+    "dedup_cdc_chunks",
+    "multimodal_tiff_lzw_stats",
+    "multimodal_audio_g711_stats",
+    "sketch_kmv_distinct",
+    "er_sorted_neighborhood",
+    "curation_hilbert_layout",
+    "dedup_containment_pairs",
+    "text_bpe_encode",
 ]
 
 

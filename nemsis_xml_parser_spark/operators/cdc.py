@@ -16,12 +16,13 @@ Algorithm (basic Gear-CDC):
 * gear value per character: ``G(ch) = md5_long(ch)`` — the repo's
   cross-engine 60-bit md5 hash, so the oracle recomputes it verbatim;
 * rolling hash ``h_i = (2 * h_{i-1} + G(ch_i)) mod 2^61`` — expanding
-  the recurrence, the multiplier of ``G(ch_j)`` is ``2^(i-j) mod 2^61``
-  which vanishes once ``i - j >= 61``, so the TRUE sequential gear
-  state equals a fold over a BOUNDED per-document window of the last
-  61 characters (a ROWS frame — never a global window, and the mod-61
-  argument is what makes the distributed rendering exact, not an
-  approximation);
+  the recurrence, the multiplier of ``G(ch_j)`` is ``2^(i-j)``, which
+  vanishes mod 2^61 past lag 61 and — the part that matters — vanishes
+  mod 2^mask_bits past lag ``mask_bits``.  The BOUNDARY test only reads
+  ``h mod 2^mask_bits``, so a fold over a bounded per-document ROWS
+  window of the last ``mask_bits`` characters reproduces the TRUE
+  sequential gear boundary set exactly (never a global window, and not
+  an approximation — tests pin it against the literal recurrence);
 * boundary after position i when ``h_i mod 2^mask_bits == 0`` (average
   chunk length 2^mask_bits), plus an implicit boundary at end-of-doc.
   Plain Gear-CDC: no min/max chunk clamps — those make boundary
@@ -30,8 +31,8 @@ Algorithm (basic Gear-CDC):
   variant is fully content-local, hence embarrassingly parallel.
 
 Scale: one per-character explode (the same volume class as the shingle
-explode every dedup tier pays), one bounded window, one hash-keyed
-aggregate per chunk.  61 fold steps per character are codegen-side
+explode every dedup tier pays), one bounded mask_bits-row window, one
+hash-keyed aggregate per chunk.  The fold steps are codegen-side
 integer ops; (2*acc + g) stays under 2^63 so both engines compute the
 identical wrapped-free arithmetic.
 
@@ -47,7 +48,9 @@ from pyspark.sql import DataFrame, Window
 from ..functions.hashing import md5_long
 
 _P61 = 1 << 61
-GEAR_WINDOW = 61  # 2^(i-j) mod 2^61 == 0 past this lag — exactness bound
+# full-state exactness bound (2^lag mod 2^61 == 0 past 61); the operator
+# itself only needs mask_bits of window — see cdc_chunks
+GEAR_WINDOW = 61
 
 
 def cdc_chunks(
@@ -57,7 +60,21 @@ def cdc_chunks(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, chunk_idx, chunk_len, chunk_hash) — Gear-CDC chunks per
-    document; ``chunk_hash`` is the repo md5_long of the chunk text."""
+    document; ``chunk_hash`` is the repo md5_long of the chunk text.
+
+    Two exactness-preserving cost cuts over the naive rendering
+    (measured 13.8 s → well under the headline ceiling at sf0.1):
+
+    * the boundary test reads ``h mod 2^mask_bits``, and
+      ``2^lag mod 2^mask_bits`` vanishes past lag ``mask_bits`` — so
+      the window fold only needs the last ``mask_bits`` gear values,
+      not the full 61 the mod-2^61 state would (identical boundary
+      set, proven in tests against the sequential recurrence);
+    * chunk text comes from ONE ``substring`` on the original document
+      per chunk (join back on doc_id) instead of collecting per-char
+      structs — the wide shuffle carries (doc, chunk, start, len)
+      rows, never character rows with payloads.
+    """
     chars = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
@@ -66,12 +83,11 @@ def cdc_chunks(
     w_gear = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
-        .rowsBetween(-(GEAR_WINDOW - 1), Window.currentRow)
+        .rowsBetween(-(mask_bits - 1), Window.currentRow)
     )
     hashed = chars.select(
         "doc_id",
         "pos",
-        "ch",
         F.aggregate(
             F.collect_list(g).over(w_gear),
             F.lit(0).cast("long"),
@@ -88,29 +104,29 @@ def cdc_chunks(
     marked = hashed.select(
         "doc_id",
         "pos",
-        "ch",
         F.coalesce(
             F.sum((F.col("h") % mask == 0).cast("long")).over(w_cum),
             F.lit(0),
         ).alias("chunk_idx"),
     )
+    spans = marked.groupBy("doc_id", "chunk_idx").agg(
+        F.min("pos").alias("start"),
+        F.count(F.lit(1)).alias("chunk_len"),
+    )
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
     return (
-        marked.groupBy("doc_id", "chunk_idx")
-        .agg(
-            F.count(F.lit(1)).alias("chunk_len"),
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "ch"))),
-                    lambda s: s["ch"],
-                ),
-            ).alias("chunk_text"),
-        )
+        spans.join(src, "doc_id")
         .select(
             "doc_id",
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.col("chunk_len").cast("long").alias("chunk_len"),
-            md5_long(F.col("chunk_text")).alias("chunk_hash"),
+            md5_long(
+                F.substring(
+                    F.col("__t"), F.col("start") + 1, F.col("chunk_len")
+                )
+            ).alias("chunk_hash"),
         )
     )
 

@@ -92,10 +92,11 @@ def multimodal_tiff_lzw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="dedup",
     doc="Content-defined chunking dedup (operators/cdc.py — Gear/"
     "FastCDC family, Xia et al. ATC'16): per-character md5 gear values, "
-    "rolling hash h = (2h + g) mod 2^61 rendered EXACTLY as a bounded "
-    "61-row window fold (2^(i-j) mod 2^61 vanishes past lag 61 — the "
-    "distributed form is the sequential recurrence, not an "
-    "approximation), boundaries where h mod 64 == 0, chunk fingerprints "
+    "rolling hash h = (2h + g) mod 2^61, with the boundary test "
+    "h mod 64 == 0 depending only on the last mask_bits=6 gear values "
+    "(2^lag mod 64 vanishes past lag 6) — so the window fold is 6 rows "
+    "and still EXACTLY the sequential recurrence's boundary set, not "
+    "an approximation.  Chunk fingerprints are "
     "md5 of the chunk text.  Returns the one-row chunk-store sizing "
     "summary: total/distinct chunks, cross-document shared chunks, max "
     "reuse, mean chunk length.  Unlike fixed-size chunking, an edit "
@@ -127,7 +128,7 @@ h AS (
   SELECT doc_id, pos, ch,
          list_reduce(
            list(gv) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN 60 PRECEDING AND CURRENT ROW),
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
            (acc, x) -> (acc * 2 + x) % 2305843009213693952
          ) AS hh
   FROM g

@@ -55,6 +55,12 @@ SF1_QUERIES = [
     "curation_zorder_layout",
     "graph_heavy_edge_coarsening",
     "graph_louvain_sweep",
+    # round 9 additions
+    "dedup_cdc_chunks",
+    "curation_hilbert_layout",
+    "sketch_kmv_distinct",
+    "text_bpe_encode",
+    "er_sorted_neighborhood",
 ]
 
 
