@@ -699,3 +699,255 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tokens_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 clipped n-gram recall — summarization/contamination evaluation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_rouge2_pairs",
+    family="text",
+    doc="ROUGE-2 with proper CLIPPED counts (Lin 2004) between adjacent "
+    "same-language documents (the bounded evaluation tier — at scale "
+    "the pair list comes from the LSH/retrieval candidate generators): "
+    "recall = Σ_g min(count_cand(g), count_ref(g)) / Σ_g count_ref(g) "
+    "over bigram multisets, the summarization-evaluation and "
+    "train/test-contamination metric.  Clipping is the part the "
+    "set-overlap tiers (Jaccard/containment) do not compute — a "
+    "candidate repeating one reference bigram 50 times must not score "
+    "50/|ref|.  Distributed shape: per-doc bigram COUNT aggregate "
+    "(never raw explode into the join), pair equi-join on (doc, "
+    "bigram), least() clip, one division per pair at the end.",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, lang, bigram, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, lang,
+           UNNEST(list_transform(
+             range(1, len(string_split_regex(trim(lower(text)), '\\s+'))),
+             i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+                  string_split_regex(trim(lower(text)), '\\s+')[i + 1]
+           )) AS bigram
+    FROM documents WHERE doc_id < 400
+  ) GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_ref FROM bg GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id, b.lang,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clipped
+  FROM bg a JOIN bg b
+    ON a.lang = b.lang AND b.doc_id = a.doc_id + 1 AND a.bigram = b.bigram
+  GROUP BY 1, 2, 3
+)
+SELECT p.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(p.clipped) AS BIGINT) AS clipped_total,
+       CAST(SUM(t.n_ref) AS BIGINT) AS ref_total,
+       ROUND(CAST(SUM(p.clipped) AS DOUBLE)
+             / CAST(SUM(t.n_ref) AS DOUBLE), 6) AS rouge2_recall
+FROM pairs p JOIN tot t ON t.doc_id = p.ref_id
+GROUP BY 1
+""",
+)
+def text_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigram = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda x, i: F.concat_ws(
+                    " ", x, F.get(toks, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    bg = bigram.groupBy("doc_id", "lang", "bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = bg.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("n_ref")
+    )
+    a = bg.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("lang"),
+        "bigram",
+        F.col("c").alias("ca"),
+    )
+    b = bg.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("lang"),
+        "bigram",
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a["lang"] == b["lang"])
+            & (b["ref_id"] == a["cand_id"] + 1)
+            & (a["bigram"] == b["bigram"]),
+        )
+        .groupBy("cand_id", "ref_id", b["lang"].alias("lang"))
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("clipped"))
+    )
+    return (
+        pairs.join(
+            tot.select(
+                F.col("doc_id").alias("ref_id"), F.col("n_ref")
+            ),
+            "ref_id",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("clipped").cast("bigint").alias("clipped_total"),
+            F.sum("n_ref").cast("bigint").alias("ref_total"),
+            F.round(
+                F.sum("clipped").cast("double") / F.sum("n_ref").cast("double"),
+                6,
+            ).alias("rouge2_recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-seeded permutation test — exact-resampling significance
+# ---------------------------------------------------------------------------
+
+PERM_N = 64  # resamples; p-value resolution 1/(P+1)
+
+
+@register(
+    "quality_permutation_test",
+    family="quality",
+    doc="Permutation test for the difference in mean document length "
+    "between English and non-English documents, with the resampling "
+    "made DETERMINISTIC and oracle-replayable: permutation p assigns "
+    f"each doc to a pseudo-group via md5('p:doc_id') %% 2, {PERM_N} "
+    "resamples, p-value = (1 + #{|diff_p| >= |diff_obs|}) / (P+1) — "
+    "the add-one form of Phipson & Smyth.  Group sums are exact "
+    "BIGINTs (lengths), each diff is computed by the identical "
+    "4-aggregate expression on both engines, so the >= comparisons "
+    "replay bit-for-bit.  Distributed shape: ONE corpus scan exploded "
+    f"x{PERM_N} into (permutation, pseudo-group) cells — a hash "
+    "aggregate over 2(P+1) cells, no per-permutation scan; at 100 TB "
+    "the explode is the standard resampling fan-out (the Poisson-"
+    "bootstrap shape) and P bounds it.",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(text) AS BIGINT) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g_obs
+  FROM documents
+),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN g_obs = 1 THEN score END) AS DOUBLE)
+           / SUM(CASE WHEN g_obs = 1 THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN g_obs = 0 THEN score END) AS DOUBLE)
+           / SUM(CASE WHEN g_obs = 0 THEN 1 ELSE 0 END) AS d_obs
+  FROM base
+),
+perm AS (
+  SELECT p.p,
+         CAST(('0x' || substr(md5(p.p || ':' || doc_id), 1, 15)) AS BIGINT)
+           % 2 AS g,
+         score
+  FROM base, UNNEST(range(1, {PERM_N} + 1)) AS p(p)
+),
+diffs AS (
+  SELECT p,
+         CAST(SUM(CASE WHEN g = 1 THEN score END) AS DOUBLE)
+           / SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN g = 0 THEN score END) AS DOUBLE)
+           / SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS d
+  FROM perm GROUP BY p
+)
+SELECT CAST((SELECT COUNT(*) FROM base WHERE g_obs = 1) AS BIGINT)
+         AS n_en,
+       CAST((SELECT COUNT(*) FROM base WHERE g_obs = 0) AS BIGINT)
+         AS n_other,
+       ROUND((SELECT d_obs FROM obs), 6) AS diff_obs,
+       CAST(SUM(CASE WHEN ABS(d) >= ABS((SELECT d_obs FROM obs))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       ROUND((1.0 + SUM(CASE WHEN ABS(d) >= ABS((SELECT d_obs FROM obs))
+                             THEN 1 ELSE 0 END)) / ({PERM_N} + 1.0), 6)
+         AS p_value
+FROM diffs
+""",
+)
+def quality_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("g_obs"),
+    )
+
+    def diff(df, gcol):
+        return df.agg(
+            (
+                F.sum(F.when(F.col(gcol) == 1, F.col("score"))).cast("double")
+                / F.sum(F.when(F.col(gcol) == 1, F.lit(1)).otherwise(F.lit(0)))
+                - F.sum(F.when(F.col(gcol) == 0, F.col("score"))).cast("double")
+                / F.sum(F.when(F.col(gcol) == 0, F.lit(1)).otherwise(F.lit(0)))
+            ).alias("d")
+        )
+
+    obs = diff(base, "g_obs").select(
+        F.col("d").alias("d_obs"),
+    )
+    perm = base.select(
+        "score",
+        F.explode(F.sequence(F.lit(1), F.lit(PERM_N))).alias("p"),
+        "doc_id",
+    ).select(
+        "p",
+        "score",
+        (
+            md5_long(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("doc_id").cast("string")))
+            % 2
+        ).alias("g"),
+    )
+    diffs = perm.groupBy("p").agg(
+        (
+            F.sum(F.when(F.col("g") == 1, F.col("score"))).cast("double")
+            / F.sum(F.when(F.col("g") == 1, F.lit(1)).otherwise(F.lit(0)))
+            - F.sum(F.when(F.col("g") == 0, F.col("score"))).cast("double")
+            / F.sum(F.when(F.col("g") == 0, F.lit(1)).otherwise(F.lit(0)))
+        ).alias("d")
+    )
+    counts = base.agg(
+        F.sum("g_obs").cast("bigint").alias("n_en"),
+        F.sum(F.lit(1) - F.col("g_obs")).cast("bigint").alias("n_other"),
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .agg(
+            F.round(F.first("d_obs"), 6).alias("diff_obs"),
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("d_obs"))).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+            F.round(
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        (F.abs(F.col("d")) >= F.abs(F.col("d_obs"))).cast(
+                            "long"
+                        )
+                    )
+                )
+                / F.lit(float(PERM_N + 1)),
+                6,
+            ).alias("p_value"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select("n_en", "n_other", "diff_obs", "n_extreme", "p_value")
+    )
