@@ -775,24 +775,24 @@ def text_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bg.select(
         F.col("doc_id").alias("cand_id"),
-        F.col("lang"),
+        F.col("lang").alias("lang_a"),
         "bigram",
         F.col("c").alias("ca"),
     )
     b = bg.select(
         F.col("doc_id").alias("ref_id"),
-        F.col("lang"),
+        F.col("lang").alias("lang_b"),
         "bigram",
         F.col("c").alias("cb"),
     )
     pairs = (
         a.join(
             b,
-            (a["lang"] == b["lang"])
-            & (b["ref_id"] == a["cand_id"] + 1)
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("ref_id") == F.col("cand_id") + 1)
             & (a["bigram"] == b["bigram"]),
         )
-        .groupBy("cand_id", "ref_id", b["lang"].alias("lang"))
+        .groupBy("cand_id", "ref_id", F.col("lang_b").alias("lang"))
         .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("clipped"))
     )
     return (
