@@ -376,6 +376,41 @@ def main() -> None:
                 spark, str(work / "wnpairs")
             ).count(),
         }
+
+        # historical CDC chunk index (streaming/cdc_index.py): per batch
+        # chunk + dedup-ratio + join vs the append-only chunk index
+        from nemsis_xml_parser_spark.streaming.cdc_index import (
+            read_cdc_pairs,
+            read_dedup_ratios,
+            start_cdc_index_stream,
+        )
+
+        q = start_cdc_index_stream(
+            source(doc_dir, doc_schema),
+            str(work / "cdcidx"),
+            str(work / "cdcpairs"),
+            str(work / "cp13"),
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = spark.read.parquet(doc_dir).count()
+        ratios = read_dedup_ratios(spark, str(work / "cdcpairs")).collect()
+        tot = sum(r.total_chunks for r in ratios)
+        dup = sum(r.duplicate_chunks for r in ratios)
+        out["cdc_history_index"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": spark.read.parquet(
+                str(work / "cdcidx") + "/batch=*"
+            ).count(),
+            "candidate_pairs": read_cdc_pairs(
+                spark, str(work / "cdcpairs")
+            ).count(),
+            "corpus_dedup_ratio": round(dup / tot, 4) if tot else None,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
