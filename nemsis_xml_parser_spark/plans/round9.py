@@ -951,3 +951,268 @@ def quality_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(counts))
         .select("n_en", "n_other", "diff_obs", "n_extreme", "p_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch INTERSECTION — sketch set algebra
+# ---------------------------------------------------------------------------
+
+KMVI_K = 64
+
+
+@register(
+    "sketch_kmv_intersection",
+    family="sketch",
+    doc="Theta-sketch set-intersection estimation (the Dasgupta et al. "
+    "theta-sketch algebra over the KMV estimator): sketches of the "
+    "part-key sets appearing on odd vs even lineitem line numbers, "
+    "intersected WITHOUT touching the raw sets again — retained "
+    "hashes below theta = min(theta_A, theta_B) that appear in both "
+    f"sketches, estimate = matches * 2^60 / theta, k = {KMVI_K}.  "
+    "Like sketch_kmv_distinct every register is a deterministic "
+    "function of the cross-engine md5 hash, so DuckDB replays the "
+    "whole algebra (sub-k sides degrade to exact, theta = 2^60).  "
+    "Exact intersection rides along as the accuracy tie-out.  Scale: "
+    "sketch build is a rank over DISTINCT hashes per side; the "
+    "intersection itself touches 2(k-1) retained rows — the point of "
+    "sketch algebra at 100 TB: set expressions over sketches, not "
+    "over key universes.",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT l_linenumber % 2 AS grp, l_partkey FROM lineitem
+),
+h AS (
+  SELECT grp,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv,
+         l_partkey
+  FROM keys
+),
+ranked AS (
+  SELECT grp, hv, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS nd
+  FROM h
+),
+theta AS (
+  SELECT grp,
+         CASE WHEN MAX(nd) >= {KMVI_K}
+              THEN MAX(CASE WHEN rn = {KMVI_K} THEN hv END)
+              ELSE {1 << 60} END AS th,
+         CAST(MAX(nd) AS BIGINT) AS n_exact
+  FROM ranked GROUP BY grp
+),
+ret AS (
+  SELECT r.grp, r.hv FROM ranked r JOIN theta t ON t.grp = r.grp
+  WHERE r.rn < {KMVI_K} OR t.th = {1 << 60}
+),
+tmin AS (
+  SELECT MIN(th) AS th FROM theta
+),
+matches AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m
+  FROM ret a JOIN ret b ON a.hv = b.hv AND a.grp = 0 AND b.grp = 1
+  JOIN tmin ON a.hv < tmin.th
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS x FROM (
+    SELECT l_partkey FROM keys WHERE grp = 0
+    INTERSECT
+    SELECT l_partkey FROM keys WHERE grp = 1
+  )
+)
+SELECT (SELECT n_exact FROM theta WHERE grp = 0) AS n_exact_a,
+       (SELECT n_exact FROM theta WHERE grp = 1) AS n_exact_b,
+       (SELECT x FROM exact) AS n_exact_inter,
+       (SELECT m FROM matches) AS n_matches,
+       ROUND((SELECT m FROM matches) * {float(1 << 60)}
+             / CAST((SELECT th FROM tmin) AS DOUBLE), 6) AS kmv_inter_estimate,
+       ROUND(ABS((SELECT m FROM matches) * {float(1 << 60)}
+                 / CAST((SELECT th FROM tmin) AS DOUBLE)
+                 - (SELECT x FROM exact))
+             / (SELECT x FROM exact), 6) AS rel_error
+""",
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    POW60 = 1 << 60
+    li = table(spark, sf_dir, "lineitem")
+    keys = li.select(
+        (F.col("l_linenumber") % 2).alias("grp"), "l_partkey"
+    ).distinct()
+    h = keys.select(
+        "grp",
+        md5_long(F.col("l_partkey").cast("string")).alias("hv"),
+        "l_partkey",
+    )
+    w_rank = Window.partitionBy("grp").orderBy("hv")
+    w_all = Window.partitionBy("grp")
+    ranked = h.select(
+        "grp",
+        "hv",
+        "l_partkey",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("nd"),
+    )
+    theta = ranked.groupBy("grp").agg(
+        F.when(
+            F.max("nd") >= KMVI_K,
+            F.max(F.when(F.col("rn") == KMVI_K, F.col("hv"))),
+        )
+        .otherwise(F.lit(POW60))
+        .alias("th"),
+        F.max("nd").cast("bigint").alias("n_exact"),
+    )
+    ret = ranked.join(F.broadcast(theta), "grp").where(
+        (F.col("rn") < KMVI_K) | (F.col("th") == POW60)
+    )
+    tmin = theta.agg(F.min("th").alias("th"))
+    matches = (
+        ret.where(F.col("grp") == 0)
+        .select("hv")
+        .join(ret.where(F.col("grp") == 1).select("hv"), "hv")
+        .crossJoin(F.broadcast(tmin))
+        .where(F.col("hv") < F.col("th"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    exact = (
+        keys.where(F.col("grp") == 0)
+        .select("l_partkey")
+        .intersect(keys.where(F.col("grp") == 1).select("l_partkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    na = theta.where(F.col("grp") == 0).select(
+        F.col("n_exact").alias("n_exact_a")
+    )
+    nb = theta.where(F.col("grp") == 1).select(
+        F.col("n_exact").alias("n_exact_b")
+    )
+    est = F.col("m").cast("double") * F.lit(float(POW60)) / F.col("th").cast(
+        "double"
+    )
+    return (
+        matches.crossJoin(F.broadcast(tmin))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            F.col("x").alias("n_exact_inter"),
+            F.col("m").alias("n_matches"),
+            F.round(est, 6).alias("kmv_inter_estimate"),
+            F.round(
+                F.abs(est - F.col("x").cast("double"))
+                / F.col("x").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curve comparison: file-skip fractions under a 2-D range predicate
+# ---------------------------------------------------------------------------
+
+CURVE_X_LO, CURVE_X_HI = 100, 229
+CURVE_Y_LO, CURVE_Y_HI = 300, 429
+
+
+def _curve_skip_oracle() -> str:
+    from ..operators.hilbert import hilbert_sql_ctes
+    from ..operators.zorder import z_value_sql
+
+    zexpr = z_value_sql("cx", "cy", HB_BITS)
+    hctes = hilbert_sql_ctes("cx", "cy", HB_BITS, "keys")
+    shift = 2 * HB_BITS - HB_FILE_BITS
+    pred = (
+        f"x_max >= {CURVE_X_LO} AND x_min <= {CURVE_X_HI} "
+        f"AND y_max >= {CURVE_Y_LO} AND y_min <= {CURVE_Y_HI}"
+    )
+    return f"""
+WITH keys AS (
+  SELECT l_partkey % 1024 AS cx, l_suppkey % 1024 AS cy FROM lineitem
+),
+zf AS (
+  SELECT {zexpr} >> {shift} AS file_id,
+         COUNT(*) AS n_rows, MIN(cx) AS x_min, MAX(cx) AS x_max,
+         MIN(cy) AS y_min, MAX(cy) AS y_max
+  FROM keys GROUP BY 1
+),
+{hctes},
+hf AS (
+  SELECT h >> {shift} AS file_id,
+         COUNT(*) AS n_rows, MIN(cx) AS x_min, MAX(cx) AS x_max,
+         MIN(cy) AS y_min, MAX(cy) AS y_max
+  FROM hilbert GROUP BY 1
+),
+u AS (
+  SELECT 'zorder' AS layout, * FROM zf
+  UNION ALL
+  SELECT 'hilbert' AS layout, * FROM hf
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS files_total,
+       CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_read,
+       CAST(SUM(CASE WHEN {pred} THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_read,
+       ROUND(1.0 - CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS skip_fraction
+FROM u GROUP BY 1
+"""
+
+
+@register(
+    "layout_curve_skipping",
+    family="curation",
+    doc="Head-to-head file-skip comparison of the two clustered "
+    "layouts under the SAME 2-D range predicate: rows cluster into 64 "
+    "curve-contiguous files by Z-order and by Hilbert index, and a "
+    "scan with x/y range predicates must read exactly the files whose "
+    "min/max footer box intersects the predicate.  Reports files_read, "
+    "rows_read and the skip fraction per layout — the measured answer "
+    "to WHICH curve a lake should cluster by (Hilbert's unit-step "
+    "adjacency keeps per-file boxes tighter, so it skips at least as "
+    "much here; the Z twin quantifies the gap instead of asserting "
+    "it).  Scale: both curve indices are pure codegen bit arithmetic "
+    "over one scan + one hash aggregate each; the skip decision reads "
+    "64 stat rows — exactly the footer-pruning computation a real "
+    "scan planner runs.",
+    oracle=_curve_skip_oracle(),
+)
+def layout_curve_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hilbert import hilbert_file_stats
+    from ..operators.zorder import zorder_file_stats
+
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024
+    zf = zorder_file_stats(li, x, y, HB_BITS, HB_FILE_BITS).select(
+        F.lit("zorder").alias("layout"), "*"
+    )
+    hf = hilbert_file_stats(li, x, y, HB_BITS, HB_FILE_BITS).select(
+        F.lit("hilbert").alias("layout"), "*"
+    )
+    u = zf.unionByName(hf)
+    hit = (
+        (F.col("x_max") >= CURVE_X_LO)
+        & (F.col("x_min") <= CURVE_X_HI)
+        & (F.col("y_max") >= CURVE_Y_LO)
+        & (F.col("y_min") <= CURVE_Y_HI)
+    )
+    return u.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("files_total"),
+        F.sum(hit.cast("long")).cast("bigint").alias("files_read"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_read"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(hit.cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("skip_fraction"),
+    )

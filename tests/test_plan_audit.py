@@ -48,6 +48,7 @@ JUSTIFIED_BNLJ = {
     "mine_bitext_margin",    # bounded cross-side brute tier (broadcast side A)
     "text_pmi_collocations", # broadcast 1-row corpus-total scalars (Nu, Nb)
     "quality_permutation_test",  # broadcast 1-row observed-diff + count scalars
+    "sketch_kmv_intersection",   # broadcast 1-2 row sketch scalars (theta, exact, counts)
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
     "graph_louvain_sweep",   # broadcast 1-row summary scalars (largest, qn)
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
