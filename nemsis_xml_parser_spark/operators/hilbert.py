@@ -38,6 +38,11 @@ def hilbert_frame(
     2^bits × 2^bits grid; inputs must already lie in [0, 2^bits).
     One narrow projection per level keeps the expression tree linear
     in ``bits`` instead of exponential."""
+    clash = {"__hx", "__hy", "h"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"hilbert_frame: input already has reserved column(s) {sorted(clash)}"
+        )
     n = 1 << bits
     out = df.select("*", x.alias("__hx"), y.alias("__hy"), F.lit(0).cast("long").alias("h"))
     for s in hilbert_steps(bits):

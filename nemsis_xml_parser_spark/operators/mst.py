@@ -206,9 +206,13 @@ def kruskal_local(edges: DataFrame) -> DataFrame:
     total order the MSF is unique, so this picks EXACTLY the edges the
     distributed Borůvka rounds would (tests/test_mst.py parity).
 
-    Input must be canonical (u < v) min-reduced edges; returns the
-    forest as (u, v, w).  One Arrow batch in, O(nodes) rows out —
-    callers guard with ``LOCAL_FINISH_MAX``.
+    Input must be canonical (u < v) min-reduced edges with **integer
+    weights** (u, v, w all coerce to long — the output schema is
+    ``u long, v long, w long`` and values pass through ``int()``, so a
+    caller with double weights would get silent truncation; cast or
+    scale to integers first, as streaming/msf.py's canonical_min_edges
+    does).  Returns the forest as (u, v, w).  One Arrow batch in,
+    O(nodes) rows out — callers guard with ``LOCAL_FINISH_MAX``.
     """
     import pandas as pd
 

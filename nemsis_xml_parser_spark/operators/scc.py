@@ -51,10 +51,13 @@ from pyspark.sql import DataFrame, Observation
 
 from .lineage import cut_lineage
 
-# Label-state row count below which the per-iteration message join
-# broadcasts the state instead of shuffling it (see the inline note in
+# Broadcast-side row count below which the per-iteration message join
+# broadcasts instead of shuffling (see the inline note in
 # _dual_min_label_fixpoint).  4M (node, dir, lbl) rows ≈ 100 MB — safely
 # inside executor broadcast budgets; beyond it the shuffle path is right.
+# The fixpoint gates on the MEASURED label-state row count (2 per node,
+# off the init observe); _trim gates its node-core broadcast on the
+# surviving edge count, which upper-bounds the core's node rows.
 _BROADCAST_STATE_MAX = 4_000_000
 
 
@@ -86,7 +89,6 @@ def _dual_min_label_fixpoint(
     per iteration; this pays one).
 
     Returns (node, lbl, blbl): forward and backward min labels."""
-    small = n_edges <= _BROADCAST_STATE_MAX
     de = (
         edges.select(F.lit(0).alias("dir"), "u", "v")
         .unionByName(
@@ -106,10 +108,14 @@ def _dual_min_label_fixpoint(
             F.explode(F.array(F.lit(0), F.lit(1))).alias("dir"),
         )
         .withColumn("lbl", F.col("node"))
-        .observe(obs0, probe)
+        .observe(obs0, probe, F.count(F.lit(1)).alias("n"))
         .transform(cut_lineage)
     )
     prev = obs0.get["s"]
+    # Gate the broadcast on the ACTUAL label-state row count (2 per node,
+    # free off the init observe) — node count can approach the edge count,
+    # so an edge-count gate could broadcast ~2x the intended budget.
+    small = obs0.get["n"] <= _BROADCAST_STATE_MAX
     # cut_lineage erases size stats, so AQE never discovers that the
     # label state is broadcastable, and shuffles BOTH sides of the
     # message join every iteration.  The caller-supplied edge count

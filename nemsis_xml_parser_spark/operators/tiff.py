@@ -131,6 +131,8 @@ def lzw_decompress(data: bytes, expected: int) -> bytes:
             prev = None
             continue
         if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: code beyond table")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

@@ -230,6 +230,30 @@ _RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
         "topk_per_group", "window_lag_gap", "window_rank_orders",
         "window_running_total",
     }),
+    9: frozenset({
+        "agg_corr_manual", "agg_filter_clause", "agg_having",
+        "agg_percentile_approx", "agg_percentile_exact",
+        "array_agg_battery", "asof_join_last_signup", "case_when_bands",
+        "cross_join_small", "curation_hilbert_layout",
+        "date_arithmetic_battery", "dedup_cdc_chunks",
+        "dedup_containment_pairs", "er_sorted_neighborhood",
+        "events_funnel_conversion", "events_hourly_rollup",
+        "events_retention_cohorts", "events_sessionize", "explode_tokens",
+        "join_lateral_topk", "join_nullsafe_eq",
+        "join_range_interval_banded", "join_salted_skew",
+        "json_extract_events", "layout_curve_skipping", "map_build_battery",
+        "multimodal_audio_g711_stats", "multimodal_binary_roundtrip",
+        "multimodal_tiff_lzw_stats", "pivot_status_by_segment",
+        "q14_promo_revenue_share", "q18_large_orders",
+        "q19_disjunctive_filter_join", "quality_permutation_test",
+        "recursive_cte_key_depth", "scalar_conditional_battery",
+        "set_except_all", "set_intersect_all", "set_union_all",
+        "sketch_kmv_distinct", "sketch_kmv_intersection",
+        "subquery_correlated_max", "subquery_in_list",
+        "subquery_scalar_avg", "text_bpe_encode", "text_rouge2_pairs",
+        "unpivot_stack", "window_analytic_battery", "window_locf_fill",
+        "window_range_frame",
+    }),
 }
 
 _vintage: dict[str, int] = {}

@@ -61,11 +61,25 @@ def read_fp_index(spark: SparkSession, index_root: str) -> DataFrame:
     """All committed (doc_id, gh) fingerprints (empty frame if none)."""
     try:
         return spark.read.schema(FP_SCHEMA).parquet(f"{index_root}/batch=*")
-    except AnalysisException:
-        # only "path does not exist" (first batch) is expected; other
-        # read errors propagate so the microbatch retries instead of
-        # silently dropping the entire history from the candidate join
-        return spark.createDataFrame([], FP_SCHEMA)
+    except AnalysisException as e:
+        # only "path does not exist" (first batch) is expected; any other
+        # AnalysisException (schema/metadata corruption) must propagate so
+        # the microbatch retries instead of silently dropping the entire
+        # history from the candidate join
+        if _is_missing_path(e):
+            return spark.createDataFrame([], FP_SCHEMA)
+        raise
+
+
+def _is_missing_path(e: AnalysisException) -> bool:
+    cls = None
+    try:
+        cls = e.getCondition()  # Spark 4 name for getErrorClass
+    except Exception:
+        pass
+    if cls is not None and "PATH_NOT_FOUND" in cls:
+        return True
+    return "Path does not exist" in str(e)
 
 
 def candidates_against_fp_index(
