@@ -125,6 +125,8 @@ HEADLINE = [
     "curation_hilbert_layout",
     "dedup_containment_pairs",
     "text_bpe_encode",
+    # round 10 flagships (subtract when comparing totals vs earlier rounds)
+    "graph_scc_peeling",  # the former slowest query — no silent caps
 ]
 
 

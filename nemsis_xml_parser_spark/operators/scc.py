@@ -61,6 +61,92 @@ from .lineage import cut_lineage
 _BROADCAST_STATE_MAX = 4_000_000
 
 
+# Residual edge count that comfortably solves inside ONE executor task —
+# the same budget reasoning as mst.LOCAL_FINISH_MAX (~48 bytes/edge →
+# ~100 MB at the bound, linear-time Tarjan over it is seconds).
+SCC_LOCAL_FINISH_MAX = 2_000_000
+
+
+def tarjan_local(edges: DataFrame) -> DataFrame:
+    """Single-task Tarjan over a residual edge set that fits one
+    executor — the Lattanzi et al. (SPAA'11) filtering endgame, same
+    recipe as ``mst.kruskal_local``: run the distributed trim/peel
+    rounds only until the residual is PROVABLY small (the trim loop's
+    edge-count probe rides its checkpoint job anyway), then finish the
+    cycle-bearing core in one Arrow batch instead of paying O(log n)
+    inherently-sequential fixpoint iterations × per-job latency.  SCC
+    labels are algorithm-independent (scc = min member id), so the
+    output is bit-identical to the FW-BW path (tests/test_scc_kmeans.py
+    parity).  Every residual node is an edge endpoint (trim guarantees
+    in- AND out-degree ≥ 1), so the edge list alone carries the node
+    set.  Output: (node, scc)."""
+    import pandas as pd
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        adj: dict[int, list[int]] = {}
+        nodes: set[int] = set()
+        for u, v in zip(pdf["u"], pdf["v"]):
+            ui, vi = int(u), int(v)
+            adj.setdefault(ui, []).append(vi)
+            nodes.add(ui)
+            nodes.add(vi)
+        index: dict[int, int] = {}
+        low: dict[int, int] = {}
+        comp: dict[int, int] = {}
+        stack: list[int] = []
+        on_stack: set[int] = set()
+        counter = 0
+        for root in nodes:
+            if root in index:
+                continue
+            work = [(root, 0)]  # iterative DFS: (node, next-child idx)
+            while work:
+                node, pi = work[-1]
+                if pi == 0:
+                    index[node] = low[node] = counter
+                    counter += 1
+                    stack.append(node)
+                    on_stack.add(node)
+                children = adj.get(node, ())
+                descended = False
+                for i in range(pi, len(children)):
+                    w = children[i]
+                    if w not in index:
+                        work[-1] = (node, i + 1)
+                        work.append((w, 0))
+                        descended = True
+                        break
+                    if w in on_stack and index[w] < low[node]:
+                        low[node] = index[w]
+                if descended:
+                    continue
+                if low[node] == index[node]:
+                    members = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        members.append(w)
+                        if w == node:
+                            break
+                    m = min(members)
+                    for w in members:
+                        comp[w] = m
+                work.pop()
+                if work:
+                    parent = work[-1][0]
+                    if low[node] < low[parent]:
+                        low[parent] = low[node]
+        return pd.DataFrame(
+            {"node": list(comp.keys()), "scc": list(comp.values())}
+        )
+
+    return (
+        edges.select("u", "v")
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(lambda pdf: finish(pdf), "node long, scc long")
+    )
+
+
 def _dual_min_label_fixpoint(
     edges: DataFrame, nodes: DataFrame, max_iter: int, n_edges: int
 ) -> DataFrame:
@@ -278,6 +364,7 @@ def strongly_connected_components(
     max_rounds: int = 25,
     max_iter: int = 50,
     max_trim: int = 50,
+    local_finish_max: int = SCC_LOCAL_FINISH_MAX,
 ) -> DataFrame:
     """(node BIGINT, scc BIGINT) — scc = min node id of the node's
     strongly connected component.  Every node mentioned by any edge is
@@ -286,8 +373,14 @@ def strongly_connected_components(
 
     Each round first TRIMS source/sink/isolated nodes to a fixpoint
     (singletons by construction — closes the DAG-pathology seam the
-    original peeling loop documented), then runs the FW-BW min-label
-    resolution on the residual cycle-bearing core."""
+    original peeling loop documented); then, when the trimmed residual
+    is provably small (edge count ≤ ``local_finish_max``, off the trim
+    probe that runs anyway), finishes it in ONE single-task Tarjan
+    batch (``tarjan_local`` — the Lattanzi filtering endgame, labels
+    bit-identical to the fixpoint path); otherwise runs the FW-BW
+    min-label resolution on the residual cycle-bearing core and peels
+    again.  Pass ``local_finish_max=0`` to force the distributed path
+    (tests do, for parity coverage)."""
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -313,6 +406,9 @@ def strongly_connected_components(
             # the residual dissolved entirely in the trim phase; with no
             # edges left there are no surviving nodes either (survivors
             # are edge endpoints), so the round — and the peel — is done
+            break
+        if n_edges <= local_finish_max:
+            outs.append(tarjan_local(e))
             break
         both, n_unresolved, residual = _resolve_round(
             e, nodes, max_iter, n_edges

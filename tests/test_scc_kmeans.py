@@ -34,12 +34,20 @@ def _scc_brute(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 def _run_scc(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
+    # distributed FW-BW path (local_finish_max=0 forces it) and the
+    # single-task Tarjan endgame must agree with each other and brute
+    distributed = {
+        r["node"]: r["scc"]
+        for r in strongly_connected_components(
+            df, local_finish_max=0
+        ).collect()
+    }
+    local = {
         r["node"]: r["scc"]
         for r in strongly_connected_components(df).collect()
     }
-    assert got == _scc_brute(edges)
-    return got
+    assert distributed == local == _scc_brute(edges)
+    return distributed
 
 
 def test_scc_two_cycles_and_bridge(spark):
