@@ -136,6 +136,59 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    alpha: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of the ADC shortlist — the standard second stage of
+    every production IVF-PQ deployment (FAISS refine / Jegou et al. §V):
+    the compressed scan is a RECALL filter, not a ranker.  Stage 1 takes
+    the ADC top-(k·alpha) per query (cheap — compressed codes only);
+    stage 2 joins the shortlist back to the RAW vectors, scores exact
+    cosine (6-dp rounded, id tie-break — the brute_force_topk contract),
+    and keeps the top-k.  Quantization error then only hurts when a true
+    neighbor falls OUT of the shortlist entirely, so recall@k rises from
+    the ADC ranking's to nearly the probed-cell ceiling (measured in
+    ANN_RECALL_r10.json; bound asserted in tests/test_ivfpq.py).
+
+    Scale shape: the shortlist is |Q|·k·alpha rows — broadcast it
+    against the corpus scan, so raw vectors are read once, never
+    shuffled, and only shortlisted vectors' bytes cross the wire."""
+    shortlist = ivfpq_topk(
+        queries, centroids, codebooks, codes,
+        k=k * alpha, nprobe=nprobe, m=m, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.to_double_array(F.col(vec_col)).alias("cv"),
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cv.join(F.broadcast(shortlist.join(qv, "query_id")), "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivfpq_index_write(
     corpus: DataFrame,
     index_dir: str,

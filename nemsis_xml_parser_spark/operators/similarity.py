@@ -218,6 +218,85 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    n_flips: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Query-aware multi-probe sign-LSH top-k (Lv et al., "Multi-Probe
+    LSH", VLDB'07): besides its own bucket, each query probes the
+    buckets reached by flipping the ``n_flips`` planes whose projection
+    margin |q·plane| is smallest — exactly the bits most likely to have
+    landed on the wrong side for a true neighbor.  Recall rises without
+    adding planes (which would shrink every bucket) or removing planes
+    (which would inflate every candidate set): probing 1+n_flips of the
+    2^planes buckets scans a (1+n_flips)/2^planes corpus fraction.
+
+    Determinism: flip selection orders by (6-dp rounded |margin|,
+    plane_idx); scoring is exact cosine within candidates with the
+    brute_force_topk rounding/tie contract.  Buckets partition the
+    corpus and single-bit flips are distinct, so candidate sets are
+    disjoint — no post-join dedup.  Scale shape: the probe list is
+    (1+n_flips)·|Q| rows joined on the bucket key — same bucket-pruned
+    scan as ``lsh_topk``/``lsh_index_topk``, just more probes."""
+    if not 0 <= n_flips <= num_planes:
+        raise ValueError("n_flips must be in [0, num_planes]")
+    planes = _lcg_planes(num_planes, dim, seed)
+    qb = with_lsh_bucket(queries, num_planes, dim, vec_col, seed).select(
+        F.col(id_col).alias("query_id"),
+        V.to_double_array(F.col(vec_col)).alias("qv"),
+        "bucket",
+    )
+    dots = F.array(
+        *[
+            V.dot(F.col("qv"), F.array(*[F.lit(float(v)) for v in p]))
+            for p in planes
+        ]
+    )
+    qd = qb.select(
+        "query_id", "qv", "bucket",
+        F.posexplode(dots).alias("plane_idx", "d"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.round(F.abs(F.col("d")), 6).asc(), F.col("plane_idx").asc()
+    )
+    flips = (
+        qd.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= n_flips)
+        .select(
+            "query_id",
+            "qv",
+            F.col("bucket")
+            .bitwiseXOR(F.pow(F.lit(2.0), F.col("plane_idx")).cast("long"))
+            .alias("bucket"),
+        )
+    )
+    probes = qb.select("query_id", "qv", "bucket").unionByName(flips)
+    cb = with_lsh_bucket(corpus, num_planes, dim, vec_col, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        V.to_double_array(F.col(vec_col)).alias("cv"),
+        "bucket",
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(probes)
+        .join(cb, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs_above_lsh(
     df: DataFrame,
     threshold: float,

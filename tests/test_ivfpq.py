@@ -102,3 +102,42 @@ def test_shortlist_recall_vs_exact(emb, index):
     n = sum(len(v) for v in exact_by_q.values())
     assert hits5 / n >= 0.15, f"IVF-PQ recall@5 too low: {hits5 / n:.2f}"
     assert hits20 / n >= 0.4, f"IVF-PQ shortlist recall@20 too low: {hits20 / n:.2f}"
+
+
+def test_rerank_recall_beats_adc_and_obeys_contract(emb, index):
+    # rerank with nprobe=nlist and a generous shortlist must recover the
+    # exact cosine top-k almost entirely — quantization error only hurts
+    # when a true neighbor misses the shortlist
+    centroids, codebooks, codes = index
+    queries = emb.where(F.col("vec_id") < 20)
+    got = X.ivfpq_rerank_topk(queries, emb, centroids, codebooks, codes,
+                              k=5, alpha=16, nprobe=NLIST, m=M, dim=DIM)
+    rows = got.collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) <= 5 for v in by_q.values())
+    # cosine column is the EXACT rounded cosine of the raw vectors
+    one = rows[0]
+    qv = emb.where(F.col("vec_id") == one["query_id"]).collect()[0]["embedding"]
+    cv = emb.where(F.col("vec_id") == one["neighbor_id"]).collect()[0]["embedding"]
+    import math
+    dot = sum(float(a) * float(b) for a, b in zip(qv, cv))
+    nq = math.sqrt(sum(float(a) ** 2 for a in qv))
+    nc = math.sqrt(sum(float(b) ** 2 for b in cv))
+    assert abs(one["cosine"] - round(dot / (nq * nc), 6)) < 1e-9
+
+    from nemsis_xml_parser_spark.operators.similarity import brute_force_topk
+    exact_by_q = {}
+    for r in brute_force_topk(queries, emb, k=5).collect():
+        exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adc = X.ivfpq_topk(queries, centroids, codebooks, codes, k=5,
+                       nprobe=NLIST, m=M, dim=DIM)
+    adc_by_q = {}
+    for r in adc.collect():
+        adc_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n = sum(len(v) for v in exact_by_q.values())
+    rr = sum(len(set(by_q[q]) & exact_by_q[q]) for q in exact_by_q) / n
+    ar = sum(len(adc_by_q.get(q, set()) & exact_by_q[q]) for q in exact_by_q) / n
+    assert rr >= 0.8, f"rerank recall@5 too low: {rr:.2f}"
+    assert rr >= ar, f"rerank ({rr:.2f}) must not trail ADC-only ({ar:.2f})"

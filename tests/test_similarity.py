@@ -204,3 +204,45 @@ def test_lsh_index_persisted_matches_inline(spark, tmp_path):
     assert persisted == inline
     bucket_dirs = [d for d in os.listdir(f"{idx}/buckets") if d.startswith("bucket=")]
     assert 1 <= len(bucket_dirs) <= 16
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300)
+    queries = e.where(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(queries, e, k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(queries, e, k=10, num_planes=5, dim=64).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_multiprobe_topk(
+            queries, e, k=10, num_planes=5, n_flips=3, dim=64
+        ).collect()
+    }
+    r1 = len(brute & single) / len(brute)
+    rm = len(brute & multi) / len(brute)
+    # probing 4 of 32 buckets must not lose recall vs probing 1, and on
+    # this corpus it strictly gains (single-probe ~0.1-0.3 here)
+    assert rm >= r1, f"multiprobe {rm:.2f} < single {r1:.2f}"
+    assert rm > 0.2, f"multiprobe recall too low: {rm:.2f}"
+    assert all(q != n for q, n in multi)
+
+
+def test_multiprobe_flips0_equals_single_probe(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    queries = e.where(F.col("vec_id") < 5)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in S.lsh_multiprobe_topk(
+            queries, e, k=5, num_planes=6, n_flips=0, dim=64
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in S.lsh_topk(queries, e, k=5, num_planes=6, dim=64).collect()
+    )
+    assert a == b

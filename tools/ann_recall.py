@@ -31,12 +31,14 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from nemsis_xml_parser_spark.operators.ivf import ivf_topk  # noqa: E402
 from nemsis_xml_parser_spark.operators.ivfpq import (  # noqa: E402
+    ivfpq_rerank_topk,
     ivfpq_topk,
     train_ivfpq,
 )
 from nemsis_xml_parser_spark.operators.nsw import nsw_beam_topk  # noqa: E402
 from nemsis_xml_parser_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
+    lsh_multiprobe_topk,
     lsh_topk,
 )
 from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
@@ -90,6 +92,14 @@ def main() -> None:
     cases = {
         "lsh_planes8": lambda: lsh_topk(queries, corpus, k=K, num_planes=8),
         "lsh_planes4": lambda: lsh_topk(queries, corpus, k=K, num_planes=4),
+        # multi-probe: flip the n lowest-|margin| planes (r10) — recall
+        # scales ~(1+n_flips)x the single-probe point at the same planes
+        "mplsh_planes8_flips3": lambda: lsh_multiprobe_topk(
+            queries, corpus, k=K, num_planes=8, n_flips=3
+        ),
+        "mplsh_planes8_flips5": lambda: lsh_multiprobe_topk(
+            queries, corpus, k=K, num_planes=8, n_flips=5
+        ),
         "ivf_probe3of8": lambda: ivf_topk(queries, corpus, k=K, nlist=8, nprobe=3),
         "ivf_probe6of8": lambda: ivf_topk(queries, corpus, k=K, nlist=8, nprobe=6),
         "nsw_beam8x3": lambda: nsw_beam_topk(queries, corpus, k=K),
@@ -112,6 +122,31 @@ def main() -> None:
             ),
         )
         results[name] = {"recall_at_k": _recall(truth, got), "wall_sec": wall}
+
+    # r10: the exact-rerank second stage (ADC shortlist k*alpha -> raw-
+    # vector cosine) on a FINER trained index (m=16 subspaces) — the
+    # configuration a production deployment ships.  Two points: the
+    # cheap codebook (ksub=16) and the accurate one (ksub=64).
+    for cname, m_, ksub_ in (("m16ksub16", 16, 16), ("m16ksub64", 16, 64)):
+        cents2, cbs2, codes2 = train_ivfpq(corpus, nlist=8, m=m_, ksub=ksub_)
+        for df in (cents2, cbs2, codes2):
+            df.persist().count()
+        for pname, nprobe, alpha in (
+            (f"ivfpq_rerank_{cname}_p6_a8", 6, 8),
+            (f"ivfpq_rerank_{cname}_p8_a16", 8, 16),
+        ):
+            pname, got, wall = run(
+                pname,
+                lambda np=nprobe, a=alpha, m2=m_, c=cents2, cb=cbs2, co=codes2:
+                ivfpq_rerank_topk(
+                    queries, corpus, c, cb, co, k=K, alpha=a, nprobe=np, m=m2
+                ),
+            )
+            results[pname] = {
+                "recall_at_k": _recall(truth, got), "wall_sec": wall
+            }
+        for df in (cents2, cbs2, codes2):
+            df.unpersist()
 
     spark.stop()
     line = json.dumps(
