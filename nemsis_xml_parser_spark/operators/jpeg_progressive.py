@@ -250,9 +250,107 @@ def encode_progressive_jpeg(px: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _encode_dc_first_interleaved(
+    bw: _BitWriter, planes: list[list[list[int]]], al: int
+) -> None:
+    """Interleaved DC-first scan (the only multi-component scan kind
+    progressive allows, T.81 §G.1.1): with 1x1 sampling every MCU is one
+    block per component in component order; each component keeps its own
+    DC predictor."""
+    prev = [0] * len(planes)
+    for b in range(len(planes[0])):
+        for c, blocks in enumerate(planes):
+            v = blocks[b][0] >> al
+            diff = v - prev[c]
+            prev[c] = v
+            cat = _category(diff)
+            code, ln = _P_DC_CODES[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+
+def _encode_dc_refine_interleaved(
+    bw: _BitWriter, planes: list[list[list[int]]], al: int
+) -> None:
+    for b in range(len(planes[0])):
+        for blocks in planes:
+            bw.write((blocks[b][0] >> al) & 1, 1)
+
+
+def encode_progressive_jpeg_color(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> bytes:
+    """Three-component (YCbCr, 4:4:4 — no subsampling) progressive JPEG:
+    interleaved DC scans (first at Al=1, refine to Al=0) followed by the
+    per-component AC scans the spec mandates (AC scans are always
+    single-component, §G.1.1), two per component (1..63 at Al=1, then
+    the refinement).  All components share quantization table 0 and the
+    deterministic one-length Huffman tables.  Subsampled (4:2:0)
+    progressive remains a named seam."""
+    if not (y.shape == cb.shape == cr.shape):
+        raise ValueError("color progressive needs equal-size planes (4:4:4)")
+    h, w = y.shape
+    planes = [_quantized_blocks(p)[4] for p in (y, cb, cr)]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in QTABLE_ZZ))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, _dht_payload(0, 0, _P_DC_CODES))
+    out += seg(0xC4, _dht_payload(1, 0, _P_AC_CODES))
+    # interleaved DC scans over all three components
+    for ah, al in ((0, 1), (1, 0)):
+        bw = _BitWriter()
+        if ah == 0:
+            _encode_dc_first_interleaved(bw, planes, al)
+        else:
+            _encode_dc_refine_interleaved(bw, planes, al)
+        hdr = bytes([3])
+        for cid in (1, 2, 3):
+            hdr += bytes([cid, 0x00])
+        out += seg(0xDA, hdr + bytes([0, 0, (ah << 4) | al]))
+        out += bw.flush()
+    # per-component AC scans
+    for c, blocks in enumerate(planes):
+        for ah, al in ((0, 1), (1, 0)):
+            bw = _BitWriter()
+            if ah == 0:
+                _encode_ac_first(bw, blocks, 1, 63, al)
+            else:
+                _encode_ac_refine(bw, blocks, 1, 63, al)
+            out += seg(
+                0xDA, bytes([1, c + 1, 0x00, 1, 63, (ah << 4) | al])
+            )
+            out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
+
+
+def _decode_dc_first_interleaved(r, planes, nblocks, dc_tab, al):
+    prev = [0] * len(planes)
+    for b in range(nblocks):
+        for c, blocks in enumerate(planes):
+            cat = _decode_symbol(r, dc_tab)
+            prev[c] += _receive_extend(r, cat)
+            blocks[b][0] = prev[c] << al
+
+
+def _decode_dc_refine_interleaved(r, planes, nblocks, al):
+    for b in range(nblocks):
+        for blocks in planes:
+            if r.read_bit():
+                blocks[b][0] |= 1 << al
 
 
 def _decode_dc_first(r, blocks, nblocks, dc_tab, al):
@@ -352,16 +450,21 @@ def _decode_ac_refine(r, blocks, nblocks, ac_tab, ss, se, al):
 
 
 def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
-    """(h, w) uint8 pixels of a single-component progressive JPEG."""
+    """Decoded pixels of a progressive JPEG: (h, w) uint8 for a
+    single-component stream, (h, w, 3) uint8 of the RAW decoded planes
+    (YCbCr, no color conversion — the stats layer works per channel)
+    for a three-component 4:4:4 stream.  Subsampled (non-1x1) frames
+    raise — the named seam."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
-    blocks: list[list[int]] | None = None
+    planes: list[list[list[int]]] | None = None
+    comp_ids: list[int] = []
+    comp_tqs: list[int] = []
     nby = nbx = 0
-    comp_tq = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -393,22 +496,36 @@ def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError("multi-component progressive JPEG")
-            comp_tq = body[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component progressive JPEG")
+            comp_ids, comp_tqs = [], []
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled (non-4:4:4) progressive JPEG"
+                    )
+                comp_ids.append(cid)
+                comp_tqs.append(tq)
             frame = (h, w)
             nby, nbx = -(-h // 8), -(-w // 8)
-            blocks = [[0] * 64 for _ in range(nby * nbx)]
+            planes = [
+                [[0] * 64 for _ in range(nby * nbx)] for _ in range(ncomp)
+            ]
         elif marker == 0xDD:
             if struct.unpack(">H", body[:2])[0] != 0:
                 raise NotImplementedError("restart intervals in progressive")
         elif marker == 0xDA:
-            if frame is None or blocks is None:
+            if frame is None or planes is None:
                 raise ValueError("SOS before SOF2")
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component progressive scan")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_comps = []  # (plane index, dc table id, ac table id)
+            for s in range(ns):
+                cid = body[1 + 2 * s]
+                tabs = body[2 + 2 * s]
+                scan_comps.append(
+                    (comp_ids.index(cid), tabs >> 4, tabs & 0x0F)
+                )
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             r = _BitReader(buf, pos)
@@ -416,37 +533,89 @@ def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan with Se != 0")
-                if ah == 0:
-                    _decode_dc_first(r, blocks, nblocks, htables[(0, dc_id)], al)
+                if ns == 1:
+                    ci, dc_id, _ = scan_comps[0]
+                    if ah == 0:
+                        _decode_dc_first(
+                            r, planes[ci], nblocks, htables[(0, dc_id)], al
+                        )
+                    else:
+                        _decode_dc_refine(r, planes[ci], nblocks, al)
+                elif ns == len(planes):
+                    # interleaved DC scan: 1x1 sampling -> one block per
+                    # component per MCU, scan order = component order
+                    scan_planes = [planes[ci] for ci, _, _ in scan_comps]
+                    if ah == 0:
+                        dc_id = scan_comps[0][1]
+                        _decode_dc_first_interleaved(
+                            r, scan_planes, nblocks, htables[(0, dc_id)], al
+                        )
+                    else:
+                        _decode_dc_refine_interleaved(
+                            r, scan_planes, nblocks, al
+                        )
                 else:
-                    _decode_dc_refine(r, blocks, nblocks, al)
+                    raise NotImplementedError(
+                        "partially interleaved progressive DC scan"
+                    )
             else:
+                if ns != 1:
+                    raise ValueError("AC scan must be single-component (G.1.1)")
+                ci, _, ac_id = scan_comps[0]
                 tab = htables[(1, ac_id)]
                 if ah == 0:
-                    _decode_ac_first(r, blocks, nblocks, tab, ss, se, al)
+                    _decode_ac_first(r, planes[ci], nblocks, tab, ss, se, al)
                 else:
-                    _decode_ac_refine(r, blocks, nblocks, tab, ss, se, al)
+                    _decode_ac_refine(r, planes[ci], nblocks, tab, ss, se, al)
             # resume the marker walk at the next marker after the scan
             pos = r.pos
             while pos + 1 < len(buf) and not (
                 buf[pos] == 0xFF and buf[pos + 1] != 0x00
             ):
                 pos += 1
-    if frame is None or blocks is None:
+    if frame is None or planes is None:
         raise ValueError("missing SOF2/SOS")
     h, w = frame
-    q = np.empty((8, 8), dtype=np.float64)
-    for idx, (u, v) in enumerate(ZIGZAG):
-        q[u, v] = qtables[comp_tq][idx]
-    out = np.empty((nby * 8, nbx * 8), dtype=np.float64)
-    for b, zz in enumerate(blocks):
-        s = np.zeros((8, 8), dtype=np.float64)
+    outs = []
+    for ci, blocks in enumerate(planes):
+        q = np.empty((8, 8), dtype=np.float64)
         for idx, (u, v) in enumerate(ZIGZAG):
-            s[u, v] = zz[idx]
-        blk = _A.T @ (s * q) @ _A + 128.0
-        by, bx = divmod(b, nbx)
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+            q[u, v] = qtables[comp_tqs[ci]][idx]
+        out = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+        for b, zz in enumerate(blocks):
+            s = np.zeros((8, 8), dtype=np.float64)
+            for idx, (u, v) in enumerate(ZIGZAG):
+                s[u, v] = zz[idx]
+            blk = _A.T @ (s * q) @ _A + 128.0
+            by, bx = divmod(b, nbx)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        outs.append(
+            np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+        )
+    if len(outs) == 1:
+        return outs[0]
+    return np.stack(outs, axis=-1)
+
+
+def make_progressive_color_jpeg_image(image_id: int) -> bytes:
+    """Deterministic REAL three-component (4:4:4) progressive JPEG:
+    width 8·(id%3+1), height 8·(id%2+1), plane c's block (bx, by)
+    constant at (id·11 + 13·bx + 29·by + 47·c) mod 256 — constant
+    blocks are DC-only, so the 8-scan color pipeline (interleaved DC
+    first + refine over all three components, then two AC scans per
+    component) reconstructs the exact integers per plane; the AC
+    refinement machinery is pinned separately by the gradient
+    round-trip tests."""
+    w, h = 8 * (image_id % 3 + 1), 8 * (image_id % 2 + 1)
+    bx = np.arange(w // 8).reshape(1, -1)
+    by = np.arange(h // 8).reshape(-1, 1)
+    planes = []
+    for c in range(3):
+        v = (image_id * 11 + 13 * bx + 29 * by + 47 * c) % 256
+        planes.append(
+            np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+        )
+    return encode_progressive_jpeg_color(*planes)
 
 
 def make_progressive_jpeg_image(image_id: int) -> bytes:

@@ -1584,6 +1584,28 @@ def synthesize_progressive_jpeg_media(
     return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthesize_progressive_color_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL three-component 4:4:4 progressive
+    JPEGs (operators/jpeg_progressive.py::encode_progressive_jpeg_color
+    — interleaved DC scans + per-component AC scans) — MEDIA_SCHEMA,
+    Arrow-batched."""
+    from .jpeg_progressive import make_progressive_color_jpeg_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_progressive_color_jpeg_image(int(i))
+                rows.append((str(int(i)), "image/jpeg", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def synthesize_jpeg12_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic corpus of REAL 12-bit extended-sequential JPEGs
     (operators/jpeg.py::make_jpeg12_image — constant-block construction,

@@ -358,6 +358,9 @@ def encode_tiff_tiled(
     tile_h: int = 16,
     packbits: bool = True,
     big_endian: bool = False,
+    compression: int | None = None,
+    predictor: int = 1,
+    planar: int = 1,
 ) -> bytes:
     """uint8 image (2-D grayscale or (h,w,3) RGB) → single-IFD TILED
     TIFF (TileWidth/TileLength/TileOffsets/TileByteCounts instead of
@@ -366,27 +369,58 @@ def encode_tiff_tiled(
     run left-to-right, top-to-bottom; EVERY tile is padded to the full
     tile_w × tile_h (the spec's edge rule — decoders must clip), pad
     bytes zero.  Tile dims default to the spec-mandated multiple of
-    16."""
+    16.
+
+    ``compression``: 1 (none), 5 (LZW), 8 (Deflate) or 32773 (PackBits;
+    None derives from the legacy ``packbits`` flag).  ``predictor`` 2 =
+    horizontal differencing per TILE row per sample (applied before
+    compression, spec section 14 — tile rows are tile_w wide, never the
+    image width).  ``planar`` 2 = plane-major tile sequence: ALL of
+    sample 0's tiles, then sample 1's, then sample 2's; TileOffsets /
+    TileByteCounts carry SamplesPerPixel × TilesPerImage entries."""
     if tile_w % 16 or tile_h % 16:
         raise ValueError("TIFF tile dimensions must be multiples of 16")
+    if compression is None:
+        compression = 32773 if packbits else 1
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError("tiled TIFF compression must be 1, 5, 8 or 32773")
+    if predictor not in (1, 2) or planar not in (1, 2):
+        raise ValueError("predictor and planar must be 1 or 2")
     if px.ndim == 2:
         spp, photometric = 1, 1
     elif px.ndim == 3 and px.shape[2] == 3:
         spp, photometric = 3, 2
     else:
         raise NotImplementedError("grayscale (2-D) or RGB (h,w,3) only")
+    if planar == 2 and spp == 1:
+        planar = 1  # planar is meaningless for one sample
     h, w = px.shape[0], px.shape[1]
     a = px.astype(np.uint8)
     if spp == 1:
         a = a[..., None]
     tiles: list[bytes] = []
-    for ty in range(0, h, tile_h):
-        for tx in range(0, w, tile_w):
-            tile = np.zeros((tile_h, tile_w, spp), dtype=np.uint8)
-            part = a[ty : ty + tile_h, tx : tx + tile_w]
-            tile[: part.shape[0], : part.shape[1]] = part
-            raw = tile.tobytes()
-            tiles.append(packbits_compress(raw) if packbits else raw)
+    planes = range(spp) if planar == 2 else (None,)
+    for plane in planes:
+        row_spp = spp if plane is None else 1
+        for ty in range(0, h, tile_h):
+            for tx in range(0, w, tile_w):
+                tile = np.zeros((tile_h, tile_w, row_spp), dtype=np.uint8)
+                part = (
+                    a[ty : ty + tile_h, tx : tx + tile_w]
+                    if plane is None
+                    else a[ty : ty + tile_h, tx : tx + tile_w, plane : plane + 1]
+                )
+                tile[: part.shape[0], : part.shape[1]] = part
+                raw = tile.tobytes()
+                if predictor == 2:
+                    raw = _hdiff_encode(raw, tile_w, row_spp)
+                if compression == 5:
+                    raw = lzw_compress(raw)
+                elif compression == 8:
+                    raw = zlib.compress(raw)
+                elif compression == 32773:
+                    raw = packbits_compress(raw)
+                tiles.append(raw)
     bo = ">" if big_endian else "<"
     out = bytearray(
         struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 0)
@@ -424,7 +458,7 @@ def encode_tiff_tiled(
             if spp == 1
             else entry(_BPS, 3, 3, bps_array_pos)
         ),
-        entry(_COMPRESSION, 3, 1, 32773 if packbits else 1),
+        entry(_COMPRESSION, 3, 1, compression),
         entry(_PHOTOMETRIC, 3, 1, photometric),
         entry(_SPP, 3, 1, spp),
         entry(_TILE_WIDTH, 3, 1, tile_w),
@@ -441,6 +475,8 @@ def encode_tiff_tiled(
             n_tiles,
             len(tiles[0]) if n_tiles == 1 else cnt_array_pos,
         ),
+        entry(_PLANAR, 3, 1, planar),
+        entry(_PREDICTOR, 3, 1, predictor),
     ]
     ifd_pos = pos
     out[4:8] = struct.pack(bo + "I", ifd_pos)
@@ -565,6 +601,85 @@ def encode_tiff_lzw(
     return bytes(out)
 
 
+def encode_tiff_jpeg(
+    px: np.ndarray,
+    rows_per_strip: int = 8,
+    big_endian: bool = False,
+) -> bytes:
+    """uint8 GRAYSCALE image → single-IFD strip TIFF with new-style
+    JPEG compression (tag 259 = 7, TIFF Technical Note 2): every strip
+    is a COMPLETE baseline JPEG stream (SOI … EOI), decodable by any
+    conforming JPEG codec — the layout scanned-document pipelines emit
+    when they want JPEG rate with TIFF paging.  Dimensions and
+    rows_per_strip must be multiples of 8 (whole MCUs per strip; the
+    shared-tables JPEGTables tag 347 variant remains a named seam —
+    each strip here carries its own tables)."""
+    if px.ndim != 2:
+        raise NotImplementedError("encode_tiff_jpeg writes grayscale only")
+    h, w = px.shape
+    if w % 8 or h % 8 or rows_per_strip % 8:
+        raise ValueError("JPEG-in-TIFF needs 8-multiple dims and strip rows")
+    from .jpeg import encode_baseline_jpeg
+
+    strips = [
+        encode_baseline_jpeg(px[r0 : r0 + rows_per_strip].astype(np.uint8))
+        for r0 in range(0, h, rows_per_strip)
+    ]
+    bo = ">" if big_endian else "<"
+    out = bytearray(
+        struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 0)
+    )
+    offsets = []
+    pos = len(out)
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    arrays = bytearray()
+    n_strips = len(strips)
+    if n_strips > 1:
+        off_array_pos = pos
+        for o in offsets:
+            arrays += struct.pack(bo + "I", o)
+        cnt_array_pos = pos + 4 * n_strips
+        for s in strips:
+            arrays += struct.pack(bo + "I", len(s))
+        pos += len(arrays)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:
+            return struct.pack(bo + "HHIHH", tag, typ, count, value, 0)
+        return struct.pack(bo + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(_WIDTH, 4, 1, w),
+        entry(_LENGTH, 4, 1, h),
+        entry(_BPS, 3, 1, 8),
+        entry(_COMPRESSION, 3, 1, 7),
+        entry(_PHOTOMETRIC, 3, 1, 1),
+        entry(
+            _STRIP_OFFSETS,
+            4,
+            n_strips,
+            offsets[0] if n_strips == 1 else off_array_pos,
+        ),
+        entry(_SPP, 3, 1, 1),
+        entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip),
+        entry(
+            _STRIP_COUNTS,
+            4,
+            n_strips,
+            len(strips[0]) if n_strips == 1 else cnt_array_pos,
+        ),
+    ]
+    ifd_pos = pos
+    out[4:8] = struct.pack(bo + "I", ifd_pos)
+    out += b"".join(strips) + bytes(arrays)
+    out += struct.pack(bo + "H", len(entries))
+    out += b"".join(entries)
+    out += struct.pack(bo + "I", 0)
+    return bytes(out)
+
+
 def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
     """IFD entry value(s): inline when they fit in 4 bytes, else at the
     offset the value field points to."""
@@ -604,7 +719,7 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
     if spp == 3 and photometric != 2:
         raise NotImplementedError("3-sample TIFF must be photometric RGB")
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 8, 32773):
+    if comp not in (1, 5, 7, 8, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = tags.get(_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -633,7 +748,29 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
             raw = _hdiff_decode(raw, w, row_spp)
         return raw
 
-    if _STRIP_OFFSETS in tags:
+    if comp == 7:
+        # new-style JPEG-in-TIFF (Tech Note 2): each strip is a complete
+        # JPEG stream, pixel- not byte-level — decoded by the real
+        # baseline codec, then stacked in strip order
+        if spp != 1 or planar == 2 or predictor == 2:
+            raise NotImplementedError(
+                "JPEG-in-TIFF: grayscale chunky only (JPEGTables tag 347 "
+                "shared-tables variant is a named seam)"
+            )
+        from .jpeg import decode_baseline_jpeg
+
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_COUNTS]
+        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        parts = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            part = decode_baseline_jpeg(buf[o : o + c])
+            rows = min(rps, h - si * rps)
+            if part.shape != (rows, w):
+                raise ValueError("JPEG strip dimensions mismatch")
+            parts.append(part)
+        px = np.vstack(parts)
+    elif _STRIP_OFFSETS in tags:
         offsets = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_COUNTS]
         rps = tags.get(_ROWS_PER_STRIP, [h])[0]
@@ -674,30 +811,42 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
         counts = tags[_TILE_COUNTS]
         across = (w + tw - 1) // tw
         down = (h + th - 1) // th
-        if len(offsets) != across * down:
+        tiles_per_image = across * down
+        n_planes = spp if (planar == 2 and spp == 3) else 1
+        tile_spp = spp // n_planes  # 1 on planar, spp on chunky
+        if len(offsets) != n_planes * tiles_per_image:
             raise ValueError(
-                f"tiled TIFF: {len(offsets)} tiles, expected {across * down}"
-            )
-        if predictor == 2 or planar == 2:
-            raise NotImplementedError(
-                "predictor/planar tiled TIFF (tile-row differencing)"
+                f"tiled TIFF: {len(offsets)} tiles, expected "
+                f"{n_planes * tiles_per_image}"
             )
         full = np.zeros((h, w, spp), dtype=np.uint8)
-        expected = tw * th * spp
+        expected = tw * th * tile_spp
         for ti, (o, c) in enumerate(zip(offsets, counts)):
             chunk = buf[o : o + c]
             if comp == 32773:
                 raw = packbits_decompress(chunk, expected)
             elif comp == 5:
                 raw = lzw_decompress(chunk, expected)
+            elif comp == 8:
+                raw = zlib.decompress(chunk)
+                if len(raw) != expected:
+                    raise ValueError("deflate tile size mismatch")
             else:
                 if len(chunk) != expected:
                     raise ValueError("tile byte count mismatch")
                 raw = chunk
-            tile = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, spp)
-            ty, tx = (ti // across) * th, (ti % across) * tw
+            # predictor 2 differences within each TILE row (tile_w wide,
+            # per tile sample) — undone after decompression, before clip
+            if predictor == 2:
+                raw = _hdiff_decode(raw, tw, tile_spp)
+            tile = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, tile_spp)
+            plane, pi = divmod(ti, tiles_per_image)
+            ty, tx = (pi // across) * th, (pi % across) * tw
             ch, cw = min(th, h - ty), min(tw, w - tx)
-            full[ty : ty + ch, tx : tx + cw] = tile[:ch, :cw]
+            if n_planes == 1:
+                full[ty : ty + ch, tx : tx + cw] = tile[:ch, :cw]
+            else:
+                full[ty : ty + ch, tx : tx + cw, plane] = tile[:ch, :cw, 0]
         px = full[:, :, 0] if spp == 1 else full
     else:
         raise ValueError("TIFF with neither strip nor tile offsets")
@@ -889,6 +1038,94 @@ def tiff_tiled_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema=TIFF_TILED_STATS_SCHEMA)
+
+
+def make_tiff_tiled_pred_image(image_id: int) -> bytes:
+    """Deterministic REAL tiled TIFF exercising the r10 tile seams:
+    width = id%37+17, height = id%23+17 (>= 2 clipped-edge tiles each
+    way), sample v(x,y,c) = (id*13 + 5y + x div 3 + 40c) mod 256
+    (c = 0 on grayscale).  Design matrix: chunky/planar RGB every odd
+    id (PLANAR configuration 2 unless id%5 == 0), compression cycles
+    LZW/Deflate/PackBits/none by id%4, horizontal-differencing
+    PREDICTOR on ids%3 != 0 (per tile row — tile_w wide, the seam the
+    strip predictor left open), big-endian every 7th id."""
+    w, h = image_id % 37 + 17, image_id % 23 + 17
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    base = image_id * 13
+    if image_id % 2 == 1:
+        c = np.arange(3).reshape(1, 1, 3)
+        px = ((base + 5 * y[..., None] + x[..., None] // 3 + 40 * c) % 256).astype(
+            np.uint8
+        )
+    else:
+        px = ((base + 5 * y + x // 3) % 256).astype(np.uint8)
+    return encode_tiff_tiled(
+        px,
+        tile_w=16,
+        tile_h=16,
+        big_endian=(image_id % 7 == 0),
+        compression=(5, 8, 32773, 1)[image_id % 4],
+        predictor=(2 if image_id % 3 != 0 else 1),
+        planar=(2 if (image_id % 2 == 1 and image_id % 5 != 0) else 1),
+    )
+
+
+def synthesize_tiff_tiled_pred_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL predictor/planar/LZW tiled TIFFs —
+    MEDIA_SCHEMA output, Arrow-batched."""
+    from .multimodal import MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_tiff_tiled_pred_image(int(i))
+                rows.append((str(int(i)), "image/tiff", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def make_tiff_jpeg_image(image_id: int) -> bytes:
+    """Deterministic REAL JPEG-in-TIFF (compression 7): width =
+    8*(id%3+1), height = 8*(id%4+1), every 8x8 block CONSTANT at
+    v(bx, by) = (id*17 + 7bx + 19by) mod 256 — the exact-round-trip
+    JPEG construction (operators/jpeg.py module docstring: a constant
+    block quantizes to DC-only losslessly), so decoded pixel (x, y) =
+    v(x//8, y//8) stays closed-form for the SQL oracle even though the
+    codec is lossy in general.  One complete baseline JPEG stream per
+    8-row strip; big-endian container every 3rd id."""
+    w, h = 8 * (image_id % 3 + 1), 8 * (image_id % 4 + 1)
+    bx = np.arange(w // 8).reshape(1, -1)
+    by = np.arange(h // 8).reshape(-1, 1)
+    v = (image_id * 17 + 7 * bx + 19 * by) % 256
+    px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
+    return encode_tiff_jpeg(px, rows_per_strip=8, big_endian=(image_id % 3 == 0))
+
+
+def synthesize_tiff_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL JPEG-in-TIFF files — MEDIA_SCHEMA
+    output, Arrow-batched."""
+    from .multimodal import MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_tiff_jpeg_image(int(i))
+                rows.append((str(int(i)), "image/tiff", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def make_tiff_multipage_image(image_id: int) -> bytes:

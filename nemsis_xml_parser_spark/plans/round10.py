@@ -278,3 +278,193 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF tile seams: predictor / planar / LZW-Deflate tiles (r10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_tiff_tiled_pred_stats",
+    family="multimodal",
+    doc="Pixel statistics over the REAL tiled-TIFF decode path with the "
+    "r10 tile seams closed (operators/tiff.py::encode_tiff_tiled + the "
+    "TileOffsets branch of _decode_ifd): horizontal-differencing "
+    "PREDICTOR applied per TILE row (tile_w wide — not the image "
+    "width, the exact bug a strip-predictor port would have), PLANAR "
+    "configuration 2 (plane-major tile sequence, TileOffsets carries "
+    "spp x TilesPerImage entries), and LZW/Deflate/PackBits/none tile "
+    "compression, over gray/RGB x II/MM mixes with clipped edge "
+    "tiles.  Pixel formula id*13 + 5y + x div 3 + 40c is closed-form "
+    "for the oracle — a wrong predictor row width, plane order, tile "
+    "origin or code width breaks the hash.  Scale: blobs decode inside "
+    "executor Arrow batches (mapInPandas); narrow stat rows out.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 37 + 17 AS w, doc_id % 23 + 17 AS h,
+         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ch,
+         (doc_id * 13 + 5 * ys.y + xs.x // 3 + 40 * cs.c) % 256 AS v
+  FROM dims,
+       UNNEST(range(0, w)) AS xs(x),
+       UNNEST(range(0, h)) AS ys(y),
+       UNNEST(range(0, ch)) AS cs(c)
+),
+per AS (
+  SELECT doc_id, w, ch,
+         CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(ch AS INT) AS channels, CAST(w AS INT) AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(s) AS BIGINT) AS px_sum,
+       CAST(MIN(mn) AS INT) AS px_min,
+       CAST(MAX(mx) AS INT) AS px_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_tiff_tiled_pred_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.tiff import (
+        synthesize_tiff_tiled_pred_media,
+        tiff_tiled_stats,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    stats = tiff_tiled_stats(
+        synthesize_tiff_tiled_pred_media(d.select("doc_id"))
+    )
+    return stats.groupBy(
+        F.col("channels").cast("int").alias("channels"),
+        F.col("width").cast("int").alias("width"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )
+
+
+@register(
+    "multimodal_tiff_jpeg_stats",
+    family="multimodal",
+    doc="Pixel statistics over REAL new-style JPEG-in-TIFF files "
+    "(compression 7, TIFF Technical Note 2 — operators/tiff.py::"
+    "encode_tiff_jpeg + the comp==7 branch of _decode_ifd): every "
+    "strip is a COMPLETE baseline JPEG stream (SOI..EOI) decoded by "
+    "the repo's real Huffman+IDCT codec (operators/jpeg.py) and "
+    "stacked in strip order — the layout scanned-document pipelines "
+    "emit for JPEG rate with TIFF paging, a named seam since round 9.  "
+    "Fixtures use the exact-round-trip constant-8x8-block "
+    "construction, so decoded pixel (x,y) = (id*17 + 7*(x div 8) + "
+    "19*(y div 8)) mod 256 stays closed-form for the oracle despite "
+    "the lossy codec; big-endian container every 3rd id.  The "
+    "JPEGTables (tag 347) shared-tables variant remains a named seam.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 4 + 1) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 17 + 7 * (xs.x // 8) + 19 * (ys.y // 8)) % 256 AS v
+  FROM dims,
+       UNNEST(range(0, w)) AS xs(x),
+       UNNEST(range(0, h)) AS ys(y)
+),
+per AS (
+  SELECT doc_id, w, h,
+         CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(s) AS BIGINT) AS px_sum,
+       CAST(MIN(mn) AS INT) AS px_min,
+       CAST(MAX(mx) AS INT) AS px_max
+FROM per GROUP BY 1, 2
+""",
+)
+def multimodal_tiff_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tiff import synthesize_tiff_jpeg_media, tiff_pixel_stats
+
+    d = table(spark, sf_dir, "documents")
+    stats = tiff_pixel_stats(synthesize_tiff_jpeg_media(d.select("doc_id")))
+    return stats.groupBy(
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px_sum").cast("bigint").alias("px_sum"),
+        F.min("px_min").cast("int").alias("px_min"),
+        F.max("px_max").cast("int").alias("px_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Color (multi-component) progressive JPEG — the r9 seam at
+# jpeg_progressive.py:397
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_progressive_color_stats",
+    family="multimodal",
+    doc="REAL three-component (YCbCr 4:4:4) progressive JPEG decode "
+    "(operators/jpeg_progressive.py::encode_progressive_jpeg_color + "
+    "the multi-component branches of decode_progressive_jpeg): "
+    "interleaved DC scans — the only multi-component scan kind T.81 "
+    "sec G.1.1 allows, one block per component per MCU with per-"
+    "component DC predictors, both bit-planes — followed by the "
+    "mandatory single-component AC scans (first at Al=1, refinement "
+    "to Al=0) per component.  Closes the 'multi-component progressive "
+    "JPEG' seam named since round 7.  The fixture keeps the constant-"
+    "block exactness lever per PLANE, so subpixel (x,y,c) = (id*11 + "
+    "13*(x div 8) + 29*(y div 8) + 47*c) mod 256 in closed form "
+    "(n_subpixels = 3*w*h); gradient round-trip parity vs the direct "
+    "dequant+IDCT reconstruction is pinned in tests/"
+    "test_jpeg_progressive.py.  Decode rides the SAME jpeg_pixel_stats "
+    "mapInPandas path (the marker walk dispatches SOF2, the "
+    "progressive decoder dispatches on component count).  Subsampled "
+    "(4:2:0) progressive remains a named seam.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 2 + 1) AS h
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, w, h,
+         (doc_id * 11 + 13 * bxs.bx + 29 * bys.by + 47 * cs.c) % 256 AS v
+  FROM dims,
+       UNNEST(range(0, w // 8)) AS bxs(bx),
+       UNNEST(range(0, h // 8)) AS bys(by),
+       UNNEST(range(0, 3)) AS cs(c)
+)
+SELECT doc_id AS image_id,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height,
+       CAST(3 * MIN(w) * MIN(h) AS BIGINT) AS n_subpixels,
+       CAST(SUM(v) * 64 AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM blocks
+GROUP BY doc_id
+""",
+)
+def multimodal_jpeg_progressive_color_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        jpeg_pixel_stats,
+        synthesize_progressive_color_jpeg_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(
+        synthesize_progressive_color_jpeg_media(d.select("doc_id"))
+    )

@@ -18,16 +18,32 @@ Per batch the sink also records the batch's dedup ratio — chunks whose
 hash already exists in history (or earlier in the batch) versus total —
 the number a chunk-store sizes capacity with.
 
+Index COMPACTION (r10): the raw index is batch-keyed parquet dirs that
+would otherwise accumulate forever.  Every ``compact_every`` batches the
+full (doc_id, gh) history is rewritten DISTINCT into a txlog-versioned
+table (``operators/txlog.py``: immutable ``v=N`` dirs + atomic pointer
+swap) and the folded batch dirs are removed.  Readers resolve the
+committed compaction ∪ the batch dirs written after it.  Every crash /
+replay window leaves only DUPLICATE (doc_id, gh) rows visible, and every
+consumer is duplicate-immune by construction — the df guard counts
+DISTINCT doc_ids, pair scores count DISTINCT ghs, the dedup-ratio known
+set is ``.distinct()`` — so compaction needs no coordination with the
+streaming commit log; the next compaction folds the duplicates away.
+
 Reference parity: none — §2.I streaming-dedup tier.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cdc import cdc_chunks
+from ..operators.txlog import commit_table, current_version, read_table, vacuum
 from .winnow_index import candidates_against_fp_index, read_fp_index
 
 __all__ = [
@@ -35,9 +51,44 @@ __all__ = [
     "start_cdc_index_stream",
     "read_cdc_pairs",
     "read_dedup_ratios",
+    "compact_chunk_index",
 ]
 
-read_chunk_index = read_fp_index  # same (doc_id, gh) layout
+_COMPACT_NAME = "compacted"
+
+
+def read_chunk_index(spark: SparkSession, index_root: str) -> DataFrame:
+    """All committed (doc_id, gh) chunk fingerprints: the latest
+    compaction (if any) plus every batch dir written since (or not yet
+    folded).  May contain duplicate rows in crash/replay windows — every
+    consumer is duplicate-immune (module docstring)."""
+    parts = [read_fp_index(spark, index_root)]
+    if current_version(index_root, _COMPACT_NAME) is not None:
+        parts.append(
+            read_table(spark, index_root, _COMPACT_NAME).select("doc_id", "gh")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_chunk_index(spark: SparkSession, index_root: str) -> int:
+    """Fold the current full index view into the next txlog version
+    (DISTINCT — replay duplicates collapse here), then remove the batch
+    dirs that were folded and vacuum old versions.  Crash anywhere
+    leaves a readable, at-worst-duplicated view.  Returns the committed
+    version."""
+    folded = [
+        d for d in os.listdir(index_root)
+        if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+    ] if os.path.isdir(index_root) else []
+    full = read_chunk_index(spark, index_root).distinct()
+    ver = commit_table(full, index_root, _COMPACT_NAME)
+    for d in folded:
+        shutil.rmtree(os.path.join(index_root, d), ignore_errors=True)
+    vacuum(index_root, _COMPACT_NAME, keep=2)
+    return ver
 
 
 def start_cdc_index_stream(
@@ -51,14 +102,30 @@ def start_cdc_index_stream(
     max_df: int | None = 50,
     min_shared: int = 2,
     available_now: bool = True,
+    batch_shuffle_partitions: int | None = 8,
+    compact_every: int | None = 8,
 ) -> StreamingQuery:
     """foreachBatch loop: chunk → dedup-ratio + candidates vs index →
-    batch-keyed OVERWRITE writes (winnow_index's exactly-once
-    argument verbatim)."""
+    batch-keyed OVERWRITE writes (winnow_index's exactly-once argument
+    verbatim), with the winnow r10 microbatch tuning (scoped narrow
+    shuffles, widened compute stage, cached union — see
+    ``start_winnow_index_stream``) and periodic index compaction
+    (module docstring) every ``compact_every`` batches."""
     spark = docs_stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
+        prev: dict[str, str | None] = {}
+        if batch_shuffle_partitions is not None:
+            for key, val in (
+                ("spark.sql.shuffle.partitions", batch_shuffle_partitions),
+                ("spark.sql.files.minPartitionNum", 1),
+                ("spark.sql.adaptive.enabled", "false"),
+            ):
+                prev[key] = spark.conf.get(key, None)
+                spark.conf.set(key, str(val))
+        # widen the compute-heavy chunking stage past the
+        # maxFilesPerTrigger-partition source (winnow_index note)
+        batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
         try:
             fps = (
                 cdc_chunks(
@@ -66,11 +133,14 @@ def start_cdc_index_stream(
                     id_col=id_col, text_col=text_col,
                 )
                 .select("doc_id", F.col("chunk_hash").alias("gh"))
+                .coalesce(4)
                 .persist()
             )
             index = read_chunk_index(spark, index_root)
+            all_fps = index.unionByName(fps).persist()
             pairs = candidates_against_fp_index(
-                fps, index, max_df=max_df, min_shared=min_shared
+                fps, all_fps, max_df=max_df, min_shared=min_shared,
+                is_union=True,
             )
             pairs.write.mode("overwrite").parquet(
                 f"{out_root}/batch={batch_id}"
@@ -82,34 +152,54 @@ def start_cdc_index_stream(
             # them; doc_ids are owned by exactly one batch under the
             # file-source contract), so the ratio row recomputes
             # identically and is overwritten wholesale by batch id.
+            # Both counts ride ONE job via a cross join of the two
+            # single-row aggregates (r10: was two driver count() actions).
             own_docs = fps.select("doc_id").distinct()
+            # read the CACHED union, not the index again: the own-docs
+            # anti-join removes this batch's rows either way (that's the
+            # replay-safety exclusion), so the semantics are identical
+            # and the growing index is scanned once per batch
             known = (
-                index.join(own_docs, "doc_id", "left_anti")
+                all_fps.join(own_docs, "doc_id", "left_anti")
                 .select("gh")
                 .distinct()
             )
-            total = fps.count()
             new_hashes = (
                 fps.select("gh").distinct().join(known, "gh", "left_anti")
             )
             first_copies = (
                 fps.join(new_hashes, "gh", "left_semi")
-                .groupBy("gh")
-                .agg(F.lit(1).alias("one"))
-                .count()
+                .select("gh")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("fc"))
             )
-            spark.createDataFrame(
-                [(batch_id, total, total - first_copies)],
-                "batch_id long, total_chunks long, duplicate_chunks long",
-            ).write.mode("overwrite").parquet(
-                f"{out_root}_ratio/batch={batch_id}"
+            (
+                fps.agg(F.count(F.lit(1)).alias("total_chunks"))
+                .crossJoin(first_copies)
+                .select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.col("total_chunks").cast("long"),
+                    (F.col("total_chunks") - F.col("fc"))
+                    .cast("long")
+                    .alias("duplicate_chunks"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{out_root}_ratio/batch={batch_id}")
             )
             fps.write.mode("overwrite").parquet(
                 f"{index_root}/batch={batch_id}"
             )
+            all_fps.unpersist()
             fps.unpersist()
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_chunk_index(spark, index_root)
         finally:
-            batch_df.unpersist()
+            for key, val in prev.items():
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

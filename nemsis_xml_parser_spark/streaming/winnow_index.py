@@ -87,18 +87,35 @@ def candidates_against_fp_index(
     index: DataFrame,
     max_df: int | None = 50,
     min_shared: int = 3,
+    is_union: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, shared) candidate pairs touching the batch.
 
     ``fps_batch`` / ``index`` hold UNGUARDED (doc_id, gh) rows; the
     ``max_df`` guard is applied here on the cumulative corpus (index ∪
     batch), distinct-counted so a replayed batch already present in the
-    index does not double-count itself (module docstring)."""
-    all_fps = index.unionByName(fps_batch).distinct()
+    index does not double-count itself (module docstring).
+
+    Shuffle shape (r10 rework): no materialized distinct of the union
+    anywhere — the df guard is ONE ``count_distinct(doc_id)`` aggregate
+    (identical stop-list: per-doc fingerprints are already distinct and
+    a replayed batch's docs collapse in the distinct count), and
+    duplicate (doc, gh) rows on the candidate side are harmless because
+    the pair score is ``count_distinct(gh)``.  No planning-time
+    broadcast hints: the hot list and the batch side are small, and AQE
+    converts those joins to broadcasts at RUNTIME inside one job chain —
+    a literal ``F.broadcast`` here was measured SLOWER (it forces the
+    hot aggregate to materialize as its own job before the probe can
+    even start).
+
+    ``is_union=True`` means ``index`` already IS index ∪ batch (the
+    stream passes the cached union so the growing index is scanned once
+    per batch, not once for the guard and again for the join)."""
+    all_fps = index if is_union else index.unionByName(fps_batch)
     if max_df is not None:
         hot = (
             all_fps.groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.count_distinct("doc_id").alias("df"))
             .where(F.col("df") > max_df)
             .select("gh")
         )
@@ -132,22 +149,70 @@ def start_winnow_index_stream(
     max_df: int | None = 50,
     min_shared: int = 3,
     available_now: bool = True,
+    batch_shuffle_partitions: int | None = 8,
 ) -> StreamingQuery:
     """foreachBatch loop: fingerprint → guard → candidates vs index →
     batch-keyed OVERWRITE writes (module docstring's exactly-once
-    argument)."""
+    argument).
+
+    ``batch_shuffle_partitions``: shuffle width for the per-batch jobs.
+    A microbatch is trigger-bounded and MB-scale, but the session
+    default (sized for full-table batch queries) makes every one of the
+    ~6 sequential stages per batch launch 32-64 near-empty tasks —
+    measured as the DOMINANT cost of this pipeline (task scheduling,
+    not data).  AQE's partition coalescing does not close it because
+    ``parallelismFirst`` (Spark's default) keeps post-shuffle width at
+    defaultParallelism.  The override is scoped to the batch body and
+    restored after; pass None to keep the session default (e.g. when a
+    single trigger can carry GBs on a real cluster)."""
     spark = docs_stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
+        prev: dict[str, str | None] = {}
+        if batch_shuffle_partitions is not None:
+            # minPartitionNum floors every file scan at defaultParallelism
+            # tasks — the accumulated MB-scale index files otherwise fan
+            # out to 32 near-empty scan tasks per batch, same cost class
+            # as the shuffle width (docstring)
+            # AQE off for the batch body: every partition count is
+            # hand-set here, so AQE's stage-by-stage re-optimization only
+            # adds a scheduling pause per shuffle (measured ~15% of batch
+            # wall); restored with the rest
+            for key, val in (
+                ("spark.sql.shuffle.partitions", batch_shuffle_partitions),
+                ("spark.sql.files.minPartitionNum", 1),
+                ("spark.sql.adaptive.enabled", "false"),
+            ):
+                prev[key] = spark.conf.get(key, None)
+                spark.conf.set(key, str(val))
+        # The file source hands the batch over in maxFilesPerTrigger
+        # partitions, so the COMPUTE-heavy stage (ngram explode + per-char
+        # rolling hash, the pipeline's real CPU) would run ~2-wide on a
+        # 32-core executor pool: repartition the raw docs to full width
+        # first (a ~MB shuffle), narrow everything after.
+        batch_df = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        )
         try:
+            # coalesce(4): a microbatch's fingerprints are MB-scale, but
+            # left at the session's 32 shuffle partitions every downstream
+            # stage (union scan, df aggregate, candidate join) launches
+            # 32-64 near-empty tasks — measured ~4 s/batch of pure task
+            # overhead against even a one-batch index.  Narrow frames in,
+            # narrow index files out (the batch=N dirs hold 4 small files
+            # that the next batch's scan bin-packs into ~1 partition).
             fps = winnowing_fingerprints(
                 batch_df, k=k, w=w, max_df=None,
                 id_col=id_col, text_col=text_col,
-            ).persist()
+            ).coalesce(4).persist()
             index = read_fp_index(spark, index_root)
+            # cache the union for the batch: the df guard and the
+            # candidate join both consume it, and without the cache the
+            # GROWING index would be scanned twice per batch
+            all_fps = index.unionByName(fps).persist()
             pairs = candidates_against_fp_index(
-                fps, index, max_df=max_df, min_shared=min_shared
+                fps, all_fps, max_df=max_df, min_shared=min_shared,
+                is_union=True,
             )
             pairs.write.mode("overwrite").parquet(
                 f"{out_root}/batch={batch_id}"
@@ -155,9 +220,14 @@ def start_winnow_index_stream(
             fps.write.mode("overwrite").parquet(
                 f"{index_root}/batch={batch_id}"
             )
+            all_fps.unpersist()
             fps.unpersist()
         finally:
-            batch_df.unpersist()
+            for key, val in prev.items():
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

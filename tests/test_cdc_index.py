@@ -138,3 +138,50 @@ def test_streaming_e2e_ratio_and_replay(spark, tmp_path):
     )
     assert ratio(empty_idx) == ratios[0]
     assert ratio(with_self) == ratios[0]
+
+
+def test_compaction_bounds_index_and_keeps_parity(spark, tmp_path):
+    import os
+    rows = _corpus(12)
+    src = tmp_path / "docs"
+    batches = [rows[0:3], rows[3:6], rows[6:9], rows[9:12]]
+    for i, chunk in enumerate(batches):
+        _docs(spark, chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    q = start_cdc_index_stream(
+        stream,
+        str(tmp_path / "idx"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "cp"),
+        max_df=None,
+        compact_every=2,  # fold after batches 1 and 3
+    )
+    q.awaitTermination()
+    # bounded: all 4 batch dirs folded into the txlog table (batch 3,
+    # the last, triggers the second compaction), <= keep versions remain
+    idx_root = str(tmp_path / "idx")
+    batch_dirs = [d for d in os.listdir(idx_root) if d.startswith("batch=")]
+    assert batch_dirs == []
+    versions = [d for d in os.listdir(os.path.join(idx_root, "compacted"))
+                if d.startswith("v=")]
+    assert 1 <= len(versions) <= 2
+    # the compacted view holds exactly the distinct corpus fingerprints
+    full = read_chunk_index(spark, idx_root)
+    exact = (
+        cdc_chunks(_docs(spark, rows))
+        .select("doc_id", F.col("chunk_hash").alias("gh"))
+        .distinct()
+    )
+    assert full.distinct().count() == full.count() == exact.count()
+    # fold parity unchanged by compaction
+    got = {
+        (r.doc_a, r.doc_b, r.shared)
+        for r in read_cdc_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    assert got == _batch_pairs(spark, rows, min_shared=2)

@@ -60,19 +60,73 @@ def test_decode_baseline_jpeg_dispatches_sof2():
 def test_seams_raise():
     buf = bytearray(P.make_progressive_jpeg_image(1))
     sof = buf.find(b"\xff\xc2")
-    # multi-component progressive: patch ncomp
+    # subsampled (non-4:4:4) progressive: patch the sampling byte
     bad = bytearray(buf)
-    bad[sof + 2 + 2 + 5] = 3
-    with pytest.raises(NotImplementedError, match="multi-component"):
+    bad[sof + 2 + 2 + 5 + 2] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
         P.decode_progressive_jpeg(bytes(bad))
     # DRI inside progressive
     dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
     sos = buf.find(b"\xff\xda")
     with pytest.raises(NotImplementedError, match="restart"):
         P.decode_progressive_jpeg(bytes(buf[:sos]) + dri + bytes(buf[sos:]))
-    # color encode out of scope
+    # the single-plane encoder stays grayscale-only (color goes through
+    # encode_progressive_jpeg_color)
     with pytest.raises(NotImplementedError, match="grayscale"):
         P.encode_progressive_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    # color planes must be 4:4:4 (equal size)
+    with pytest.raises(ValueError, match="4:4:4"):
+        P.encode_progressive_jpeg_color(
+            np.zeros((16, 16), dtype=np.uint8),
+            np.zeros((8, 8), dtype=np.uint8),
+            np.zeros((8, 8), dtype=np.uint8),
+        )
+
+
+def test_color_constant_fixture_exact():
+    # constant blocks per plane survive the full 8-scan color pipeline
+    for i in (0, 1, 5, 11):
+        w, h = 8 * (i % 3 + 1), 8 * (i % 2 + 1)
+        got = P.decode_progressive_jpeg(P.make_progressive_color_jpeg_image(i))
+        assert got.shape == (h, w, 3)
+        bx = np.arange(w // 8).reshape(1, -1)
+        by = np.arange(h // 8).reshape(-1, 1)
+        for c in range(3):
+            v = (i * 11 + 13 * bx + 29 * by + 47 * c) % 256
+            exp = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+            assert (got[:, :, c] == exp).all(), f"id {i} plane {c}"
+
+
+def test_color_gradient_matches_direct_reconstruction():
+    # non-constant planes: the interleaved-DC + per-component AC scans
+    # must reproduce exactly the dequant+IDCT of the quantized blocks
+    # (the codec's own lossless-given-quantization contract)
+    from nemsis_xml_parser_spark.operators.jpeg import QTABLE_ZZ, ZIGZAG, _A
+
+    h, w = 16, 24
+    planes = [
+        (
+            (np.arange(h).reshape(h, 1) * 3
+             + np.arange(w).reshape(1, w) * 5 + 40 * c) % 256
+        ).astype(np.uint8)
+        for c in range(3)
+    ]
+    got = P.decode_progressive_jpeg(P.encode_progressive_jpeg_color(*planes))
+    q = np.empty((8, 8))
+    for idx, (u, v) in enumerate(ZIGZAG):
+        q[u, v] = QTABLE_ZZ[idx]
+    for c in range(3):
+        hh, ww, nby, nbx, blocks = P._quantized_blocks(planes[c])
+        ref = np.empty((nby * 8, nbx * 8))
+        for b, zz in enumerate(blocks):
+            s = np.zeros((8, 8))
+            for idx, (u, v) in enumerate(ZIGZAG):
+                s[u, v] = zz[idx]
+            blk = _A.T @ (s * q) @ _A + 128.0
+            byy, bxx = divmod(b, nbx)
+            ref[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = blk
+        ref = np.clip(np.round(ref[:hh, :ww]), 0, 255).astype(np.uint8)
+        assert (got[:, :, c] == ref).all(), f"plane {c}"
 
 
 def test_deterministic_bytes():

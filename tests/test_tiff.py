@@ -89,8 +89,9 @@ def test_unsupported_compression_seam():
     a = np.zeros((2, 2), dtype=np.uint8)
     buf = bytearray(encode_tiff(a, packbits=False))
     i = buf.find(struct.pack("<HHIHH", 259, 3, 1, 1, 0))
-    # JPEG-in-TIFF (7): still a named seam (LZW and Deflate are real)
-    buf[i : i + 12] = struct.pack("<HHIHH", 259, 3, 1, 7, 0)
+    # CCITT Group 4 (4): a named seam (LZW, Deflate and JPEG-in-TIFF
+    # are real as of r10)
+    buf[i : i + 12] = struct.pack("<HHIHH", 259, 3, 1, 4, 0)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(buf))
 
@@ -304,21 +305,70 @@ def test_tiff_lzw_fixture_closed_form():
         assert (got == exp).all()
 
 
-def test_tiled_predictor_seam_raises():
-    """Predictor/planar tiled TIFF stays a NAMED seam (tile-row
-    differencing not implemented) rather than decoding wrong."""
-    from nemsis_xml_parser_spark.operators.tiff import encode_tiff_tiled
-
-    px = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
-    buf = bytearray(encode_tiff_tiled(px, packbits=False))
-    # splice a predictor=2 entry is intrusive; instead decode an
-    # LZW-strip planar file through the tile path is impossible, so
-    # assert the guard directly on a strip file re-tagged as tiled is
-    # out of scope — the seam guard is unit-covered via _decode_ifd's
-    # branch in the matrix test above (planar/predictor never reach
-    # the tile branch).  Keep the real assertion: tiled LZW decodes.
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("planar", [1, 2])
+def test_tiled_predictor_planar_matrix_roundtrip(comp, pred, planar):
+    """r10: the tiled predictor/planar seams are CLOSED — the full
+    compression x predictor x planar matrix round-trips bit-exactly on
+    gray and RGB with clipped edge tiles, both byte orders."""
     from nemsis_xml_parser_spark.operators.tiff import (
-        _TILE_OFFSETS,
-        decode_tiff as _dt,
+        decode_tiff,
+        encode_tiff_tiled,
     )
-    assert (_dt(bytes(buf)) == px).all()
+
+    rng = np.random.RandomState(comp * 10 + pred * 2 + planar)
+    for shape in ((21, 37), (21, 37, 3)):
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for be in (False, True):
+            buf = encode_tiff_tiled(
+                px, compression=comp, predictor=pred, planar=planar,
+                big_endian=be,
+            )
+            got = decode_tiff(buf)
+            assert got.shape == px.shape and (got == px).all()
+
+
+def test_tiled_pred_fixture_matches_formula():
+    from nemsis_xml_parser_spark.operators.tiff import (
+        decode_tiff,
+        make_tiff_tiled_pred_image,
+    )
+
+    for image_id in range(24):
+        px = decode_tiff(make_tiff_tiled_pred_image(image_id))
+        w, h = image_id % 37 + 17, image_id % 23 + 17
+        ch = 3 if image_id % 2 == 1 else 1
+        x = np.arange(w).reshape(1, w, 1)
+        y = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(ch).reshape(1, 1, ch)
+        exp = (image_id * 13 + 5 * y + x // 3 + 40 * c) % 256
+        got = px if px.ndim == 3 else px[:, :, None]
+        assert got.shape == (h, w, ch)
+        assert (got == exp).all()
+
+
+def test_jpeg_in_tiff_roundtrip_and_fixture():
+    """Compression 7 (new-style JPEG-in-TIFF): each strip is a complete
+    baseline JPEG; constant-block fixtures decode exactly."""
+    from nemsis_xml_parser_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_jpeg,
+        make_tiff_jpeg_image,
+    )
+
+    for image_id in range(16):
+        px = decode_tiff(make_tiff_jpeg_image(image_id))
+        w, h = 8 * (image_id % 3 + 1), 8 * (image_id % 4 + 1)
+        bx = np.arange(w) // 8
+        by = np.arange(h) // 8
+        exp = (
+            image_id * 17 + 7 * bx.reshape(1, w) + 19 * by.reshape(h, 1)
+        ) % 256
+        assert px.shape == (h, w)
+        assert (px == exp).all()
+    # non-8-multiple dims refused (whole MCUs per strip)
+    with pytest.raises(ValueError, match="8-multiple"):
+        encode_tiff_jpeg(np.zeros((12, 16), dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        encode_tiff_jpeg(np.zeros((16, 16, 3), dtype=np.uint8))

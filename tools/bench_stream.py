@@ -381,6 +381,7 @@ def main() -> None:
         # chunk + dedup-ratio + join vs the append-only chunk index
         from nemsis_xml_parser_spark.streaming.cdc_index import (
             read_cdc_pairs,
+            read_chunk_index,
             read_dedup_ratios,
             start_cdc_index_stream,
         )
@@ -403,8 +404,9 @@ def main() -> None:
             "batches": sum(1 for _ in q.recentProgress),
             "wall_sec": round(wall, 2),
             "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
-            "peak_state_rows": spark.read.parquet(
-                str(work / "cdcidx") + "/batch=*"
+            # compaction-aware: batch dirs fold into the txlog table
+            "peak_state_rows": read_chunk_index(
+                spark, str(work / "cdcidx")
             ).count(),
             "candidate_pairs": read_cdc_pairs(
                 spark, str(work / "cdcpairs")
