@@ -28,9 +28,56 @@ for the LLM-dedup pipeline the brief makes first-class.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 
 from .lineage import cut_lineage
+
+# Symmetrized edge count that comfortably solves inside ONE executor
+# task (~32 bytes/edge → ~64 MB at the bound; union-find over it is
+# well under a second) — the same Lattanzi et al. (SPAA'11) filtering
+# budget as mst.LOCAL_FINISH_MAX / scc.SCC_LOCAL_FINISH_MAX.
+CC_LOCAL_FINISH_MAX = 2_000_000
+
+
+def union_find_local(sym_edges: DataFrame) -> DataFrame:
+    """Single-task union-find over an edge set that fits one executor —
+    the filtering endgame shared with ``mst.kruskal_local`` and
+    ``scc.tarjan_local``: component labels are algorithm-independent
+    (min member id), so the output is bit-identical to the pointer-
+    jumping fixpoint (tests/test_dedup_clusters.py parity) while paying
+    ONE Arrow batch instead of O(log diameter) sequential join rounds ×
+    per-job latency.  Input: (src, dst) rows (symmetry not required);
+    output: (node, component)."""
+    import pandas as pd
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+        nodes = set(int(v) for v in pdf["src"]) | set(
+            int(v) for v in pdf["dst"]
+        )
+        out_n = sorted(nodes)
+        return pd.DataFrame(
+            {"node": out_n, "component": [find(n) for n in out_n]}
+        )
+
+    return (
+        sym_edges.select("src", "dst")
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(lambda pdf: finish(pdf), "node long, component long")
+    )
 
 
 def connected_components(
@@ -38,13 +85,21 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_finish_max: int = CC_LOCAL_FINISH_MAX,
 ) -> DataFrame:
     """(node BIGINT, component BIGINT) — component is the min node id
     reachable from ``node`` over the undirected edge set.
 
-    Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
+    When the symmetrized edge count (measured off the observe that
+    rides the materialization anyway) fits ``local_finish_max``, the
+    closure runs as ONE single-task union-find batch
+    (``union_find_local`` — identical labels); otherwise the
+    distributed pointer-jumping fixpoint runs, and raises
+    ``RuntimeError`` if not converged within ``max_iter`` rounds
     (pointer jumping needs ~log2(diameter) rounds, so 25 covers any
     graph with diameter < 2^25 — in practice every dedup graph).
+    Pass ``local_finish_max=0`` to force the distributed path (tests
+    do, for parity coverage).
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -58,11 +113,15 @@ def connected_components(
     # re-execute the upstream candidate-generation pipeline (at scale:
     # re-running MinHash/LSH per iteration).  On a cluster, persist or
     # reliable-checkpoint instead.
+    obs0 = Observation()
     sym = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .transform(cut_lineage)
     )
+    if (obs0.get["n"] or 0) <= local_finish_max:
+        return union_find_local(sym)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

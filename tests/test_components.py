@@ -36,21 +36,28 @@ def test_random_graph_matches_union_find(spark):
     n = 200
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
+    # single-task union-find endgame (default at this size) and the
+    # distributed pointer-jumping fixpoint must agree with brute
+    local = {
         r["node"]: r["component"]
         for r in connected_components(df).collect()
     }
+    distributed = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_finish_max=0).collect()
+    }
     want = _uf_components(n, edges)
     touched = {v for e in edges for v in e if e[0] != e[1]}
-    assert got == {v: want[v] for v in touched}
+    assert local == distributed == {v: want[v] for v in touched}
 
 
 def test_chain_converges_in_log_rounds(spark):
     # a 64-node path has diameter 63; pointer jumping must close it in
     # far fewer than 63 rounds — max_iter=12 would fail plain propagation
+    # (local_finish_max=0 forces the distributed path under test)
     edges = [(i, i + 1) for i in range(63)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = connected_components(df, max_iter=12).collect()
+    got = connected_components(df, max_iter=12, local_finish_max=0).collect()
     assert all(r["component"] == 0 for r in got)
     assert len(got) == 64
 
@@ -59,7 +66,7 @@ def test_no_convergence_raises(spark):
     edges = [(i, i + 1) for i in range(63)]
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, local_finish_max=0)
 
 
 def test_dedup_clusters_includes_singletons(spark):
