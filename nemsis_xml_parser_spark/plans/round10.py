@@ -468,3 +468,178 @@ def multimodal_jpeg_progressive_color_stats(
     return jpeg_pixel_stats(
         synthesize_progressive_color_jpeg_media(d.select("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch DIFFERENCE — completes the sketch set algebra
+# ---------------------------------------------------------------------------
+
+KMVD_K = 64
+_POW60 = 1 << 60
+
+
+@register(
+    "sketch_kmv_difference",
+    family="sketch",
+    doc="Theta-sketch set-DIFFERENCE estimation (A-not-B, the third leg "
+    "of the Dasgupta et al. theta algebra after sketch_kmv_distinct "
+    "and sketch_kmv_intersection): sketches of the part-key sets on "
+    "odd vs even lineitem line numbers; the A\\\\B estimate is the count "
+    "of A's retained hashes below theta = min(theta_A, theta_B) that "
+    "do NOT appear in B's sketch, scaled by 2^60/theta, k = "
+    f"{KMVD_K}.  Every register is a deterministic function of the "
+    "cross-engine md5 hash, so DuckDB replays the whole algebra "
+    "(sub-k sides degrade to exact, theta = 2^60); the exact EXCEPT "
+    "count rides along as the accuracy tie-out.  Scale: the sketch "
+    "build is a rank over DISTINCT hashes per side; the difference "
+    "itself is an anti-join over 2(k-1) retained rows — set "
+    "expressions over sketches, never over key universes.",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT CASE WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END AS grp,
+         o_custkey
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+),
+h AS (
+  SELECT grp,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv,
+         o_custkey
+  FROM keys
+),
+ranked AS (
+  SELECT grp, hv, o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS nd
+  FROM h
+),
+theta AS (
+  SELECT grp,
+         CASE WHEN MAX(nd) >= {KMVD_K}
+              THEN MAX(CASE WHEN rn = {KMVD_K} THEN hv END)
+              ELSE {_POW60} END AS th,
+         CAST(MAX(nd) AS BIGINT) AS n_exact
+  FROM ranked GROUP BY grp
+),
+ret AS (
+  SELECT r.grp, r.hv FROM ranked r JOIN theta t ON t.grp = r.grp
+  WHERE r.rn < {KMVD_K} OR t.th = {_POW60}
+),
+tmin AS (
+  SELECT MIN(th) AS th FROM theta
+),
+diffs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m
+  FROM ret a JOIN tmin ON a.hv < tmin.th
+  WHERE a.grp = 0
+    AND NOT EXISTS (SELECT 1 FROM ret b WHERE b.grp = 1 AND b.hv = a.hv)
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS x FROM (
+    SELECT o_custkey FROM keys WHERE grp = 0
+    EXCEPT
+    SELECT o_custkey FROM keys WHERE grp = 1
+  )
+)
+SELECT (SELECT n_exact FROM theta WHERE grp = 0) AS n_exact_a,
+       (SELECT n_exact FROM theta WHERE grp = 1) AS n_exact_b,
+       (SELECT x FROM exact) AS n_exact_diff,
+       (SELECT m FROM diffs) AS n_survivors,
+       ROUND((SELECT m FROM diffs) * {float(_POW60)}
+             / CAST((SELECT th FROM tmin) AS DOUBLE), 6) AS kmv_diff_estimate,
+       ROUND(ABS((SELECT m FROM diffs) * {float(_POW60)}
+                 / CAST((SELECT th FROM tmin) AS DOUBLE)
+                 - (SELECT x FROM exact))
+             / NULLIF((SELECT x FROM exact), 0), 6) AS rel_error
+""",
+)
+def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    od = table(spark, sf_dir, "orders")
+    keys = (
+        od.where(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.when(F.col("o_orderstatus") == "O", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("grp"),
+            "o_custkey",
+        )
+        .distinct()
+    )
+    h = keys.select(
+        "grp",
+        md5_long(F.col("o_custkey").cast("string")).alias("hv"),
+        "o_custkey",
+    )
+    w_rank = Window.partitionBy("grp").orderBy("hv")
+    w_all = Window.partitionBy("grp")
+    ranked = h.select(
+        "grp",
+        "hv",
+        "o_custkey",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("nd"),
+    )
+    theta = ranked.groupBy("grp").agg(
+        F.when(
+            F.max("nd") >= KMVD_K,
+            F.max(F.when(F.col("rn") == KMVD_K, F.col("hv"))),
+        )
+        .otherwise(F.lit(_POW60))
+        .alias("th"),
+        F.max("nd").cast("bigint").alias("n_exact"),
+    )
+    ret = ranked.join(F.broadcast(theta), "grp").where(
+        (F.col("rn") < KMVD_K) | (F.col("th") == _POW60)
+    )
+    tmin = theta.agg(F.min("th").alias("th"))
+    survivors = (
+        ret.where(F.col("grp") == 0)
+        .select("hv")
+        .join(ret.where(F.col("grp") == 1).select("hv"), "hv", "left_anti")
+        .crossJoin(F.broadcast(tmin))
+        .where(F.col("hv") < F.col("th"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    exact = (
+        keys.where(F.col("grp") == 0)
+        .select("o_custkey")
+        .exceptAll(
+            keys.where(F.col("grp") == 1).select("o_custkey").distinct()
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    na = theta.where(F.col("grp") == 0).select(
+        F.col("n_exact").alias("n_exact_a")
+    )
+    nb = theta.where(F.col("grp") == 1).select(
+        F.col("n_exact").alias("n_exact_b")
+    )
+    est = F.col("m").cast("double") * F.lit(float(_POW60)) / F.col("th").cast(
+        "double"
+    )
+    return (
+        survivors.crossJoin(F.broadcast(tmin))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            F.col("x").alias("n_exact_diff"),
+            F.col("m").alias("n_survivors"),
+            F.round(est, 6).alias("kmv_diff_estimate"),
+            F.round(
+                F.when(
+                    F.col("x") > 0,
+                    F.abs(est - F.col("x").cast("double"))
+                    / F.col("x").cast("double"),
+                ),
+                6,
+            ).alias("rel_error"),
+        )
+    )

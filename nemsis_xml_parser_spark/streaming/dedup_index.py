@@ -102,17 +102,32 @@ def start_dedup_index_stream(
     bands: int = 4,
     n: int = 3,
     available_now: bool = True,
+    batch_shuffle_partitions: int | None = 8,
 ) -> StreamingQuery:
     """foreachBatch loop: band → candidates vs index → batch-keyed
-    OVERWRITE writes (module docstring's exactly-once argument)."""
+    OVERWRITE writes (module docstring's exactly-once argument), with
+    the winnow_index r10 microbatch tuning: shuffles and scan width
+    scoped narrow for the MB-scale batch jobs (AQE off inside the
+    hand-partitioned body), the compute-heavy banding stage widened
+    past the maxFilesPerTrigger source partitioning, narrow index
+    files out."""
     spark = docs_stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
+        prev: dict[str, str | None] = {}
+        if batch_shuffle_partitions is not None:
+            for key, val in (
+                ("spark.sql.shuffle.partitions", batch_shuffle_partitions),
+                ("spark.sql.files.minPartitionNum", 1),
+                ("spark.sql.adaptive.enabled", "false"),
+            ):
+                prev[key] = spark.conf.get(key, None)
+                spark.conf.set(key, str(val))
+        batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
         try:
             banded = minhash_band_keys(
                 batch_df, text_col, id_col, num_hashes, bands, n
-            ).persist()
+            ).coalesce(4).persist()
             index = read_index(spark, index_root)
             pairs = candidates_against_index(banded, index)
             pairs.write.mode("overwrite").parquet(
@@ -123,7 +138,11 @@ def start_dedup_index_stream(
             )
             banded.unpersist()
         finally:
-            batch_df.unpersist()
+            for key, val in prev.items():
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
