@@ -643,3 +643,185 @@ def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RANSAC robust line fit — hash-seeded, integer-exact, fully oracled
+# ---------------------------------------------------------------------------
+
+RANSAC_ITERS = 16
+RANSAC_CAP = 200
+RANSAC_EPS = 1
+
+
+@register(
+    "quality_ransac_line",
+    family="quality",
+    doc="RANSAC robust line regression (Fischler & Bolles 1981), the "
+    "estimator OLS cannot replace when a quarter of the points are "
+    "arbitrary outliers: 16 hash-seeded candidate models (each from "
+    "the 2 points ranked first by md5(iter:key) — deterministic, so "
+    "the 'random' consensus loop is engine-replayable), consensus "
+    "scored with the DIVISION-FREE colinearity test |(y-y1)(x2-x1) - "
+    "(x-x1)(y2-y1)| <= eps*|x2-x1| (exact integers both engines — no "
+    "float residual at the decision boundary), winner by (inliers "
+    "desc, iter asc), then an exact-BIGINT least-squares refit on the "
+    "winner's consensus set (slope and intercept as closed-form "
+    "ratios of exact sums, divided once in double).  Point set: 3/4 "
+    "of the points lie on y = 3x + 20, every 4th is pseudo-noise — "
+    "the fit must recover slope 3 / intercept 20.  Scale: candidates "
+    "x points is a 16-way explode (never all-pairs); everything else "
+    "is two aggregates.  Degenerate samples (x1 = x2) drop out via "
+    "the HAVING guard.",
+    oracle=f"""
+WITH pts AS (
+  SELECT l_orderkey AS ok, l_linenumber AS ln,
+         (l_orderkey * 7 + l_linenumber * 13) % 101 AS x,
+         CASE WHEN (l_orderkey + l_linenumber) % 4 = 0
+              THEN (l_orderkey * 31 + l_linenumber * 17) % 997
+              ELSE 3 * ((l_orderkey * 7 + l_linenumber * 13) % 101) + 20
+         END AS y
+  FROM lineitem WHERE l_orderkey < {RANSAC_CAP}
+),
+iters AS (SELECT UNNEST(range({RANSAC_ITERS})) AS it),
+hashed AS (
+  SELECT it, ok, ln, x, y,
+         ROW_NUMBER() OVER (
+           PARTITION BY it
+           ORDER BY md5(CAST(it AS VARCHAR) || ':' || CAST(ok AS VARCHAR)
+                        || ':' || CAST(ln AS VARCHAR)) ASC, ok ASC, ln ASC
+         ) AS rn
+  FROM pts CROSS JOIN iters
+),
+models AS (
+  SELECT it,
+         MAX(CASE WHEN rn = 1 THEN x END) AS x1,
+         MAX(CASE WHEN rn = 1 THEN y END) AS y1,
+         MAX(CASE WHEN rn = 2 THEN x END) AS x2,
+         MAX(CASE WHEN rn = 2 THEN y END) AS y2
+  FROM hashed WHERE rn <= 2 GROUP BY it
+  HAVING MAX(CASE WHEN rn = 1 THEN x END) != MAX(CASE WHEN rn = 2 THEN x END)
+),
+inl AS (
+  SELECT m.it, p.x, p.y
+  FROM models m JOIN pts p
+    ON ABS((p.y - m.y1) * (m.x2 - m.x1) - (p.x - m.x1) * (m.y2 - m.y1))
+       <= {RANSAC_EPS} * ABS(m.x2 - m.x1)
+),
+best AS (
+  SELECT it, COUNT(*) AS n_inliers FROM inl GROUP BY it
+  ORDER BY n_inliers DESC, it ASC LIMIT 1
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM inl JOIN best USING (it)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_points,
+       (SELECT CAST(it AS INT) FROM best) AS best_iter,
+       (SELECT CAST(n_inliers AS BIGINT) FROM best) AS n_inliers,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+FROM fit
+""",
+)
+def quality_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") < RANSAC_CAP
+    )
+    x = (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 101
+    pts = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        x.cast("long").alias("x"),
+        F.when(
+            (F.col("l_orderkey") + F.col("l_linenumber")) % 4 == 0,
+            (F.col("l_orderkey") * 31 + F.col("l_linenumber") * 17) % 997,
+        )
+        .otherwise(3 * x + 20)
+        .cast("long")
+        .alias("y"),
+    )
+    iters = spark.range(RANSAC_ITERS).select(F.col("id").alias("it"))
+    hv = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("it").cast("string"),
+            F.col("ok").cast("string"),
+            F.col("ln").cast("string"),
+        )
+    )
+    w = Window.partitionBy("it").orderBy(
+        hv.asc(), F.col("ok").asc(), F.col("ln").asc()
+    )
+    hashed = pts.crossJoin(F.broadcast(iters)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    models = (
+        hashed.where(F.col("rn") <= 2)
+        .groupBy("it")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("x"))).alias("x1"),
+            F.max(F.when(F.col("rn") == 1, F.col("y"))).alias("y1"),
+            F.max(F.when(F.col("rn") == 2, F.col("x"))).alias("x2"),
+            F.max(F.when(F.col("rn") == 2, F.col("y"))).alias("y2"),
+        )
+        .where(F.col("x1") != F.col("x2"))
+    )
+    inl = F.broadcast(models).join(
+        pts,
+        F.abs(
+            (F.col("y") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+            - (F.col("x") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+        )
+        <= RANSAC_EPS * F.abs(F.col("x2") - F.col("x1")),
+    ).select("it", "x", "y")
+    best = (
+        inl.groupBy("it")
+        .agg(F.count(F.lit(1)).alias("n_inliers"))
+        .orderBy(F.col("n_inliers").desc(), F.col("it").asc())
+        .limit(1)
+    )
+    fit = (
+        inl.join(F.broadcast(best), "it")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    n_points = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return (
+        fit.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(n_points))
+        .select(
+            "n_points",
+            F.col("it").cast("int").alias("best_iter"),
+            F.col("n_inliers").cast("bigint").alias("n_inliers"),
+            F.round(
+                (
+                    F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / den,
+                6,
+            ).alias("slope"),
+            F.round(
+                (
+                    F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+                ).cast("double")
+                / den,
+                6,
+            ).alias("intercept"),
+        )
+    )
