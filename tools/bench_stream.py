@@ -413,6 +413,39 @@ def main() -> None:
             ).count(),
             "corpus_dedup_ratio": round(dup / tot, 4) if tot else None,
         }
+        # streaming KMV distinct-count (streaming/kmv.py): bounded
+        # min-k sketch state folded per batch through the txlog store;
+        # per-batch estimate rows out
+        from nemsis_xml_parser_spark.streaming.kmv import (
+            read_kmv_estimates,
+            read_kmv_state,
+            start_kmv_stream,
+        )
+
+        q = start_kmv_stream(
+            source(ev_dir, ev_schema),
+            str(work / "kmvstate"),
+            str(work / "kmvest"),
+            str(work / "cp14"),
+            key_col="user_id",
+            group_col="event_type",
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = spark.read.parquet(ev_dir).count()
+        out["kmv_distinct_maintenance"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": read_kmv_state(
+                spark, str(work / "kmvstate")
+            ).count(),
+            "estimate_rows": read_kmv_estimates(
+                spark, str(work / "kmvest")
+            ).count(),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
