@@ -825,3 +825,133 @@ def quality_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Coreset construction — sensitivity sampling off the seeded quantizer
+# ---------------------------------------------------------------------------
+
+CORESET_M = 64
+CORESET_NLIST = 8
+
+
+@register(
+    "curation_coreset_sample",
+    family="curation",
+    doc="Lightweight k-means coreset via SENSITIVITY sampling (Bachem/"
+    "Lucic/Krause, 'Scalable k-Means Clustering via Lightweight "
+    "Coresets', KDD'18): sensitivity p(x) = 1/(2n) + cost(x)/"
+    "(2*total_cost) against a bicriteria solution — here the "
+    "deterministic SEEDED quantizer centroids (min vec_id per "
+    "vec_id%nlist stratum, the ann_ivf_topk convention), so the whole "
+    "pipeline is closed-form.  A point enters the coreset iff its "
+    "hash-uniform u(x) = md5(vec_id)/2^60 < m*p(x) (deterministic "
+    "Poisson sampling — no RNG, engine-replayable) with weight "
+    "1/(m*p(x)), the unbiasedness identity E[sum w] = n.  Costs are "
+    "6-dp rounded and DECIMAL-summed so total_cost is exact and "
+    "order-independent; selection and weights are then identical IEEE "
+    "double expressions both engines.  Scale: one broadcast-centroid "
+    "assignment pass + one scalar aggregate + one filter — the "
+    "coreset replaces the corpus for downstream clustering at O(m) "
+    "cost, the point of coresets at 100 TB.",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT s.cid, v.v AS c
+  FROM (SELECT vec_id % {CORESET_NLIST} AS cid, MIN(vec_id) AS svid
+        FROM vecs GROUP BY 1) s
+  JOIN vecs v ON v.vec_id = s.svid
+),
+asgn AS (
+  SELECT vec_id, cost FROM (
+    SELECT v.vec_id, ce.cid,
+           ROUND(list_sum(list_transform(range(64),
+                 i -> (v.v[i+1] - ce.c[i+1]) * (v.v[i+1] - ce.c[i+1]))), 6)
+             AS cost,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND(list_sum(list_transform(range(64),
+                   i -> (v.v[i+1] - ce.c[i+1]) * (v.v[i+1] - ce.c[i+1]))), 6)
+                   ASC, ce.cid ASC) AS rn
+    FROM vecs v CROSS JOIN cents ce
+  ) WHERE rn = 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(cost AS DECIMAL(28,6))) AS DOUBLE) AS t
+  FROM asgn
+),
+scored AS (
+  SELECT a.vec_id, a.cost,
+         0.5 / tot.n + 0.5 * a.cost / tot.t AS p,
+         CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) / CAST({float(1 << 60)} AS DOUBLE) AS u
+  FROM asgn a CROSS JOIN tot
+)
+SELECT vec_id, cost,
+       ROUND(p, 9) AS p9,
+       ROUND(1.0 / ({CORESET_M} * p), 6) AS weight
+FROM scored
+WHERE u < {CORESET_M} * p
+""",
+)
+def curation_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..functions.hashing import md5_long
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = emb.select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("v")
+    )
+    strata = vecs.groupBy(
+        (F.col("vec_id") % CORESET_NLIST).alias("cid")
+    ).agg(F.min("vec_id").alias("svid"))
+    cents = strata.join(
+        vecs.select(F.col("vec_id").alias("svid"), F.col("v").alias("c")),
+        "svid",
+    ).select("cid", "c")
+    sq = F.round(
+        F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cost").asc(), F.col("cid").asc()
+    )
+    asgn = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", sq.alias("cost"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cost")
+    )
+    tot = asgn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cost").cast("decimal(28,6)")).cast("double").alias("t"),
+    )
+    p = 0.5 / F.col("n") + 0.5 * F.col("cost") / F.col("t")
+    u = md5_long(F.col("vec_id").cast("string")) / F.lit(float(1 << 60))
+    return (
+        asgn.crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            "cost",
+            p.alias("p"),
+            u.alias("u"),
+        )
+        .where(F.col("u") < CORESET_M * F.col("p"))
+        .select(
+            "vec_id",
+            "cost",
+            F.round(F.col("p"), 9).alias("p9"),
+            F.round(1.0 / (CORESET_M * F.col("p")), 6).alias("weight"),
+        )
+    )
