@@ -127,6 +127,14 @@ HEADLINE = [
     "text_bpe_encode",
     # round 10 flagships (subtract when comparing totals vs earlier rounds)
     "graph_scc_peeling",  # the former slowest query — no silent caps
+    "ann_ivfpq_rerank_topk",
+    "ann_lsh_multiprobe_topk",
+    "multimodal_tiff_tiled_pred_stats",
+    "multimodal_tiff_jpeg_stats",
+    "multimodal_jpeg_progressive_color_stats",
+    "sketch_kmv_difference",
+    "quality_ransac_line",
+    "curation_coreset_sample",
 ]
 
 

@@ -44,6 +44,15 @@ from pyspark.sql.types import (
 _MAX_CODE_WIDTH = 12
 
 
+
+def _spread(ids: DataFrame, id_col: str) -> DataFrame:
+    """Full-width repartition before the per-image Python codec loop
+    (multimodal.spread_ids — the ids usually arrive as ONE partition)."""
+    from .multimodal import spread_ids
+
+    return spread_ids(ids, id_col)
+
+
 def lzw_compress(data: bytes, min_code_size: int = 8) -> bytes:
     """GIF-variant LZW: variable-width codes (LSB-first), CLEAR emitted
     first and on table overflow, EOI last."""
@@ -304,7 +313,7 @@ def synthesize_gif_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 GIF_STATS_SCHEMA = StructType(

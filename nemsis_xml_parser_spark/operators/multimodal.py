@@ -48,6 +48,17 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+
+def spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
+    """Repartition an id frame to full executor width before a
+    compute-heavy mapInPandas synthesize/decode pass.  The ids usually
+    arrive as a projection of one small parquet file — ONE partition —
+    which would serialize every per-image Python codec loop onto a
+    single core (measured 6x on the LZW tile corpus at sf0.1).  The
+    ~KB id shuffle is noise next to the codec work it parallelizes."""
+    sc = ids.sparkSession.sparkContext
+    return ids.select(id_col).repartition(sc.defaultParallelism)
+
 MEDIA_META_SCHEMA = StructType(
     [
         StructField("path", StringType(), False),
@@ -288,7 +299,7 @@ def synthesize_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def make_image_bytes(fmt: str, width: int, height: int) -> bytes:
@@ -342,7 +353,7 @@ def synthesize_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 # --------------------------------------------------------------- PNG codec
@@ -644,7 +655,7 @@ def synthesize_png_variant_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -661,7 +672,7 @@ def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 PIXEL_STATS_SCHEMA = StructType(
@@ -961,7 +972,7 @@ def synthesize_pcm_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def wav_sample_stats(media: DataFrame) -> DataFrame:
@@ -1163,7 +1174,7 @@ def synthesize_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
@@ -1218,7 +1229,7 @@ def synthesize_jpeg420_media(ids: DataFrame, id_col: str = "doc_id") -> DataFram
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 COLOR_STATS_SCHEMA = StructType(
@@ -1372,7 +1383,7 @@ def synthesize_bmp_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def bmp_pixel_stats(media: DataFrame) -> DataFrame:
@@ -1441,7 +1452,7 @@ def synthesize_tone_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 DFT_PEAK_SCHEMA = StructType(
@@ -1519,7 +1530,7 @@ def synthesize_sweep_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 STFT_SCHEMA = StructType(
@@ -1581,7 +1592,7 @@ def synthesize_progressive_jpeg_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_progressive_color_jpeg_media(
@@ -1603,7 +1614,7 @@ def synthesize_progressive_color_jpeg_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_jpeg12_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1622,7 +1633,7 @@ def synthesize_jpeg12_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_bmp4_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1641,7 +1652,7 @@ def synthesize_bmp4_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def bmp4_pixel_stats(media: DataFrame) -> DataFrame:
@@ -1705,4 +1716,4 @@ def synthesize_g711_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)

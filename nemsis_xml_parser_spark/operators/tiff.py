@@ -50,6 +50,15 @@ _TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
 
+
+def _spread(ids: DataFrame, id_col: str) -> DataFrame:
+    """Full-width repartition before the per-image Python codec loop
+    (multimodal.spread_ids — the ids usually arrive as ONE partition)."""
+    from .multimodal import spread_ids
+
+    return spread_ids(ids, id_col)
+
+
 def lzw_compress(data: bytes) -> bytes:
     """TIFF-variant LZW compression (early-change, MSB-first)."""
     out = bytearray()
@@ -923,7 +932,7 @@ def synthesize_tiff_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 TIFF_STATS_SCHEMA = StructType(
@@ -1000,7 +1009,7 @@ def synthesize_tiff_tiled_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 TIFF_TILED_STATS_SCHEMA = StructType(
@@ -1088,7 +1097,7 @@ def synthesize_tiff_tiled_pred_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def make_tiff_jpeg_image(image_id: int) -> bytes:
@@ -1125,7 +1134,7 @@ def synthesize_tiff_jpeg_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def make_tiff_multipage_image(image_id: int) -> bytes:
@@ -1176,7 +1185,7 @@ def synthesize_tiff_multipage_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 TIFF_PAGE_STATS_SCHEMA = StructType(
@@ -1266,7 +1275,7 @@ def synthesize_tiff_lzw_media(
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def tiff_lzw_stats(media: DataFrame) -> DataFrame:

@@ -43,6 +43,15 @@ from .jpeg import decode_baseline_jpeg, encode_baseline_jpeg
 FPS = 10  # fixed fixture rate: us/frame = 100_000
 
 
+
+def _spread(ids: DataFrame, id_col: str) -> DataFrame:
+    """Full-width repartition before the per-image Python codec loop
+    (multimodal.spread_ids — the ids usually arrive as ONE partition)."""
+    from .multimodal import spread_ids
+
+    return spread_ids(ids, id_col)
+
+
 def _chunk(tag: bytes, body: bytes) -> bytes:
     pad = b"\x00" if len(body) % 2 else b""
     return tag + struct.pack("<I", len(body)) + body + pad
@@ -162,7 +171,7 @@ def synthesize_mjpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["path", "media_type", "content", "length"]
             )
 
-    return ids.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _spread(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 VIDEO_STATS_SCHEMA = StructType(
