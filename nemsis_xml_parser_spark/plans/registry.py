@@ -65,6 +65,22 @@ cast(date_add(date '1970-01-01',
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name in ("documents", "embeddings"):
+        # These two corpora feed the expression-heavy operators (ngram
+        # explodes, per-char rolling hashes, array dot products) whose
+        # real work runs in the SCAN stage — and the test parquet is a
+        # single row group, so that stage is otherwise ONE task on a
+        # 32-core pool (measured: minhash pairs 4.3 -> 2.6 s, winnowing
+        # pairs 2.8 -> 2.1 s warm at sf0.1).  The table is KB-to-MB
+        # scale, so the widening exchange is noise; on a cluster with
+        # properly row-grouped files the repartition is a cheap no-op
+        # cost-wise and the scan parallelism comes from the files
+        # themselves.  TPC-H tables are left alone: their first stages
+        # are pushdown-filtered scans where an extra exchange buys
+        # nothing.
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        )
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as LONG and rebuild a TIMESTAMP_NTZ

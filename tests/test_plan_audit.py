@@ -49,6 +49,10 @@ JUSTIFIED_BNLJ = {
     "text_pmi_collocations", # broadcast 1-row corpus-total scalars (Nu, Nb)
     "quality_permutation_test",  # broadcast 1-row observed-diff + count scalars
     "sketch_kmv_intersection",   # broadcast 1-2 row sketch scalars (theta, exact, counts)
+    "sketch_kmv_difference",     # broadcast 1-2 row sketch scalars (theta, exact, counts)
+    "ann_ivfpq_rerank_topk",     # broadcast centroid/codebook sets (KB-scale)
+    "quality_ransac_line",       # broadcast 16-row iteration spine + 1-row best/fit scalars
+    "curation_coreset_sample",   # broadcast 1-row (n, total_cost) scalar
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
     "graph_louvain_sweep",   # broadcast 1-row summary scalars (largest, qn)
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
