@@ -199,3 +199,209 @@ def lloyd_kmeans(
             .transform(cut_lineage)
         )
     return assigned, cents
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ell: int = 8,
+    rounds: int = 3,
+) -> DataFrame:
+    """k-means|| oversampling initialization (Bahmani et al., "Scalable
+    K-Means++", VLDB'12) — the DISTRIBUTED replacement for k-means++'s
+    k sequential corpus passes: each of ``rounds`` passes samples each
+    point INDEPENDENTLY with probability min(1, ell * d2(x, C) / phi(C))
+    where phi is the current total cost, drawing ~ell candidates per
+    round in parallel; the O(ell * rounds) weighted candidate set is then
+    reclustered (here: ``weighted_lloyd_kmeans``) at negligible cost.
+
+    Determinism: the Bernoulli draw is the coreset trick — hash-uniform
+    u(x, r) = md5(vec_id || '|' || r) / 2^60 compared against the exact
+    threshold (d2 round-6, phi a DECIMAL(28,6) exact sum, one double
+    division), so the whole cascade replays bit-for-bit in a SQL oracle.
+    Already-chosen candidates have d2 = 0 and can never re-enter.
+
+    Scale shape: per round ONE corpus scan against the broadcast
+    candidate set (min-d2 per point), ONE 1-row total-cost aggregate,
+    ONE filter; the final weighting pass is one more broadcast-argmin
+    scan.  Nothing sequential in the corpus dimension — the point of
+    kmeans|| over kmeans++ at 100 TB.
+
+    Returns (rnd, vec_id, cv ARRAY<DOUBLE>, sel_d2, weight) — selection
+    round, candidate id/vector, its distance-to-C at selection time, and
+    the number of corpus points nearest to it (ties to the smaller
+    candidate id; a candidate duplicated by an earlier-id twin weighs 0).
+    """
+    from ..functions.hashing import md5_long
+
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
+        )
+        .transform(cut_lineage)
+    )
+    # plain-double sequential fold + round-6: identical to DuckDB's
+    # list_sum(list_transform(...)) (the curation_coreset_sample pairing)
+    d2 = lambda x, cv: F.round(  # noqa: E731
+        F.aggregate(
+            F.zip_with(x, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    cand = (
+        base.orderBy("_id")
+        .limit(1)
+        .select(
+            F.lit(0).alias("rnd"),
+            F.col("_id").alias("vec_id"),
+            F.col("x").alias("cv"),
+            F.lit(0.0).alias("sel_d2"),
+        )
+        .transform(cut_lineage)
+    )
+    for r in range(1, rounds + 1):
+        mind2 = (
+            base.crossJoin(F.broadcast(cand.select("cv")))
+            .select("_id", "x", d2(F.col("x"), F.col("cv")).alias("dd"))
+            .groupBy("_id")
+            .agg(F.min("dd").alias("mind2"), F.first("x").alias("x"))
+        )
+        phi = mind2.agg(
+            F.sum(F.col("mind2").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("phi")
+        )
+        u = md5_long(
+            F.concat(F.col("_id").cast("string"), F.lit(f"|{r}"))
+        ) / F.lit(float(1 << 60))
+        picked = (
+            mind2.crossJoin(F.broadcast(phi))
+            .where(u < ell * F.col("mind2") / F.col("phi"))
+            .select(
+                F.lit(r).alias("rnd"),
+                F.col("_id").alias("vec_id"),
+                F.col("x").alias("cv"),
+                F.col("mind2").alias("sel_d2"),
+            )
+        )
+        cand = cand.unionByName(picked).transform(cut_lineage)
+    best = Window.partitionBy("_id").orderBy(
+        F.col("dd").asc(), F.col("cnd").asc()
+    )
+    weights = (
+        base.crossJoin(
+            F.broadcast(cand.select(F.col("vec_id").alias("cnd"), "cv"))
+        )
+        .select("_id", "cnd", d2(F.col("x"), F.col("cv")).alias("dd"))
+        .withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .groupBy("cnd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    return (
+        cand.join(weights, cand["vec_id"] == weights["cnd"], "left")
+        .drop("cnd")
+        .withColumn(
+            "weight", F.coalesce(F.col("weight"), F.lit(0).cast("bigint"))
+        )
+    )
+
+
+def weighted_lloyd_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    weight_col: str = "weight",
+    k: int = 4,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's iterations over WEIGHTED points — the estimator a coreset
+    exists for (Bachem et al.: running weighted k-means on the coreset
+    approximates full-corpus k-means at O(coreset) cost).  Assignment is
+    identical to ``lloyd_kmeans`` (round-6 argmin of DECIMAL-summed
+    round-12 squared terms, ties by centroid index); the update is the
+    WEIGHTED mean — per (cluster, dim): round-12 DECIMAL sum of
+    round(w·x_i, 12) divided by the DECIMAL sum of the 6-dp weights.
+    All staged sums are exact and order-independent, so the generated
+    SQL oracle replays every round bit-for-bit.
+
+    Returns (assignments (id, c, d2, w6), centroids (c, cv))."""
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
+            F.round(F.col(weight_col), 6).alias("w6"),
+        )
+        .transform(cut_lineage)
+    )
+    w = Window.orderBy("_id")  # applied below a LIMIT k — k rows, never corpus
+    cents = (
+        base.orderBy("_id")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("c"), F.col("x").alias("cv"))
+        .transform(cut_lineage)
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = (
+            base.crossJoin(F.broadcast(cents))
+            .select(
+                "_id",
+                "w6",
+                "c",
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            "x",
+                            "cv",
+                            lambda a, b: F.round((a - b) * (a - b), 12).cast(
+                                "decimal(38,12)"
+                            ),
+                        ),
+                        F.lit(0).cast("decimal(38,12)"),
+                        lambda acc, v: (acc + v).cast("decimal(38,12)"),
+                    ).cast("double"),
+                    6,
+                ).alias("d2"),
+            )
+        )
+        best = Window.partitionBy("_id").orderBy(
+            F.col("d2").asc(), F.col("c").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(best))
+            .where(F.col("rn") == 1)
+            .select("_id", "c", "d2", "w6")
+            .transform(cut_lineage)
+        )
+        upd = (
+            assigned.join(base, "_id")
+            .select("c", base["w6"].alias("wv"), F.posexplode("x").alias("i", "xi"))
+            .groupBy("c", "i")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("wv") * F.col("xi"), 12).cast(
+                            "decimal(38,12)"
+                        )
+                    ).cast("double")
+                    / F.sum(F.col("wv").cast("decimal(38,6)")).cast("double"),
+                    12,
+                ).alias("m")
+            )
+        )
+        cents = (
+            upd.groupBy("c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .transform(cut_lineage)
+        )
+    return assigned, cents

@@ -835,27 +835,12 @@ CORESET_M = 64
 CORESET_NLIST = 8
 
 
-@register(
-    "curation_coreset_sample",
-    family="curation",
-    doc="Lightweight k-means coreset via SENSITIVITY sampling (Bachem/"
-    "Lucic/Krause, 'Scalable k-Means Clustering via Lightweight "
-    "Coresets', KDD'18): sensitivity p(x) = 1/(2n) + cost(x)/"
-    "(2*total_cost) against a bicriteria solution — here the "
-    "deterministic SEEDED quantizer centroids (min vec_id per "
-    "vec_id%nlist stratum, the ann_ivf_topk convention), so the whole "
-    "pipeline is closed-form.  A point enters the coreset iff its "
-    "hash-uniform u(x) = md5(vec_id)/2^60 < m*p(x) (deterministic "
-    "Poisson sampling — no RNG, engine-replayable) with weight "
-    "1/(m*p(x)), the unbiasedness identity E[sum w] = n.  Costs are "
-    "6-dp rounded and DECIMAL-summed so total_cost is exact and "
-    "order-independent; selection and weights are then identical IEEE "
-    "double expressions both engines.  Scale: one broadcast-centroid "
-    "assignment pass + one scalar aggregate + one filter — the "
-    "coreset replaces the corpus for downstream clustering at O(m) "
-    "cost, the point of coresets at 100 TB.",
-    oracle=f"""
-WITH vecs AS (
+def _coreset_blocks() -> str:
+    """The shared coreset-construction CTE chain (vectors, seeded
+    centroids, assignment costs, totals, sensitivity scores, selected
+    coreset) — used verbatim by curation_coreset_sample AND the
+    weighted-kmeans consumer so any drift breaks both hashes."""
+    return f"""vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -890,12 +875,38 @@ scored AS (
          CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))
               AS BIGINT) / CAST({float(1 << 60)} AS DOUBLE) AS u
   FROM asgn a CROSS JOIN tot
-)
-SELECT vec_id, cost,
-       ROUND(p, 9) AS p9,
-       ROUND(1.0 / ({CORESET_M} * p), 6) AS weight
-FROM scored
-WHERE u < {CORESET_M} * p
+),
+coreset AS (
+  SELECT vec_id, cost,
+         ROUND(p, 9) AS p9,
+         ROUND(1.0 / ({CORESET_M} * p), 6) AS weight
+  FROM scored
+  WHERE u < {CORESET_M} * p
+)"""
+
+
+@register(
+    "curation_coreset_sample",
+    family="curation",
+    doc="Lightweight k-means coreset via SENSITIVITY sampling (Bachem/"
+    "Lucic/Krause, 'Scalable k-Means Clustering via Lightweight "
+    "Coresets', KDD'18): sensitivity p(x) = 1/(2n) + cost(x)/"
+    "(2*total_cost) against a bicriteria solution — here the "
+    "deterministic SEEDED quantizer centroids (min vec_id per "
+    "vec_id%nlist stratum, the ann_ivf_topk convention), so the whole "
+    "pipeline is closed-form.  A point enters the coreset iff its "
+    "hash-uniform u(x) = md5(vec_id)/2^60 < m*p(x) (deterministic "
+    "Poisson sampling — no RNG, engine-replayable) with weight "
+    "1/(m*p(x)), the unbiasedness identity E[sum w] = n.  Costs are "
+    "6-dp rounded and DECIMAL-summed so total_cost is exact and "
+    "order-independent; selection and weights are then identical IEEE "
+    "double expressions both engines.  Scale: one broadcast-centroid "
+    "assignment pass + one scalar aggregate + one filter — the "
+    "coreset replaces the corpus for downstream clustering at O(m) "
+    "cost, the point of coresets at 100 TB.",
+    oracle=f"""
+WITH {_coreset_blocks()}
+SELECT vec_id, cost, p9, weight FROM coreset
 """,
 )
 def curation_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,4 +965,256 @@ def curation_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p"), 9).alias("p9"),
             F.round(1.0 / (CORESET_M * F.col("p")), 6).alias("weight"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted Lloyd over the coreset — what the coreset exists FOR
+# ---------------------------------------------------------------------------
+
+CKM_K = 4
+CKM_ITERS = 2
+
+
+def _coreset_kmeans_oracle(k: int = CKM_K, iters: int = CKM_ITERS) -> str:
+    """Coreset CTE chain (shared verbatim with curation_coreset_sample)
+    + every weighted-Lloyd round unrolled: assignment = round-6 argmin
+    of DECIMAL-summed round-12 squared terms; update = round-12
+    weighted DECIMAL mean (sum of round(w*x_i, 12) over the DECIMAL sum
+    of 6-dp weights) — identical arithmetic to
+    operators/kmeans.py::weighted_lloyd_kmeans at every step."""
+    d2 = (
+        "ROUND(CAST(list_sum(list_transform(range(64), i -> "
+        "CAST(ROUND((e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]), 12) "
+        "AS DECIMAL(38,12)))) AS DOUBLE), 6)"
+    )
+    blocks = [
+        "pts AS (SELECT cs.vec_id, cs.weight AS w6, v.v FROM coreset cs "
+        "JOIN vecs v USING (vec_id))",
+        f"k0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
+        f"AS c, v AS cv FROM pts WHERE vec_id IN "
+        f"(SELECT vec_id FROM pts ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        blocks += [
+            f"s{t} AS (SELECT e.vec_id, e.w6, c.c, {d2} AS d2 "
+            f"FROM pts e CROSS JOIN k{t - 1} c)",
+            f"a{t} AS MATERIALIZED (SELECT vec_id, w6, c, d2 FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY d2 ASC, c ASC) AS rn "
+            f"FROM s{t}) WHERE rn = 1)",
+            f"k{t} AS MATERIALIZED (SELECT c, list(m ORDER BY i) AS cv FROM ("
+            "SELECT a.c, t.i, "
+            "ROUND(CAST(SUM(CAST(ROUND(a.w6 * e.v[t.i+1], 12) "
+            "AS DECIMAL(38,12))) AS DOUBLE) "
+            "/ CAST(SUM(CAST(a.w6 AS DECIMAL(38,6))) AS DOUBLE), 12) AS m "
+            f"FROM a{t} a JOIN pts e USING (vec_id), "
+            "UNNEST(range(64)) AS t(i) "
+            "GROUP BY a.c, t.i) GROUP BY c)",
+        ]
+    return blocks
+
+
+def _coreset_kmeans_oracle_sql(k: int = CKM_K, iters: int = CKM_ITERS) -> str:
+    blocks = _coreset_kmeans_oracle(k, iters)
+    return (
+        "WITH "
+        + _coreset_blocks()
+        + ",\n"
+        + ",\n".join(blocks)
+        + f"""
+SELECT a.c AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(CAST(a.w6 AS DECIMAL(38,6))) AS DOUBLE), 6) AS weight_sum,
+       ROUND(CAST(SUM(CAST(ROUND(a.w6 * a.d2, 6) AS DECIMAL(28,6)))
+             AS DOUBLE), 6) AS weighted_inertia,
+       ROUND(sqrt(CAST(MIN(cn.nrm2) AS DOUBLE)), 6) AS centroid_norm
+FROM a{iters} a
+JOIN (SELECT c, CAST(list_sum(list_transform(range(64), i ->
+        CAST(ROUND(cv[i+1] * cv[i+1], 12) AS DECIMAL(38,12))))
+      AS DOUBLE) AS nrm2 FROM k{iters}) cn ON cn.c = a.c
+GROUP BY a.c
+"""
+    )
+
+
+@register(
+    "curation_coreset_weighted_kmeans",
+    family="curation",
+    doc="Weighted Lloyd's k-means over the lightweight coreset "
+    "(operators/kmeans.py::weighted_lloyd_kmeans composed with "
+    "curation_coreset_sample's sensitivity sample) — the END of the "
+    "coreset story: downstream clustering runs on O(m) weighted points "
+    "instead of the corpus, the Bachem et al. guarantee.  Assignment "
+    "is the round-6 DECIMAL-staged argmin; the update is the WEIGHTED "
+    "mean (round-12 DECIMAL sum of w*x_i over the DECIMAL weight sum), "
+    "so every round is exact and order-independent and the generated "
+    "oracle replays coreset construction AND both Lloyd rounds "
+    "bit-for-bit (the coreset CTE chain is shared VERBATIM with "
+    "curation_coreset_sample — drift breaks both hashes).  Output per "
+    "cluster: member count, weight mass (should sum to ~n by the "
+    "unbiasedness identity), weighted inertia, centroid norm.  Scale: "
+    "the corpus is touched once (coreset build); every Lloyd round "
+    "then scans only the m-point coreset against broadcast k*d "
+    "centroids.",
+    oracle=_coreset_kmeans_oracle_sql(),
+)
+def curation_coreset_weighted_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.kmeans import weighted_lloyd_kmeans
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coreset = curation_coreset_sample(spark, sf_dir)
+    pts = coreset.select("vec_id", "weight").join(emb, "vec_id")
+    assigned, cents = weighted_lloyd_kmeans(
+        pts, vec_col="embedding", id_col="vec_id", weight_col="weight",
+        k=CKM_K, iters=CKM_ITERS,
+    )
+    norms = cents.select(
+        "c",
+        F.aggregate(
+            F.transform(
+                "cv", lambda v: F.round(v * v, 12).cast("decimal(38,12)")
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, v: (acc + v).cast("decimal(38,12)"),
+        )
+        .cast("double")
+        .alias("nrm2"),
+    )
+    return (
+        assigned.groupBy(F.col("c").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("w6").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("weight_sum"),
+            F.round(
+                F.sum(
+                    F.round(F.col("w6") * F.col("d2"), 6).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("weighted_inertia"),
+        )
+        .join(norms, F.col("cluster_id") == F.col("c"))
+        .select(
+            "cluster_id",
+            "n_members",
+            "weight_sum",
+            "weighted_inertia",
+            F.round(F.sqrt(F.col("nrm2")), 6).alias("centroid_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means|| oversampling initialization (Bahmani et al., VLDB'12)
+# ---------------------------------------------------------------------------
+
+KMPAR_ELL = 8
+KMPAR_ROUNDS = 3
+
+
+def _kmeans_parallel_oracle(ell: int = KMPAR_ELL, rounds: int = KMPAR_ROUNDS) -> str:
+    """Every k-means|| round unrolled: min-d2 against the accumulated
+    candidate set, exact DECIMAL total cost, hash-uniform Bernoulli
+    selection u(vec_id, r) < ell*d2/phi — arithmetic identical to
+    operators/kmeans.py::kmeans_parallel_init at every step."""
+    d2 = (
+        "ROUND(list_sum(list_transform(range(64), i -> "
+        "(v.v[i+1] - c.cv[i+1]) * (v.v[i+1] - c.cv[i+1]))), 6)"
+    )
+    blocks = [
+        """vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        """c0 AS MATERIALIZED (
+  SELECT 0 AS rnd, vec_id, v AS cv, 0.0 AS sel_d2
+  FROM vecs WHERE vec_id = (SELECT MIN(vec_id) FROM vecs)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        blocks += [
+            f"""m{r} AS MATERIALIZED (
+  SELECT v.vec_id, ANY_VALUE(v.v) AS v, MIN({d2}) AS mind2
+  FROM vecs v CROSS JOIN c{r - 1} c
+  GROUP BY v.vec_id
+)""",
+            f"""p{r} AS (
+  SELECT CAST(SUM(CAST(mind2 AS DECIMAL(28,6))) AS DOUBLE) AS phi FROM m{r}
+)""",
+            f"""c{r} AS MATERIALIZED (
+  SELECT * FROM c{r - 1}
+  UNION ALL
+  SELECT {r} AS rnd, m.vec_id, m.v AS cv, m.mind2 AS sel_d2
+  FROM m{r} m CROSS JOIN p{r}
+  WHERE CAST(('0x' || substr(md5(CAST(m.vec_id AS VARCHAR) || '|{r}'), 1, 15))
+        AS BIGINT) / CAST({float(1 << 60)} AS DOUBLE)
+      < {ell} * m.mind2 / phi
+)""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f""",
+asgn AS (
+  SELECT vec_id, cnd FROM (
+    SELECT v.vec_id, c.vec_id AS cnd,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2} ASC, c.vec_id ASC) AS rn
+    FROM vecs v CROSS JOIN c{rounds} c
+  ) WHERE rn = 1
+)
+SELECT c.rnd AS rnd,
+       CAST(c.vec_id AS BIGINT) AS vec_id,
+       ROUND(c.sel_d2, 6) AS sel_d2,
+       CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight
+FROM c{rounds} c
+LEFT JOIN (SELECT cnd, COUNT(*) AS weight FROM asgn GROUP BY cnd) w
+  ON w.cnd = c.vec_id
+"""
+    )
+
+
+@register(
+    "cluster_kmeans_parallel_init",
+    family="similarity",
+    doc="k-means|| oversampling initialization (Bahmani/Moseley/Vattani/"
+    "Kumar/Vassilvitskii, 'Scalable K-Means++', VLDB'12 — "
+    "operators/kmeans.py::kmeans_parallel_init, ell=8, 3 rounds): "
+    "k-means++'s k SEQUENTIAL corpus passes don't distribute, so each "
+    "kmeans|| round instead samples every point INDEPENDENTLY with "
+    "probability ell*d2(x,C)/phi(C) — ~ell candidates per round, drawn "
+    "in parallel — then weights the O(ell*rounds) candidate set by "
+    "nearest-point counts for a negligible-cost weighted recluster "
+    "(weighted_lloyd_kmeans, the curation_coreset_weighted_kmeans "
+    "estimator).  The Bernoulli draw is the coreset trick: hash-uniform "
+    "u = md5(vec_id||'|'||r)/2^60 against the exact threshold (round-6 "
+    "d2, DECIMAL-summed phi, one double division), so all three rounds "
+    "+ the weighting pass replay bit-for-bit as CTE stages.  Scale: "
+    "per round ONE corpus scan vs the broadcast candidate set + a "
+    "1-row cost scalar; nothing sequential in the corpus dimension — "
+    "the point of kmeans|| at 100 TB.  Output: selection round, "
+    "candidate id, selection-time d2, nearest-point weight.",
+    oracle=_kmeans_parallel_oracle(),
+)
+def cluster_kmeans_parallel_init(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.kmeans import kmeans_parallel_init
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = kmeans_parallel_init(
+        emb, vec_col="embedding", id_col="vec_id",
+        ell=KMPAR_ELL, rounds=KMPAR_ROUNDS,
+    )
+    return out.select(
+        "rnd",
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("sel_d2", 6).alias("sel_d2"),
+        "weight",
     )

@@ -130,6 +130,8 @@ JUSTIFIED_BNLJ = {
     "agg_pct_of_parent",           # broadcast 1-row grand-total scalar
     "sample_neyman_allocation",    # broadcast 1-row denominator scalar
     "events_peak_days",            # broadcast 1-row daily-total scalar
+    "cluster_kmeans_parallel_init",  # broadcast 1-row total-cost (phi)
+                                     # scalar per oversampling round
     "dedup_semdedup_band",         # broadcast k=8-row seed-centroid
                                    # crossJoins (assignment passes; the
                                    # ivf.py coarse-quantizer shape)

@@ -8,7 +8,11 @@ import itertools
 
 import pytest
 
-from nemsis_xml_parser_spark.operators.kmeans import lloyd_kmeans
+from nemsis_xml_parser_spark.operators.kmeans import (
+    kmeans_parallel_init,
+    lloyd_kmeans,
+    weighted_lloyd_kmeans,
+)
 from nemsis_xml_parser_spark.operators.scc import (
     strongly_connected_components,
 )
@@ -140,6 +144,103 @@ def test_kmeans_assignment_is_argmin(spark):
         best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
         assert r["c"] == best
     assert set(cv) == {0, 1, 2}
+
+
+def test_weighted_kmeans_uniform_weights_match_unweighted(spark):
+    # weight=1 everywhere: assignments and centroids must equal plain
+    # Lloyd (same seeds, same argmin, weighted mean degenerates to mean)
+    pts = [
+        (i, [((i * 31 + d * 7) % 97) / 97.0 for d in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    wdf = df.withColumn("weight", df.vec_id * 0 + 1.0)
+    a_u, c_u = lloyd_kmeans(df, k=3, iters=2)
+    a_w, c_w = weighted_lloyd_kmeans(wdf, k=3, iters=2)
+    assert sorted((r["_id"], r["c"]) for r in a_u.collect()) == sorted(
+        (r["_id"], r["c"]) for r in a_w.collect()
+    )
+    assert sorted((r["c"], tuple(r["cv"])) for r in c_u.collect()) == sorted(
+        (r["c"], tuple(r["cv"])) for r in c_w.collect()
+    )
+
+
+def test_weighted_kmeans_update_is_weighted_mean(spark):
+    # one cluster (k=1), one iteration: the centroid must be the exact
+    # weighted mean of all points under the staged-rounding arithmetic
+    pts = [
+        (i, [float(i), float(i * i % 7)], 1.0 + (i % 3))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>, weight double"
+    )
+    _, cents = weighted_lloyd_kmeans(df, k=1, iters=1)
+    cv = cents.collect()[0]["cv"]
+    wsum = sum(w for _, _, w in pts)
+    for d in range(2):
+        want = round(
+            sum(round(w * x[d], 12) for _, x, w in pts) / wsum, 12
+        )
+        assert cv[d] == pytest.approx(want, abs=1e-9)
+
+
+def test_weighted_kmeans_heavy_point_pulls_centroid(spark):
+    # two points, one massively heavier: the k=1 centroid must land
+    # (almost) on the heavy point
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], 1.0), (1, [10.0, 10.0], 999.0)],
+        "vec_id long, embedding array<double>, weight double",
+    )
+    _, cents = weighted_lloyd_kmeans(df, k=1, iters=1)
+    cv = cents.collect()[0]["cv"]
+    assert cv[0] == pytest.approx(10.0 * 999.0 / 1000.0, abs=1e-6)
+
+
+def test_kmeans_parallel_init_invariants(spark):
+    pts = [
+        (i, [((i * 31 + d * 7) % 97) / 97.0 for d in range(4)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    rows = kmeans_parallel_init(df, ell=6, rounds=2).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    # seed candidate: min id, round 0, zero selection distance
+    assert by_id[0]["rnd"] == 0 and by_id[0]["sel_d2"] == 0.0
+    assert sum(r["rnd"] == 0 for r in rows) == 1
+    # oversampling drew more than the seed but far less than the corpus
+    assert 1 < len(rows) < 60
+    # every corpus point is weighted to exactly one candidate
+    assert sum(r["weight"] for r in rows) == 60
+    # weights match a brute nearest-candidate assignment (ties: lower id)
+    cands = [(r["vec_id"], r["cv"]) for r in rows]
+    want = {cid: 0 for cid, _ in cands}
+    for i, x in pts:
+        best = min(
+            cands,
+            key=lambda cc: (
+                round(sum((a - b) ** 2 for a, b in zip(x, cc[1])), 6),
+                cc[0],
+            ),
+        )
+        want[best[0]] += 1
+    assert {r["vec_id"]: r["weight"] for r in rows} == want
+
+
+def test_kmeans_parallel_init_deterministic(spark):
+    pts = [
+        (i, [((i * 13 + d * 5) % 53) / 53.0 for d in range(3)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    runs = [
+        sorted(
+            (r["rnd"], r["vec_id"], r["sel_d2"], r["weight"])
+            for r in kmeans_parallel_init(df, ell=5, rounds=3).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
 
 
 from hypothesis import given, settings
