@@ -37,8 +37,16 @@ from ..functions.hashing import md5_long
 
 HLL_P = 6  # 2^6 = 64 registers
 _M = 1 << HLL_P
-# alpha_m * m^2, written with the same literal arithmetic as the oracle
-_ALPHA_M2 = f"(0.7213 / (1.0 + 1.079 / {_M}.0)) * {_M * _M}.0"
+# alpha_m * m^2 as the PYTHON-evaluated double, injected with F.lit.
+# Spark SQL parses fractional literals as DECIMALs, so the textual
+# expression `(0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0` evaluates in
+# decimal arithmetic there (≈2905.46048) while DuckDB promotes the
+# division to DOUBLE (2905.460551… — exactly Python's IEEE result);
+# the ~2.5e-8 relative gap flips the 6th decimal of raw-branch
+# estimates (caught by graph_hyperball_anf — the LC branch all earlier
+# HLL queries took hides it).  The oracle keeps the textual form,
+# which DuckDB evaluates to this same double.
+_ALPHA_M2_VAL = (0.7213 / (1.0 + 1.079 / float(_M))) * float(_M * _M)
 _POW61 = 1 << 61
 
 # Linear-counting branch (raw <= 2.5*m) decided on the EXACT integer
@@ -52,9 +60,7 @@ _POW61 = 1 << 61
 # provably take the same branch, with no reliance on double-division
 # rounding at the boundary.
 _LC_THRESHOLD = math.ceil(
-    Fraction((0.7213 / (1.0 + 1.079 / float(_M))) * float(_M * _M))
-    * _POW61
-    / (Fraction(5, 2) * _M)
+    Fraction(_ALPHA_M2_VAL) * _POW61 / (Fraction(5, 2) * _M)
 )
 
 
@@ -64,6 +70,32 @@ def hll_rho(h: Column) -> Column:
     w = F.shiftright(h, HLL_P)
     bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
     return F.lit(61 - HLL_P) - bitlen
+
+
+# the exact-integer numerator term per present register (F.shiftleft
+# only takes a literal bit count; the SQL form accepts a column expr)
+HLL_NUM_TERM = "CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))"
+
+
+def hll_est_expr(num_present: Column, n_present: Column) -> Column:
+    """The HLL estimate from a sparse register aggregate — num_present =
+    exact DECIMAL(38,0) Σ 2^(61-mj) over PRESENT registers, n_present =
+    their count.  Empty registers enter in closed form; the
+    linear-counting branch is decided on the exact integer denominator
+    (see _LC_THRESHOLD) so both engines provably take the same branch."""
+    num_dec = num_present + (F.lit(_M) - n_present).cast(
+        "decimal(38,0)"
+    ) * F.lit(_POW61).cast("decimal(38,0)")
+    zeros = (F.lit(_M) - n_present).cast("double")
+    raw = (
+        F.lit(_ALPHA_M2_VAL) * F.lit(float(_POW61)) / num_dec.cast("double")
+    )
+    return F.when(
+        # threshold exceeds BIGINT range — inject as a DECIMAL literal
+        (num_dec >= F.expr(f"CAST('{_LC_THRESHOLD}' AS DECIMAL(38,0))"))
+        & (zeros > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
+    ).otherwise(raw)
 
 
 def hll_estimate(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -90,27 +122,10 @@ def hll_estimate(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.sum("nd").cast("bigint").alias("n_exact"),
         # F.shiftleft only takes a literal bit count; the SQL form
         # accepts a column expression
-        F.sum(
-            F.expr(
-                "CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))"
-            )
-        ).alias("num_present"),
+        F.sum(F.expr(HLL_NUM_TERM)).alias("num_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    num_dec = F.col("num_present") + (
-        F.lit(_M) - F.col("n_present")
-    ).cast("decimal(38,0)") * F.lit(_POW61).cast("decimal(38,0)")
-    num = num_dec.cast("double")
-    zeros = (F.lit(_M) - F.col("n_present")).cast("double")
-    raw = F.expr(_ALPHA_M2) * F.lit(float(_POW61)) / num
-    # branch on the exact DECIMAL num, not the double raw (see
-    # _LC_THRESHOLD) — raw <= 2.5*m ⟺ num >= threshold
-    est = F.when(
-        # threshold exceeds BIGINT range — inject as a DECIMAL literal
-        (num_dec >= F.expr(f"CAST('{_LC_THRESHOLD}' AS DECIMAL(38,0))"))
-        & (zeros > 0),
-        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
-    ).otherwise(raw)
+    est = hll_est_expr(F.col("num_present"), F.col("n_present"))
     return per.select(
         F.col("g").alias(group_col),
         "n_exact",

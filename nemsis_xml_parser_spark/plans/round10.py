@@ -1218,3 +1218,143 @@ def cluster_kmeans_parallel_init(
         F.round("sel_d2", 6).alias("sel_d2"),
         "weight",
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall / ANF — neighborhood function via per-node HLL sketches
+# ---------------------------------------------------------------------------
+
+HB_ORDER_CAP = 1000
+HB_MAX_T = 3
+
+
+def _hyperball_oracle(cap: int = HB_ORDER_CAP, max_t: int = HB_MAX_T) -> str:
+    """Graph CTEs (the graph_bfs_hops co-purchase shape), then every
+    HyperBall iteration unrolled: register max-merge along edges + the
+    exact closure step; per-hop estimate via the sketch_hll_distinct
+    DECIMAL-staged harmonic form — arithmetic identical to
+    operators/hyperball.py / operators/hll.py at every step."""
+    est = """p{t} AS (
+  SELECT v, SUM(CAST((CAST(1 AS BIGINT) << (61 - mj)) AS DECIMAL(38,0)))
+           AS num_present,
+         COUNT(*) AS n_present
+  FROM s{t} GROUP BY v
+),
+e{t} AS (
+  SELECT ROUND(CASE WHEN (num_present + CAST(64 - n_present AS DECIMAL(38,0))
+                     * CAST(2305843009213693952 AS DECIMAL(38,0)))
+                    >= CAST('41872099375760238183' AS DECIMAL(38,0))
+                AND 64 - n_present > 0
+           THEN 64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE))
+           ELSE ((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0)
+                * 2305843009213693952.0
+                / CAST(num_present + CAST(64 - n_present AS DECIMAL(38,0))
+                       * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+           END, 6) AS e
+  FROM p{t}
+),
+t{t} AS (
+  SELECT {t} AS hop,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c{t}) AS n_pairs_exact,
+         ROUND(CAST(SUM(CAST(e AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS anf_estimate
+  FROM e{t}
+)"""
+    blocks = [
+        f"""li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {cap}
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS v FROM adj),
+s0 AS MATERIALIZED (
+  SELECT v, h % 64 AS j,
+         55 - CASE WHEN (h >> 6) = 0 THEN 0 ELSE length(bin(h >> 6)) END AS mj
+  FROM (SELECT v, CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h FROM nodes)
+),
+c0 AS MATERIALIZED (SELECT v AS src, v AS dst FROM nodes)""",
+        est.format(t=0),
+    ]
+    for t in range(1, max_t + 1):
+        blocks += [
+            f"""s{t} AS MATERIALIZED (
+  SELECT v, j, MAX(mj) AS mj FROM (
+    SELECT * FROM s{t - 1}
+    UNION ALL
+    SELECT a.v, s.j, s.mj FROM adj a JOIN s{t - 1} s ON s.v = a.u
+  ) GROUP BY v, j
+),
+c{t} AS MATERIALIZED (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM c{t - 1}
+    UNION ALL
+    SELECT c.src, a.v AS dst FROM c{t - 1} c JOIN adj a ON a.u = c.dst
+  )
+)""",
+            est.format(t=t),
+        ]
+    finals = "\nUNION ALL\n".join(
+        f"SELECT * FROM t{t}" for t in range(max_t + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT CAST(hop AS INT) AS hop, n_pairs_exact, anf_estimate,
+       ROUND(ABS(anf_estimate - CAST(n_pairs_exact AS DOUBLE))
+             / CAST(n_pairs_exact AS DOUBLE), 6) AS rel_error
+FROM ({finals})
+"""
+    )
+
+
+@register(
+    "graph_hyperball_anf",
+    family="graph",
+    doc="HyperBall / ANF neighborhood-function estimation (Palmer KDD'02; "
+    "Boldi/Rosa/Vigna WWW'11 — operators/hyperball.py) on the part "
+    "co-purchase graph: exact N(t) = Σ_v |ball(v,t)| needs the t-step "
+    "transitive closure (pairs-sized, impossible at 100 TB), so each "
+    "node instead carries a 64-register HLL sketch of its ball and set "
+    "union becomes register-wise MAX — associative, commutative, "
+    "idempotent, so one iteration is ONE edge-list equi-join against "
+    "the sparse (v, j, mj) state + one map-side-combinable max "
+    "aggregate, with per-node state ≤ 64 small ints regardless of "
+    "ball size.  Registers use the cross-engine md5 hash with the "
+    "exact integer rho, and the estimate is the DECIMAL-staged "
+    "harmonic form of sketch_hll_distinct — every register, estimate, "
+    "and the linear-counting branch replay bit-for-bit in the oracle.  "
+    "The exact closure rides along on the demo-capped graph as the "
+    "accuracy tie-out (at scale you run only the sketch).  Output per "
+    "hop 0..3: exact pair count, ANF estimate, relative error — the "
+    "curve behind effective-diameter estimation.",
+    oracle=_hyperball_oracle(),
+)
+def graph_hyperball_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hyperball import hyperball_anf
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < HB_ORDER_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()  # reused every HyperBall iteration
+    )
+    return hyperball_anf(adj, max_t=HB_MAX_T)

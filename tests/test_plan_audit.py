@@ -132,6 +132,8 @@ JUSTIFIED_BNLJ = {
     "events_peak_days",            # broadcast 1-row daily-total scalar
     "cluster_kmeans_parallel_init",  # broadcast 1-row total-cost (phi)
                                      # scalar per oversampling round
+    "graph_hyperball_anf",         # broadcast 1-row exact-closure-count
+                                   # scalar per hop tier (the tie-out)
     "dedup_semdedup_band",         # broadcast k=8-row seed-centroid
                                    # crossJoins (assignment passes; the
                                    # ivf.py coarse-quantizer shape)
