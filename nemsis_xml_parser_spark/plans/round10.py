@@ -8,6 +8,8 @@ question) next to the correctness argument.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1358,3 +1360,392 @@ def graph_hyperball_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # reused every HyperBall iteration
     )
     return hyperball_anf(adj, max_t=HB_MAX_T)
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR control over per-source permutation p-values
+# ---------------------------------------------------------------------------
+
+FDR_P = 64     # resamples per hypothesis; p resolution 1/(P+1)
+FDR_Q = 0.25   # target false-discovery rate
+
+
+@register(
+    "quality_fdr_bh",
+    family="quality",
+    doc="Benjamini–Hochberg FDR step-up over per-source significance "
+    "tests — the multiple-comparisons control every per-segment drift "
+    "audit needs (20 sources tested at once inflate single-test false "
+    "positives).  Per source: is its mean document length different "
+    "from the rest?  The null distribution is hash-Bernoulli "
+    "resampling (the quality_permutation_test discipline, Phipson-"
+    "Smyth add-one p = (1+n_extreme)/(P+1)): pseudo-membership is "
+    "u(source,p,doc) = md5/2^60 < n_source/n, so group sums are exact "
+    "BIGINTs and every diff comparison replays bit-for-bit.  BH: rank "
+    "p ascending (ties by source), k* = max{i: p_(i) <= i*q/m}, "
+    "reject ranks <= k* — the step-up needs ONE bounded m-row sort + "
+    "one scalar max, nothing corpus-sized.  Scale: one corpus scan "
+    f"exploded x(P={FDR_P}) with per-(source,p) membership hashed "
+    "per row — a hash aggregate over m*(P+1) cells; P and m bound the "
+    "fan-out (the Poisson-bootstrap shape).  Output per source: "
+    "observed diff, p-value, BH rank/threshold, rejected flag.",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(score) AS BIGINT) AS s
+  FROM base
+),
+grp AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(score) AS BIGINT) AS sg
+  FROM base GROUP BY source
+),
+obs AS (
+  SELECT g.source, g.ng,
+         CAST(g.sg AS DOUBLE) / g.ng
+           - CAST(t.s - g.sg AS DOUBLE) / (t.n - g.ng) AS d_obs,
+         CAST(g.ng AS DOUBLE) / t.n AS rate
+  FROM grp g CROSS JOIN tot t
+),
+perm AS (
+  SELECT o.source, p.p, b.score,
+         CASE WHEN CAST(('0x' || substr(md5(o.source || ':' || p.p || ':'
+                    || b.doc_id), 1, 15)) AS BIGINT)
+                   / CAST({float(1 << 60)} AS DOUBLE) < o.rate
+              THEN 1 ELSE 0 END AS g
+  FROM base b
+  CROSS JOIN obs o
+  CROSS JOIN UNNEST(range(1, {FDR_P} + 1)) AS p(p)
+),
+diffs AS (
+  SELECT source, p,
+         CAST(SUM(CASE WHEN g = 1 THEN score END) AS DOUBLE)
+           / SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN g = 0 THEN score END) AS DOUBLE)
+           / SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS d
+  FROM perm GROUP BY source, p
+),
+pvals AS (
+  SELECT o.source, o.ng, o.d_obs,
+         (1.0 + SUM(CASE WHEN ABS(d.d) >= ABS(o.d_obs) THEN 1 ELSE 0 END))
+           / ({FDR_P} + 1.0) AS pv
+  FROM obs o JOIN diffs d ON d.source = o.source
+  GROUP BY o.source, o.ng, o.d_obs
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pv ASC, source ASC) AS bh_rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pvals
+),
+kstar AS (
+  SELECT COALESCE(MAX(CASE WHEN pv <= bh_rank * {FDR_Q} / m
+                           THEN bh_rank END), 0) AS k
+  FROM ranked
+)
+SELECT r.source,
+       r.ng AS n_docs,
+       ROUND(r.d_obs, 6) AS diff_obs,
+       ROUND(r.pv, 6) AS p_value,
+       CAST(r.bh_rank AS INT) AS bh_rank,
+       ROUND(r.bh_rank * {FDR_Q} / r.m, 6) AS bh_threshold,
+       CAST(CASE WHEN r.bh_rank <= k.k THEN 1 ELSE 0 END AS INT) AS rejected
+FROM ranked r CROSS JOIN kstar k
+""",
+)
+def quality_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("score")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("score").cast("bigint").alias("s"),
+    )
+    grp = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("score").cast("bigint").alias("sg"),
+    )
+    obs = grp.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "ng",
+        (
+            F.col("sg").cast("double") / F.col("ng")
+            - (F.col("s") - F.col("sg")).cast("double")
+            / (F.col("n") - F.col("ng"))
+        ).alias("d_obs"),
+        (F.col("ng").cast("double") / F.col("n")).alias("rate"),
+    )
+    u = md5_long(
+        F.concat(
+            F.col("source"),
+            F.lit(":"),
+            F.col("p").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    ) / F.lit(float(1 << 60))
+    perm = (
+        base.crossJoin(F.broadcast(obs.select("source", "rate").withColumnRenamed("source", "src")))
+        .select(
+            F.col("src").alias("source"),
+            "doc_id",
+            "score",
+            "rate",
+            F.explode(F.sequence(F.lit(1), F.lit(FDR_P))).alias("p"),
+        )
+        .select(
+            "source",
+            "p",
+            "score",
+            F.when(u < F.col("rate"), F.lit(1)).otherwise(F.lit(0)).alias("g"),
+        )
+    )
+    diffs = perm.groupBy("source", "p").agg(
+        (
+            F.sum(F.when(F.col("g") == 1, F.col("score"))).cast("double")
+            / F.sum(F.when(F.col("g") == 1, F.lit(1)).otherwise(F.lit(0)))
+            - F.sum(F.when(F.col("g") == 0, F.col("score"))).cast("double")
+            / F.sum(F.when(F.col("g") == 0, F.lit(1)).otherwise(F.lit(0)))
+        ).alias("d")
+    )
+    pvals = (
+        obs.join(diffs, "source")
+        .groupBy("source", "ng", "d_obs")
+        .agg(
+            (
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("d")) >= F.abs(F.col("d_obs")),
+                            F.lit(1),
+                        ).otherwise(F.lit(0))
+                    )
+                )
+                / F.lit(float(FDR_P + 1))
+            ).alias("pv")
+        )
+    )
+    w = Window.orderBy(F.col("pv").asc(), F.col("source").asc())
+    ranked = pvals.select(
+        "source",
+        "ng",
+        "d_obs",
+        "pv",
+        F.row_number().over(w).alias("bh_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pv") <= F.col("bh_rank") * FDR_Q / F.col("m"),
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "source",
+        F.col("ng").alias("n_docs"),
+        F.round("d_obs", 6).alias("diff_obs"),
+        F.round("pv", 6).alias("p_value"),
+        F.col("bh_rank").cast("int").alias("bh_rank"),
+        F.round(F.col("bh_rank") * FDR_Q / F.col("m"), 6).alias(
+            "bh_threshold"
+        ),
+        F.when(F.col("bh_rank") <= F.col("k"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 ranking-quality evaluation of the production IVF ANN operator
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+NDCG_NQ = 8       # query vectors: vec_id < 8
+NDCG_NPROBE = 2   # deliberately cheaper than ann_ivf_topk's 3 probes
+
+# discounts 1/log2(pos+1) and the ideal DCG as PYTHON doubles injected
+# as literals on both sides — no engine libm log in the hot expression
+_NDCG_DISC = {pos: 1.0 / math.log2(pos + 1) for pos in range(1, NDCG_K + 1)}
+_NDCG_IDCG = sum(
+    (NDCG_K + 1 - i) * _NDCG_DISC[i] for i in range(1, NDCG_K + 1)
+)
+
+
+def _ndcg_disc_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {p} THEN {_NDCG_DISC[p]!r}" for p in range(1, NDCG_K + 1)
+    )
+    return f"CASE {col} {whens} END"
+
+
+def _ndcg_oracle() -> str:
+    cos = (
+        "ROUND(list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v))"
+        " * sqrt(list_dot_product(n.v, n.v))), 6)"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT s.cid, v.v AS c
+  FROM (SELECT vec_id % 8 AS cid, MIN(vec_id) AS svid FROM vecs GROUP BY 1) s
+  JOIN vecs v ON v.vec_id = s.svid
+),
+asgn_d AS (
+  SELECT v.vec_id, ce.cid,
+         ROUND(sqrt(list_sum(list_transform(range(64),
+               i -> (v.v[i+1] - ce.c[i+1]) * (v.v[i+1] - ce.c[i+1])))), 6) AS d
+  FROM vecs v CROSS JOIN cents ce
+),
+cells AS (
+  SELECT vec_id AS item_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d WHERE vec_id < {NDCG_NQ}
+  ) WHERE rn <= {NDCG_NPROBE}
+),
+sys AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT p.query_id, cl.item_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {cos} DESC, cl.item_id ASC) AS rank
+    FROM probes p
+    JOIN cells cl USING (cid)
+    JOIN vecs q ON q.vec_id = p.query_id
+    JOIN vecs n ON n.vec_id = cl.item_id
+    WHERE cl.item_id != p.query_id
+  ) WHERE rank <= {NDCG_K}
+),
+truth AS (
+  SELECT query_id, neighbor_id,
+         {NDCG_K} + 1 - rank AS rel
+  FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {cos} DESC, n.vec_id ASC) AS rank
+    FROM vecs q JOIN vecs n ON q.vec_id < {NDCG_NQ} AND n.vec_id != q.vec_id
+  ) WHERE rank <= {NDCG_K}
+),
+scored AS (
+  SELECT s.query_id,
+         COALESCE(t.rel, 0) AS rel,
+         CAST(ROUND(COALESCE(t.rel, 0) * {_ndcg_disc_sql('s.rank')}, 12)
+              AS DECIMAL(38,12)) AS term
+  FROM sys s LEFT JOIN truth t
+    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS dcg,
+       ROUND(CAST(SUM(term) AS DOUBLE) / {_NDCG_IDCG!r}, 6) AS ndcg10
+FROM scored GROUP BY query_id
+"""
+
+
+@register(
+    "retrieval_ndcg_eval",
+    family="retrieval",
+    doc="NDCG@10 ranking-quality evaluation of the PRODUCTION IVF ANN "
+    "operator (operators/ivf.py::ivf_topk at nprobe=2 of 8 — "
+    "deliberately cheaper than ann_ivf_topk's 3 probes, so the metric "
+    "has something to measure): system ranking vs brute-force graded "
+    "truth (rel = 11 - exact_rank for the exact top-10, ties broken "
+    "identically on rounded cosines).  The position discounts "
+    "1/log2(pos+1) and the ideal DCG are PYTHON-evaluated doubles "
+    "injected as literals on both sides — no engine libm log anywhere "
+    "— and DCG terms are round-12 DECIMAL-summed, so per-query NDCG "
+    "replays bit-for-bit.  This is the eval gate a retrieval pipeline "
+    "runs after every index build; recall@k (ANN_RECALL artifacts) "
+    "counts hits, NDCG grades their ORDER.  Scale: the system side is "
+    "the IVF equi-join path; the truth side is brute over the bounded "
+    "query set only (8 queries x corpus — the eval sample, not the "
+    "corpus pairing).  Output per query: hits in exact top-10, DCG, "
+    "NDCG@10.",
+    oracle=_ndcg_oracle(),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..operators import ivf as I
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < NDCG_NQ)
+    sys = I.ivf_topk(
+        queries, e, k=NDCG_K, nlist=8, nprobe=NDCG_NPROBE, iters=0
+    ).select("query_id", "neighbor_id", "rank")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        V.to_double_array(F.col("embedding")).alias("qv"),
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.to_double_array(F.col("embedding")).alias("nv"),
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        qv.crossJoin(nv)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("trank", F.row_number().over(wt))
+        .where(F.col("trank") <= NDCG_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(NDCG_K + 1) - F.col("trank")).alias("rel"),
+        )
+    )
+    disc = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for p in range(1, NDCG_K + 1)
+                for x in (p, _NDCG_DISC[p])
+            ]
+        ),
+        F.col("rank"),
+    )
+    scored = sys.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        F.round(F.coalesce(F.col("rel"), F.lit(0)) * disc, 12)
+        .cast("decimal(38,12)")
+        .alias("term"),
+    )
+    return scored.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(F.sum("term").cast("double"), 6).alias("dcg"),
+        F.round(
+            F.sum("term").cast("double") / F.lit(_NDCG_IDCG), 6
+        ).alias("ndcg10"),
+    )

@@ -134,6 +134,10 @@ JUSTIFIED_BNLJ = {
                                      # scalar per oversampling round
     "graph_hyperball_anf",         # broadcast 1-row exact-closure-count
                                    # scalar per hop tier (the tie-out)
+    "quality_fdr_bh",              # broadcast m=20-row hypothesis frame
+                                   # (rates) + 1-row totals/k* scalars
+    "retrieval_ndcg_eval",         # broadcast bounded 8-query probe set
+                                   # vs corpus (the exact-truth tier)
     "dedup_semdedup_band",         # broadcast k=8-row seed-centroid
                                    # crossJoins (assignment passes; the
                                    # ivf.py coarse-quantizer shape)

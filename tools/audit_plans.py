@@ -51,6 +51,11 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
         "by the calendar, not by event volume (same argument as "
         "events_cumulative_users)"
     ),
+    "quality_fdr_bh": (
+        "BH rank + count over per-SOURCE p-values — m = number of "
+        "HYPOTHESES (a schema dimension, ~20 sources), not corpus-sized; "
+        "the step-up needs the m-row sort by definition"
+    ),
     "curation_pareto_coverage": (
         "rank + cumulative share over per-SOURCE aggregates — source is a "
         "schema dimension (data-source tag), not corpus-sized; if source "
