@@ -229,19 +229,22 @@ def _pack_nibbles(vals) -> bytes:
     return bytes(out)
 
 
-def encode_bmp4_raw(px: np.ndarray) -> bytes:
+def encode_bmp4_raw(px: np.ndarray, top_down: bool = False) -> bytes:
     """Uncompressed 4-bit BMP: two pixels per byte (high nibble first),
-    rows padded to 4-byte boundaries, bottom-up."""
+    rows padded to 4-byte boundaries.  Bottom-up by default;
+    ``top_down=True`` writes the negative-biHeight variant (rows in
+    natural order — valid for BI_RGB only, per the spec)."""
     px = np.asarray(px, dtype=np.uint8)
     if px.max(initial=0) > 15:
         raise ValueError("4-bit BMP samples must be < 16")
     h, w = px.shape
     rows = []
-    for y in range(h - 1, -1, -1):
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
         row = _pack_nibbles(list(px[y]))
         rows.append(row + b"\x00" * ((-len(row)) % 4))
     data = b"".join(rows)
-    return _headers4(w, h, _BI_RGB, len(data)) + data
+    return _headers4(w, -h if top_down else h, _BI_RGB, len(data)) + data
 
 
 def encode_bmp_rle4(px: np.ndarray) -> bytes:
@@ -294,8 +297,9 @@ def encode_bmp_rle4(px: np.ndarray) -> bytes:
 
 def decode_bmp4(buf: bytes) -> np.ndarray:
     """(h, w) uint8 index array of a 4-bit BMP: BI_RGB packed nibbles
-    (4-byte padded rows) or BI_RLE4 (runs of alternating nibbles,
-    absolute blocks, EOL/EOB, bottom-up)."""
+    (4-byte padded rows; bottom-up or negative-biHeight top-down) or
+    BI_RLE4 (runs of alternating nibbles, absolute blocks, EOL/EOB,
+    bottom-up)."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP (missing BM magic)")
     off = struct.unpack_from("<I", buf, 10)[0]
@@ -307,8 +311,11 @@ def decode_bmp4(buf: bytes) -> np.ndarray:
     comp = struct.unpack_from("<I", buf, 30)[0]
     if bpp != 4:
         raise ValueError("decode_bmp4 handles 4-bit BMPs only")
-    if h < 0:
-        raise NotImplementedError("top-down 4-bit BMP")
+    top_down = h < 0
+    if top_down:
+        if comp != _BI_RGB:
+            raise ValueError("top-down BMP must be BI_RGB (spec)")
+        h = -h
     out = np.zeros((h, w), dtype=np.uint8)
 
     def unpack(row: bytes, n: int) -> list[int]:
@@ -322,7 +329,8 @@ def decode_bmp4(buf: bytes) -> np.ndarray:
         stride = ((w * 4 + 31) // 32) * 4
         for y in range(h):
             row = buf[off + y * stride : off + y * stride + (w + 1) // 2]
-            out[h - 1 - y] = unpack(row, w)
+            dst = y if top_down else h - 1 - y
+            out[dst] = unpack(row, w)
         return out
     if comp != _BI_RLE4:
         raise NotImplementedError(f"4-bit BMP compression {comp}")
@@ -364,10 +372,13 @@ def decode_bmp4(buf: bytes) -> np.ndarray:
 def make_bmp4_image(image_id: int) -> bytes:
     """Deterministic REAL 4-bit BMP: width = id%14+4, height = id%9+3,
     sample (x, y) = (id*3 + 2*x + 5*y) % 16 — even ids RLE4 (runs +
-    absolute blocks), odd ids raw packed nibbles; both decode to the
-    same closed form."""
+    absolute blocks), id%4==1 raw packed nibbles bottom-up, id%4==3
+    raw TOP-DOWN (negative biHeight); all decode to the same closed
+    form, so the oracle breaks on any row-order drift."""
     w, h = image_id % 14 + 4, image_id % 9 + 3
     x = np.arange(w).reshape(1, -1)
     y = np.arange(h).reshape(-1, 1)
     v = ((image_id * 3 + 2 * x + 5 * y) % 16).astype(np.uint8)
-    return encode_bmp_rle4(v) if image_id % 2 == 0 else encode_bmp4_raw(v)
+    if image_id % 2 == 0:
+        return encode_bmp_rle4(v)
+    return encode_bmp4_raw(v, top_down=image_id % 4 == 3)

@@ -42,6 +42,7 @@ _WIDTH, _LENGTH, _BPS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
 _PLANAR, _PREDICTOR = 284, 317
 _TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
+_JPEGTABLES = 347
 
 # TIFF LZW (spec section 13): MSB-first bit packing, Clear=256, EOI=257,
 # first data code 258, and the "early change" — the code width bumps one
@@ -610,19 +611,43 @@ def encode_tiff_lzw(
     return bytes(out)
 
 
+def _jpeg_split(stream: bytes) -> tuple[list[tuple[int, bytes]], bytes]:
+    """Split a complete JPEG stream into its pre-scan marker segments
+    [(marker, segment_bytes)] and the trailing entropy data (everything
+    after the SOS header, EOI included)."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    segs: list[tuple[int, bytes]] = []
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        m = stream[pos + 1]
+        (ln,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        segs.append((m, stream[pos : pos + 2 + ln]))
+        pos += 2 + ln
+        if m == 0xDA:  # SOS: remainder is entropy data + EOI
+            return segs, stream[pos:]
+    raise ValueError("JPEG stream ended before SOS")
+
+
 def encode_tiff_jpeg(
     px: np.ndarray,
     rows_per_strip: int = 8,
     big_endian: bool = False,
+    shared_tables: bool = False,
 ) -> bytes:
     """uint8 GRAYSCALE image → single-IFD strip TIFF with new-style
-    JPEG compression (tag 259 = 7, TIFF Technical Note 2): every strip
-    is a COMPLETE baseline JPEG stream (SOI … EOI), decodable by any
-    conforming JPEG codec — the layout scanned-document pipelines emit
-    when they want JPEG rate with TIFF paging.  Dimensions and
-    rows_per_strip must be multiples of 8 (whole MCUs per strip; the
-    shared-tables JPEGTables tag 347 variant remains a named seam —
-    each strip here carries its own tables)."""
+    JPEG compression (tag 259 = 7, TIFF Technical Note 2).  Default:
+    every strip is a COMPLETE baseline JPEG stream (SOI … EOI),
+    decodable by any conforming JPEG codec — the layout
+    scanned-document pipelines emit when they want JPEG rate with TIFF
+    paging.  ``shared_tables=True`` writes the JPEGTables (tag 347)
+    variant: one abbreviated table-specification stream (SOI, DQT,
+    DHTs, EOI) in the tag, and per-strip ABBREVIATED image streams
+    with the DQT/DHT segments stripped — the libtiff default that
+    amortizes table bytes across strips.  Dimensions and
+    rows_per_strip must be multiples of 8 (whole MCUs per strip)."""
     if px.ndim != 2:
         raise NotImplementedError("encode_tiff_jpeg writes grayscale only")
     h, w = px.shape
@@ -634,6 +659,25 @@ def encode_tiff_jpeg(
         encode_baseline_jpeg(px[r0 : r0 + rows_per_strip].astype(np.uint8))
         for r0 in range(0, h, rows_per_strip)
     ]
+    tables = b""
+    if shared_tables:
+        # the encoder uses FIXED standard tables, so the first strip's
+        # DQT/DHT segments are every strip's
+        segs0, _ = _jpeg_split(strips[0])
+        tables = (
+            b"\xff\xd8"
+            + b"".join(s for m, s in segs0 if m in (0xDB, 0xC4))
+            + b"\xff\xd9"
+        )
+        abbrev = []
+        for s in strips:
+            segs, entropy = _jpeg_split(s)
+            abbrev.append(
+                b"\xff\xd8"
+                + b"".join(sb for m, sb in segs if m not in (0xDB, 0xC4))
+                + entropy
+            )
+        strips = abbrev
     bo = ">" if big_endian else "<"
     out = bytearray(
         struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 0)
@@ -653,6 +697,10 @@ def encode_tiff_jpeg(
         for s in strips:
             arrays += struct.pack(bo + "I", len(s))
         pos += len(arrays)
+    if tables:
+        tables_pos = pos
+        arrays += tables
+        pos += len(tables)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         if typ == 3 and count == 1:
@@ -680,6 +728,11 @@ def encode_tiff_jpeg(
             len(strips[0]) if n_strips == 1 else cnt_array_pos,
         ),
     ]
+    if tables:
+        # tag 347, type 7 (UNDEFINED): count = byte length, value = the
+        # offset of the table stream (always > 4 bytes)
+        entries.append(entry(_JPEGTABLES, 7, len(tables), tables_pos))
+        entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
     ifd_pos = pos
     out[4:8] = struct.pack(bo + "I", ifd_pos)
     out += b"".join(strips) + bytes(arrays)
@@ -691,11 +744,12 @@ def encode_tiff_jpeg(
 
 def _read_values(buf: bytes, bo: str, typ: int, count: int, raw: bytes):
     """IFD entry value(s): inline when they fit in 4 bytes, else at the
-    offset the value field points to."""
-    size = {3: 2, 4: 4}.get(typ)
+    offset the value field points to.  Types: 1/7 (BYTE/UNDEFINED),
+    3 (SHORT), 4 (LONG)."""
+    size = {1: 1, 3: 2, 4: 4, 7: 1}.get(typ)
     if size is None:
         raise NotImplementedError(f"TIFF field type {typ}")
-    fmt = {3: "H", 4: "I"}[typ]
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
     total = size * count
     if total <= 4:
         return list(struct.unpack_from(bo + fmt * count, raw, 0))
@@ -759,21 +813,31 @@ def _decode_ifd(buf: bytes, bo: str, ifd_off: int) -> tuple[np.ndarray, int]:
 
     if comp == 7:
         # new-style JPEG-in-TIFF (Tech Note 2): each strip is a complete
-        # JPEG stream, pixel- not byte-level — decoded by the real
-        # baseline codec, then stacked in strip order
+        # JPEG stream — or, with JPEGTables (tag 347), an ABBREVIATED
+        # stream whose DQT/DHT come from the shared table-specification
+        # stream, spliced in right after the strip's SOI — decoded by
+        # the real baseline codec, then stacked in strip order
         if spp != 1 or planar == 2 or predictor == 2:
-            raise NotImplementedError(
-                "JPEG-in-TIFF: grayscale chunky only (JPEGTables tag 347 "
-                "shared-tables variant is a named seam)"
-            )
+            raise NotImplementedError("JPEG-in-TIFF: grayscale chunky only")
         from .jpeg import decode_baseline_jpeg
 
+        shared = b""
+        if _JPEGTABLES in tags:
+            jt = bytes(tags[_JPEGTABLES])
+            if jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9":
+                raise ValueError("JPEGTables must be SOI..EOI delimited")
+            shared = jt[2:-2]
         offsets = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_COUNTS]
         rps = tags.get(_ROWS_PER_STRIP, [h])[0]
         parts = []
         for si, (o, c) in enumerate(zip(offsets, counts)):
-            part = decode_baseline_jpeg(buf[o : o + c])
+            strip = buf[o : o + c]
+            if shared:
+                if strip[:2] != b"\xff\xd8":
+                    raise ValueError("abbreviated JPEG strip missing SOI")
+                strip = b"\xff\xd8" + shared + strip[2:]
+            part = decode_baseline_jpeg(strip)
             rows = min(rps, h - si * rps)
             if part.shape != (rows, w):
                 raise ValueError("JPEG strip dimensions mismatch")
@@ -1107,14 +1171,21 @@ def make_tiff_jpeg_image(image_id: int) -> bytes:
     JPEG construction (operators/jpeg.py module docstring: a constant
     block quantizes to DC-only losslessly), so decoded pixel (x, y) =
     v(x//8, y//8) stays closed-form for the SQL oracle even though the
-    codec is lossy in general.  One complete baseline JPEG stream per
-    8-row strip; big-endian container every 3rd id."""
+    codec is lossy in general.  One baseline JPEG stream per 8-row
+    strip — COMPLETE streams for even ids, ABBREVIATED streams with
+    the shared JPEGTables tag 347 for odd ids (the libtiff default);
+    big-endian container every 3rd id."""
     w, h = 8 * (image_id % 3 + 1), 8 * (image_id % 4 + 1)
     bx = np.arange(w // 8).reshape(1, -1)
     by = np.arange(h // 8).reshape(-1, 1)
     v = (image_id * 17 + 7 * bx + 19 * by) % 256
     px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
-    return encode_tiff_jpeg(px, rows_per_strip=8, big_endian=(image_id % 3 == 0))
+    return encode_tiff_jpeg(
+        px,
+        rows_per_strip=8,
+        big_endian=(image_id % 3 == 0),
+        shared_tables=(image_id % 2 == 1),
+    )
 
 
 def synthesize_tiff_jpeg_media(

@@ -357,16 +357,17 @@ def multimodal_tiff_tiled_pred_stats(
     family="multimodal",
     doc="Pixel statistics over REAL new-style JPEG-in-TIFF files "
     "(compression 7, TIFF Technical Note 2 — operators/tiff.py::"
-    "encode_tiff_jpeg + the comp==7 branch of _decode_ifd): every "
-    "strip is a COMPLETE baseline JPEG stream (SOI..EOI) decoded by "
-    "the repo's real Huffman+IDCT codec (operators/jpeg.py) and "
-    "stacked in strip order — the layout scanned-document pipelines "
-    "emit for JPEG rate with TIFF paging, a named seam since round 9.  "
-    "Fixtures use the exact-round-trip constant-8x8-block "
+    "encode_tiff_jpeg + the comp==7 branch of _decode_ifd): even ids "
+    "carry a COMPLETE baseline JPEG stream (SOI..EOI) per strip; odd "
+    "ids use the JPEGTABLES (tag 347) shared-tables variant — one "
+    "abbreviated table-specification stream in the tag, DQT/DHT "
+    "stripped from every strip and spliced back at decode (the "
+    "libtiff default layout).  Both decode through the repo's real "
+    "Huffman+IDCT codec (operators/jpeg.py) and stack in strip "
+    "order.  Fixtures use the exact-round-trip constant-8x8-block "
     "construction, so decoded pixel (x,y) = (id*17 + 7*(x div 8) + "
     "19*(y div 8)) mod 256 stays closed-form for the oracle despite "
-    "the lossy codec; big-endian container every 3rd id.  The "
-    "JPEGTables (tag 347) shared-tables variant remains a named seam.",
+    "the lossy codec; big-endian container every 3rd id.",
     oracle="""
 WITH dims AS (
   SELECT doc_id, 8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 4 + 1) AS h

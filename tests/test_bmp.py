@@ -193,3 +193,43 @@ def test_bmp4_fixture_matches_formula():
         x = np.arange(w).reshape(1, -1)
         y = np.arange(h).reshape(-1, 1)
         assert (out == (i * 3 + 2 * x + 5 * y) % 16).all(), i
+
+
+def test_bmp4_top_down_roundtrip():
+    import numpy as np
+    import struct
+
+    from nemsis_xml_parser_spark.operators.bmp import (
+        decode_bmp4,
+        encode_bmp4_raw,
+    )
+
+    rng = np.random.default_rng(45)
+    for _ in range(6):
+        h, w = rng.integers(1, 10), rng.integers(1, 18)
+        px = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+        buf = encode_bmp4_raw(px, top_down=True)
+        # the header really carries a negative biHeight
+        assert struct.unpack_from("<i", buf, 22)[0] == -int(h)
+        assert (decode_bmp4(buf) == px).all()
+        # and it differs from the bottom-up bytes for multi-row images
+        if h > 1 and not (px == px[::-1]).all():
+            assert buf != encode_bmp4_raw(px)
+
+
+def test_bmp4_fixture_top_down_ids_match_formula():
+    import numpy as np
+    import struct
+
+    from nemsis_xml_parser_spark.operators.bmp import (
+        decode_bmp4,
+        make_bmp4_image,
+    )
+
+    for i in (3, 7, 11, 103):  # id % 4 == 3 → top-down raw variant
+        buf = make_bmp4_image(i)
+        assert struct.unpack_from("<i", buf, 22)[0] < 0, i
+        w, h = i % 14 + 4, i % 9 + 3
+        x = np.arange(w).reshape(1, -1)
+        y = np.arange(h).reshape(-1, 1)
+        assert (decode_bmp4(buf) == (i * 3 + 2 * x + 5 * y) % 16).all(), i

@@ -372,3 +372,50 @@ def test_jpeg_in_tiff_roundtrip_and_fixture():
         encode_tiff_jpeg(np.zeros((12, 16), dtype=np.uint8))
     with pytest.raises(NotImplementedError, match="grayscale"):
         encode_tiff_jpeg(np.zeros((16, 16, 3), dtype=np.uint8))
+
+
+def test_jpeg_in_tiff_shared_tables_tag347():
+    """shared_tables=True writes one JPEGTables stream (tag 347) and
+    strips DQT/DHT from every per-strip stream; decode splices them
+    back losslessly."""
+    import struct
+
+    from nemsis_xml_parser_spark.operators.tiff import (
+        _JPEGTABLES,
+        _jpeg_split,
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    rng = np.random.default_rng(46)
+    px = (rng.integers(0, 2, size=(24, 16)) * 255).astype(np.uint8)
+    full = encode_tiff_jpeg(px, rows_per_strip=8)
+    shared = encode_tiff_jpeg(px, rows_per_strip=8, shared_tables=True)
+    # JPEG is lossy on this random image, but BOTH layouts must decode
+    # to the SAME pixels (the entropy data is byte-identical)
+    assert (decode_tiff(full) == decode_tiff(shared)).all()
+    # the shared layout amortizes the table bytes: 3 strips, tables once
+    assert len(shared) < len(full)
+    # tag 347 present and SOI..EOI delimited with DQT+DHT only
+    bo = "<"
+    (ifd_off,) = struct.unpack_from(bo + "I", shared, 4)
+    (n,) = struct.unpack_from(bo + "H", shared, ifd_off)
+    tags = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", shared, base)
+        tags[tag] = (typ, count, base)
+    assert _JPEGTABLES in tags
+    typ, count, base = tags[_JPEGTABLES]
+    assert typ == 7
+    (off,) = struct.unpack_from(bo + "I", shared, base + 8)
+    jt = shared[off : off + count]
+    assert jt[:2] == b"\xff\xd8" and jt[-2:] == b"\xff\xd9"
+    markers = [m for m, _ in _jpeg_split(jt[:-2] + b"\xff\xda\x00\x02")[0]]
+    assert set(markers[:-1]) <= {0xDB, 0xC4}
+    # IFD entries stay ascending-tag sorted (TIFF spec requirement)
+    tag_list = [
+        struct.unpack_from(bo + "H", shared, ifd_off + 2 + 12 * i)[0]
+        for i in range(n)
+    ]
+    assert tag_list == sorted(tag_list)
