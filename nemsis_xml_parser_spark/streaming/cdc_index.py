@@ -133,7 +133,13 @@ def start_cdc_index_stream(
                     id_col=id_col, text_col=text_col,
                 )
                 .select("doc_id", F.col("chunk_hash").alias("gh"))
-                .coalesce(4)
+                # repartition, NOT coalesce: the r10 array-HOF chunker has
+                # no shuffle of its own, so a coalesce(4) here would
+                # collapse the whole chunk computation to 4 tasks; the
+                # explicit (tiny, chunk-row-sized) shuffle keeps the
+                # compute stage at the repartitioned batch width and only
+                # the persisted frame narrow
+                .repartition(4)
                 .persist()
             )
             index = read_chunk_index(spark, index_root)

@@ -125,9 +125,15 @@ def start_dedup_index_stream(
                 spark.conf.set(key, str(val))
         batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
         try:
+            # repartition, NOT coalesce: minhash_band_keys is pure narrow
+            # expressions (signatures + band explode, no shuffle), so a
+            # coalesce(4) would collapse the whole signature computation
+            # to 4 tasks; the explicit key-row-sized shuffle keeps the
+            # compute stage at the repartitioned batch width and only the
+            # persisted frame narrow
             banded = minhash_band_keys(
                 batch_df, text_col, id_col, num_hashes, bands, n
-            ).coalesce(4).persist()
+            ).repartition(4).persist()
             index = read_index(spark, index_root)
             pairs = candidates_against_index(banded, index)
             pairs.write.mode("overwrite").parquet(

@@ -194,17 +194,21 @@ def start_winnow_index_stream(
             spark.sparkContext.defaultParallelism
         )
         try:
-            # coalesce(4): a microbatch's fingerprints are MB-scale, but
-            # left at the session's 32 shuffle partitions every downstream
-            # stage (union scan, df aggregate, candidate join) launches
-            # 32-64 near-empty tasks — measured ~4 s/batch of pure task
-            # overhead against even a one-batch index.  Narrow frames in,
-            # narrow index files out (the batch=N dirs hold 4 small files
-            # that the next batch's scan bin-packs into ~1 partition).
+            # 4-way persisted frame: a microbatch's fingerprints are
+            # MB-scale, but left at the session's 32 shuffle partitions
+            # every downstream stage (union scan, df aggregate, candidate
+            # join) launches 32-64 near-empty tasks — measured ~4 s/batch
+            # of pure task overhead against even a one-batch index.
+            # Narrow frames in, narrow index files out (the batch=N dirs
+            # hold 4 small files the next batch's scan bin-packs).
+            # repartition, not coalesce (the dedup_index/cdc_index note):
+            # winnowing's window exchange protects the k-gram hash stage,
+            # but the explicit tiny shuffle keeps every pre-persist stage
+            # at batch width regardless of where exchanges sit
             fps = winnowing_fingerprints(
                 batch_df, k=k, w=w, max_df=None,
                 id_col=id_col, text_col=text_col,
-            ).coalesce(4).persist()
+            ).repartition(4).persist()
             index = read_fp_index(spark, index_root)
             # cache the union for the batch: the df guard and the
             # candidate join both consume it, and without the cache the
