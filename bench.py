@@ -135,6 +135,12 @@ HEADLINE = [
     "sketch_kmv_difference",
     "quality_ransac_line",
     "curation_coreset_sample",
+    # round 10 session-2 flagships (subtract when comparing vs earlier)
+    "curation_coreset_weighted_kmeans",
+    "cluster_kmeans_parallel_init",
+    "graph_hyperball_anf",
+    "quality_fdr_bh",
+    "retrieval_ndcg_eval",
 ]
 
 

@@ -1750,3 +1750,266 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").cast("double") / F.lit(_NDCG_IDCG), 6
         ).alias("ndcg10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAP / MRR — the order-free companions to retrieval_ndcg_eval
+# ---------------------------------------------------------------------------
+
+
+def _map_mrr_oracle() -> str:
+    cos = (
+        "ROUND(list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v))"
+        " * sqrt(list_dot_product(n.v, n.v))), 6)"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT s.cid, v.v AS c
+  FROM (SELECT vec_id % 8 AS cid, MIN(vec_id) AS svid FROM vecs GROUP BY 1) s
+  JOIN vecs v ON v.vec_id = s.svid
+),
+asgn_d AS (
+  SELECT v.vec_id, ce.cid,
+         ROUND(sqrt(list_sum(list_transform(range(64),
+               i -> (v.v[i+1] - ce.c[i+1]) * (v.v[i+1] - ce.c[i+1])))), 6) AS d
+  FROM vecs v CROSS JOIN cents ce
+),
+cells AS (
+  SELECT vec_id AS item_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, cid ASC) AS rn
+    FROM asgn_d WHERE vec_id < {NDCG_NQ}
+  ) WHERE rn <= {NDCG_NPROBE}
+),
+sys AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT p.query_id, cl.item_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {cos} DESC, cl.item_id ASC) AS rank
+    FROM probes p
+    JOIN cells cl USING (cid)
+    JOIN vecs q ON q.vec_id = p.query_id
+    JOIN vecs n ON n.vec_id = cl.item_id
+    WHERE cl.item_id != p.query_id
+  ) WHERE rank <= {NDCG_K}
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {cos} DESC, n.vec_id ASC) AS rank
+    FROM vecs q JOIN vecs n ON q.vec_id < {NDCG_NQ} AND n.vec_id != q.vec_id
+  ) WHERE rank <= {NDCG_K}
+),
+hits AS (
+  SELECT s.query_id, s.rank,
+         CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM sys s LEFT JOIN truth t
+    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+),
+prec AS (
+  SELECT query_id, rank, hit,
+         SUM(hit) OVER (PARTITION BY query_id ORDER BY rank ASC) AS cumhits
+  FROM hits
+)
+SELECT query_id,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN hit = 1 THEN
+               CAST(ROUND(CAST(cumhits AS DOUBLE) / rank, 12)
+                    AS DECIMAL(38,12)) END) AS DOUBLE) / {NDCG_K}, 6)
+         AS avg_precision,
+       ROUND(COALESCE(1.0 / MIN(CASE WHEN hit = 1 THEN rank END), 0.0), 6)
+         AS mrr
+FROM prec GROUP BY query_id
+"""
+
+
+@register(
+    "retrieval_map_mrr",
+    family="retrieval",
+    doc="MAP and MRR for the same nprobe=2 IVF system ranking "
+    "retrieval_ndcg_eval grades (identical system/truth CTEs — one "
+    "eval harness, three metrics): average precision = "
+    "sum over hit positions of precision@k divided by |truth| = 10, "
+    "reciprocal rank = 1/first-hit-rank (0 when the probe set misses "
+    "the entire exact top-10).  Everything is ratios of small "
+    "integers — cumulative-hit windows over the bounded per-query "
+    "top-10, round-12 DECIMAL-staged AP terms — so the metric replays "
+    "exactly with no libm anywhere.  Scale: the system side is the "
+    "IVF equi-join path; the truth side is brute over the bounded "
+    "query sample only.",
+    oracle=_map_mrr_oracle(),
+)
+def retrieval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..operators import ivf as I
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < NDCG_NQ)
+    sys = I.ivf_topk(
+        queries, e, k=NDCG_K, nlist=8, nprobe=NDCG_NPROBE, iters=0
+    ).select("query_id", "neighbor_id", "rank")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        V.to_double_array(F.col("embedding")).alias("qv"),
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.to_double_array(F.col("embedding")).alias("nv"),
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        qv.crossJoin(nv)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("trank", F.row_number().over(wt))
+        .where(F.col("trank") <= NDCG_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    hits = sys.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "rank", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    wc = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("rank").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prec = hits.withColumn("cumhits", F.sum("hit").over(wc))
+    return prec.groupBy("query_id").agg(
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("hit") == 1,
+                    F.round(
+                        F.col("cumhits").cast("double") / F.col("rank"), 12
+                    ).cast("decimal(38,12)"),
+                )
+            ).cast("double")
+            / F.lit(NDCG_K),
+            6,
+        ).alias("avg_precision"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0)
+                / F.min(F.when(F.col("hit") == 1, F.col("rank"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective diameter — interpolated off the HyperBall ANF curve
+# ---------------------------------------------------------------------------
+
+EFFD_ALPHA = 0.9
+
+
+def _effective_diameter_oracle(
+    cap: int = HB_ORDER_CAP, max_t: int = HB_MAX_T, alpha: float = EFFD_ALPHA
+) -> str:
+    base = _hyperball_oracle(cap, max_t)
+    # reuse the whole ANF chain; re-final it into the interpolation
+    head, _, _ = base.rpartition("SELECT CAST(hop AS INT) AS hop")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT * FROM t{t}" for t in range(max_t + 1)
+    )
+    return (
+        head.rstrip()
+        + f""",
+curve AS (
+  SELECT hop, anf_estimate AS nf,
+         LAG(anf_estimate) OVER (ORDER BY hop ASC) AS prev
+  FROM ({finals})
+),
+thr AS (
+  SELECT {alpha!r} * (SELECT nf FROM curve WHERE hop = {max_t}) AS th
+)
+SELECT {alpha!r} AS alpha,
+       ROUND((SELECT nf FROM curve WHERE hop = {max_t}), 6) AS anf_final,
+       ROUND(MIN(CASE WHEN hop = 0 THEN 0.0
+                      ELSE hop - 1 + (t.th - prev) / (nf - prev) END), 6)
+         AS eff_diameter
+FROM curve, thr t
+WHERE nf >= t.th AND (prev IS NULL OR prev < t.th)
+"""
+    )
+
+
+@register(
+    "graph_effective_diameter",
+    family="graph",
+    doc="Effective diameter (the t by which alpha=0.9 of all reachable "
+    "pairs are within t hops, linearly interpolated between ANF curve "
+    "points — the HyperANF headline statistic, Boldi/Rosa/Vigna "
+    "WWW'11): reuses graph_hyperball_anf's register max-merge chain "
+    "VERBATIM (same CTE prefix — drift breaks both hashes) and adds "
+    "only a 4-row LAG + threshold interpolation, so the marginal cost "
+    "over the ANF curve is nil.  d_eff = t-1 + (0.9*N(T) - N(t-1)) / "
+    "(N(t) - N(t-1)) at the first t whose estimated neighborhood "
+    "function crosses the threshold; identical double arithmetic both "
+    "engines (the denominator cannot vanish: crossing implies "
+    "N(t) > N(t-1)).  Scale: the ANF sketch IS the only corpus-scale "
+    "work; the interpolation reads max_t+1 rows.",
+    oracle=_effective_diameter_oracle(),
+)
+def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    curve = graph_hyperball_anf(spark, sf_dir).select("hop", "anf_estimate")
+    lagged = curve.select(
+        "hop",
+        F.col("anf_estimate").alias("nf"),
+        F.lag("anf_estimate").over(Window.orderBy(F.col("hop").asc())).alias(
+            "prev"
+        ),
+    )
+    final = curve.where(F.col("hop") == HB_MAX_T).select(
+        F.col("anf_estimate").alias("nfinal")
+    )
+    return (
+        lagged.crossJoin(F.broadcast(final))
+        .where(
+            (F.col("nf") >= EFFD_ALPHA * F.col("nfinal"))
+            & (
+                F.col("prev").isNull()
+                | (F.col("prev") < EFFD_ALPHA * F.col("nfinal"))
+            )
+        )
+        .agg(
+            F.lit(EFFD_ALPHA).alias("alpha"),
+            F.round(F.first("nfinal"), 6).alias("anf_final"),
+            F.round(
+                F.min(
+                    F.when(F.col("hop") == 0, F.lit(0.0)).otherwise(
+                        F.col("hop")
+                        - 1
+                        + (EFFD_ALPHA * F.col("nfinal") - F.col("prev"))
+                        / (F.col("nf") - F.col("prev"))
+                    )
+                ),
+                6,
+            ).alias("eff_diameter"),
+        )
+        .select("alpha", "anf_final", "eff_diameter")
+    )

@@ -138,6 +138,10 @@ JUSTIFIED_BNLJ = {
                                    # (rates) + 1-row totals/k* scalars
     "retrieval_ndcg_eval",         # broadcast bounded 8-query probe set
                                    # vs corpus (the exact-truth tier)
+    "retrieval_map_mrr",           # same bounded probe-set brute tier
+    "graph_effective_diameter",    # hyperball tie-out scalars + 1-row
+                                   # final-ANF broadcast onto the 4-row
+                                   # curve
     "dedup_semdedup_band",         # broadcast k=8-row seed-centroid
                                    # crossJoins (assignment passes; the
                                    # ivf.py coarse-quantizer shape)

@@ -51,6 +51,10 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
         "by the calendar, not by event volume (same argument as "
         "events_cumulative_users)"
     ),
+    "graph_effective_diameter": (
+        "LAG over the ANF curve — max_t+1 = 4 rows, fixed by the hop "
+        "budget, not corpus-sized"
+    ),
     "quality_fdr_bh": (
         "BH rank + count over per-SOURCE p-values — m = number of "
         "HYPOTHESES (a schema dimension, ~20 sources), not corpus-sized; "
