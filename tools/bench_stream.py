@@ -446,6 +446,39 @@ def main() -> None:
                 spark, str(work / "kmvest")
             ).count(),
         }
+        # streaming HLL distinct-count (streaming/hll.py): 64-register
+        # max-merge state folded per batch through the txlog store —
+        # the second mergeable-sketch instantiation of the kmv template
+        from nemsis_xml_parser_spark.streaming.hll import (
+            read_hll_estimates,
+            read_hll_state,
+            start_hll_stream,
+        )
+
+        q = start_hll_stream(
+            source(ev_dir, ev_schema),
+            str(work / "hllstate"),
+            str(work / "hllest"),
+            str(work / "cp15"),
+            key_col="user_id",
+            group_col="event_type",
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = spark.read.parquet(ev_dir).count()
+        out["hll_distinct_maintenance"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": read_hll_state(
+                spark, str(work / "hllstate")
+            ).count(),
+            "estimate_rows": read_hll_estimates(
+                spark, str(work / "hllest")
+            ).count(),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
