@@ -2013,3 +2013,153 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("alpha", "anf_final", "eff_diameter")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch Jaccard — the ratio estimator completing the KMV algebra
+# ---------------------------------------------------------------------------
+
+KMVJ_K = 64
+
+
+@register(
+    "sketch_kmv_jaccard",
+    family="sketch",
+    doc="Theta-sketch Jaccard similarity (the ratio estimator on the "
+    "KMV algebra — completes distinct/intersection/difference with "
+    "the similarity form dedup pipelines actually threshold on): over "
+    "the same odd/even-linenumber part-key sets as "
+    "sketch_kmv_intersection, J_hat = matches / union-count among "
+    "retained hashes below theta = min(theta_A, theta_B) — BOTH "
+    "counts are small integers off 2(k-1) retained rows, so the "
+    "estimate is one exact-integer division and the whole algebra "
+    "replays in DuckDB (sub-k sides degrade to exact, theta = 2^60).  "
+    "Exact Jaccard rides along as the tie-out.  Scale: sketch build "
+    "is a rank over DISTINCT hashes per side; the similarity itself "
+    "never touches the key universes — set EXPRESSIONS over sketches, "
+    "the point at 100 TB.",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT l_linenumber % 2 AS grp, l_partkey FROM lineitem
+),
+h AS (
+  SELECT grp,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM keys
+),
+ranked AS (
+  SELECT grp, hv,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS nd
+  FROM h
+),
+theta AS (
+  SELECT grp,
+         CASE WHEN MAX(nd) >= {KMVJ_K}
+              THEN MAX(CASE WHEN rn = {KMVJ_K} THEN hv END)
+              ELSE {1 << 60} END AS th,
+         CAST(MAX(nd) AS BIGINT) AS n_exact
+  FROM ranked GROUP BY grp
+),
+ret AS (
+  SELECT r.grp, r.hv FROM ranked r JOIN theta t ON t.grp = r.grp
+  WHERE r.rn < {KMVJ_K} OR t.th = {1 << 60}
+),
+tmin AS (SELECT MIN(th) AS th FROM theta),
+below AS (
+  SELECT DISTINCT r.hv, MAX(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM ret r JOIN tmin ON r.hv < tmin.th
+  GROUP BY r.hv
+),
+cnt AS (
+  SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS m_inter,
+         CAST(COUNT(*) AS BIGINT) AS m_union
+  FROM below
+),
+exact AS (
+  SELECT CAST((SELECT COUNT(*) FROM (
+           SELECT l_partkey FROM keys WHERE grp = 0
+           INTERSECT
+           SELECT l_partkey FROM keys WHERE grp = 1)) AS BIGINT) AS xi,
+         CAST((SELECT COUNT(DISTINCT l_partkey) FROM keys) AS BIGINT) AS xu
+)
+SELECT c.m_inter, c.m_union,
+       ROUND(CAST(c.m_inter AS DOUBLE) / c.m_union, 6) AS kmv_jaccard,
+       ROUND(CAST(e.xi AS DOUBLE) / e.xu, 6) AS exact_jaccard,
+       ROUND(ABS(CAST(c.m_inter AS DOUBLE) / c.m_union
+                 - CAST(e.xi AS DOUBLE) / e.xu)
+             / (CAST(e.xi AS DOUBLE) / e.xu), 6) AS rel_error
+FROM cnt c CROSS JOIN exact e
+""",
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    POW60 = 1 << 60
+    li = table(spark, sf_dir, "lineitem")
+    keys = li.select(
+        (F.col("l_linenumber") % 2).alias("grp"), "l_partkey"
+    ).distinct()
+    h = keys.select(
+        "grp", md5_long(F.col("l_partkey").cast("string")).alias("hv")
+    )
+    w_rank = Window.partitionBy("grp").orderBy("hv")
+    w_all = Window.partitionBy("grp")
+    ranked = h.select(
+        "grp",
+        "hv",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("nd"),
+    )
+    theta = ranked.groupBy("grp").agg(
+        F.when(
+            F.max("nd") >= KMVJ_K,
+            F.max(F.when(F.col("rn") == KMVJ_K, F.col("hv"))),
+        )
+        .otherwise(F.lit(POW60))
+        .alias("th"),
+        F.max("nd").cast("bigint").alias("n_exact"),
+    )
+    ret = ranked.join(F.broadcast(theta), "grp").where(
+        (F.col("rn") < KMVJ_K) | (F.col("th") == POW60)
+    )
+    tmin = theta.agg(F.min("th").alias("th_min"))
+    below = (
+        ret.crossJoin(F.broadcast(tmin))
+        .where(F.col("hv") < F.col("th_min"))
+        .groupBy("hv")
+        .agg(
+            F.max(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    cnt = below.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("m_inter"),
+        F.count(F.lit(1)).cast("bigint").alias("m_union"),
+    )
+    a = keys.where(F.col("grp") == 0).select("l_partkey")
+    b = keys.where(F.col("grp") == 1).select("l_partkey")
+    exact = (
+        a.intersect(b)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("xi"))
+        .crossJoin(
+            F.broadcast(
+                keys.agg(
+                    F.count_distinct("l_partkey").cast("bigint").alias("xu")
+                )
+            )
+        )
+    )
+    jac = F.col("m_inter").cast("double") / F.col("m_union")
+    ex = F.col("xi").cast("double") / F.col("xu")
+    return cnt.crossJoin(F.broadcast(exact)).select(
+        "m_inter",
+        "m_union",
+        F.round(jac, 6).alias("kmv_jaccard"),
+        F.round(ex, 6).alias("exact_jaccard"),
+        F.round(F.abs(jac - ex) / ex, 6).alias("rel_error"),
+    )

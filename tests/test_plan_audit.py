@@ -50,6 +50,7 @@ JUSTIFIED_BNLJ = {
     "quality_permutation_test",  # broadcast 1-row observed-diff + count scalars
     "sketch_kmv_intersection",   # broadcast 1-2 row sketch scalars (theta, exact, counts)
     "sketch_kmv_difference",     # broadcast 1-2 row sketch scalars (theta, exact, counts)
+    "sketch_kmv_jaccard",        # broadcast 1-2 row sketch scalars (theta, exact, counts)
     "ann_ivfpq_rerank_topk",     # broadcast centroid/codebook sets (KB-scale)
     "quality_ransac_line",       # broadcast 16-row iteration spine + 1-row best/fit scalars
     "curation_coreset_sample",   # broadcast 1-row (n, total_cost) scalar
