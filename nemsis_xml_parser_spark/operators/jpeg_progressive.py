@@ -220,15 +220,25 @@ def _encode_ac_refine(
     _flush_eobrun(bw, eobrun, pending)
 
 
-def encode_progressive_jpeg(px: np.ndarray) -> bytes:
-    """Grayscale progressive JPEG with the 6-scan ``SCAN_SCRIPT``."""
+def encode_progressive_jpeg(px: np.ndarray, wide_dqt: bool = False) -> bytes:
+    """Grayscale progressive JPEG with the 6-scan ``SCAN_SCRIPT``.
+    ``wide_dqt=True`` writes the quantization table with Pq=1 (16-bit
+    big-endian entries) — same values, wider storage; some encoders
+    always emit this form."""
     h, w, _by, _bx, blocks = _quantized_blocks(px)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in QTABLE_ZZ))
+    if wide_dqt:
+        out += seg(
+            0xDB,
+            bytes([0x10])
+            + b"".join(struct.pack(">H", int(x)) for x in QTABLE_ZZ),
+        )
+    else:
+        out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in QTABLE_ZZ))
     out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += seg(0xC4, _dht_payload(0, 0, _P_DC_CODES))
     out += seg(0xC4, _dht_payload(1, 0, _P_AC_CODES))
@@ -478,12 +488,18 @@ def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                qtables[tq] = np.frombuffer(
-                    body[o + 1 : o + 65], dtype=np.uint8
-                ).astype(np.int32)
-                o += 65
+                if pq == 1:  # 16-bit big-endian entries (Pq=1)
+                    qtables[tq] = np.frombuffer(
+                        body[o + 1 : o + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    o += 129
+                elif pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        body[o + 1 : o + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    o += 65
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
         elif marker == 0xC4:
             o = 0
             while o < len(body):
@@ -626,10 +642,12 @@ def make_progressive_jpeg_image(image_id: int) -> bytes:
     blocks are DC-only, so the 6-scan progressive pipeline (both DC
     bit-planes and all four AC scans, which carry pure EOB runs here)
     reconstructs the exact integers; the AC refinement machinery is
-    pinned separately by the gradient round-trip tests."""
+    pinned separately by the gradient round-trip tests.  Ids with
+    id%4==1 store the quantization table 16-bit (Pq=1, same values) —
+    the wide-DQT stream variant some encoders always emit."""
     w, h = 8 * (image_id % 3 + 1), 8 * (image_id % 2 + 1)
     bx = np.arange(w // 8).reshape(1, -1)
     by = np.arange(h // 8).reshape(-1, 1)
     v = (image_id * 11 + 13 * bx + 29 * by) % 256
     px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
-    return encode_progressive_jpeg(px)
+    return encode_progressive_jpeg(px, wide_dqt=image_id % 4 == 1)

@@ -131,3 +131,34 @@ def test_color_gradient_matches_direct_reconstruction():
 
 def test_deterministic_bytes():
     assert P.make_progressive_jpeg_image(9) == P.make_progressive_jpeg_image(9)
+
+
+def test_wide_dqt_roundtrip_and_fixture_routing():
+    """Pq=1 (16-bit) quantization tables decode identically to Pq=0 —
+    same values, wider storage; id%4==1 fixtures carry the wide form."""
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.jpeg_progressive import (
+        decode_progressive_jpeg,
+        encode_progressive_jpeg,
+        make_progressive_jpeg_image,
+    )
+
+    rng = np.random.default_rng(47)
+    px = rng.integers(0, 256, size=(16, 24)).astype(np.uint8)
+    narrow = encode_progressive_jpeg(px)
+    wide = encode_progressive_jpeg(px, wide_dqt=True)
+    assert wide != narrow and len(wide) == len(narrow) + 64
+    assert (
+        decode_progressive_jpeg(wide) == decode_progressive_jpeg(narrow)
+    ).all()
+    # wide-DQT fixture ids still decode to the closed form
+    for i in (1, 5, 13):
+        out = decode_progressive_jpeg(make_progressive_jpeg_image(i))
+        w, h = 8 * (i % 3 + 1), 8 * (i % 2 + 1)
+        bx = np.arange(w) // 8
+        by = np.arange(h) // 8
+        exp = (i * 11 + 13 * bx.reshape(1, w) + 29 * by.reshape(h, 1)) % 256
+        assert (out == exp).all(), i
+    # Pq=1 payload structure: marker byte 0x10, 129-byte table entry
+    assert wide[wide.index(b"\xff\xdb") + 4] == 0x10
