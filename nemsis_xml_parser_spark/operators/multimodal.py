@@ -463,6 +463,57 @@ def encode_png(px, filter_mode: str = "cycle") -> bytes:
     )
 
 
+def encode_png_rgba(px, filter_mode: str = "cycle") -> bytes:
+    """Real PNG encoder, 8-bit RGBA (colortype 6): same cycling filter
+    discipline as ``encode_png`` with the 4-byte pixel distance."""
+    import zlib
+
+    h, w, ch = px.shape
+    if ch != 4:
+        raise ValueError("encode_png_rgba needs (h, w, 4)")
+    raw = bytearray()
+    prev = bytes(w * 4)
+    for y in range(h):
+        row = px[y].tobytes()
+        ft = (y % 5) if filter_mode == "cycle" else 0
+        raw.append(ft)
+        raw += _filter_row(ft, row, prev, 4)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16_gray(px, filter_mode: str = "cycle") -> bytes:
+    """Real PNG encoder, 16-bit greyscale (colortype 0, bitdepth 16,
+    big-endian samples): filters run on BYTES with the 2-byte pixel
+    distance, per the spec."""
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape
+    raw = bytearray()
+    prev = bytes(w * 2)
+    for y in range(h):
+        row = np.asarray(px[y], dtype=">u2").tobytes()
+        ft = (y % 5) if filter_mode == "cycle" else 0
+        raw.append(ft)
+        raw += _filter_row(ft, row, prev, 2)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 # Adam7 pass geometry: (x0, y0, dx, dy) per pass
 _ADAM7 = [
     (0, 0, 8, 8),
@@ -536,11 +587,14 @@ def encode_png_palette(idx, palette) -> bytes:
 
 def decode_png_pixels(buf: bytes):
     """Real PNG pixel decode with stdlib zlib: chunk walk → IDAT inflate →
-    per-scanline unfilter → (h, w, channels) uint8 array.  Supports 8-bit
-    greyscale (colortype 0), RGB (2) and palette (3, expanded to RGB via
-    PLTE), each in both non-interlaced and Adam7-interlaced layouts;
-    alpha and sub-byte depths raise ``NotImplementedError`` (the
-    remaining seam where pillow plugs in)."""
+    per-scanline unfilter → (h, w, channels) array.  Supports 8-bit
+    greyscale (colortype 0), RGB (2), palette (3, expanded to RGB via
+    PLTE) and RGBA (6), plus 16-BIT greyscale (big-endian samples,
+    uint16 out) — each in both non-interlaced and Adam7-interlaced
+    layouts (PNG filters operate on BYTES with the bytes-per-pixel
+    distance, so the same unfilter table covers every depth); sub-byte
+    depths raise ``NotImplementedError`` (the remaining seam where
+    pillow plugs in)."""
     import zlib
 
     import numpy as np
@@ -566,29 +620,38 @@ def decode_png_pixels(buf: bytes):
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bitdepth != 8 or colortype not in (0, 2, 3) or interlace not in (0, 1):
+    ok = (bitdepth == 8 and colortype in (0, 2, 3, 6)) or (
+        bitdepth == 16 and colortype == 0
+    )
+    if not ok or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit grey/RGB/palette PNG decode is implemented"
+            "only 8-bit grey/RGB/palette/RGBA or 16-bit grey PNG decode "
+            "is implemented"
         )
     if colortype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
-    ch = 3 if colortype == 2 else 1
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[colortype]
+    sampbytes = bitdepth // 8
+    bpp = ch * sampbytes  # the filter distance is BYTES per pixel
+    dtype = np.dtype(">u2") if bitdepth == 16 else np.dtype(np.uint8)
     data = zlib.decompress(idat)
 
     def unfilter_block(ph: int, pw: int, off: int):
-        stride = pw * ch
+        stride = pw * bpp
         rows, prev = [], bytes(stride)
         for y in range(ph):
             o = off + y * (stride + 1)
-            cur = _unfilter_row(data[o], data[o + 1 : o + 1 + stride], prev, ch)
-            rows.append(np.frombuffer(cur, dtype=np.uint8))
+            cur = _unfilter_row(
+                data[o], data[o + 1 : o + 1 + stride], prev, bpp
+            )
+            rows.append(np.frombuffer(cur, dtype=dtype))
             prev = cur
         return np.stack(rows).reshape(ph, pw, ch), off + ph * (stride + 1)
 
     if interlace == 0:
         out, _ = unfilter_block(h, w, 0)
     else:
-        out = np.zeros((h, w, ch), dtype=np.uint8)
+        out = np.zeros((h, w, ch), dtype=dtype)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             ph = (h - y0 + dy - 1) // dy
@@ -599,6 +662,8 @@ def decode_png_pixels(buf: bytes):
             out[y0::dy, x0::dx] = sub
     if colortype == 3:
         out = plte[out[:, :, 0]]
+    if bitdepth == 16:
+        out = out.astype(np.uint16)
     return out
 
 
@@ -650,6 +715,49 @@ def synthesize_png_variant_media(
             rows = []
             for i in pdf[id_col]:
                 buf = make_png_variant_image(int(i))
+                rows.append((str(int(i)), "image/png", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def make_png_deep_image(image_id: int) -> bytes:
+    """Deterministic REAL png exercising the DEPTH seams: even ids are
+    16-BIT greyscale (big-endian samples, filters on byte pairs) with
+    v(x, y) = (id*257 + 513x + 1031y) mod 65536; odd ids are RGBA
+    (colortype 6) with channel law (id*7 + 3x + 5y + 11c) mod 256 for
+    c in 0..3 — the alpha plane is a first-class sample, not an
+    afterthought.  Both cycle all five PNG filters."""
+    import numpy as np
+
+    w, h = image_id % 24 + 4, image_id % 16 + 4
+    if image_id % 2 == 0:
+        x = np.arange(w).reshape(1, w)
+        y = np.arange(h).reshape(h, 1)
+        px = ((image_id * 257 + 513 * x + 1031 * y) % 65536).astype(
+            np.uint16
+        )
+        return encode_png16_gray(px)
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(4).reshape(1, 1, 4)
+    px = ((image_id * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+    return encode_png_rgba(px)
+
+
+def synthesize_png_deep_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus alternating 16-bit greyscale and RGBA PNGs —
+    MEDIA_SCHEMA output, Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_png_deep_image(int(i))
                 rows.append((str(int(i)), "image/png", buf, len(buf)))
             yield pd.DataFrame(
                 rows, columns=["path", "media_type", "content", "length"]

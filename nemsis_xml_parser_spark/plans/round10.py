@@ -2163,3 +2163,61 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ex, 6).alias("exact_jaccard"),
         F.round(F.abs(jac - ex) / ex, 6).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 16-bit greyscale + RGBA PNG — the depth seams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_deep_stats",
+    family="multimodal",
+    doc="Pixel statistics over the REAL 16-bit-greyscale and RGBA PNG "
+    "decode paths (operators/multimodal.py::decode_png_pixels — the "
+    "depth seams the 8-bit grey/RGB/palette decoder left raising): "
+    "even ids are 16-BIT greyscale (big-endian sample pairs; PNG "
+    "filters operate on BYTES at the 2-byte pixel distance, so the "
+    "filter table is exercised across the byte boundary), odd ids are "
+    "RGBA with the alpha plane as a first-class fourth sample.  Both "
+    "cycle all five PNG filters.  Pixels are closed-form — even: "
+    "(id*257 + 513x + 1031y) mod 65536; odd: (id*7 + 3x + 5y + 11c) "
+    "mod 256, c in 0..3 — so the oracle reproduces every decoded "
+    "sample; any byte-order, filter-distance or channel-count drift "
+    "breaks the hash.  Blobs stay inside the Arrow batch.",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 24 + 4 AS w, doc_id % 16 + 4 AS h,
+         doc_id % 2 = 0 AS deep
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, deep,
+         CASE WHEN deep
+              THEN (doc_id * 257 + 513 * xs.x + 1031 * ys.y) % 65536
+              ELSE (doc_id * 7 + 3 * xs.x + 5 * ys.y + 11 * cs.c) % 256
+         END AS v
+  FROM dims,
+       UNNEST(range(0, w)) AS xs(x),
+       UNNEST(range(0, h)) AS ys(y),
+       UNNEST(range(0, 4)) AS cs(c)
+  WHERE cs.c = 0 OR NOT deep
+)
+SELECT doc_id AS image_id,
+       CAST(MIN(w) AS INT) AS width,
+       CAST(MIN(h) AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_subpixels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id
+""",
+)
+def multimodal_png_deep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        png_pixel_stats,
+        synthesize_png_deep_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return png_pixel_stats(synthesize_png_deep_media(d.select("doc_id")))

@@ -193,16 +193,28 @@ def test_png_decode_greyscale_and_errors():
     assert out.ravel().tolist() == [10, 20, 30, 40]
     with pytest.raises(ValueError):
         M.decode_png_pixels(b"nope")
-    # 16-bit depth must hit the NotImplementedError seam, not mis-decode
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    buf16 = (
+    # sub-byte depth must hit the NotImplementedError seam, not
+    # mis-decode (16-bit grey is a real path since round 10 —
+    # test_png_deep_roundtrips_and_fixture pins it)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    buf4 = (
         b"\x89PNG\r\n\x1a\n"
-        + M._png_chunk(b"IHDR", ihdr16)
+        + M._png_chunk(b"IHDR", ihdr4)
         + M._png_chunk(b"IDAT", zlib.compress(raw))
         + M._png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
-        M.decode_png_pixels(buf16)
+        M.decode_png_pixels(buf4)
+    # and 16-bit RGB (unsupported colortype x depth combo) still raises
+    ihdr16rgb = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    buf16rgb = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr16rgb)
+        + M._png_chunk(b"IDAT", zlib.compress(raw))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_png_pixels(buf16rgb)
 
 
 def test_make_png_image_closed_form():
@@ -321,3 +333,39 @@ def test_non_g711_non_pcm_still_raises():
 
     with _pytest.raises(NotImplementedError, match="G.711"):
         decode_wav_samples(bytes(buf))
+
+
+def test_png_deep_roundtrips_and_fixture():
+    """16-bit greyscale and RGBA PNGs: filters run on bytes at the
+    2-/4-byte pixel distance; decode restores the exact samples."""
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png16_gray,
+        encode_png_rgba,
+        make_png_deep_image,
+    )
+
+    rng = np.random.default_rng(48)
+    g16 = rng.integers(0, 65536, size=(9, 13)).astype(np.uint16)
+    out = decode_png_pixels(encode_png16_gray(g16))
+    assert out.dtype == np.uint16 and out.shape == (9, 13, 1)
+    assert (out[:, :, 0] == g16).all()
+    rgba = rng.integers(0, 256, size=(7, 11, 4)).astype(np.uint8)
+    out = decode_png_pixels(encode_png_rgba(rgba))
+    assert out.shape == (7, 11, 4) and (out == rgba).all()
+    # fixture law: even ids 16-bit grey, odd ids RGBA
+    for i in (0, 2, 10):
+        w, h = i % 24 + 4, i % 16 + 4
+        px = decode_png_pixels(make_png_deep_image(i))
+        x = np.arange(w).reshape(1, w)
+        y = np.arange(h).reshape(h, 1)
+        assert (px[:, :, 0] == (i * 257 + 513 * x + 1031 * y) % 65536).all()
+    for i in (1, 3, 11):
+        w, h = i % 24 + 4, i % 16 + 4
+        px = decode_png_pixels(make_png_deep_image(i))
+        x = np.arange(w).reshape(1, w, 1)
+        y = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(4).reshape(1, 1, 4)
+        assert (px == (i * 7 + 3 * x + 5 * y + 11 * c) % 256).all()
