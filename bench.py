@@ -141,6 +141,11 @@ HEADLINE = [
     "graph_hyperball_anf",
     "quality_fdr_bh",
     "retrieval_ndcg_eval",
+    "retrieval_map_mrr",
+    "graph_effective_diameter",
+    "sketch_kmv_jaccard",
+    "multimodal_png_deep_stats",
+    "sketch_dyadic_quantiles",
 ]
 
 

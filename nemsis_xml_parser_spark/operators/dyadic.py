@@ -1,0 +1,98 @@
+"""Dyadic-decomposition quantile structure — MERGEABLE rank/quantile
+queries over a bounded integer domain without a global sort.
+
+The structure behind Count-Min-based quantile sketches (Cormode &
+Muthukrishnan's dyadic-range trick) and wavelet-tree ranking: keep a
+count per dyadic interval ``[b·2^l, (b+1)·2^l)`` for every level
+``l = 0..L-1``.  Each value touches exactly L intervals (its value
+prefix at each level), so the build is one explode ×L + one hash
+aggregate — map-side combinable, order-independent, and MERGEABLE by
+plain addition (two datasets' tables sum; a streaming microbatch folds
+the same way — the semilattice-template shape of streaming/kmv.py with
+``+`` instead of min/max).
+
+A rank-r query then DESCENDS the levels: at each level look up the left
+child's count and branch — L keyed lookups against the counts table
+replace the global sort.  With exact counts the answer is the exact
+r-th smallest value; hanging a Count-Min under each level turns the
+same structure into the fixed-space sketch (the point at 100 TB: the
+level tables are the only corpus-scale state, and they sum).
+
+Determinism: everything is integer counts and integer bit arithmetic —
+the generated SQL oracle replays the build and every descent step
+bit-for-bit, and the exact per-rank value rides along as the tie-out.
+
+Reference parity: none — §2.I sketch tier.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .lineage import cut_lineage
+
+
+def dyadic_counts(df: DataFrame, value: Column, levels: int) -> DataFrame:
+    """(l, bucket, c) — count per dyadic interval, levels 0..levels-1;
+    ``value`` must be a non-negative integer column < 2^levels."""
+    return (
+        df.select(value.cast("long").alias("v"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(levels - 1))).alias("l"),
+            "v",
+        )
+        # F.shiftright only takes a literal shift; the SQL form accepts
+        # a column expression
+        .select("l", F.expr("shiftright(v, l)").alias("bucket"))
+        .groupBy("l", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def dyadic_rank_select(
+    counts: DataFrame, targets: DataFrame, levels: int
+) -> DataFrame:
+    """For each (q, target) row in ``targets`` (target = 1-based rank),
+    descend the dyadic levels and return (q, target, value) with value =
+    the exact target-th smallest.  Each step is one keyed lookup of the
+    left child's count against the broadcast-small state frame."""
+    state = targets.select(
+        "q",
+        "target",
+        F.lit(0).cast("long").alias("prefix"),
+        F.lit(0).cast("long").alias("acc"),
+    )
+    for l in range(levels - 1, -1, -1):
+        left = counts.where(F.col("l") == l).select(
+            F.col("bucket").alias("__lb"), F.col("c").alias("__lc")
+        )
+        state = (
+            state.join(
+                F.broadcast(left).hint("broadcast"),
+                state["prefix"] * 2 == F.col("__lb"),
+                "left",
+            )
+            .select(
+                "q",
+                "target",
+                F.when(
+                    F.col("acc") + F.coalesce(F.col("__lc"), F.lit(0))
+                    >= F.col("target"),
+                    state["prefix"] * 2,
+                )
+                .otherwise(state["prefix"] * 2 + 1)
+                .alias("prefix"),
+                F.when(
+                    F.col("acc") + F.coalesce(F.col("__lc"), F.lit(0))
+                    >= F.col("target"),
+                    F.col("acc"),
+                )
+                .otherwise(
+                    F.col("acc") + F.coalesce(F.col("__lc"), F.lit(0))
+                )
+                .alias("acc"),
+            )
+            .transform(cut_lineage)
+        )
+    return state.select("q", "target", F.col("prefix").alias("value"))

@@ -2221,3 +2221,75 @@ def multimodal_png_deep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return png_pixel_stats(synthesize_png_deep_media(d.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# Dyadic-decomposition quantiles — rank queries without a global sort
+# ---------------------------------------------------------------------------
+
+DYA_LEVELS = 24  # extendedprice cents < 2^24
+
+
+@register(
+    "sketch_dyadic_quantiles",
+    family="sketch",
+    doc="Quantiles from a MERGEABLE dyadic-decomposition structure "
+    "(operators/dyadic.py — the Cormode/Muthukrishnan dyadic-range "
+    "layout under Count-Min quantile sketches, here with exact "
+    "counts): one count per dyadic interval [b*2^l, (b+1)*2^l) over "
+    "the 24-bit extendedprice-cents domain — built by an explode x24 "
+    "+ ONE map-side-combinable hash aggregate, order-independent and "
+    "mergeable by plain ADDITION (two datasets' tables sum; a "
+    "streaming microbatch folds the same way).  Rank-r selection then "
+    "DESCENDS the 24 levels — 24 keyed lookups against the tiny state "
+    "frame replace the global sort a naive order-statistic needs at "
+    "100 TB.  The oracle is deliberately INDEPENDENT: DuckDB computes "
+    "the same target ranks by an actual ORDER BY — agreement proves "
+    "the structure returns the TRUE order statistics, not merely that "
+    "both engines replay the same mechanics.  Targets: the "
+    "(floor(q*(n-1))+1)-th smallest for q = 1/4, 1/2, 3/4 (exact "
+    "integer arithmetic).",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+t AS (
+  SELECT CAST(s.k AS DOUBLE) / 4 AS q,
+         ((n.n - 1) * s.k) // 4 + 1 AS target
+  FROM n, UNNEST([1, 2, 3]) AS s(k)
+),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC) AS rn FROM v
+)
+SELECT t.q,
+       CAST(t.target AS BIGINT) AS target,
+       CAST(r.v AS BIGINT) AS value_cents,
+       ROUND(r.v / 100.0, 2) AS value
+FROM t JOIN ranked r ON r.rn = t.target
+""",
+)
+def sketch_dyadic_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dyadic import dyadic_counts, dyadic_rank_select
+    from ..operators.lineage import cut_lineage
+
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    # materialize the level tables once — the descent reads them 24x
+    counts = cut_lineage(dyadic_counts(li, cents, DYA_LEVELS))
+    tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spine = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    targets = (
+        spine.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("k").cast("double") / 4).alias("q"),
+            F.expr("((n - 1) * k) div 4 + 1").cast("long").alias("target"),
+        )
+    )
+    sel = dyadic_rank_select(counts, targets, DYA_LEVELS)
+    return sel.select(
+        "q",
+        "target",
+        F.col("value").cast("bigint").alias("value_cents"),
+        F.round(F.col("value") / 100.0, 2).alias("value"),
+    )
