@@ -2293,3 +2293,88 @@ def sketch_dyadic_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("bigint").alias("value_cents"),
         F.round(F.col("value") / 100.0, 2).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency smoothing — the classic LM mass re-estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_good_turing",
+    family="text",
+    doc="Good-Turing smoothed counts over the corpus word-TRIGRAM "
+    "distribution (the classic LM re-estimator; Gale & Sampson's "
+    "setup without the regression fallback — trigrams because the "
+    "n-gram tail is where GT matters: S_1 alone is ~40% of types "
+    "here): S_r = number of distinct trigrams seen exactly r times, "
+    "smoothed count r* = (r+1) * S_(r+1) / S_r (NULL where "
+    "S_(r+1) = 0 — the regime simple GT leaves to smoothing), and "
+    "the leave-one-out unseen-mass estimate P0 = S_1 / N riding on "
+    "every row.  Corpus work collapses to ONE shingle-count aggregate "
+    "and ONE frequency-of-frequencies aggregate before any arithmetic "
+    "— the vocabulary-then-histogram shape every LM estimator in this "
+    "repo uses (Kneser-Ney, Zipf, Heaps).  All counts exact BIGINTs; "
+    "the two divisions are single double ops.  Rows: r = 1..10.",
+    oracle="""
+WITH tok AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+tri AS (
+  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM tok, UNNEST(range(1, len(ts) - 1)) AS s(i)
+  WHERE len(ts) >= 3
+),
+tc AS (
+  SELECT g, COUNT(*) AS r FROM tri GROUP BY g
+),
+n AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM tc
+),
+sr AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS s_r FROM tc GROUP BY r
+)
+SELECT a.r,
+       a.s_r,
+       ROUND((a.r + 1) * CAST(b.s_r AS DOUBLE) / a.s_r, 6) AS r_star,
+       ROUND((SELECT CAST(s_r AS DOUBLE) FROM sr WHERE r = 1)
+             / (SELECT n_tokens FROM n), 6) AS p0_unseen
+FROM sr a LEFT JOIN sr b ON b.r = a.r + 1
+WHERE a.r <= 10
+""",
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(T.word_ngrams(F.lower(F.col("text")), 3)).alias("g")
+    )
+    tc = tok.groupBy("g").agg(F.count(F.lit(1)).alias("r"))
+    n = tc.agg(F.sum("r").cast("bigint").alias("n_tokens"))
+    sr = tc.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("s_r"))
+    s1 = sr.where(F.col("r") == 1).select(
+        F.col("s_r").cast("double").alias("s1")
+    )
+    nxt = sr.select(
+        (F.col("r") - 1).alias("r"), F.col("s_r").alias("s_next")
+    )
+    return (
+        sr.where(F.col("r") <= 10)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "r",
+            "s_r",
+            F.round(
+                (F.col("r") + 1)
+                * F.col("s_next").cast("double")
+                / F.col("s_r"),
+                6,
+            ).alias("r_star"),
+            F.round(F.col("s1") / F.col("n_tokens"), 6).alias("p0_unseen"),
+        )
+    )
