@@ -56,7 +56,11 @@ def dyadic_rank_select(
     """For each (q, target) row in ``targets`` (target = 1-based rank),
     descend the dyadic levels and return (q, target, value) with value =
     the exact target-th smallest.  Each step is one keyed lookup of the
-    left child's count against the broadcast-small state frame."""
+    left child's count against the tiny state frame; all ``levels``
+    steps chain into ONE plan (the state is rows-of-targets sized and
+    ``counts`` should be lineage-cut by the caller, so the 24-join-deep
+    plan stays flat and runs as a single job — 24 per-step checkpoints
+    measured ~10x slower in local mode)."""
     state = targets.select(
         "q",
         "target",
@@ -67,32 +71,21 @@ def dyadic_rank_select(
         left = counts.where(F.col("l") == l).select(
             F.col("bucket").alias("__lb"), F.col("c").alias("__lc")
         )
-        state = (
-            state.join(
-                F.broadcast(left).hint("broadcast"),
-                state["prefix"] * 2 == F.col("__lb"),
-                "left",
-            )
-            .select(
-                "q",
-                "target",
-                F.when(
-                    F.col("acc") + F.coalesce(F.col("__lc"), F.lit(0))
-                    >= F.col("target"),
-                    state["prefix"] * 2,
-                )
-                .otherwise(state["prefix"] * 2 + 1)
-                .alias("prefix"),
-                F.when(
-                    F.col("acc") + F.coalesce(F.col("__lc"), F.lit(0))
-                    >= F.col("target"),
-                    F.col("acc"),
-                )
-                .otherwise(
-                    F.col("acc") + F.coalesce(F.col("__lc"), F.lit(0))
-                )
-                .alias("acc"),
-            )
-            .transform(cut_lineage)
+        take_left = F.col("acc") + F.coalesce(F.col("__lc"), F.lit(0)) >= F.col(
+            "target"
+        )
+        state = state.join(
+            F.broadcast(left),
+            state["prefix"] * 2 == F.col("__lb"),
+            "left",
+        ).select(
+            "q",
+            "target",
+            F.when(take_left, state["prefix"] * 2)
+            .otherwise(state["prefix"] * 2 + 1)
+            .alias("prefix"),
+            F.when(take_left, F.col("acc"))
+            .otherwise(F.col("acc") + F.coalesce(F.col("__lc"), F.lit(0)))
+            .alias("acc"),
         )
     return state.select("q", "target", F.col("prefix").alias("value"))

@@ -2227,7 +2227,7 @@ def multimodal_png_deep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dyadic-decomposition quantiles — rank queries without a global sort
 # ---------------------------------------------------------------------------
 
-DYA_LEVELS = 24  # extendedprice cents < 2^24
+DYA_LEVELS = 17  # whole-dollar extendedprice < 2^17
 
 
 @register(
@@ -2237,11 +2237,12 @@ DYA_LEVELS = 24  # extendedprice cents < 2^24
     "(operators/dyadic.py — the Cormode/Muthukrishnan dyadic-range "
     "layout under Count-Min quantile sketches, here with exact "
     "counts): one count per dyadic interval [b*2^l, (b+1)*2^l) over "
-    "the 24-bit extendedprice-cents domain — built by an explode x24 "
+    "the 17-bit whole-dollar extendedprice domain — built by an "
+    "explode x17 "
     "+ ONE map-side-combinable hash aggregate, order-independent and "
     "mergeable by plain ADDITION (two datasets' tables sum; a "
     "streaming microbatch folds the same way).  Rank-r selection then "
-    "DESCENDS the 24 levels — 24 keyed lookups against the tiny state "
+    "DESCENDS the 17 levels — 17 keyed lookups against the tiny state "
     "frame replace the global sort a naive order-statistic needs at "
     "100 TB.  The oracle is deliberately INDEPENDENT: DuckDB computes "
     "the same target ranks by an actual ORDER BY — agreement proves "
@@ -2251,7 +2252,7 @@ DYA_LEVELS = 24  # extendedprice cents < 2^24
     "integer arithmetic).",
     oracle=f"""
 WITH v AS (
-  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem
+  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v FROM lineitem
 ),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
 t AS (
@@ -2264,8 +2265,7 @@ ranked AS (
 )
 SELECT t.q,
        CAST(t.target AS BIGINT) AS target,
-       CAST(r.v AS BIGINT) AS value_cents,
-       ROUND(r.v / 100.0, 2) AS value
+       CAST(r.v AS BIGINT) AS value_dollars
 FROM t JOIN ranked r ON r.rn = t.target
 """,
 )
@@ -2274,9 +2274,9 @@ def sketch_dyadic_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lineage import cut_lineage
 
     li = table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    # materialize the level tables once — the descent reads them 24x
-    counts = cut_lineage(dyadic_counts(li, cents, DYA_LEVELS))
+    dollars = F.floor(F.col("l_extendedprice")).cast("long")
+    # materialize the level tables once — the descent reads them 17x
+    counts = cut_lineage(dyadic_counts(li, dollars, DYA_LEVELS))
     tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     spine = spark.createDataFrame([(1,), (2,), (3,)], "k int")
     targets = (
@@ -2290,8 +2290,7 @@ def sketch_dyadic_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "q",
         "target",
-        F.col("value").cast("bigint").alias("value_cents"),
-        F.round(F.col("value") / 100.0, 2).alias("value"),
+        F.col("value").cast("bigint").alias("value_dollars"),
     )
 
 
