@@ -61,6 +61,12 @@ SF1_QUERIES = [
     "sketch_kmv_distinct",
     "text_bpe_encode",
     "er_sorted_neighborhood",
+    # round 10 additions (session 2)
+    "sketch_dyadic_quantiles",
+    "quality_fdr_bh",
+    "cluster_kmeans_parallel_init",
+    "curation_coreset_weighted_kmeans",
+    "text_good_turing",
 ]
 
 
