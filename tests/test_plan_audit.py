@@ -52,6 +52,9 @@ JUSTIFIED_BNLJ = {
     "sketch_kmv_difference",     # broadcast 1-2 row sketch scalars (theta, exact, counts)
     "sketch_kmv_jaccard",        # broadcast 1-2 row sketch scalars (theta, exact, counts)
     "text_good_turing",          # broadcast 1-row S_1 / N corpus scalars
+    "sketch_dyadic_quantiles",   # broadcast per-level count lookups vs
+                                 # the 3-row rank-descent state + 1-row
+                                 # n scalar (never corpus-sized)
     "ann_ivfpq_rerank_topk",     # broadcast centroid/codebook sets (KB-scale)
     "quality_ransac_line",       # broadcast 16-row iteration spine + 1-row best/fit scalars
     "curation_coreset_sample",   # broadcast 1-row (n, total_cost) scalar
