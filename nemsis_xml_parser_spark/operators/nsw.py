@@ -179,7 +179,14 @@ def nsw_beam_topk(
                 ).alias("cosine"),
             )
         )
-        # cut per hop: hop t+1's scoring must not replay hops 1..t
+        # cut per hop: hop t+1's scoring must not replay hops 1..t.
+        # REJECTED EXPERIMENT (r10): chaining all hops into one plan
+        # (the dyadic-descent recipe) measured only ~8% here and blew
+        # the physical plan up 6 -> 90 exchanges — `state` feeds TWO
+        # consumers per hop (kept + expansion union), so the un-cut
+        # plan duplicates the hop subtree exponentially; dyadic's chain
+        # is linear (one consumer) which is why the same trick was 2x
+        # there.  The checkpoint is load-bearing here.
         kept = (
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= beam)
