@@ -479,6 +479,38 @@ def main() -> None:
                 spark, str(work / "hllest")
             ).count(),
         }
+        # streaming Count-Min (streaming/countmin.py): cell-wise-SUM
+        # deltas batch-keyed (overwrite = replay-idempotent), watermark
+        # compaction — the third algebraic sketch class after min-k/max
+        from nemsis_xml_parser_spark.streaming.countmin import (
+            read_cm_cells,
+            read_cm_estimates,
+            start_countmin_stream,
+        )
+
+        q = start_countmin_stream(
+            source(ev_dir, ev_schema),
+            str(work / "cmstate"),
+            str(work / "cmest"),
+            str(work / "cp16"),
+            key_col="user_id",
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = spark.read.parquet(ev_dir).count()
+        out["countmin_maintenance"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": read_cm_cells(
+                spark, str(work / "cmstate")
+            ).count(),
+            "estimate_rows": read_cm_estimates(
+                spark, str(work / "cmest")
+            ).count(),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
