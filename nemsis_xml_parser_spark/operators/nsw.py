@@ -134,11 +134,16 @@ def nsw_beam_topk(
     hops: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    entries: int = 1,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) — beam-search ANN over the
     navigable graph.  The query itself stays IN the beam while
     searching (its out-edges are the best expansion frontier) but is
-    excluded from the returned top-k."""
+    excluded from the returned top-k.  ``entries`` > 1 starts the beam
+    from the seed members of the query's ``entries`` nearest cells
+    (HNSW's multi-entry trick flattened): the extra entry points cost
+    nothing per hop — the beam width caps the frontier — but recover
+    the recall a single unlucky entry cell forfeits."""
     centroids = train_centroids(
         corpus, nlist=nlist, iters=0, id_col=id_col, vec_col=vec_col
     ).transform(cut_lineage)
@@ -157,7 +162,7 @@ def nsw_beam_topk(
         queries.select(F.col(id_col).alias("__vid"),
                        V.to_double_array(F.col(vec_col)).alias("v")),
         centroids,
-        keep=1,
+        keep=entries,
     ).select(F.col("__vid").alias("query_id"), "cid")
     seeds = _seed_members(corpus, nlist, id_col)
     state = qcell.join(seeds, "cid").select(

@@ -2377,3 +2377,55 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s1") / F.col("n_tokens"), 6).alias("p0_unseen"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-entry NSW beam search — HNSW's entry trick flattened
+# ---------------------------------------------------------------------------
+
+NSWME_ENTRIES = 3
+
+from .round8 import _nsw_oracle as _nsw_oracle_gen  # noqa: E402
+
+
+@register(
+    "ann_nsw_multientry_topk",
+    family="similarity",
+    doc="Multi-ENTRY NSW beam search (operators/nsw.py::nsw_beam_topk "
+    "entries=3 — HNSW's multiple-entry-points trick flattened onto the "
+    "single-layer navigable graph): the beam starts from the seed "
+    "members of the query's 3 nearest cells instead of 1, recovering "
+    "the recall a single unlucky entry cell forfeits at ZERO per-hop "
+    "cost (the beam width caps the frontier either way) — the "
+    "graph-family counterpart of ann_lsh_multiprobe_topk / "
+    "ann_ivf_topk's nprobe.  Same graph, same hops/beam, same "
+    "generated oracle machinery with the entry set widened; recall "
+    "point recorded in ANN_RECALL_r10.json next to the single-entry "
+    "search.",
+    oracle=_nsw_oracle_gen(entries=NSWME_ENTRIES),
+)
+def ann_nsw_multientry_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nsw import nsw_beam_topk
+    from .round8 import (
+        NSW_BEAM,
+        NSW_G,
+        NSW_HOPS,
+        NSW_K,
+        NSW_LINKS,
+        NSW_NLIST,
+        NSW_Q,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < NSW_Q)
+    return nsw_beam_topk(
+        queries,
+        e,
+        k=NSW_K,
+        nlist=NSW_NLIST,
+        g_intra=NSW_G,
+        seed_links=NSW_LINKS,
+        beam=NSW_BEAM,
+        hops=NSW_HOPS,
+        entries=NSWME_ENTRIES,
+    )

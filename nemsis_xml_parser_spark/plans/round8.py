@@ -792,9 +792,11 @@ NSW_K = 5
 NSW_Q = 3
 
 
-def _nsw_oracle() -> str:
+def _nsw_oracle(entries: int = 1) -> str:
     """Replays graph build AND every unrolled beam hop in SQL — the
-    entire graph-ANN search path hash-checked against Spark."""
+    entire graph-ANN search path hash-checked against Spark.
+    ``entries`` parameterizes the multi-entry start (rn <= entries
+    seed cells; 1 = the original single-entry search)."""
 
     def cos(a: str, b: str) -> str:
         return (
@@ -846,9 +848,9 @@ def _nsw_oracle() -> str:
         f"""qset AS MATERIALIZED (
   SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {NSW_Q})""",
         f"""state0 AS (
-  SELECT r.vec_id AS query_id, c.svid AS node
+  SELECT DISTINCT r.vec_id AS query_id, c.svid AS node
   FROM ranked r JOIN cents c ON c.cid = r.cid
-  WHERE r.vec_id < {NSW_Q} AND r.rn = 1)""",
+  WHERE r.vec_id < {NSW_Q} AND r.rn <= {entries})""",
     ]
     for t in range(1, NSW_HOPS + 1):
         blocks.append(

@@ -95,3 +95,23 @@ def test_wider_beam_does_not_lose_recall(spark, emb):
         return len(a & x) / len(x)
 
     assert recall(16) >= recall(4)
+
+
+def test_multi_entry_does_not_lose_recall(spark, emb):
+    # HNSW's multi-entry trick: starting from the 3 nearest cells'
+    # seeds can only widen the explored region (the beam width caps
+    # the frontier either way)
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5)
+    x = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(entries):
+        a = {
+            (r.query_id, r.neighbor_id)
+            for r in nsw_beam_topk(
+                q, emb, k=5, beam=12, hops=3, entries=entries
+            ).collect()
+        }
+        return len(a & x) / len(x)
+
+    assert recall(3) >= recall(1)

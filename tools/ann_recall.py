@@ -103,8 +103,14 @@ def main() -> None:
         "ivf_probe3of8": lambda: ivf_topk(queries, corpus, k=K, nlist=8, nprobe=3),
         "ivf_probe6of8": lambda: ivf_topk(queries, corpus, k=K, nlist=8, nprobe=6),
         "nsw_beam8x3": lambda: nsw_beam_topk(queries, corpus, k=K),
+        "nsw_beam8x3_entries3": lambda: nsw_beam_topk(
+            queries, corpus, k=K, entries=3
+        ),
         "nsw_beam16x4": lambda: nsw_beam_topk(
             queries, corpus, k=K, beam=16, hops=4, g_intra=10
+        ),
+        "nsw_beam16x4_entries3": lambda: nsw_beam_topk(
+            queries, corpus, k=K, beam=16, hops=4, g_intra=10, entries=3
         ),
     }
     for name, fn in cases.items():
