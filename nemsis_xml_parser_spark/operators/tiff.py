@@ -488,6 +488,9 @@ def encode_tiff_tiled(
         entry(_PLANAR, 3, 1, planar),
         entry(_PREDICTOR, 3, 1, predictor),
     ]
+    # TIFF 6.0 requires IFD entries in ascending tag order; PlanarConfig
+    # (284) and Predictor (317) must land before the tile tags (322-325).
+    entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
     ifd_pos = pos
     out[4:8] = struct.pack(bo + "I", ifd_pos)
     out += b"".join(tiles) + bytes(arrays)
@@ -602,6 +605,8 @@ def encode_tiff_lzw(
         entry(_PLANAR, 3, 1, planar),
         entry(_PREDICTOR, 3, 1, predictor),
     ]
+    # Same ascending-tag-order requirement as encode_tiff_tiled above.
+    entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
     ifd_pos = pos
     out[4:8] = struct.pack(bo + "I", ifd_pos)
     out += b"".join(strips) + bytes(arrays)

@@ -255,6 +255,33 @@ _RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
         "unpivot_stack", "window_analytic_battery", "window_locf_fill",
         "window_range_frame",
     }),
+    10: frozenset({
+        "ann_ivfpq_rerank_topk", "ann_lsh_bucket_stats",
+        "ann_lsh_multiprobe_topk", "ann_nsw_multientry_topk",
+        "array_hof_battery", "cluster_kmeans_parallel_init",
+        "curation_coreset_sample", "curation_coreset_weighted_kmeans",
+        "curation_survivor_stats", "dedup_embedding_cosine_pairs",
+        "dedup_embedding_lsh_pairs", "dedup_exact_fingerprint",
+        "dedup_exact_survivors", "dedup_minhash_lsh_candidates",
+        "dedup_ngram_jaccard_pairs", "dedup_simhash_fingerprints",
+        "events_anomaly_mad", "events_gapfill_hourly",
+        "events_time_rollup_hierarchy", "events_view_click_attribution",
+        "graph_effective_diameter", "graph_hyperball_anf",
+        "join_fuzzy_name_match", "knn_cosine_topk",
+        "multimodal_decode_meta", "multimodal_embed_knn",
+        "multimodal_jpeg_progressive_color_stats",
+        "multimodal_png_deep_stats", "multimodal_tiff_jpeg_stats",
+        "multimodal_tiff_tiled_pred_stats", "quality_fdr_bh",
+        "quality_ransac_line", "retrieval_map_mrr",
+        "retrieval_ndcg_eval", "sample_hash_split",
+        "sample_stratified_hash", "sketch_dyadic_quantiles",
+        "sketch_kmv_difference", "sketch_kmv_jaccard",
+        "text_bpe_token_stats", "text_clean_normalize", "text_doc_idf",
+        "text_good_turing", "text_langid_confusion",
+        "text_quality_by_source", "text_rolling_fingerprint",
+        "text_stopword_ratio", "text_term_frequency",
+        "text_token_stats", "text_zscore_by_lang",
+    }),
 }
 
 _vintage: dict[str, int] = {}

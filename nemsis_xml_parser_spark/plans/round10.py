@@ -486,8 +486,9 @@ _POW60 = 1 << 60
     family="sketch",
     doc="Theta-sketch set-DIFFERENCE estimation (A-not-B, the third leg "
     "of the Dasgupta et al. theta algebra after sketch_kmv_distinct "
-    "and sketch_kmv_intersection): sketches of the part-key sets on "
-    "odd vs even lineitem line numbers; the A\\\\B estimate is the count "
+    "and sketch_kmv_intersection): sketches of the orders customer-key "
+    "sets split by o_orderstatus 'O' (A) vs 'F' (B); the A\\\\B estimate "
+    "is the count "
     "of A's retained hashes below theta = min(theta_A, theta_B) that "
     "do NOT appear in B's sketch, scaled by 2^60/theta, k = "
     f"{KMVD_K}.  Every register is a deterministic function of the "

@@ -114,6 +114,15 @@ def start_dedup_index_stream(
     spark = docs_stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands over a DataFrame bound to the streaming
+        # query's CLONED session (Structured Streaming runs every query
+        # on sparkSession.cloneSession()), so the conf overrides below
+        # land on the clone and CANNOT race a concurrent stream or
+        # batch query on the shared outer session (probe-verified:
+        # setting shuffle.partitions here leaves the outer session
+        # untouched).  All batch-body reads plan under this session so
+        # the overrides actually apply to them.
+        spark = batch_df.sparkSession
         prev: dict[str, str | None] = {}
         if batch_shuffle_partitions is not None:
             for key, val in (
