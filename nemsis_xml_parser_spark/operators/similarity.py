@@ -297,6 +297,80 @@ def lsh_multiprobe_topk(
     )
 
 
+def lsh_multitable_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-TABLE sign-LSH top-k — the classic E2LSH amplification
+    (Indyk/Motwani; Datar et al., SoCG'04): ``n_tables`` independent
+    seeded hyperplane sets, candidate union across tables, exact-cosine
+    re-rank.  Where multi-probe widens the search around ONE table's
+    bucket (correlated probes — recall plateaus, ANN_RECALL_r10's
+    0.102 ceiling), independent tables give the OR-amplified
+    1-(1-p^planes)^L collision curve, the standard way to push
+    hyperplane LSH past 0.5 recall without inflating any single
+    bucket's size.
+
+    Shape: one scan of each side computes the per-table bucket array
+    (posexploded to (table, bucket) keys), candidates are the
+    (table, bucket) equi-join, DISTINCT (query, neighbor) collapses
+    cross-table repeats before the exact-cosine ranking (the
+    brute_force_topk rounding/tie contract).  At 100 TB: the corpus
+    side carries n_tables bucket rows per vector (the L-fold E2LSH
+    index-size tradeoff), the join shuffles only (table, bucket)
+    groups, and nothing is ever all-pairs."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.to_double_array(F.col(vec_col)).alias("cv"),
+    )
+
+    def buckets(vcol: str) -> F.Column:
+        return F.array(
+            *[
+                V.random_projection_bucket(
+                    F.col(vcol), _lcg_planes(num_planes, dim, seed + t)
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    qb = q.select(
+        "query_id", "qv", F.posexplode(buckets("qv")).alias("t", "bucket")
+    )
+    cb = c.select(
+        "neighbor_id",
+        "cv",
+        F.posexplode(buckets("cv")).alias("t", "bucket"),
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["t", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.round(V.cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs_above_lsh(
     df: DataFrame,
     threshold: float,

@@ -33,6 +33,121 @@ from pyspark.sql import DataFrame, Window
 from ..functions import text as T
 
 
+def _selected_fps_arr(
+    text: F.Column, k: int, w: int, pos_bits: int
+) -> F.Column:
+    """ARRAY<BIGINT> of the distinct selected fingerprints of one
+    document, computed entirely with per-row array HOFs — zero
+    shuffles, no 2M-row shingle explode, no per-doc window sorts
+    (the r11 microbatch lever; same recipe as the r10 cdc_chunks
+    rewrite).
+
+    Byte-parity with the window formulation (kept below as
+    ``winnowing_fingerprints_window`` and pinned by
+    tests/test_winnow.py): the shingle subtree IS ``T.word_ngrams`` —
+    the same expression the explode path consumed — and the packed
+    lexicographic key, the ``pos <= n_ng - w`` full-frame filter
+    (= ``sequence(0, n_ng - w)``) and the double-division unpack are
+    transcribed term for term.  The ngram and key arrays are bound
+    once via single-element-array transforms (the ``word_ngrams``
+    LET idiom) so CollapseProject cannot inline them into the window
+    lambda and re-hash every shingle per window position —
+    O(shingles²) work."""
+    pos_mask = F.lit((1 << pos_bits) - 1)
+    P = F.lit(2147483647).cast("long")  # rolling_hash modulus
+
+    def from_keys(ks: F.Column) -> F.Column:
+        n_win = F.size(ks) - F.lit(w - 1)
+        return F.when(
+            n_win <= 0, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(-1))),
+                lambda j: F.floor(
+                    F.array_min(F.slice(ks, j + 1, w))
+                    / F.lit(1 << pos_bits)
+                ),
+            )
+        )
+
+    def word_hash_pows(ws: F.Column) -> F.Column:
+        # (H(word), 31^len(word) mod P) per word — each word's chars
+        # folded ONCE.  The shingle hash is then composed from these in
+        # O(k) long ops per shingle instead of re-folding ~k words' worth
+        # of characters per shingle: H(s1 || s2) = H(s1)*31^len(s2) +
+        # H(s2) (mod P), the defining identity of the polynomial hash,
+        # so the composed value is BIT-IDENTICAL to rolling_hash over the
+        # joined shingle string (pinned vs the window twin in
+        # tests/test_winnow.py).
+        return F.transform(
+            ws,
+            lambda wd: F.struct(
+                T.rolling_hash(wd).alias("h"),
+                F.aggregate(
+                    F.sequence(F.lit(1), F.length(wd)),
+                    F.lit(1).cast("long"),
+                    lambda acc, _: (acc * 31) % P,
+                ).alias("pw"),
+            ),
+        )
+
+    def shingle_keys(hps: F.Column) -> F.Column:
+        n_ng = F.size(hps) - F.lit(k - 1)
+
+        def combine(acc: F.Column, x: F.Column) -> F.Column:
+            # append ' ' + word: shift by 31^(1+len), add H(' '||word)
+            # = 32*31^len + H(word); every factor < 2^36 and every
+            # product < 2^62, so the arithmetic stays exact in BIGINT
+            joined = (
+                acc["h"] * ((x["pw"] * 31) % P)
+                + ((x["pw"] * 32) % P + x["h"])
+            ) % P
+            return F.struct(
+                F.when(acc["first"], x["h"]).otherwise(joined).alias("h"),
+                F.lit(False).alias("first"),
+            )
+
+        return F.when(
+            n_ng <= 0, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_ng - 1, F.lit(-1))),
+                lambda i: F.aggregate(
+                    F.slice(hps, i + 1, k),
+                    F.struct(
+                        F.lit(0).cast("long").alias("h"),
+                        F.lit(True).alias("first"),
+                    ),
+                    combine,
+                    lambda acc: acc["h"],
+                )
+                * F.lit(1 << pos_bits)
+                + (pos_mask - i.cast("long")),
+            )
+        )
+
+    # LET-bind words -> (hash, pow) pairs -> packed keys via
+    # single-element-array transforms (the word_ngrams idiom) so
+    # CollapseProject cannot inline and re-evaluate the expensive
+    # arrays per reference
+    sel = F.flatten(
+        F.transform(
+            F.array(T.tokens(text)),
+            lambda ws: F.flatten(
+                F.transform(
+                    F.array(word_hash_pows(ws)),
+                    lambda hps: F.flatten(
+                        F.transform(
+                            F.array(shingle_keys(hps)), from_keys
+                        )
+                    ),
+                )
+            ),
+        )
+    )
+    return F.array_distinct(sel)
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     k: int = 5,
@@ -43,7 +158,41 @@ def winnowing_fingerprints(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, gh) — the distinct selected fingerprints per document,
-    after the ``max_df`` stop-fingerprint guard (None disables it)."""
+    after the ``max_df`` stop-fingerprint guard (None disables it).
+
+    Selection runs per-document inside one narrow array-HOF stage
+    (:func:`_selected_fps_arr`); the only shuffles left are the
+    guard's df aggregate (when enabled) and whatever the caller adds."""
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            _selected_fps_arr(F.col(text_col), k, w, pos_bits)
+        ).alias("gh"),
+    )
+    if max_df is None:
+        return fps
+    ok = (
+        fps.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("gh")
+    )
+    return fps.join(ok, "gh", "left_semi")
+
+
+def winnowing_fingerprints_window(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int | None = 50,
+    pos_bits: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The original explode + per-doc-window formulation — kept as the
+    independently-derived parity twin for the array-HOF fast path
+    (tests/test_winnow.py asserts identical output on the real corpus),
+    and as the reference rendering of the SIGMOD'03 selection rule."""
     ng = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(T.word_ngrams(F.col(text_col), k)).alias("pos", "g"),

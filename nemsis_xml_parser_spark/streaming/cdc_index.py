@@ -44,7 +44,40 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cdc import cdc_chunks
 from ..operators.txlog import commit_table, current_version, read_table, vacuum
-from .winnow_index import candidates_against_fp_index, read_fp_index
+from .winnow_index import (
+    candidates_against_fp_index,  # noqa: F401  (re-export: test/tool API)
+    fp_groups,
+    pairs_from_groups,
+    read_fp_index,
+    read_hot_fps,
+    write_hot_fps,
+)
+
+
+def _write_ratio_row(
+    ratio_root: str, batch_id: int, total: int, duplicate: int
+) -> None:
+    """Driver-side single-row parquet write of the batch dedup ratio —
+    batch-keyed overwrite via tmp + atomic rename (replay-safe, torn
+    files impossible), schema-identical to the Spark writer it
+    replaces so ``read_dedup_ratios`` is unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(ratio_root, f"batch={batch_id}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".part-0.parquet.tmp")
+    pq.write_table(
+        pa.table(
+            {
+                "batch_id": pa.array([batch_id], pa.int64()),
+                "total_chunks": pa.array([total], pa.int64()),
+                "duplicate_chunks": pa.array([duplicate], pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, os.path.join(d, "part-0.parquet"))
 
 __all__ = [
     "read_chunk_index",
@@ -102,7 +135,7 @@ def start_cdc_index_stream(
     max_df: int | None = 50,
     min_shared: int = 2,
     available_now: bool = True,
-    batch_shuffle_partitions: int | None = 8,
+    batch_shuffle_partitions: int | None = 4,
     compact_every: int | None = 8,
 ) -> StreamingQuery:
     """foreachBatch loop: chunk → dedup-ratio + candidates vs index →
@@ -127,7 +160,7 @@ def start_cdc_index_stream(
         if batch_shuffle_partitions is not None:
             for key, val in (
                 ("spark.sql.shuffle.partitions", batch_shuffle_partitions),
-                ("spark.sql.files.minPartitionNum", 1),
+                ("spark.sql.files.minPartitionNum", 4),
                 ("spark.sql.adaptive.enabled", "false"),
             ):
                 prev[key] = spark.conf.get(key, None)
@@ -152,60 +185,67 @@ def start_cdc_index_stream(
                 .persist()
             )
             index = read_chunk_index(spark, index_root)
-            all_fps = index.unionByName(fps).persist()
-            pairs = candidates_against_fp_index(
-                fps, all_fps, max_df=max_df, min_shared=min_shared,
-                is_union=True,
+            # r11 (winnow_index's rework, shared machinery): restrict the
+            # history view to chunk hashes present in this batch
+            # (broadcast semi inside fp_groups), drop already-hot hashes
+            # via the monotone hot sidecar, and run ONE group aggregate
+            # whose (gh, bd, ad) sets feed pair emission, the newly-hot
+            # append AND the dedup ratio — the growing index is only ever
+            # scanned, never shuffled/aggregated/cached per batch.
+            fps_g = fps
+            hot_prior = (
+                read_hot_fps(spark, index_root, exclude_batch=batch_id)
+                if max_df is not None
+                else None
+            )
+            if hot_prior is not None:
+                b = F.broadcast(hot_prior)
+                index = index.join(b, "gh", "left_anti")
+                fps_g = fps.join(b, "gh", "left_anti")
+            g = fp_groups(fps_g, index).persist()
+            pairs = pairs_from_groups(
+                g, max_df=max_df, min_shared=min_shared
             )
             pairs.write.mode("overwrite").parquet(
                 f"{out_root}/batch={batch_id}"
             )
             # batch dedup ratio: chunk INSTANCES whose hash is already
             # known (history or another copy in this batch) / total.
-            # Replay-safe: the history side EXCLUDES rows contributed by
-            # this batch's own docs (on replay the index already holds
-            # them; doc_ids are owned by exactly one batch under the
-            # file-source contract), so the ratio row recomputes
-            # identically and is overwritten wholesale by batch id.
-            # Both counts ride ONE job via a cross join of the two
-            # single-row aggregates (r10: was two driver count() actions).
-            own_docs = fps.select("doc_id").distinct()
-            # read the CACHED union, not the index again: the own-docs
-            # anti-join removes this batch's rows either way (that's the
-            # replay-safety exclusion), so the semantics are identical
-            # and the growing index is scanned once per batch
-            known = (
-                all_fps.join(own_docs, "doc_id", "left_anti")
-                .select("gh")
-                .distinct()
-            )
-            new_hashes = (
-                fps.select("gh").distinct().join(known, "gh", "left_anti")
-            )
-            first_copies = (
-                fps.join(new_hashes, "gh", "left_semi")
-                .select("gh")
-                .distinct()
-                .agg(F.count(F.lit(1)).alias("fc"))
-            )
-            (
-                fps.agg(F.count(F.lit(1)).alias("total_chunks"))
-                .crossJoin(first_copies)
-                .select(
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                    F.col("total_chunks").cast("long"),
-                    (F.col("total_chunks") - F.col("fc"))
-                    .cast("long")
-                    .alias("duplicate_chunks"),
+            # A batch hash is a FIRST copy iff no doc outside this batch
+            # carries it: size(ad) == size(bd) in the group frame (sets,
+            # so a replayed batch's own rows already in the index collapse
+            # — the replay-safety exclusion the old own-docs anti-join
+            # bought).  Prior-hot hashes are absent from g and correctly
+            # count as known (> max_df docs carried them in earlier
+            # batches).  The first-copy count and the newly-hot gh list
+            # ride ONE driver collect over the cached group frame; the
+            # two single-row/tiny sidecar files are written driver-side
+            # (pyarrow, tmp + atomic rename — write_hot_fps's argument).
+            stats = g.agg(
+                F.sum(
+                    (F.size("ad") == F.size("bd")).cast("long")
+                ).alias("fc"),
+                F.collect_list(
+                    F.when(F.size("ad") > max_df, F.col("gh"))
+                    if max_df is not None
+                    else F.lit(None).cast("long")
+                ).alias("newly_hot"),
+            ).collect()[0]
+            total_chunks = fps.count()
+            if max_df is not None:
+                write_hot_fps(
+                    index_root, batch_id, list(stats.newly_hot)
                 )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{out_root}_ratio/batch={batch_id}")
+            _write_ratio_row(
+                f"{out_root}_ratio",
+                batch_id,
+                total_chunks,
+                total_chunks - int(stats.fc or 0),
             )
             fps.write.mode("overwrite").parquet(
                 f"{index_root}/batch={batch_id}"
             )
-            all_fps.unpersist()
+            g.unpersist()
             fps.unpersist()
             if compact_every and (batch_id + 1) % compact_every == 0:
                 compact_chunk_index(spark, index_root)

@@ -15,12 +15,15 @@ Per batch:
    as the batch twin, so stream == batch byte-identically);
 2. cumulative document frequency per fingerprint = distinct docs over
    index ∪ batch — the batch twin's ``max_df`` guard evaluated on the
-   prefix of the corpus seen so far.  The stop-list is therefore
-   MONOTONE: once a fingerprint goes hot (boilerplate, license
-   headers) it never generates another candidate; pairs already
-   emitted under a colder corpus stand.  That is the streaming
-   rendering of the batch guard — each batch applies exactly the
-   guard the batch algorithm would apply to the corpus-so-far;
+   prefix of the corpus seen so far, computed only for fingerprints
+   PRESENT IN THE BATCH (the broadcast semi-restriction in
+   ``candidates_against_fp_index`` — foreign fingerprints cannot join
+   anyway).  The stop-list is therefore MONOTONE: once a fingerprint
+   goes hot (boilerplate, license headers) it never generates another
+   candidate; pairs already emitted under a colder corpus stand.  That
+   is the streaming rendering of the batch guard — each batch applies
+   exactly the guard the batch algorithm would apply to the
+   corpus-so-far;
 3. candidate pairs touching the batch = guarded batch fingerprints ⋈
    guarded (index ∪ batch) on the fingerprint, canonicalized
    (doc_a < doc_b), scored by the number of DISTINCT shared
@@ -82,59 +85,159 @@ def _is_missing_path(e: AnalysisException) -> bool:
     return "Path does not exist" in str(e)
 
 
+def fp_groups(
+    fps_batch: DataFrame, index: DataFrame, restrict: bool = True
+) -> DataFrame:
+    """(gh, bd, ad) per fingerprint present in the batch: the SET of
+    batch doc_ids carrying it (``bd``) and the set of ALL doc_ids
+    carrying it over index ∪ batch (``ad`` ⊇ ``bd``).
+
+    Shuffle shape (r11 rework): the history side is first RESTRICTED to
+    fingerprints present in the batch via a broadcast semi-join
+    (``restrict=True``) — an index row whose gh is absent from the
+    batch can affect neither the df guard (df is per-gh; foreign ghs
+    only heat foreign ghs, which pair emission drops anyway) nor the
+    pairs themselves.  The growing O(history) index is therefore only
+    ever SCANNED (file read, broadcast-probed narrow) — never shuffled,
+    never aggregated, never cached per batch.  ONE ``collect_set``
+    aggregate (a single exchange on gh, map-side partials) then carries
+    everything downstream consumers need: ``size(ad)`` IS the exact
+    cumulative document frequency, and replay duplicates (a replayed
+    batch whose rows already sit in the index) collapse inside the sets
+    — the dup-immunity the old count_distinct formulation bought with
+    two extra exchanges.  The batch's gh column is broadcast
+    UN-deduplicated straight off the persisted batch frame — an extra
+    distinct would be one more stage, and the semi-join hash build
+    collapses duplicates anyway.
+
+    Set-size bound: callers that maintain a monotone hot-fingerprint
+    sidecar (the streams below) drop already-hot ghs from BOTH sides
+    first, so ``ad`` is bounded by max_df + the trigger size — the
+    aggregate never accumulates an unbounded boilerplate posting list
+    even at cluster scale."""
+    if restrict:
+        index = index.join(
+            F.broadcast(fps_batch.select("gh")), "gh", "left_semi"
+        )
+    tagged = index.select(
+        "gh", "doc_id", F.lit(False).alias("is_batch")
+    ).unionByName(
+        fps_batch.select("gh", "doc_id", F.lit(True).alias("is_batch"))
+    )
+    return tagged.groupBy("gh").agg(
+        F.collect_set(
+            F.when(F.col("is_batch"), F.col("doc_id"))
+        ).alias("bd"),
+        F.collect_set("doc_id").alias("ad"),
+    )
+
+
+def pairs_from_groups(
+    g: DataFrame, max_df: int | None = 50, min_shared: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, shared) from ``fp_groups`` output: guard on
+    ``size(ad)`` (the exact cumulative df), explode batch-doc x all-doc
+    per fingerprint, count fingerprints per pair.
+
+    Per gh a pair is emitted exactly once — both-in-batch pairs keep
+    only the ``da < db`` orientation, history partners appear under a
+    single ``da`` — so a plain ``count(*)`` equals the old
+    ``count_distinct(gh)`` score with one exchange instead of two."""
+    if max_df is not None:
+        g = g.where(F.size("ad") <= max_df)
+    p = (
+        g.where(F.size("bd") >= 1)
+        .select("bd", F.explode("bd").alias("da"), "ad")
+        .select("bd", "da", F.explode("ad").alias("db"))
+        .where(
+            (F.col("da") != F.col("db"))
+            & (
+                ~F.array_contains("bd", F.col("db"))
+                | (F.col("da") < F.col("db"))
+            )
+        )
+    )
+    return (
+        p.select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def candidates_against_fp_index(
     fps_batch: DataFrame,
     index: DataFrame,
     max_df: int | None = 50,
     min_shared: int = 3,
-    is_union: bool = False,
+    restrict: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, shared) candidate pairs touching the batch.
 
-    ``fps_batch`` / ``index`` hold UNGUARDED (doc_id, gh) rows; the
-    ``max_df`` guard is applied here on the cumulative corpus (index ∪
-    batch), distinct-counted so a replayed batch already present in the
-    index does not double-count itself (module docstring).
-
-    Shuffle shape (r10 rework): no materialized distinct of the union
-    anywhere — the df guard is ONE ``count_distinct(doc_id)`` aggregate
-    (identical stop-list: per-doc fingerprints are already distinct and
-    a replayed batch's docs collapse in the distinct count), and
-    duplicate (doc, gh) rows on the candidate side are harmless because
-    the pair score is ``count_distinct(gh)``.  No planning-time
-    broadcast hints: the hot list and the batch side are small, and AQE
-    converts those joins to broadcasts at RUNTIME inside one job chain —
-    a literal ``F.broadcast`` here was measured SLOWER (it forces the
-    hot aggregate to materialize as its own job before the probe can
-    even start).
-
-    ``is_union=True`` means ``index`` already IS index ∪ batch (the
-    stream passes the cached union so the growing index is scanned once
-    per batch, not once for the guard and again for the join)."""
-    all_fps = index if is_union else index.unionByName(fps_batch)
-    if max_df is not None:
-        hot = (
-            all_fps.groupBy("gh")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .where(F.col("df") > max_df)
-            .select("gh")
-        )
-        all_fps = all_fps.join(hot, "gh", "left_anti")
-        fps_batch = fps_batch.join(hot, "gh", "left_anti")
-    a = fps_batch.select(F.col("doc_id").alias("da"), "gh")
-    b = all_fps.select(F.col("doc_id").alias("db"), "gh")
-    return (
-        a.join(b, "gh")
-        .where(F.col("da") != F.col("db"))
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "gh",
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count_distinct("gh").alias("shared"))
-        .where(F.col("shared") >= min_shared)
+    ``fps_batch`` / ``index`` hold UNGUARDED (doc_id, gh) rows — the
+    index WITHOUT this batch; the ``max_df`` guard is applied on the
+    cumulative corpus (index ∪ batch), set-deduplicated so a replayed
+    batch already present in the index does not double-count itself
+    (module docstring).  Composition of :func:`fp_groups` +
+    :func:`pairs_from_groups` — the streams call the two halves
+    separately so the group frame can also feed the hot-sidecar append
+    and the cdc dedup ratio."""
+    return pairs_from_groups(
+        fp_groups(fps_batch, index, restrict=restrict),
+        max_df=max_df,
+        min_shared=min_shared,
     )
+
+
+def read_hot_fps(
+    spark: SparkSession, index_root: str, exclude_batch: int | None = None
+) -> DataFrame | None:
+    """The monotone hot-fingerprint sidecar: every gh whose cumulative
+    df has ever crossed max_df, one tiny ``hot/batch=N`` dir per batch
+    that detected new crossings (batches with none write NOTHING, so a
+    corpus without boilerplate pays zero for the mechanism — returns
+    None and the caller skips the anti-joins and their broadcast job).
+    ``exclude_batch`` skips the CURRENT batch's own dir so a replayed
+    batch re-detects (and re-writes) its own crossings instead of
+    having them pre-dropped — the overwrite stays bit-identical."""
+    import os
+
+    root = os.path.join(index_root, "hot")
+    dirs: list[str] = []
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            if d.startswith("batch=") and d != f"batch={exclude_batch}":
+                dirs.append(os.path.join(root, d))
+    if not dirs:
+        return None
+    return spark.read.schema("gh long").parquet(*dirs)
+
+
+def write_hot_fps(index_root: str, batch_id: int, ghs: list[int]) -> None:
+    """Append this batch's newly-hot ghs to the sidecar — driver-side
+    pyarrow write (the list is tiny by construction: ghs crossing the
+    df threshold in one batch), atomic via tmp + rename so concurrent
+    readers of other batches never see a torn file.  Nothing is written
+    when the list is empty, keeping the no-boilerplate fast path free.
+    Replay-safe: the list is a deterministic function of the batch and
+    the index-so-far, so a replayed batch rewrites identical bytes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not ghs:
+        return
+    d = os.path.join(index_root, "hot", f"batch={batch_id}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".part-0.parquet.tmp")
+    pq.write_table(
+        pa.table({"gh": pa.array(sorted(ghs), pa.int64())}), tmp
+    )
+    os.replace(tmp, os.path.join(d, "part-0.parquet"))
 
 
 def start_winnow_index_stream(
@@ -149,7 +252,7 @@ def start_winnow_index_stream(
     max_df: int | None = 50,
     min_shared: int = 3,
     available_now: bool = True,
-    batch_shuffle_partitions: int | None = 8,
+    batch_shuffle_partitions: int | None = 4,
 ) -> StreamingQuery:
     """foreachBatch loop: fingerprint → guard → candidates vs index →
     batch-keyed OVERWRITE writes (module docstring's exactly-once
@@ -189,7 +292,7 @@ def start_winnow_index_stream(
             # wall); restored with the rest
             for key, val in (
                 ("spark.sql.shuffle.partitions", batch_shuffle_partitions),
-                ("spark.sql.files.minPartitionNum", 1),
+                ("spark.sql.files.minPartitionNum", 4),
                 ("spark.sql.adaptive.enabled", "false"),
             ):
                 prev[key] = spark.conf.get(key, None)
@@ -198,42 +301,65 @@ def start_winnow_index_stream(
         # partitions, so the COMPUTE-heavy stage (ngram explode + per-char
         # rolling hash, the pipeline's real CPU) would run ~2-wide on a
         # 32-core executor pool: repartition the raw docs to full width
-        # first (a ~MB shuffle), narrow everything after.
+        # first (a ~MB shuffle) — HASHED BY doc_id, so the per-doc window
+        # (ClusteredDistribution(doc_id)) and the (doc_id, gh) distinct
+        # (partitioning exprs ⊆ grouping keys) inside
+        # winnowing_fingerprints both reuse this exchange instead of
+        # adding their own: the whole fingerprint computation is ONE
+        # wide stage (r11; was 3 exchanges).
         batch_df = batch_df.repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, F.col(id_col)
         )
         try:
             # 4-way persisted frame: a microbatch's fingerprints are
-            # MB-scale, but left at the session's 32 shuffle partitions
-            # every downstream stage (union scan, df aggregate, candidate
-            # join) launches 32-64 near-empty tasks — measured ~4 s/batch
-            # of pure task overhead against even a one-batch index.
-            # Narrow frames in, narrow index files out (the batch=N dirs
-            # hold 4 small files the next batch's scan bin-packs).
-            # repartition, not coalesce (the dedup_index/cdc_index note):
-            # winnowing's window exchange protects the k-gram hash stage,
-            # but the explicit tiny shuffle keeps every pre-persist stage
-            # at batch width regardless of where exchanges sit
+            # MB-scale — narrow frames in, narrow index files out (the
+            # batch=N dirs hold 4 small files the next batch's scan
+            # bin-packs).
             fps = winnowing_fingerprints(
                 batch_df, k=k, w=w, max_df=None,
                 id_col=id_col, text_col=text_col,
             ).repartition(4).persist()
             index = read_fp_index(spark, index_root)
-            # cache the union for the batch: the df guard and the
-            # candidate join both consume it, and without the cache the
-            # GROWING index would be scanned twice per batch
-            all_fps = index.unionByName(fps).persist()
-            pairs = candidates_against_fp_index(
-                fps, all_fps, max_df=max_df, min_shared=min_shared,
-                is_union=True,
+            # r11: no union cache, no per-batch df aggregate over the
+            # full history.  The history scan is restricted to batch ghs
+            # (broadcast semi inside fp_groups), already-hot ghs are
+            # dropped from both sides via the tiny monotone hot sidecar
+            # (bounding the collect_set posting lists by max_df + the
+            # trigger size), and ONE group aggregate feeds both the pair
+            # emission and the newly-hot append.
+            fps_g = fps
+            hot_prior = (
+                read_hot_fps(spark, index_root, exclude_batch=batch_id)
+                if max_df is not None
+                else None
+            )
+            if hot_prior is not None:
+                b = F.broadcast(hot_prior)
+                index = index.join(b, "gh", "left_anti")
+                fps_g = fps.join(b, "gh", "left_anti")
+            g = fp_groups(fps_g, index).persist()
+            pairs = pairs_from_groups(
+                g, max_df=max_df, min_shared=min_shared
             )
             pairs.write.mode("overwrite").parquet(
                 f"{out_root}/batch={batch_id}"
             )
+            if max_df is not None:
+                # ghs whose cumulative df crossed max_df THIS batch —
+                # monotone, so each gh lands in exactly one hot dir;
+                # replay recomputes the identical set (its own dir was
+                # excluded from hot_prior above) and overwrites in place
+                newly_hot = [
+                    r.gh
+                    for r in g.where(F.size("ad") > max_df)
+                    .select("gh")
+                    .collect()
+                ]
+                write_hot_fps(index_root, batch_id, newly_hot)
             fps.write.mode("overwrite").parquet(
                 f"{index_root}/batch={batch_id}"
             )
-            all_fps.unpersist()
+            g.unpersist()
             fps.unpersist()
         finally:
             for key, val in prev.items():

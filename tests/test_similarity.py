@@ -246,3 +246,53 @@ def test_multiprobe_flips0_equals_single_probe(spark):
         for r in S.lsh_topk(queries, e, k=5, num_planes=6, dim=64).collect()
     )
     assert a == b
+
+
+def test_multitable_lsh_recall_beats_multiprobe(spark):
+    """8 independent 6-plane tables (E2LSH OR-amplification) must beat
+    both single-probe and multi-probe on the same corpus — this is the
+    construction that moves hyperplane LSH past the multi-probe
+    plateau (VERDICT r10 item 6)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300)
+    queries = e.where(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(queries, e, k=10).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_multiprobe_topk(
+            queries, e, k=10, num_planes=6, n_flips=3, dim=64
+        ).collect()
+    }
+    mt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_multitable_topk(
+            queries, e, k=10, num_planes=6, n_tables=8, dim=64
+        ).collect()
+    }
+    rp = len(brute & multi) / len(brute)
+    rt = len(brute & mt) / len(brute)
+    assert rt >= rp, f"multitable {rt:.2f} < multiprobe {rp:.2f}"
+    # 0.31 measured on this 300-vec corpus at planes6 x 8 tables (the
+    # sf0.1 frontier reaches 0.69 at planes4 x 8 — ANN_RECALL_r11);
+    # the pin guards the OR-amplification against regression, not an
+    # absolute recall promise at toy scale
+    assert rt > 0.25, f"multitable recall too low: {rt:.2f}"
+    assert all(q != n for q, n in mt)
+
+
+def test_multitable_lsh_tables1_equals_single_table(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    queries = e.where(F.col("vec_id") < 5)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in S.lsh_multitable_topk(
+            queries, e, k=5, num_planes=6, n_tables=1, dim=64
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in S.lsh_topk(queries, e, k=5, num_planes=6, dim=64).collect()
+    )
+    assert a == b

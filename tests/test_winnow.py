@@ -1,0 +1,65 @@
+"""Winnowing fingerprint selection: the r11 array-HOF fast path must
+be byte-identical to the original explode + per-doc-window formulation
+(operators/winnow.py keeps both; the oracle SQL was derived from the
+window form, so this parity pin is what lets the fast path inherit the
+oracle checks)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F  # noqa: F401
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nemsis_xml_parser_spark.operators.winnow import (
+    winnowing_fingerprints,
+    winnowing_fingerprints_window,
+)
+
+
+def _symdiff(a, b) -> int:
+    return a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+
+
+def test_arr_matches_window_on_edge_shapes(spark):
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "a b c d e"),  # exactly k words -> 1 shingle, too few windows
+        (4, "a b c d e f g h"),  # k + w - 1 words -> exactly 1 window
+        (5, "  padded   whitespace\tand\nnewlines in this doc body here  "),
+        (6, "x " * 40),  # degenerate repeated token
+        (7, "über die faule brücke springt der flinke fuchs hinweg leise"),
+        (8, "the quick brown fox jumps over the lazy dog " * 3),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _symdiff(
+        winnowing_fingerprints(d, max_df=None),
+        winnowing_fingerprints_window(d, max_df=None),
+    ) == 0
+    # guarded form too (exercises the df semi-join on both paths)
+    assert _symdiff(
+        winnowing_fingerprints(d, max_df=2),
+        winnowing_fingerprints_window(d, max_df=2),
+    ) == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c\tqwe rty")),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_arr_matches_window_hypothesis(spark, texts):
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert _symdiff(
+        winnowing_fingerprints(d, max_df=None, k=3, w=2),
+        winnowing_fingerprints_window(d, max_df=None, k=3, w=2),
+    ) == 0

@@ -39,6 +39,7 @@ from nemsis_xml_parser_spark.operators.nsw import nsw_beam_topk  # noqa: E402
 from nemsis_xml_parser_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     lsh_multiprobe_topk,
+    lsh_multitable_topk,
     lsh_topk,
 )
 from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
@@ -99,6 +100,19 @@ def main() -> None:
         ),
         "mplsh_planes8_flips5": lambda: lsh_multiprobe_topk(
             queries, corpus, k=K, num_planes=8, n_flips=5
+        ),
+        # multi-TABLE (r11): L independent plane sets, candidate union,
+        # exact re-rank — the E2LSH OR-amplification; the construction
+        # that actually moves hyperplane LSH past the multi-probe
+        # plateau
+        "mtlsh_planes6_tables8": lambda: lsh_multitable_topk(
+            queries, corpus, k=K, num_planes=6, n_tables=8
+        ),
+        "mtlsh_planes5_tables12": lambda: lsh_multitable_topk(
+            queries, corpus, k=K, num_planes=5, n_tables=12
+        ),
+        "mtlsh_planes4_tables8": lambda: lsh_multitable_topk(
+            queries, corpus, k=K, num_planes=4, n_tables=8
         ),
         "ivf_probe3of8": lambda: ivf_topk(queries, corpus, k=K, nlist=8, nprobe=3),
         "ivf_probe6of8": lambda: ivf_topk(queries, corpus, k=K, nlist=8, nprobe=6),
