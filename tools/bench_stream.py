@@ -511,6 +511,41 @@ def main() -> None:
                 spark, str(work / "cmest")
             ).count(),
         }
+        # streaming IVF index maintenance (streaming/ivf_index.py):
+        # train-once centroids, per-batch cell assignment appended
+        # batch-keyed + cid-partitioned, txlog compaction — the ANN
+        # index's incremental-upsert twin (18th pipeline, r11)
+        from nemsis_xml_parser_spark.streaming.ivf_index import (
+            read_ivf_cells,
+            start_ivf_index_stream,
+        )
+
+        vec_dir = str(work / "vecs")
+        (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .repartition(N_SOURCE_FILES)
+            .write.parquet(vec_dir)
+        )
+        vec_schema = spark.read.parquet(vec_dir).schema
+        q = start_ivf_index_stream(
+            source(vec_dir, vec_schema),
+            str(work / "ivfidx"),
+            str(work / "cp17"),
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = spark.read.parquet(vec_dir).count()
+        out["ivf_index_maintenance"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": read_ivf_cells(
+                spark, str(work / "ivfidx")
+            ).count(),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

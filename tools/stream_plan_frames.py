@@ -143,6 +143,20 @@ def stream_batch_frames(
         .coalesce(1)
     )
 
+    # --- ivf index maintenance (streaming/ivf_index.py body) ---
+    from nemsis_xml_parser_spark.operators.ivf import (
+        assign_cells,
+        train_centroids,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)])
+         for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = train_centroids(vecs, nlist=4, iters=1)
+    frames["ivf_assign"] = assign_cells(vecs, cents)
+
     # --- count-min delta + estimate (streaming/countmin.py body) ---
     keyed = (
         docs.select(F.col("doc_id").cast("string").alias("k"))
