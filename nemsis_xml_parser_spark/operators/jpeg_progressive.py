@@ -296,8 +296,8 @@ def encode_progressive_jpeg_color(
     per-component AC scans the spec mandates (AC scans are always
     single-component, §G.1.1), two per component (1..63 at Al=1, then
     the refinement).  All components share quantization table 0 and the
-    deterministic one-length Huffman tables.  Subsampled (4:2:0)
-    progressive remains a named seam."""
+    deterministic one-length Huffman tables.  The 4:2:0 subsampled
+    form is encode_progressive_jpeg_420 (r11)."""
     if not (y.shape == cb.shape == cr.shape):
         raise ValueError("color progressive needs equal-size planes (4:4:4)")
     h, w = y.shape
@@ -327,6 +327,92 @@ def encode_progressive_jpeg_color(
         out += seg(0xDA, hdr + bytes([0, 0, (ah << 4) | al]))
         out += bw.flush()
     # per-component AC scans
+    for c, blocks in enumerate(planes):
+        for ah, al in ((0, 1), (1, 0)):
+            bw = _BitWriter()
+            if ah == 0:
+                _encode_ac_first(bw, blocks, 1, 63, al)
+            else:
+                _encode_ac_refine(bw, blocks, 1, 63, al)
+            out += seg(
+                0xDA, bytes([1, c + 1, 0x00, 1, 63, (ah << 4) | al])
+            )
+            out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_dc_first_seq(bw: _BitWriter, seq, al: int, ncomp: int) -> None:
+    """Interleaved DC-first over an explicit (comp, block) MCU-order
+    sequence (the encoder twin of _decode_dc_first_seq)."""
+    prev = [0] * ncomp
+    for c, blk in seq:
+        v = blk[0] >> al
+        diff = v - prev[c]
+        prev[c] = v
+        cat = _category(diff)
+        code, ln = _P_DC_CODES[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+
+def _encode_dc_refine_seq(bw: _BitWriter, seq, al: int) -> None:
+    for _c, blk in seq:
+        bw.write((blk[0] >> al) & 1, 1)
+
+
+def encode_progressive_jpeg_420(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> bytes:
+    """Three-component 4:2:0-SUBSAMPLED progressive JPEG (the seam the
+    r10 verdict named): Y sampled 2x2, chroma 1x1 at half resolution in
+    both axes.  Interleaved DC scans walk the T.81 §A.2.3 MCU order
+    (four Y blocks left-to-right/top-to-bottom, then Cb, then Cr);
+    the per-component AC scans cover each component's own block grid.
+    Dimensions must be multiples of 16 so the padded (MCU-aligned) and
+    true block grids coincide — the fixture generator guarantees it."""
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("4:2:0 fixture encoder needs 16-aligned dims")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be half-resolution")
+    planes = [_quantized_blocks(p)[4] for p in (y, cb, cr)]
+    nbx_y = w // 8
+    nbx_c = w // 16
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in QTABLE_ZZ))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, samp in ((1, 0x22), (2, 0x11), (3, 0x11)):
+        sof += bytes([cid, samp, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, _dht_payload(0, 0, _P_DC_CODES))
+    out += seg(0xC4, _dht_payload(1, 0, _P_AC_CODES))
+    seq: list[tuple[int, list[int]]] = []
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for dy in range(2):
+                for dx in range(2):
+                    seq.append(
+                        (0, planes[0][(2 * my + dy) * nbx_y + 2 * mx + dx])
+                    )
+            seq.append((1, planes[1][my * nbx_c + mx]))
+            seq.append((2, planes[2][my * nbx_c + mx]))
+    for ah, al in ((0, 1), (1, 0)):
+        bw = _BitWriter()
+        if ah == 0:
+            _encode_dc_first_seq(bw, seq, al, 3)
+        else:
+            _encode_dc_refine_seq(bw, seq, al)
+        hdr = bytes([3])
+        for cid in (1, 2, 3):
+            hdr += bytes([cid, 0x00])
+        out += seg(0xDA, hdr + bytes([0, 0, (ah << 4) | al]))
+        out += bw.flush()
     for c, blocks in enumerate(planes):
         for ah, al in ((0, 1), (1, 0)):
             bw = _BitWriter()
@@ -459,12 +545,34 @@ def _decode_ac_refine(r, blocks, nblocks, ac_tab, ss, se, al):
             eobrun -= 1
 
 
+def _decode_dc_first_seq(r, seq, dc_tabs, al, ncomp):
+    """Interleaved DC-first over an explicit (comp, block) MCU-order
+    sequence — the general-sampling walk (T.81 §A.2.3: within an MCU
+    each component contributes Vi x Hi blocks left-to-right,
+    top-to-bottom); per-component DC predictors."""
+    prev = [0] * ncomp
+    for c, blk in seq:
+        cat = _decode_symbol(r, dc_tabs[c])
+        prev[c] += _receive_extend(r, cat)
+        blk[0] = prev[c] << al
+
+
+def _decode_dc_refine_seq(r, seq, al):
+    for _c, blk in seq:
+        if r.read_bit():
+            blk[0] |= 1 << al
+
+
 def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
     """Decoded pixels of a progressive JPEG: (h, w) uint8 for a
     single-component stream, (h, w, 3) uint8 of the RAW decoded planes
     (YCbCr, no color conversion — the stats layer works per channel)
-    for a three-component 4:4:4 stream.  Subsampled (non-1x1) frames
-    raise — the named seam."""
+    for a three-component stream.  Sampling factors Hi, Vi in {1, 2}
+    are supported — 4:4:4, 4:2:0 and 4:2:2 (r11 closed the
+    subsampling seam): interleaved DC scans walk the general MCU
+    block order, non-interleaved AC scans cover each component's own
+    (unpadded) block grid, and subsampled chroma is upsampled by
+    sample replication on output."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -474,7 +582,11 @@ def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
     planes: list[list[list[int]]] | None = None
     comp_ids: list[int] = []
     comp_tqs: list[int] = []
-    nby = nbx = 0
+    comp_samp: list[tuple[int, int]] = []  # (Hi, Vi)
+    pad_nbx: list[int] = []  # padded (MCU-aligned) block grid per comp
+    pad_nby: list[int] = []
+    true_nbx: list[int] = []  # the component's own block grid
+    true_nby: list[int] = []
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -514,19 +626,35 @@ def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit precision")
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component progressive JPEG")
-            comp_ids, comp_tqs = [], []
+            comp_ids, comp_tqs, comp_samp = [], [], []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled (non-4:4:4) progressive JPEG"
+                        f"sampling factor {hi}x{vi} (only 1 and 2)"
                     )
                 comp_ids.append(cid)
                 comp_tqs.append(tq)
+                comp_samp.append((hi, vi))
             frame = (h, w)
-            nby, nbx = -(-h // 8), -(-w // 8)
+            hmax = max(s[0] for s in comp_samp)
+            vmax = max(s[1] for s in comp_samp)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            pad_nbx = [mcux * hi for hi, _ in comp_samp]
+            pad_nby = [mcuy * vi for _, vi in comp_samp]
+            # a component's own grid covers ceil(comp_dim / 8) where
+            # comp_dim = ceil(dim * Si / Smax)  (T.81 A.1.1)
+            true_nbx = [
+                -(-(-(-w * hi // hmax)) // 8) for hi, _ in comp_samp
+            ]
+            true_nby = [
+                -(-(-(-h * vi // vmax)) // 8) for _, vi in comp_samp
+            ]
             planes = [
-                [[0] * 64 for _ in range(nby * nbx)] for _ in range(ncomp)
+                [[0] * 64 for _ in range(pad_nby[c] * pad_nbx[c])]
+                for c in range(ncomp)
             ]
         elif marker == 0xDD:
             if struct.unpack(">H", body[:2])[0] != 0:
@@ -545,31 +673,63 @@ def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             r = _BitReader(buf, pos)
-            nblocks = nby * nbx
+
+            def comp_view(ci: int) -> list[list[int]]:
+                # the component's own (unpadded) block grid in raster
+                # order, as REFERENCES into the padded storage — the
+                # non-interleaved scan helpers mutate blocks in place,
+                # so a view list needs no writeback
+                return [
+                    planes[ci][y * pad_nbx[ci] + x]
+                    for y in range(true_nby[ci])
+                    for x in range(true_nbx[ci])
+                ]
+
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan with Se != 0")
                 if ns == 1:
                     ci, dc_id, _ = scan_comps[0]
+                    view = comp_view(ci)
                     if ah == 0:
                         _decode_dc_first(
-                            r, planes[ci], nblocks, htables[(0, dc_id)], al
+                            r, view, len(view), htables[(0, dc_id)], al
                         )
                     else:
-                        _decode_dc_refine(r, planes[ci], nblocks, al)
+                        _decode_dc_refine(r, view, len(view), al)
                 elif ns == len(planes):
-                    # interleaved DC scan: 1x1 sampling -> one block per
-                    # component per MCU, scan order = component order
-                    scan_planes = [planes[ci] for ci, _, _ in scan_comps]
+                    # interleaved DC scan: general MCU walk — each
+                    # component contributes Vi x Hi padded-grid blocks
+                    # per MCU, left-to-right then top-to-bottom
+                    hmax = max(s[0] for s in comp_samp)
+                    vmax = max(s[1] for s in comp_samp)
+                    mcux = -(-frame[1] // (8 * hmax))
+                    mcuy = -(-frame[0] // (8 * vmax))
+                    seq: list[tuple[int, list[int]]] = []
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for pos_in_scan, (ci, _dc, _ac) in enumerate(
+                                scan_comps
+                            ):
+                                hi, vi = comp_samp[ci]
+                                for dy in range(vi):
+                                    for dx in range(hi):
+                                        seq.append((
+                                            pos_in_scan,
+                                            planes[ci][
+                                                (my * vi + dy)
+                                                * pad_nbx[ci]
+                                                + mx * hi
+                                                + dx
+                                            ],
+                                        ))
+                    dc_tabs = [
+                        htables[(0, dc_id)] for _, dc_id, _ in scan_comps
+                    ]
                     if ah == 0:
-                        dc_id = scan_comps[0][1]
-                        _decode_dc_first_interleaved(
-                            r, scan_planes, nblocks, htables[(0, dc_id)], al
-                        )
+                        _decode_dc_first_seq(r, seq, dc_tabs, al, ns)
                     else:
-                        _decode_dc_refine_interleaved(
-                            r, scan_planes, nblocks, al
-                        )
+                        _decode_dc_refine_seq(r, seq, al)
                 else:
                     raise NotImplementedError(
                         "partially interleaved progressive DC scan"
@@ -579,10 +739,11 @@ def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
                     raise ValueError("AC scan must be single-component (G.1.1)")
                 ci, _, ac_id = scan_comps[0]
                 tab = htables[(1, ac_id)]
+                view = comp_view(ci)
                 if ah == 0:
-                    _decode_ac_first(r, planes[ci], nblocks, tab, ss, se, al)
+                    _decode_ac_first(r, view, len(view), tab, ss, se, al)
                 else:
-                    _decode_ac_refine(r, planes[ci], nblocks, tab, ss, se, al)
+                    _decode_ac_refine(r, view, len(view), tab, ss, se, al)
             # resume the marker walk at the next marker after the scan
             pos = r.pos
             while pos + 1 < len(buf) and not (
@@ -592,22 +753,34 @@ def decode_progressive_jpeg(buf: bytes) -> np.ndarray:
     if frame is None or planes is None:
         raise ValueError("missing SOF2/SOS")
     h, w = frame
+    hmax = max(s[0] for s in comp_samp)
+    vmax = max(s[1] for s in comp_samp)
     outs = []
     for ci, blocks in enumerate(planes):
+        hi, vi = comp_samp[ci]
+        ch = -(-h * vi // vmax)  # the component's own pixel dims
+        cw = -(-w * hi // hmax)
         q = np.empty((8, 8), dtype=np.float64)
         for idx, (u, v) in enumerate(ZIGZAG):
             q[u, v] = qtables[comp_tqs[ci]][idx]
-        out = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+        out = np.empty(
+            (pad_nby[ci] * 8, pad_nbx[ci] * 8), dtype=np.float64
+        )
         for b, zz in enumerate(blocks):
             s = np.zeros((8, 8), dtype=np.float64)
             for idx, (u, v) in enumerate(ZIGZAG):
                 s[u, v] = zz[idx]
             blk = _A.T @ (s * q) @ _A + 128.0
-            by, bx = divmod(b, nbx)
+            by, bx = divmod(b, pad_nbx[ci])
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-        outs.append(
-            np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
-        )
+        plane = np.clip(np.round(out[:ch, :cw]), 0, 255).astype(np.uint8)
+        if (hi, vi) != (hmax, vmax):
+            # upsample subsampled chroma by sample replication, then
+            # crop the replication overhang of odd dims
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
+        outs.append(plane)
     if len(outs) == 1:
         return outs[0]
     return np.stack(outs, axis=-1)
@@ -632,6 +805,31 @@ def make_progressive_color_jpeg_image(image_id: int) -> bytes:
             np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(np.uint8)
         )
     return encode_progressive_jpeg_color(*planes)
+
+
+def make_progressive_420_jpeg_image(image_id: int) -> bytes:
+    """Deterministic REAL 4:2:0 progressive JPEG: width 16·(id%3+1),
+    height 16·(id%2+1).  Y block (bx, by) on the FULL-res 8x8 grid is
+    constant at (id·11 + 13·bx + 29·by) mod 256; chroma block (bx, by)
+    on the HALF-res 8x8 grid is constant at
+    (id·11 + 13·bx + 29·by + 47·c) mod 256, c = 1 (Cb), 2 (Cr) — after
+    the decoder's replication upsample, pixel (x, y) of chroma c reads
+    the law at (x//16, y//16).  Constant blocks are DC-only, so the
+    8-scan subsampled pipeline reconstructs exact integers."""
+    w, h = 16 * (image_id % 3 + 1), 16 * (image_id % 2 + 1)
+    bx = np.arange(w // 8).reshape(1, -1)
+    by = np.arange(h // 8).reshape(-1, 1)
+    yv = (image_id * 11 + 13 * bx + 29 * by) % 256
+    yp = np.repeat(np.repeat(yv, 8, axis=0), 8, axis=1).astype(np.uint8)
+    cbx = np.arange(w // 16).reshape(1, -1)
+    cby = np.arange(h // 16).reshape(-1, 1)
+    chroma = []
+    for c in (1, 2):
+        cv = (image_id * 11 + 13 * cbx + 29 * cby + 47 * c) % 256
+        chroma.append(
+            np.repeat(np.repeat(cv, 8, axis=0), 8, axis=1).astype(np.uint8)
+        )
+    return encode_progressive_jpeg_420(yp, *chroma)
 
 
 def make_progressive_jpeg_image(image_id: int) -> bytes:

@@ -590,11 +590,12 @@ def decode_png_pixels(buf: bytes):
     per-scanline unfilter → (h, w, channels) array.  Supports 8-bit
     greyscale (colortype 0), RGB (2), palette (3, expanded to RGB via
     PLTE) and RGBA (6), plus 16-BIT greyscale (big-endian samples,
-    uint16 out) — each in both non-interlaced and Adam7-interlaced
-    layouts (PNG filters operate on BYTES with the bytes-per-pixel
-    distance, so the same unfilter table covers every depth); sub-byte
-    depths raise ``NotImplementedError`` (the remaining seam where
-    pillow plugs in)."""
+    uint16 out) and the SUB-BYTE depths 1/2/4 for grey and palette
+    (packed MSB-first scanlines, filter distance floored at one byte,
+    raw levels out unscaled) — each in both non-interlaced and
+    Adam7-interlaced layouts (PNG filters operate on BYTES with the
+    bytes-per-pixel distance, so one unfilter table covers every
+    depth; r11 closed the sub-byte seam)."""
     import zlib
 
     import numpy as np
@@ -620,31 +621,50 @@ def decode_png_pixels(buf: bytes):
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    ok = (bitdepth == 8 and colortype in (0, 2, 3, 6)) or (
-        bitdepth == 16 and colortype == 0
+    ok = (
+        (bitdepth == 8 and colortype in (0, 2, 3, 6))
+        or (bitdepth == 16 and colortype == 0)
+        or (bitdepth in (1, 2, 4) and colortype in (0, 3))
     )
     if not ok or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit grey/RGB/palette/RGBA or 16-bit grey PNG decode "
-            "is implemented"
+            "only 1/2/4/8-bit grey+palette, 8-bit RGB/RGBA or 16-bit "
+            "grey PNG decode is implemented"
         )
     if colortype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[colortype]
-    sampbytes = bitdepth // 8
-    bpp = ch * sampbytes  # the filter distance is BYTES per pixel
+    subbyte = bitdepth < 8
+    # the PNG filter distance is BYTES per pixel, floored at 1 for the
+    # packed sub-byte depths (spec: "bpp is rounded up to one")
+    bpp = max(1, ch * bitdepth // 8)
     dtype = np.dtype(">u2") if bitdepth == 16 else np.dtype(np.uint8)
+    # MSB-first place values for unpacking a packed sub-byte scanline
+    places = (
+        (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+        if subbyte
+        else None
+    )
     data = zlib.decompress(idat)
 
     def unfilter_block(ph: int, pw: int, off: int):
-        stride = pw * bpp
+        stride = (
+            (pw * ch * bitdepth + 7) // 8 if subbyte else pw * bpp
+        )
         rows, prev = [], bytes(stride)
         for y in range(ph):
             o = off + y * (stride + 1)
             cur = _unfilter_row(
                 data[o], data[o + 1 : o + 1 + stride], prev, bpp
             )
-            rows.append(np.frombuffer(cur, dtype=dtype))
+            if subbyte:
+                # unpack MSB-first groups of `bitdepth` bits; the last
+                # byte's padding bits fall off the pw*ch slice
+                bits = np.unpackbits(np.frombuffer(cur, np.uint8))
+                samples = bits.reshape(-1, bitdepth) @ places
+                rows.append(samples[: pw * ch].astype(np.uint8))
+            else:
+                rows.append(np.frombuffer(cur, dtype=dtype))
             prev = cur
         return np.stack(rows).reshape(ph, pw, ch), off + ph * (stride + 1)
 
@@ -745,6 +765,96 @@ def make_png_deep_image(image_id: int) -> bytes:
     c = np.arange(4).reshape(1, 1, 4)
     px = ((image_id * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
     return encode_png_rgba(px)
+
+
+def _pack_subbyte_row(samples, bitdepth: int) -> bytes:
+    """Pack one scanline of sub-byte samples MSB-first (PNG layout)."""
+    import numpy as np
+
+    per_byte = 8 // bitdepth
+    n = len(samples)
+    padded = np.zeros(((n + per_byte - 1) // per_byte) * per_byte, np.uint8)
+    padded[:n] = samples
+    bits = (
+        (padded.reshape(-1, 1) >> np.arange(bitdepth - 1, -1, -1)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def encode_png_subbyte(levels, bitdepth: int, palette=None) -> bytes:
+    """1/2/4-bit PNG: greyscale (colortype 0) or palettized (colortype 3
+    when ``palette`` is given) — packed MSB-first scanlines, filters
+    cycling y % 5 at the 1-byte filter distance the spec floors
+    sub-byte depths to."""
+    import zlib
+
+    h, w = levels.shape
+    if bitdepth not in (1, 2, 4):
+        raise ValueError("sub-byte encoder takes bitdepth 1, 2 or 4")
+    if int(levels.max(initial=0)) >= (1 << bitdepth):
+        raise ValueError("sample exceeds bit depth")
+    raw = bytearray()
+    stride = (w * bitdepth + 7) // 8
+    prev = bytes(stride)
+    for y in range(h):
+        row = _pack_subbyte_row(levels[y], bitdepth)
+        ft = y % 5
+        raw.append(ft)
+        raw += _filter_row(ft, row, prev, 1)
+        prev = row
+    colortype = 3 if palette is not None else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(
+            b"PLTE", bytes(v for rgb in palette for v in rgb)
+        )
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png_subbyte_image(image_id: int) -> bytes:
+    """Deterministic REAL sub-byte png: depth cycles 1/2/4 by id % 3,
+    level(x, y) = (id*7 + 3x + 5y) mod 2^depth.  Even ids are packed
+    GREYSCALE (raw levels out), odd ids are PALETTIZED with
+    PLTE[i] = ((37i) mod 256, (59i) mod 256, (83i) mod 256) — both
+    closed-form so a SQL oracle reproduces every decoded sample."""
+    import numpy as np
+
+    w, h = image_id % 24 + 4, image_id % 16 + 4
+    depth = (1, 2, 4)[image_id % 3]
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    lv = ((image_id * 7 + 3 * x + 5 * y) % (1 << depth)).astype(np.uint8)
+    if image_id % 2 == 0:
+        return encode_png_subbyte(lv, depth)
+    palette = [
+        ((37 * i) % 256, (59 * i) % 256, (83 * i) % 256)
+        for i in range(1 << depth)
+    ]
+    return encode_png_subbyte(lv, depth, palette=palette)
+
+
+def synthesize_png_subbyte_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of 1/2/4-bit grey + palettized PNGs —
+    MEDIA_SCHEMA output, Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_png_subbyte_image(int(i))
+                rows.append((str(int(i)), "image/png", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_png_deep_media(
@@ -1695,6 +1805,28 @@ def synthesize_progressive_jpeg_media(
             rows = []
             for i in pdf[id_col]:
                 buf = make_progressive_jpeg_image(int(i))
+                rows.append((str(int(i)), "image/jpeg", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_progressive_420_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL 4:2:0-subsampled progressive JPEGs
+    (operators/jpeg_progressive.py::encode_progressive_jpeg_420 — the
+    general-sampling MCU walk + replication chroma upsample) —
+    MEDIA_SCHEMA, Arrow-batched."""
+    from .jpeg_progressive import make_progressive_420_jpeg_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_progressive_420_jpeg_image(int(i))
                 rows.append((str(int(i)), "image/jpeg", buf, len(buf)))
             yield pd.DataFrame(
                 rows, columns=["path", "media_type", "content", "length"]

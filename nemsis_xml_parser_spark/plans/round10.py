@@ -433,8 +433,8 @@ def multimodal_tiff_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dequant+IDCT reconstruction is pinned in tests/"
     "test_jpeg_progressive.py.  Decode rides the SAME jpeg_pixel_stats "
     "mapInPandas path (the marker walk dispatches SOF2, the "
-    "progressive decoder dispatches on component count).  Subsampled "
-    "(4:2:0) progressive remains a named seam.",
+    "progressive decoder dispatches on component count).  The 4:2:0 "
+    "seam closed in r11 (multimodal_jpeg_progressive_420_stats).",
     oracle="""
 WITH dims AS (
   SELECT doc_id, 8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 2 + 1) AS h

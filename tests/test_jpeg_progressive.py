@@ -60,10 +60,11 @@ def test_decode_baseline_jpeg_dispatches_sof2():
 def test_seams_raise():
     buf = bytearray(P.make_progressive_jpeg_image(1))
     sof = buf.find(b"\xff\xc2")
-    # subsampled (non-4:4:4) progressive: patch the sampling byte
+    # sampling factors above 2 stay a named seam (1 and 2 are
+    # implemented since r11 — 4:4:4 / 4:2:0 / 4:2:2)
     bad = bytearray(buf)
-    bad[sof + 2 + 2 + 5 + 2] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    bad[sof + 2 + 2 + 5 + 2] = 0x33
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         P.decode_progressive_jpeg(bytes(bad))
     # DRI inside progressive
     dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
@@ -162,3 +163,32 @@ def test_wide_dqt_roundtrip_and_fixture_routing():
         assert (out == exp).all(), i
     # Pq=1 payload structure: marker byte 0x10, 129-byte table entry
     assert wide[wide.index(b"\xff\xdb") + 4] == 0x10
+
+
+def test_420_constant_fixture_exact():
+    """4:2:0: interleaved DC walks the 4xY+Cb+Cr MCU order, AC scans
+    cover each component's own grid, chroma upsamples by replication."""
+    for i in (0, 1, 2, 3, 4, 5):
+        w, h = 16 * (i % 3 + 1), 16 * (i % 2 + 1)
+        got = P.decode_progressive_jpeg(P.make_progressive_420_jpeg_image(i))
+        assert got.shape == (h, w, 3)
+        X, Y = np.meshgrid(np.arange(w), np.arange(h))
+        assert (got[:, :, 0] == (i * 11 + 13 * (X // 8) + 29 * (Y // 8)) % 256).all()
+        for c in (1, 2):
+            exp = (i * 11 + 13 * (X // 16) + 29 * (Y // 16) + 47 * c) % 256
+            assert (got[:, :, c] == exp).all(), f"id {i} chroma {c}"
+
+
+def test_420_encoder_validates_shapes():
+    with pytest.raises(ValueError, match="16-aligned"):
+        P.encode_progressive_jpeg_420(
+            np.zeros((8, 8), dtype=np.uint8),
+            np.zeros((4, 4), dtype=np.uint8),
+            np.zeros((4, 4), dtype=np.uint8),
+        )
+    with pytest.raises(ValueError, match="half-resolution"):
+        P.encode_progressive_jpeg_420(
+            np.zeros((16, 16), dtype=np.uint8),
+            np.zeros((16, 16), dtype=np.uint8),
+            np.zeros((8, 8), dtype=np.uint8),
+        )

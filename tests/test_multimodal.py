@@ -193,18 +193,20 @@ def test_png_decode_greyscale_and_errors():
     assert out.ravel().tolist() == [10, 20, 30, 40]
     with pytest.raises(ValueError):
         M.decode_png_pixels(b"nope")
-    # sub-byte depth must hit the NotImplementedError seam, not
-    # mis-decode (16-bit grey is a real path since round 10 —
-    # test_png_deep_roundtrips_and_fixture pins it)
+    # sub-byte depths are a REAL path since r11: a hand-built 2x2
+    # 4-bit grey PNG (one packed byte per row, filter 0) decodes to
+    # raw levels
+    raw4 = b"\x00\xa4" + b"\x00\x3d"  # rows (10, 4) and (3, 13)
     ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     buf4 = (
         b"\x89PNG\r\n\x1a\n"
         + M._png_chunk(b"IHDR", ihdr4)
-        + M._png_chunk(b"IDAT", zlib.compress(raw))
+        + M._png_chunk(b"IDAT", zlib.compress(raw4))
         + M._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        M.decode_png_pixels(buf4)
+    out4 = M.decode_png_pixels(buf4)
+    assert out4.shape == (2, 2, 1)
+    assert out4.ravel().tolist() == [10, 4, 3, 13]
     # and 16-bit RGB (unsupported colortype x depth combo) still raises
     ihdr16rgb = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     buf16rgb = (

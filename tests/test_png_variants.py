@@ -58,3 +58,43 @@ def test_variant_fixture_matches_closed_form():
         else:
             exp = (((i * 7 + 3 * x + 5 * y) % 64) * (3 + 2 * c)) % 256
         assert (out == exp).all(), i
+
+
+def test_subbyte_roundtrip_and_fixture_exact():
+    """1/2/4-bit grey + palettized PNGs (r11: the sub-byte seam):
+    packed MSB-first scanlines, 1-byte filter distance, padding bits
+    dropped, palette expansion — decode(make) matches the closed form."""
+    import numpy as np
+
+    from nemsis_xml_parser_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_subbyte,
+        make_png_subbyte_image,
+    )
+
+    for i in range(18):
+        px = decode_png_pixels(make_png_subbyte_image(i))
+        w, h = i % 24 + 4, i % 16 + 4
+        depth = (1, 2, 4)[i % 3]
+        x = np.arange(w).reshape(1, w)
+        y = np.arange(h).reshape(h, 1)
+        lv = (i * 7 + 3 * x + 5 * y) % (1 << depth)
+        if i % 2 == 0:
+            exp = lv.reshape(h, w, 1)
+        else:
+            pal = np.array(
+                [((37 * j) % 256, (59 * j) % 256, (83 * j) % 256)
+                 for j in range(1 << depth)]
+            )
+            exp = pal[lv]
+        assert px.shape == exp.shape and (px == exp).all(), i
+    # odd widths: the last byte's padding bits must fall off
+    odd = np.array([[1, 0, 3], [2, 3, 1]], dtype=np.uint8)
+    out = decode_png_pixels(encode_png_subbyte(odd, 2))
+    assert (out[:, :, 0] == odd).all()
+    # sample exceeding the depth is rejected at encode time
+    try:
+        encode_png_subbyte(np.array([[4]], dtype=np.uint8), 2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
