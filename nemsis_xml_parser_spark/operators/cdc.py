@@ -53,6 +53,32 @@ _P61 = 1 << 61
 # itself only needs mask_bits of window — see cdc_chunks
 GEAR_WINDOW = 61
 
+# Precomputed gear table for the single-char hash: md5_long(chr(i)) for
+# codepoints 0..255 — IDENTICAL values to the md5 expression (first 15
+# hex chars of the UTF-8 md5, the md5_long contract), computed once in
+# Python instead of 6 md5 digests per character position inside the
+# boundary fold (r11: the fold was ~40% of the chunker's CPU).
+# Codepoints >= 256 fall back to the md5 expression.
+import hashlib as _hashlib
+
+_GEAR_TAB = tuple(
+    int(_hashlib.md5(chr(i).encode("utf-8")).hexdigest()[:15], 16)
+    for i in range(256)
+)
+
+
+def _gear(ch):
+    """Gear value of one character: array-literal lookup by codepoint
+    (O(1), constant-folded 256-entry literal) with the md5 expression
+    as the >=256 fallback — bit-identical to md5_long(ch) % 2^61
+    (md5_long is 60-bit, so the modulo is the identity; the DuckDB
+    oracles keep computing the md5 form verbatim)."""
+    tab = F.array(*[F.lit(v).cast("long") for v in _GEAR_TAB])
+    return F.coalesce(
+        F.when(F.ascii(ch) < 256, F.element_at(tab, F.ascii(ch) + 1)),
+        md5_long(ch) % F.lit(_P61),
+    )
+
 
 def cdc_chunks(
     docs: DataFrame,
@@ -103,8 +129,7 @@ def cdc_chunks(
                     F.least(i, F.lit(mb)),
                 ),
                 F.lit(0).cast("long"),
-                lambda acc, ch: (acc * 2 + md5_long(ch) % F.lit(_P61))
-                % F.lit(_P61),
+                lambda acc, ch: (acc * 2 + _gear(ch)) % F.lit(_P61),
             )
             % mask
             == 0

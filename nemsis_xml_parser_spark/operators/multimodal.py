@@ -1105,23 +1105,80 @@ def make_wav_pcm_bytes(audio_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+#: IMA ADPCM step-size table (89 entries) and index-adjust table —
+#: the DVI/IMA reference constants (also inlined in the generated
+#: DuckDB oracle for multimodal_wav_adpcm_stats)
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int):
+    """Mono IMA ADPCM block decode: per block a 4-byte header (int16 LE
+    predictor = the block's FIRST output sample, step index, reserved)
+    followed by 4-bit nibbles, LOW nibble first.  Per nibble n:
+    diff = step>>3 (+step if n&4) (+step>>1 if n&2) (+step>>2 if n&1),
+    subtracted when n&8; predictor clamped to int16, index adjusted by
+    IMA_INDEX_TABLE[n&7] and clamped to [0, 88]."""
+    import numpy as np
+
+    out = []
+    for off in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[off : off + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"ADPCM step index {idx} out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                step = IMA_STEP_TABLE[idx]
+                diff = step >> 3
+                if n & 4:
+                    diff += step
+                if n & 2:
+                    diff += step >> 1
+                if n & 1:
+                    diff += step >> 2
+                pred = (
+                    max(-32768, pred - diff)
+                    if n & 8
+                    else min(32767, pred + diff)
+                )
+                idx = min(88, max(0, idx + IMA_INDEX_TABLE[n & 7]))
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
 def decode_wav_samples(content: bytes):
     """REAL sample-level PCM decode: chunk walk to fmt/data, int16 LE →
     (n_samples, channels) numpy array.  The audio twin of
-    decode_png_pixels; non-PCM or non-16-bit WAVs raise
-    NotImplementedError (the remaining codec seam)."""
+    decode_png_pixels.  Codecs: 16-bit PCM, 8-bit G.711 mu-law/A-law,
+    and mono IMA ADPCM (format 0x11, 4-bit — r11 closed the ADPCM
+    seam); anything else raises NotImplementedError."""
     import numpy as np
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, n = 12, len(content)
-    chans = bits = codec = None
+    chans = bits = codec = block_align = None
     data = None
     while pos + 8 <= n:
         cid = content[pos : pos + 4]
         size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
             codec, chans = struct.unpack("<HH", content[pos + 8 : pos + 12])
+            (block_align,) = struct.unpack(
+                "<H", content[pos + 20 : pos + 22]
+            )
             (bits,) = struct.unpack("<H", content[pos + 22 : pos + 24])
         elif cid == b"data":
             data = content[pos + 8 : pos + 8 + size]
@@ -1134,9 +1191,12 @@ def decode_wav_samples(content: bytes):
         arr = _ulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
     elif codec == 6 and bits == 8:  # G.711 A-law
         arr = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    elif codec == 0x11 and bits == 4 and chans == 1:  # IMA ADPCM
+        arr = _ima_adpcm_decode(data, block_align)
     else:
         raise NotImplementedError(
-            "only 16-bit PCM / 8-bit G.711 mu-law / A-law WAV decode"
+            "only 16-bit PCM / 8-bit G.711 mu-law / A-law / mono IMA "
+            "ADPCM WAV decode"
         )
     return arr.reshape(len(arr) // chans, chans)
 
@@ -1941,6 +2001,56 @@ def make_wav_g711_bytes(audio_id: int) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_adpcm_wav(audio_id: int) -> bytes:
+    """Deterministic REAL mono IMA ADPCM WAV (format 0x11): id%2+1
+    blocks of block_align 12 (4-byte header + 8 data bytes = 16
+    nibbles = 17 samples/block).  Block b: initial predictor
+    ((id·97 + 131·b) mod 4096) − 2048, initial step index
+    (id + 5·b) mod 40, nibble i = (id·3 + 7·i + 11·b) mod 16 — all
+    closed-form, so the DuckDB oracle replays the decode recurrence
+    with a recursive CTE over the same constants."""
+    nblocks = audio_id % 2 + 1
+    block_align = 12
+    data = bytearray()
+    for b in range(nblocks):
+        pred0 = ((audio_id * 97 + 131 * b) % 4096) - 2048
+        idx0 = (audio_id + 5 * b) % 40
+        data += struct.pack("<hBB", pred0, idx0, 0)
+        for j in range(8):
+            lo = (audio_id * 3 + 7 * (2 * j) + 11 * b) % 16
+            hi = (audio_id * 3 + 7 * (2 * j + 1) + 11 * b) % 16
+            data.append(lo | (hi << 4))
+    samples_per_block = 1 + 2 * (block_align - 4)
+    rate = 8000
+    byterate = rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate, byterate, block_align, 4, 2, samples_per_block,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 20) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + bytes(data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_adpcm_audio(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL IMA ADPCM WAVs (MEDIA_SCHEMA,
+    Arrow-batched)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_adpcm_wav(int(i))
+                rows.append((str(int(i)), "audio/wav", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_g711_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -252,3 +252,91 @@ def multimodal_jpeg_progressive_420_stats(
     return jpeg_pixel_stats(
         synthesize_progressive_420_jpeg_media(d.select("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV — the named audio codec seam
+# ---------------------------------------------------------------------------
+
+
+def _adpcm_oracle() -> str:
+    """Generated oracle: the 89-entry IMA step table inlined as VALUES;
+    a RECURSIVE CTE replays the decode recurrence (diff composition,
+    int16 clamp, index-table adjust) over the same closed-form nibble /
+    header constants the fixture encodes — a genuinely independent
+    re-derivation of the sequential state machine, not a replay of the
+    Python decoder."""
+    from ..operators.multimodal import IMA_STEP_TABLE
+
+    steps = ", ".join(f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE))
+    return f"""
+WITH RECURSIVE
+steptab(i, s) AS (VALUES {steps}),
+blocks AS (
+  SELECT doc_id, bs.b
+  FROM documents, UNNEST(range(0, doc_id % 2 + 1)) AS bs(b)
+),
+dec(doc_id, b, k, pred, idx) AS (
+  SELECT doc_id, b, 0,
+         ((doc_id * 97 + 131 * b) % 4096) - 2048,
+         (doc_id + 5 * b) % 40
+  FROM blocks
+  UNION ALL
+  SELECT doc_id, b, k + 1,
+         CASE WHEN (nib & 8) != 0
+              THEN GREATEST(-32768, pred - diff)
+              ELSE LEAST(32767, pred + diff) END,
+         LEAST(88, GREATEST(0, idx + CASE WHEN (nib & 7) < 4 THEN -1
+                                         ELSE 2 * ((nib & 7) - 3) END))
+  FROM (
+    SELECT q.*,
+           (q.s >> 3)
+           + CASE WHEN (q.nib & 4) != 0 THEN q.s ELSE 0 END
+           + CASE WHEN (q.nib & 2) != 0 THEN q.s >> 1 ELSE 0 END
+           + CASE WHEN (q.nib & 1) != 0 THEN q.s >> 2 ELSE 0 END AS diff
+    FROM (
+      SELECT d.doc_id, d.b, d.k, d.pred, d.idx, st.s,
+             (d.doc_id * 3 + 7 * d.k + 11 * d.b) % 16 AS nib
+      FROM dec d JOIN steptab st ON st.i = d.idx
+      WHERE d.k < 16
+    ) q
+  )
+)
+SELECT doc_id AS audio_id,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(1 AS INT) AS n_channels,
+       CAST(SUM(pred) AS BIGINT) AS sample_sum,
+       CAST(MIN(pred) AS INT) AS sample_min,
+       CAST(MAX(pred) AS INT) AS sample_max
+FROM dec GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_wav_adpcm_stats",
+    family="multimodal",
+    doc="Sample statistics over the REAL mono IMA ADPCM WAV decode path "
+    "(operators/multimodal.py::_ima_adpcm_decode, format tag 0x11 — "
+    "the named audio seam after PCM and G.711): per 12-byte block a "
+    "4-byte header (int16 predictor = first output sample, step "
+    "index) then 16 low-nibble-first 4-bit codes; per nibble "
+    "diff = step>>3 (+step if n&4) (+step>>1 if n&2) (+step>>2 if "
+    "n&1), sign n&8, int16 clamp, step index walked by the IMA index "
+    "table with [0,88] clamp.  The oracle re-derives the whole "
+    "sequential state machine as a RECURSIVE CTE over the inlined "
+    "89-entry step table — the first oracle in the registry that "
+    "replays a stateful codec recurrence relationally instead of "
+    "comparing closed-form pixel laws.  Blobs stay in the Arrow "
+    "batch; narrow stat rows out.",
+    oracle=_adpcm_oracle(),
+)
+def multimodal_wav_adpcm_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        synthesize_adpcm_audio,
+        wav_sample_stats,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return wav_sample_stats(synthesize_adpcm_audio(d.select("doc_id")))

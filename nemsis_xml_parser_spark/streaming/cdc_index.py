@@ -202,13 +202,7 @@ def start_cdc_index_stream(
                 b = F.broadcast(hot_prior)
                 index = index.join(b, "gh", "left_anti")
                 fps_g = fps.join(b, "gh", "left_anti")
-            g = fp_groups(fps_g, index).persist()
-            pairs = pairs_from_groups(
-                g, max_df=max_df, min_shared=min_shared
-            )
-            pairs.write.mode("overwrite").parquet(
-                f"{out_root}/batch={batch_id}"
-            )
+            g = fp_groups(fps_g, index)
             # batch dedup ratio: chunk INSTANCES whose hash is already
             # known (history or another copy in this batch) / total.
             # A batch hash is a FIRST copy iff no doc outside this batch
@@ -218,10 +212,16 @@ def start_cdc_index_stream(
             # bought).  Prior-hot hashes are absent from g and correctly
             # count as known (> max_df docs carried them in earlier
             # batches).  The first-copy count and the newly-hot gh list
-            # ride ONE driver collect over the cached group frame; the
-            # two single-row/tiny sidecar files are written driver-side
-            # (pyarrow, tmp + atomic rename — write_hot_fps's argument).
-            stats = g.agg(
+            # ride the PAIRS JOB as observe() metrics on the unfiltered
+            # group frame (its only consumer — no persist, no extra
+            # job); the two single-row/tiny sidecar files are written
+            # driver-side (pyarrow, tmp + atomic rename —
+            # write_hot_fps's argument).
+            from pyspark.sql import Observation
+
+            obs = Observation(f"cdc_stats_{batch_id}")
+            g = g.observe(
+                obs,
                 F.sum(
                     (F.size("ad") == F.size("bd")).cast("long")
                 ).alias("fc"),
@@ -230,22 +230,28 @@ def start_cdc_index_stream(
                     if max_df is not None
                     else F.lit(None).cast("long")
                 ).alias("newly_hot"),
-            ).collect()[0]
+            )
+            pairs = pairs_from_groups(
+                g, max_df=max_df, min_shared=min_shared
+            )
+            pairs.write.mode("overwrite").parquet(
+                f"{out_root}/batch={batch_id}"
+            )
+            stats = obs.get
             total_chunks = fps.count()
             if max_df is not None:
                 write_hot_fps(
-                    index_root, batch_id, list(stats.newly_hot)
+                    index_root, batch_id, list(stats["newly_hot"])
                 )
             _write_ratio_row(
                 f"{out_root}_ratio",
                 batch_id,
                 total_chunks,
-                total_chunks - int(stats.fc or 0),
+                total_chunks - int(stats["fc"] or 0),
             )
             fps.write.mode("overwrite").parquet(
                 f"{index_root}/batch={batch_id}"
             )
-            g.unpersist()
             fps.unpersist()
             if compact_every and (batch_id + 1) % compact_every == 0:
                 compact_chunk_index(spark, index_root)

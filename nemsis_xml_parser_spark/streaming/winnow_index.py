@@ -337,29 +337,38 @@ def start_winnow_index_stream(
                 b = F.broadcast(hot_prior)
                 index = index.join(b, "gh", "left_anti")
                 fps_g = fps.join(b, "gh", "left_anti")
-            g = fp_groups(fps_g, index).persist()
+            g = fp_groups(fps_g, index)
+            obs = None
+            if max_df is not None:
+                # the newly-hot gh list rides the pairs job as an
+                # observe() metric on the UNFILTERED group frame (the
+                # frame's only consumer, so no persist and no second
+                # job) — ghs whose cumulative df crossed max_df THIS
+                # batch; monotone, so each gh lands in exactly one hot
+                # dir, and a replay recomputes the identical list (its
+                # own dir was excluded from hot_prior above)
+                from pyspark.sql import Observation
+
+                obs = Observation(f"winnow_hot_{batch_id}")
+                g = g.observe(
+                    obs,
+                    F.collect_list(
+                        F.when(F.size("ad") > max_df, F.col("gh"))
+                    ).alias("newly_hot"),
+                )
             pairs = pairs_from_groups(
                 g, max_df=max_df, min_shared=min_shared
             )
             pairs.write.mode("overwrite").parquet(
                 f"{out_root}/batch={batch_id}"
             )
-            if max_df is not None:
-                # ghs whose cumulative df crossed max_df THIS batch —
-                # monotone, so each gh lands in exactly one hot dir;
-                # replay recomputes the identical set (its own dir was
-                # excluded from hot_prior above) and overwrites in place
-                newly_hot = [
-                    r.gh
-                    for r in g.where(F.size("ad") > max_df)
-                    .select("gh")
-                    .collect()
-                ]
-                write_hot_fps(index_root, batch_id, newly_hot)
+            if obs is not None:
+                write_hot_fps(
+                    index_root, batch_id, list(obs.get["newly_hot"])
+                )
             fps.write.mode("overwrite").parquet(
                 f"{index_root}/batch={batch_id}"
             )
-            g.unpersist()
             fps.unpersist()
         finally:
             for key, val in prev.items():

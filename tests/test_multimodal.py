@@ -371,3 +371,63 @@ def test_png_deep_roundtrips_and_fixture():
         y = np.arange(h).reshape(h, 1, 1)
         c = np.arange(4).reshape(1, 1, 4)
         assert (px == (i * 7 + 3 * x + 5 * y + 11 * c) % 256).all()
+
+
+def test_adpcm_wav_decode_matches_reference_recurrence():
+    """IMA ADPCM (r11: the audio seam): decode(make) must equal an
+    independently-coded replay of the IMA recurrence from the fixture
+    constants."""
+    from nemsis_xml_parser_spark.operators.multimodal import (
+        IMA_INDEX_TABLE,
+        IMA_STEP_TABLE,
+        decode_wav_samples,
+        make_adpcm_wav,
+    )
+
+    for aid in range(12):
+        got = decode_wav_samples(make_adpcm_wav(aid))
+        exp = []
+        for b in range(aid % 2 + 1):
+            pred = ((aid * 97 + 131 * b) % 4096) - 2048
+            idx = (aid + 5 * b) % 40
+            exp.append(pred)
+            for i in range(16):
+                n = (aid * 3 + 7 * i + 11 * b) % 16
+                step = IMA_STEP_TABLE[idx]
+                diff = step >> 3
+                if n & 4:
+                    diff += step
+                if n & 2:
+                    diff += step >> 1
+                if n & 1:
+                    diff += step >> 2
+                pred = (
+                    max(-32768, pred - diff)
+                    if n & 8
+                    else min(32767, pred + diff)
+                )
+                idx = min(88, max(0, idx + IMA_INDEX_TABLE[n & 7]))
+                exp.append(pred)
+        assert got.shape == (len(exp), 1), aid
+        assert got[:, 0].tolist() == exp, aid
+
+
+def test_adpcm_wav_rejects_bad_step_index():
+    import struct as _s
+
+    from nemsis_xml_parser_spark.operators.multimodal import (
+        decode_wav_samples,
+        make_adpcm_wav,
+    )
+
+    buf = bytearray(make_adpcm_wav(1))
+    di = buf.find(b"data") + 8
+    buf[di + 2] = 99  # step index > 88
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_samples(bytes(buf))
+    # stereo ADPCM stays a named seam
+    fi = buf.find(b"fmt ") + 8
+    buf2 = bytearray(make_adpcm_wav(1))
+    _s.pack_into("<H", buf2, fi + 2, 2)
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(bytes(buf2))

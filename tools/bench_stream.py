@@ -521,9 +521,22 @@ def main() -> None:
         )
 
         vec_dir = str(work / "vecs")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n_vec = emb.count()
         (
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .select("vec_id", "embedding")
+            # replicate the corpus 25x with distinct ids (same per-row
+            # assignment cost) so the pipeline streams enough rows to
+            # measure per-row throughput, not the per-batch job floor —
+            # the same posture as the doc-replication above
+            emb.crossJoin(
+                spark.range(25).select(F.col("id").alias("__copy"))
+            )
+            .select(
+                (F.col("vec_id") + F.col("__copy") * n_vec).alias("vec_id"),
+                "embedding",
+            )
             .repartition(N_SOURCE_FILES)
             .write.parquet(vec_dir)
         )
