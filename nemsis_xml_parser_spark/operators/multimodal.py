@@ -2053,6 +2053,82 @@ def synthesize_adpcm_audio(
     return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+EXIF_META_SCHEMA = StructType(
+    [
+        StructField("image_id", LongType(), False),
+        StructField("orientation", IntegerType(), True),
+        StructField("datetime", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("xres_num", LongType(), True),
+        StructField("xres_den", LongType(), True),
+        StructField("byte_order", StringType(), True),
+    ]
+)
+
+
+def synthesize_exif_jpeg_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of REAL baseline JPEGs carrying an EXIF
+    APP1 (operators/exif.py) — byte order alternates II/MM by id,
+    RATIONAL XResolution out-of-line; MEDIA_SCHEMA, Arrow-batched."""
+    from .exif import build_exif_app1, insert_exif
+    from .jpeg import make_jpeg_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[id_col]:
+                i = int(raw)
+                dt = (
+                    f"2026:{i % 12 + 1:02d}:{i % 28 + 1:02d} "
+                    f"{i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d}"
+                )
+                app1 = build_exif_app1(
+                    i % 8 + 1, dt, f"img-{i}",
+                    (i % 300 + 1, i % 4 + 1), big_endian=i % 2 == 1,
+                )
+                buf = insert_exif(make_jpeg_image(i), app1)
+                rows.append((str(i), "image/jpeg", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def jpeg_exif_meta(media: DataFrame) -> DataFrame:
+    """EXIF metadata rows via the REAL APP1/TIFF-IFD parse — narrow
+    rows out, blobs stay in the Arrow batch."""
+    from .exif import decode_jpeg_exif
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_jpeg_exif(bytes(content))
+                rows.append(
+                    (
+                        int(path),
+                        m["orientation"],
+                        m["datetime"],
+                        m["description"],
+                        m["xres_num"],
+                        m["xres_den"],
+                        m["byte_order"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "orientation", "datetime", "description",
+                    "xres_num", "xres_den", "byte_order",
+                ],
+            )
+
+    return media.mapInPandas(meta, schema=EXIF_META_SCHEMA)
+
+
 def synthesize_g711_audio(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic corpus of REAL G.711 WAVs (MEDIA_SCHEMA, Arrow-batched)."""
 

@@ -340,3 +340,372 @@ def multimodal_wav_adpcm_stats(
 
     d = table(spark, sf_dir, "documents")
     return wav_sample_stats(synthesize_adpcm_audio(d.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# Single-linkage clustering via the MSF — dendrogram cut == threshold graph
+# ---------------------------------------------------------------------------
+
+_SL_CAP = 600  # reuse the MSF co-purchase graph (plans/round8.py)
+_SL_T = 150
+
+
+def _single_linkage_oracle(cap: int = _SL_CAP, t: int = _SL_T) -> str:
+    return f"""
+WITH RECURSIVE
+li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey < {cap}
+),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+n AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+e AS (
+  SELECT u, v FROM e0 WHERE (u * 7 + v * 13) % 1000 <= {t}
+),
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+reach(node, lbl) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+  WHERE r.lbl < s.b
+),
+lab AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS size
+FROM lab GROUP BY cluster
+"""
+
+
+@register(
+    "cluster_single_linkage_mst",
+    family="cluster",
+    doc="Single-linkage clustering at distance threshold t via the "
+    "minimum spanning forest (operators/mst.py::boruvka_forest at full "
+    "depth + operators/components.py::connected_components): the "
+    "dendrogram-cut clusters equal the connected components of the "
+    "forest with every MST edge of weight > t removed — the classic "
+    "SLINK-at-scale rendering (Gower/Ross 1969: the MST carries the "
+    "whole single-linkage hierarchy, so ONE distributed MSF answers "
+    "every threshold).  Graph: the MSF co-purchase parts graph "
+    "(orders < 600, weight (7u+13v) mod 1000), t = 150; isolated "
+    "nodes stay singleton clusters.  The oracle is deliberately "
+    "INDEPENDENT: DuckDB computes the components of the THRESHOLD "
+    "GRAPH directly (recursive min-label closure over edges <= t, "
+    "never touching an MST) — agreement proves the cut-forest "
+    "identity itself, not a replay of the same algorithm.  At 100 TB: "
+    "Boruvka rounds are component-keyed aggregates, the cut is a "
+    "filter, components use the guarded local-finish endgame.",
+    oracle=_single_linkage_oracle(),
+)
+def cluster_single_linkage_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.mst import boruvka_forest
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < _SL_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .withColumn("w", (F.col("u") * 7 + F.col("v") * 13) % 1000)
+    )
+    picked, _comp = boruvka_forest(e, rounds=10)
+    cut = picked.where(F.col("w") <= _SL_T)
+    labels = connected_components(cut, src="u", dst="v")
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    lab = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("cluster")
+    )
+    return (
+        lab.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .select(F.col("cluster").cast("bigint").alias("cluster"), "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF metadata — the curation-pipeline metadata read
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_exif_meta",
+    family="multimodal",
+    doc="EXIF metadata extraction from REAL JPEG APP1 segments "
+    "(operators/exif.py): marker walk to Exif\\0\\0, TIFF byte-order "
+    "header (the corpus alternates II and MM by id, so endianness "
+    "handling is exercised, not assumed), IFD0 entry scan with "
+    "type-aware value extraction — the RATIONAL XResolution lives "
+    "OUT-OF-LINE behind the value-offset indirection, ASCII strings "
+    "are NUL-terminated, the SHORT orientation is inline.  The "
+    "image-curation metadata read (orientation/timestamp/resolution "
+    "filters) that precedes any pixel work.  All values closed-form "
+    "in the id, so the oracle reproduces them with printf arithmetic; "
+    "a wrong byte order, offset walk or type size breaks the hash.",
+    oracle="""
+SELECT doc_id AS image_id,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       printf('2026:%02d:%02d %02d:%02d:%02d',
+              doc_id % 12 + 1, doc_id % 28 + 1,
+              doc_id % 24, doc_id % 60, (doc_id * 7) % 60) AS datetime,
+       'img-' || CAST(doc_id AS VARCHAR) AS description,
+       CAST(doc_id % 300 + 1 AS BIGINT) AS xres_num,
+       CAST(doc_id % 4 + 1 AS BIGINT) AS xres_den,
+       CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order
+FROM documents
+""",
+)
+def multimodal_jpeg_exif_meta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        jpeg_exif_meta,
+        synthesize_exif_jpeg_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return jpeg_exif_meta(synthesize_exif_jpeg_media(d.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (Zhai–Lafferty)
+# ---------------------------------------------------------------------------
+
+_QLD_QUERIES = (
+    (0, "data quality training"),
+    (1, "model the corpus documents"),
+    (2, "spark pipeline shuffle"),
+)
+_QLD_MU = 50
+_QLD_K = 5
+
+
+@register(
+    "retrieval_qld_dirichlet",
+    family="retrieval",
+    doc="Query-likelihood document ranking with Dirichlet-prior "
+    "smoothing (Zhai and Lafferty, SIGIR'01 — the language-modeling "
+    "retrieval family next to the repo's BM25 and tf-idf): "
+    "score(q, d) = sum_t log((tf(t,d) + mu*p(t|C)) / (|d| + mu)) with "
+    "p(t|C) the corpus unigram MLE and mu = 50.  Rendering: one "
+    "corpus term-frequency aggregate, one per-doc length aggregate, "
+    "the 3 fixed queries' terms broadcast against them; absent terms "
+    "contribute the smoothing-only term, so the score decomposes as "
+    "the per-doc constant plus the posting-list part — the shape "
+    "that scales as posting joins (the bounded literal cross join "
+    "here keeps the demo plan readable).  Natural logs ride ROUND-6 "
+    "on both engines (the text_*_logprob precedent).  Top-5 per "
+    "query, doc_id ties ascending.",
+    oracle=f"""
+WITH q(query_id, qtext) AS (VALUES
+  {", ".join(f"({i}, '{t}')" for i, t in _QLD_QUERIES)}
+),
+qt AS (
+  SELECT query_id, UNNEST(string_split(qtext, ' ')) AS term FROM q
+),
+toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+cf AS (SELECT term, COUNT(*) AS cf FROM toks GROUP BY 1),
+ctot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+scored AS (
+  SELECT qt.query_id, dl.doc_id,
+         SUM(LN((COALESCE(tf.tf, 0) + {_QLD_MU} * cf.cf / ctot.n)
+                / (dl.dl + {_QLD_MU}))) AS s
+  FROM qt
+  JOIN ctot ON TRUE
+  JOIN cf ON cf.term = qt.term
+  CROSS JOIN dl
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = qt.term
+  GROUP BY qt.query_id, dl.doc_id
+)
+SELECT query_id, doc_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY ROUND(s, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_QLD_K}
+""",
+)
+def retrieval_qld_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    n_tot = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    qt = spark.createDataFrame(
+        [(i, t) for i, txt in _QLD_QUERIES for t in txt.split(" ")],
+        "query_id int, term string",
+    )
+    mu = F.lit(float(_QLD_MU))
+    scored = (
+        F.broadcast(qt)
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(dl)
+        .join(tf, ["doc_id", "term"], "left")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0))
+                        + mu * F.col("cf") / F.col("n")
+                    )
+                    / (F.col("dl") + mu)
+                )
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("s", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _QLD_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("s", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-scheme quality — reduction ratio and pair completeness
+# ---------------------------------------------------------------------------
+
+_BQ_CAP = 400  # records in the exhaustive-truth tier
+
+
+@register(
+    "er_blocking_quality",
+    family="quality",
+    doc="Blocking-scheme evaluation for entity resolution (the "
+    "Christen-survey metrics every ER paper reports): over the first "
+    "400 customers, ground-truth matches come from an EXHAUSTIVE "
+    "Fellegi-Sunter-style agreement rule (same mktsegment AND "
+    "|acctbal diff| <= 10 AND |custkey diff| <= 5 — the er_fellegi_"
+    "sunter comparators at their agree thresholds), and the "
+    "(nationkey, acctbal//500) blocking scheme is scored by "
+    "REDUCTION RATIO (1 - candidate/all pairs — how much comparison "
+    "work blocking saves) and PAIR COMPLETENESS (the fraction of true "
+    "matches the blocks retain — blocking recall).  The exhaustive "
+    "tier is the bounded all-pairs verification posture (400 records "
+    "= 79,800 pairs, broadcast cross); production blocking itself "
+    "stays an equi-join.  One row out, ratios ROUND-6.",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+         c_acctbal AS bal, CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS bb
+  FROM customer WHERE c_custkey <= {_BQ_CAP}
+),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb,
+         (a.nk = b.nk AND a.bb = b.bb) AS blocked,
+         (a.seg = b.seg AND ABS(a.bal - b.bal) <= 10
+          AND b.k - a.k <= 5) AS is_match
+  FROM c a JOIN c b ON a.k < b.k
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+         CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true,
+         CAST(SUM(CASE WHEN is_match AND blocked THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true_blocked
+  FROM pairs
+)
+SELECT n_pairs, n_candidates, n_true, n_true_blocked,
+       ROUND(1.0 - CAST(n_candidates AS DOUBLE) / n_pairs, 6)
+         AS reduction_ratio,
+       ROUND(CAST(n_true_blocked AS DOUBLE) / n_true, 6)
+         AS pair_completeness
+FROM agg
+""",
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= _BQ_CAP)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+            F.floor(F.col("c_acctbal") / 500).cast("long").alias("bb"),
+        )
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = F.broadcast(a).join(
+        b, F.col("a_k") < F.col("b_k")
+    ).select(
+        (
+            (F.col("a_nk") == F.col("b_nk"))
+            & (F.col("a_bb") == F.col("b_bb"))
+        ).alias("blocked"),
+        (
+            (F.col("a_seg") == F.col("b_seg"))
+            & (F.abs(F.col("a_bal") - F.col("b_bal")) <= 10)
+            & (F.col("b_k") - F.col("a_k") <= 5)
+        ).alias("is_match"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("blocked").cast("long")).cast("bigint").alias(
+            "n_candidates"
+        ),
+        F.sum(F.col("is_match").cast("long")).cast("bigint").alias(
+            "n_true"
+        ),
+        F.sum(
+            (F.col("is_match") & F.col("blocked")).cast("long")
+        ).cast("bigint").alias("n_true_blocked"),
+    )
+    return agg.select(
+        "n_pairs",
+        "n_candidates",
+        "n_true",
+        "n_true_blocked",
+        F.round(
+            F.lit(1.0) - F.col("n_candidates").cast("double") / F.col("n_pairs"),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(
+            F.col("n_true_blocked").cast("double") / F.col("n_true"), 6
+        ).alias("pair_completeness"),
+    )

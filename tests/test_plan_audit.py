@@ -58,6 +58,8 @@ JUSTIFIED_BNLJ = {
     "ann_ivfpq_rerank_topk",     # broadcast centroid/codebook sets (KB-scale)
     "quality_ransac_line",       # broadcast 16-row iteration spine + 1-row best/fit scalars
     "curation_coreset_sample",   # broadcast 1-row (n, total_cost) scalar
+    "er_blocking_quality",       # bounded 400-record exhaustive-truth tier (broadcast side A)
+    "retrieval_qld_dirichlet",   # broadcast 1-row corpus-total scalar + bounded literal query terms
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
     "graph_louvain_sweep",   # broadcast 1-row summary scalars (largest, qn)
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
