@@ -146,6 +146,16 @@ HEADLINE = [
     "sketch_kmv_jaccard",
     "multimodal_png_deep_stats",
     "sketch_dyadic_quantiles",
+    # round 11 flagships (subtract when comparing totals vs earlier rounds)
+    "ann_lsh_multitable_topk",
+    "ann_nsw_multientry_topk",  # the recommended graph-ANN config
+    "multimodal_png_subbyte_stats",
+    "multimodal_jpeg_progressive_420_stats",
+    "multimodal_wav_adpcm_stats",
+    "multimodal_jpeg_exif_meta",
+    "cluster_single_linkage_mst",
+    "retrieval_qld_dirichlet",
+    "er_blocking_quality",
 ]
 
 

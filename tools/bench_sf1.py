@@ -67,6 +67,12 @@ SF1_QUERIES = [
     "cluster_kmeans_parallel_init",
     "curation_coreset_weighted_kmeans",
     "text_good_turing",
+    # round 11 additions
+    "ann_lsh_multitable_topk",
+    "cluster_single_linkage_mst",
+    "retrieval_qld_dirichlet",
+    "multimodal_wav_adpcm_stats",
+    "multimodal_png_subbyte_stats",
 ]
 
 
