@@ -709,3 +709,174 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true_blocked").cast("double") / F.col("n_true"), 6
         ).alias("pair_completeness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries two-pass exact heavy hitters
+# ---------------------------------------------------------------------------
+
+_MG_K = 16
+
+
+@register(
+    "sketch_misra_gries_heavy",
+    family="sketch",
+    doc="Misra-Gries heavy hitters as the pruning pass of the two-pass "
+    "EXACT pipeline (operators/misra_gries.py; Misra/Gries '82, "
+    "mergeable per Agarwal et al. PODS'12) — the deterministic "
+    "counter-based summary family beside the repo's linear sketches "
+    "(Count-Min: cell sums; KMV/HLL: order statistics): per partition "
+    "the exact counts compress to <= k counters by subtracting the "
+    "(k+1)-th largest (no key with partition count above n_p/(k+1) "
+    "can drop), summaries merge by plain per-key addition, and the "
+    "candidate superset is recounted exactly and filtered at "
+    "N/(k+1).  Because MG has NO false negatives, the sketch-pruned "
+    "output equals the plain GROUP BY / HAVING answer — the oracle "
+    "verifies a sketch pipeline exactly, no rows-only concession.  "
+    "Key: a deterministically SKEWED derivation of events.user_id "
+    "(40% of rows collapse onto two heavy keys, the rest stay a "
+    "uniform per-user tail) so the per-partition trim really prunes "
+    "and only the two heavy keys clear N/(k+1).  Scale: one Arrow pass emitting <= k rows "
+    "per partition, one small candidate aggregate, one semi-joined "
+    "recount.",
+    oracle=f"""
+WITH k AS (
+  SELECT CASE WHEN user_id % 10 < 4
+              THEN 'heavy_' || CAST(user_id % 2 AS VARCHAR)
+              ELSE 'u' || CAST(user_id AS VARCHAR) END AS key
+  FROM events
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM k)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS exact_count,
+       CAST(n.n // {_MG_K + 1} AS BIGINT) AS threshold
+FROM k, n
+GROUP BY key, n.n
+HAVING COUNT(*) * {_MG_K + 1} > n.n
+""",
+)
+def sketch_misra_gries_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.misra_gries import mg_exact_heavy_hitters
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("user_id") % 10 < 4,
+            F.concat(F.lit("heavy_"), (F.col("user_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("key")
+    )
+    return mg_exact_heavy_hitters(ev, "key", _MG_K)
+
+
+# ---------------------------------------------------------------------------
+# AMS (tug-of-war) F2 moment sketch
+# ---------------------------------------------------------------------------
+
+_AMS_R = 16  # estimators (4 groups of 4 for median-of-means)
+
+
+@register(
+    "sketch_ams_f2",
+    family="sketch",
+    doc="AMS tug-of-war sketch for the second frequency moment "
+    "(Alon-Matias-Szegedy STOC'96 — the linear sketch family's "
+    "founding member, beside the repo's Count-Min/KMV/HLL/dyadic "
+    "set): 16 estimators Z_i = sum_v s_i(v) * f_v with four-wise-"
+    "independent-style signs s_i(v) = 2*(md5(i:v) mod 2) - 1 (the "
+    "repo's SQL-replayable md5 family), E[Z_i^2] = F2; reported as "
+    "the plain mean of the 16 squares AND the textbook "
+    "median-of-means over 4 groups of 4 (middle-two average, "
+    "computed by explicit sorted-list arithmetic so both engines "
+    "interpolate identically).  Exact F2 rides along for the "
+    "relative-error audit.  Scale shape: one exact per-key count "
+    "(the sketch is LINEAR, so signs apply to aggregated counts, "
+    "16 md5s per DISTINCT key, not per row), one 16-column sum — "
+    "mergeable by vector addition across shards.",
+    oracle=f"""
+WITH f AS (
+  SELECT l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS fv
+  FROM lineitem GROUP BY 1
+),
+z AS (
+  SELECT i.i,
+         CAST(SUM((2 * (CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
+                || CAST(f.v AS VARCHAR)), 1, 15)) AS BIGINT) % 2) - 1)
+               * f.fv) AS BIGINT) AS z
+  FROM f, UNNEST(range(0, {_AMS_R})) AS i(i)
+  GROUP BY i.i
+),
+g AS (
+  SELECT i // 4 AS grp, CAST(AVG(z * z) AS DOUBLE) AS gm
+  FROM z GROUP BY 1
+),
+mom AS (
+  SELECT (l[2] + l[3]) / 2 AS f2_mom
+  FROM (SELECT list_sort(list(gm)) AS l FROM g)
+),
+exact AS (SELECT CAST(SUM(fv * fv) AS BIGINT) AS f2_exact FROM f),
+mean AS (SELECT CAST(AVG(z * z) AS DOUBLE) AS f2_mean FROM z)
+SELECT exact.f2_exact,
+       ROUND(mean.f2_mean, 6) AS f2_mean,
+       ROUND(mom.f2_mom, 6) AS f2_mom,
+       ROUND(ABS(mean.f2_mean - exact.f2_exact) / exact.f2_exact, 6)
+         AS rel_err_mean
+FROM exact, mean, mom
+""",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    li = table(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_partkey").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("fv")
+    )
+
+    def sign(i: int) -> F.Column:
+        h = md5_long(
+            F.concat(
+                F.lit(f"{i}:"), F.col("v").cast("string")
+            )
+        )
+        return (h % 2) * 2 - 1
+
+    zs = f.agg(
+        *[
+            F.sum(sign(i) * F.col("fv")).cast("bigint").alias(f"z{i}")
+            for i in range(_AMS_R)
+        ]
+    )
+    z2 = [F.col(f"z{i}") * F.col(f"z{i}") for i in range(_AMS_R)]
+    group_means = [
+        (
+            sum(z2[4 * g + j] for j in range(4)).cast("double") / F.lit(4.0)
+        ).alias(f"g{g}")
+        for g in range(4)
+    ]
+    exact = f.agg(
+        F.sum(F.col("fv") * F.col("fv")).cast("bigint").alias("f2_exact")
+    )
+    out = zs.select(*group_means, *[F.col(f"z{i}") for i in range(_AMS_R)])
+    sorted_g = F.sort_array(
+        F.array(*[F.col(f"g{g}") for g in range(4)])
+    )
+    mean_expr = (
+        sum(z2[i] for i in range(_AMS_R)).cast("double") / F.lit(float(_AMS_R))
+    )
+    return (
+        out.select(
+            mean_expr.alias("f2_mean"),
+            ((sorted_g[1] + sorted_g[2]) / F.lit(2.0)).alias("f2_mom"),
+        )
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "f2_exact",
+            F.round("f2_mean", 6).alias("f2_mean"),
+            F.round("f2_mom", 6).alias("f2_mom"),
+            F.round(
+                F.abs(F.col("f2_mean") - F.col("f2_exact"))
+                / F.col("f2_exact"),
+                6,
+            ).alias("rel_err_mean"),
+        )
+    )

@@ -60,6 +60,8 @@ JUSTIFIED_BNLJ = {
     "curation_coreset_sample",   # broadcast 1-row (n, total_cost) scalar
     "er_blocking_quality",       # bounded 400-record exhaustive-truth tier (broadcast side A)
     "retrieval_qld_dirichlet",   # broadcast 1-row corpus-total scalar + bounded literal query terms
+    "sketch_ams_f2",             # broadcast 1-row exact-F2 scalar beside the 1-row sketch vector
+    "sketch_misra_gries_heavy",  # broadcast 1-row N-total scalar against <=k candidate rows
     "quality_expectations_audit",  # broadcast 1-row orphan-count scalar
     "graph_louvain_sweep",   # broadcast 1-row summary scalars (largest, qn)
     "curation_pareto_coverage",    # broadcast 1-row corpus-total scalar
