@@ -38,12 +38,13 @@ outputs, the df count is over DISTINCT (doc, fingerprint) so a batch
 already folded into the index does not double-count itself, and the
 pair join against index ∪ batch (distinct) is replay-stable.
 
-Scale: the index is append-only and the per-batch join shuffles only
-fingerprint-keyed rows; the df aggregate is a hash agg over the index
-scan the join reads anyway.  A long-lived deployment would compact the
-per-batch df contributions into a versioned (fingerprint, df) table
-(the txlog store pattern) instead of re-aggregating the scan; at bench
-horizons the scan is the cheaper and simpler posture.
+Scale: the index is append-only and only ever SCANNED per batch — the
+broadcast semi-restriction keeps every shuffle, aggregate and cache at
+microbatch size (``fp_groups``), and the monotone hot sidecar bounds
+the per-gh posting lists by max_df + the trigger size, so no per-batch
+cost grows with history except the file scan itself (which a cid/gh
+bucketing or the cdc_index txlog compaction bounds on a long-lived
+deployment).
 
 Reference parity: none — §2.I streaming-dedup tier.
 """
