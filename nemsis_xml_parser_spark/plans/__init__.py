@@ -283,6 +283,32 @@ _RECORDED_BY_ROUND: dict[int, frozenset[str]] = {
         "text_stopword_ratio", "text_term_frequency",
         "text_token_stats", "text_zscore_by_lang",
     }),
+    11: frozenset({
+        "agg_histogram_fixed_bins", "agg_regression_battery",
+        "agg_weighted_median", "ann_lsh_multitable_topk", "ann_pq_topk",
+        "cluster_single_linkage_mst", "decontaminate_split_overlap",
+        "dedup_cluster_components", "embedding_quantization_error",
+        "er_blocking_quality", "etl_distinct_pairs", "etl_file_md5",
+        "etl_namespace_strip", "etl_sanitize_identifiers",
+        "etl_trim_nullify", "join_scd2_point_in_time",
+        "multimodal_audio_meta", "multimodal_jpeg_exif_meta",
+        "multimodal_jpeg_progressive_420_stats",
+        "multimodal_png_subbyte_stats", "multimodal_wav_adpcm_stats",
+        "pack_greedy_audit", "pack_sequences_cumsum",
+        "pq_adc_seeded_topk", "profile_documents_columns",
+        "q10_returned_items", "q12_priority_by_linestatus",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q4_order_priority_check", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_product_type_profit", "quality_expectations_audit",
+        "retrieval_qld_dirichlet", "sample_temperature_rebalance",
+        "sample_topk_per_source", "scalar_bitwise_battery",
+        "sketch_ams_f2", "sketch_misra_gries_heavy", "skew_key_audit",
+        "text_bigram_logprob", "text_bm25_score",
+        "text_boilerplate_ratio", "text_pii_scrub",
+        "text_repetition_ratio", "text_tfidf_cosine_pairs",
+        "text_unigram_logprob",
+    }),
 }
 
 _vintage: dict[str, int] = {}
