@@ -80,6 +80,17 @@ def _gear(ch):
     )
 
 
+def _gear64(ch, mask: int):
+    """Gear value reduced mod ``mask`` (the only bits the boundary fold
+    reads): the same constant-folded 256-entry table with each entry
+    pre-reduced, md5 fallback for codepoints >= 256."""
+    tab = F.array(*[F.lit(v % mask).cast("long") for v in _GEAR_TAB])
+    return F.coalesce(
+        F.when(F.ascii(ch) < 256, F.element_at(tab, F.ascii(ch) + 1)),
+        md5_long(ch) % F.lit(mask),
+    )
+
+
 def cdc_chunks(
     docs: DataFrame,
     mask_bits: int = 6,
@@ -89,29 +100,30 @@ def cdc_chunks(
     """(doc_id, chunk_idx, chunk_len, chunk_hash) — Gear-CDC chunks per
     document; ``chunk_hash`` is the repo md5_long of the chunk text.
 
-    Rendering (r10 rewrite: per-doc ARRAY higher-order functions — no
+    Rendering (r12 rewrite: ONE linear fold per document — no
     per-character explode, no window sort, no shuffle at all; the whole
     boundary computation is one codegen projection per document row,
-    embarrassingly parallel.  Measured 2.2x over the explode+window
-    form at stream-batch scale, and the exchange+sort left the plan):
+    embarrassingly parallel):
 
     * the boundary test reads ``h mod 2^mask_bits``, and
-      ``2^lag mod 2^mask_bits`` vanishes past lag ``mask_bits`` — so
-      the per-position fold only needs the last ``mask_bits``
-      characters, not the full 61 the mod-2^61 state would (identical
-      boundary set, proven in tests against the sequential
-      recurrence).  The fold runs INLINE inside a filter over
-      sequence(1, n): re-hashing mask_bits chars per position avoids
-      materializing a per-doc gear array that optimizer project
-      collapse could otherwise inline and recompute per position;
-    * boundary-after positions become the chunk ``ends`` array (an
-      implicit end at n unless a boundary already fell there); starts
-      follow by shifting; ONE posexplode per CHUNK (corpus/2^mask_bits
-      rows, never per-character rows) and one ``substring`` per chunk
-      off the original document string.
+      ``(2*h + g) mod 2^mask_bits`` depends only on
+      ``h mod 2^mask_bits`` and ``g mod 2^mask_bits`` — so a single
+      ``aggregate`` fold carrying the mask_bits-bit running state
+      reproduces the TRUE sequential gear boundary set exactly (never
+      a global window, and not an approximation — tests pin it against
+      the literal full-width recurrence).  One gear-table lookup per
+      character; the boundary-position array is appended inside the
+      fold's struct accumulator (the r10 form re-hashed a
+      mask_bits-char slice per POSITION — 6x the gear lookups plus a
+      slice allocation per character);
+    * the fold's finish lambda adds the implicit end-of-doc boundary
+      (unless a boundary already fell there), so the ends array leaves
+      the fold ready-made; starts follow by shifting; ONE posexplode
+      per CHUNK (corpus/2^mask_bits rows, never per-character rows)
+      and one ``substring`` per chunk off the original document
+      string.
     """
     mask = 1 << mask_bits
-    mb = mask_bits
     chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
     d1 = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -120,32 +132,38 @@ def cdc_chunks(
         F.size(chars).alias("__n"),
     )
 
-    def bound(i):
-        return (
-            F.aggregate(
-                F.slice(
-                    F.col("__c"),
-                    F.greatest(F.lit(1), i - (mb - 1)),
-                    F.least(i, F.lit(mb)),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, ch: (acc * 2 + _gear(ch)) % F.lit(_P61),
+    def step(acc, ch):
+        r2 = (acc["r"] * 2 + _gear64(ch, mask)) % mask
+        return F.struct(
+            r2.alias("r"),
+            (acc["i"] + 1).alias("i"),
+            F.when(
+                r2 == 0, F.concat(acc["e"], F.array(acc["i"] + 1))
             )
-            % mask
-            == 0
+            .otherwise(acc["e"])
+            .alias("e"),
         )
 
-    ends0 = F.filter(F.sequence(F.lit(1), F.col("__n")), bound)
-    d2 = d1.where(F.col("__n") > 0).select(
-        "doc_id", "__t", "__n", ends0.alias("__e0")
-    )
-    ends = F.when(
-        F.coalesce(
-            F.try_element_at(F.col("__e0"), F.lit(-1)) == F.col("__n"),
-            F.lit(False),
+    def finish(acc):
+        return F.when(
+            F.coalesce(
+                F.try_element_at(acc["e"], F.lit(-1)) == acc["i"],
+                F.lit(False),
+            ),
+            acc["e"],
+        ).otherwise(F.concat(acc["e"], F.array(acc["i"])))
+
+    ends = F.aggregate(
+        F.col("__c"),
+        F.struct(
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("int").alias("i"),
+            F.array().cast("array<int>").alias("e"),
         ),
-        F.col("__e0"),
-    ).otherwise(F.concat(F.col("__e0"), F.array(F.col("__n"))))
+        step,
+        finish,
+    )
+    d2 = d1.where(F.col("__n") > 0)
     d3 = d2.select("doc_id", "__t", ends.alias("__e"))
     starts = F.concat(
         F.array(F.lit(1)),
@@ -168,6 +186,85 @@ def cdc_chunks(
         md5_long(
             F.expr("substring(__t, z.s, z.e - z.s + 1)")
         ).alias("chunk_hash"),
+    )
+
+
+def cdc_chunks_arrow(
+    docs: DataFrame,
+    mask_bits: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vectorized Arrow twin of :func:`cdc_chunks` — byte-identical
+    output (parity-pinned by ``tests/test_cdc.py``), rendered as a
+    ``mapInPandas`` numpy kernel instead of the expression-tree fold.
+
+    Why a twin exists: Spark evaluates higher-order-function lambdas
+    (``aggregate``/``filter``) in the INTERPRETED expression path —
+    they never enter whole-stage codegen — so the declarative fold
+    costs ~0.5 µs per character.  The kernel below does the same math
+    as numpy array ops: codepoints via a single UTF-32 decode, the
+    gear table as one fancy-index gather, and the rolling state
+    ``h_i mod 2^mask_bits`` as ``mask_bits`` shifted adds (the
+    recurrence's 2^lag weights vanish mod the mask past lag
+    ``mask_bits``, so the sliding weighted sum IS the exact sequential
+    state — same argument as the expression form).  Still a narrow
+    map: no shuffle, embarrassingly parallel per Arrow batch, the
+    streaming hot path's chunker.  The expression form remains the
+    oracle-parity showcase and the plan the batch queries audit."""
+    import numpy as np
+    import pandas as pd
+    from hashlib import md5
+
+    mask = 1 << mask_bits
+    tab = np.array([v % mask for v in _GEAR_TAB], dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            out_id, out_idx, out_len, out_hash = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                cp = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = cp.shape[0]
+                g = tab[np.minimum(cp, 255)]
+                hi = np.flatnonzero(cp > 255)
+                for j in hi:  # rare non-Latin-1 fallback, md5 per char
+                    h = int(
+                        md5(chr(int(cp[j])).encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                    g[j] = h % mask
+                acc = np.zeros(n, dtype=np.int64)
+                for lag in range(min(mask_bits, n)):
+                    acc[lag:] += g[: n - lag] << lag
+                ends = np.flatnonzero((acc & (mask - 1)) == 0) + 1
+                if ends.shape[0] == 0 or ends[-1] != n:
+                    ends = np.append(ends, n)
+                start = 0
+                for idx, e in enumerate(ends):
+                    chunk = text[start:e]
+                    out_id.append(doc_id)
+                    out_idx.append(idx)
+                    out_len.append(e - start)
+                    out_hash.append(
+                        int(md5(chunk.encode("utf-8")).hexdigest()[:15], 16)
+                    )
+                    start = e
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "chunk_idx": pd.Series(out_idx, dtype="int64"),
+                    "chunk_len": pd.Series(out_len, dtype="int64"),
+                    "chunk_hash": pd.Series(out_hash, dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        kernel,
+        schema="doc_id long, chunk_idx long, chunk_len long, chunk_hash long",
     )
 
 

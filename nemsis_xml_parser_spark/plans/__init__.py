@@ -29,6 +29,7 @@ from . import round8  # noqa: F401,E402
 from . import round9  # noqa: F401,E402
 from . import round10  # noqa: F401,E402
 from . import round11  # noqa: F401,E402
+from . import round12  # noqa: F401,E402
 
 # The driver's correctness run records the first ~50 queries in registration
 # order.  Track, per query, the most recent round whose CORRECTNESS_r0N.json

@@ -1,0 +1,152 @@
+"""Round-12 additions: cross-document substring-level exact dedup.
+
+Reference parity: none — §2.I LLM-curation tier (the reference is a
+psycopg2 ETL with no dedup surface).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-substring spans (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL'22 — exact substring
+# dedup at fixed token granularity)
+# ---------------------------------------------------------------------------
+
+SUB_L = 12       # span granularity: any shared run of >= SUB_L tokens
+                 # contains >= 1 aligned SUB_L-gram, so detection is exact
+SUB_MAXDF = 50   # boilerplate guard: grams in more docs than this are mute
+
+
+@register(
+    "dedup_substring_spans",
+    family="dedup",
+    doc="CROSS-document exact duplicated spans at >= "
+    f"{SUB_L}-token granularity (Lee et al. ACL'22 exact substring "
+    "dedup; complements dedup_duplicate_spans, which reports corpus "
+    "statistics, by localizing per doc PAIR what is shared): emit one "
+    f"{SUB_L}-gram per token position, keep grams seen in 2..{SUB_MAXDF} "
+    "distinct docs (the df guard that stops boilerplate from going "
+    "quadratic), self-join on the gram, then stitch gram hits into "
+    "MAXIMAL spans with the islands trick — hits of one contiguous "
+    "shared span share a (doc_a, doc_b, pos_a - pos_b) diagonal and "
+    "consecutive pos_a, so pos_a - row_number() per diagonal labels "
+    "each island and max-min+L is its exact token length.  Output per "
+    "pair: longest shared span, span count, shared-gram count.  Scale "
+    "shape: O(corpus tokens) gram rows, ONE shuffle on the gram for "
+    "guard + self-join (both sides reuse the gram partitioning), the "
+    "diagonal window repartitions by pair — never all-pairs, pair fan-"
+    "out bounded by the df guard; at 100 TB the gram join key becomes "
+    "md5_long(gram) (60-bit int, same plan shape).",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+ng AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i:i+{SUB_L - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {SUB_L - 2})) AS u(i)
+),
+dup AS (
+  SELECT g FROM ng GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SUB_MAXDF}
+),
+ngd AS (
+  SELECT ng.* FROM ng SEMI JOIN dup ON ng.g = dup.g
+),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM ngd a JOIN ngd b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT da, db, pa,
+         pa - ROW_NUMBER() OVER (
+           PARTITION BY da, db, pa - pb ORDER BY pa
+         ) AS grp,
+         pa - pb AS diag
+  FROM p
+),
+spans AS (
+  SELECT da, db, MAX(pa) - MIN(pa) + {SUB_L} AS span_len,
+         COUNT(*) AS n_grams
+  FROM isl GROUP BY da, db, diag, grp
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(MAX(span_len) AS BIGINT) AS longest_span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(n_grams) AS BIGINT) AS shared_grams
+FROM spans GROUP BY da, db
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+
+    # positions are 1-based to match the SQL; the token array is bound
+    # once through the single-element-array transform (no LET in Spark
+    # SQL — same trick as functions.text.word_ngrams) so the split does
+    # not re-run per gram
+    def build(toks):
+        count = F.size(toks) - F.lit(SUB_L - 1)
+        idxs = F.sequence(F.lit(1), F.greatest(count, F.lit(0)))
+        return F.when(
+            count <= 0,
+            F.array().cast("array<struct<pos:int,g:string>>"),
+        ).otherwise(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(toks, i, SUB_L)).alias("g"),
+                ),
+            )
+        )
+
+    toks = F.split(F.trim(F.col("text")), " ")
+    ng = (
+        d.select(
+            "doc_id",
+            F.explode(F.flatten(F.transform(F.array(toks), build))).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    dup = (
+        ng.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where((F.col("nd") >= 2) & (F.col("nd") <= SUB_MAXDF))
+        .select("g")
+    )
+    ngd = ng.join(dup, "g", "left_semi")
+    a, b = ngd.alias("a"), ngd.alias("b")
+    p = a.join(b, "g").where(F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    w = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    isl = p.select(
+        "da",
+        "db",
+        "pa",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
+    )
+    spans = isl.groupBy("da", "db", "diag", "grp").agg(
+        (F.max("pa") - F.min("pa") + F.lit(SUB_L)).alias("span_len"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return spans.groupBy("da", "db").agg(
+        F.max("span_len").cast("bigint").alias("longest_span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("n_grams").cast("bigint").alias("shared_grams"),
+    ).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        "longest_span_tokens",
+        "n_spans",
+        "shared_grams",
+    )

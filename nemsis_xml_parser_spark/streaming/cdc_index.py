@@ -42,7 +42,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.cdc import cdc_chunks
+from ..operators.cdc import cdc_chunks_arrow
 from ..operators.txlog import commit_table, current_version, read_table, vacuum
 from .winnow_index import (
     candidates_against_fp_index,  # noqa: F401  (re-export: test/tool API)
@@ -66,6 +66,13 @@ def _write_ratio_row(
 
     d = os.path.join(ratio_root, f"batch={batch_id}")
     os.makedirs(d, exist_ok=True)
+    # clear foreign files first (a previous writer version may have left
+    # Spark-named part-* files; unlike Spark's mode('overwrite') the
+    # fixed-name rename below would not displace them and the glob scan
+    # would double-read) — the new file then lands atomically
+    for f in os.listdir(d):
+        if f != "part-0.parquet":
+            os.remove(os.path.join(d, f))
     tmp = os.path.join(d, ".part-0.parquet.tmp")
     pq.write_table(
         pa.table(
@@ -78,6 +85,19 @@ def _write_ratio_row(
         tmp,
     )
     os.replace(tmp, os.path.join(d, "part-0.parquet"))
+
+def _parquet_rowcount(d: str) -> int:
+    """Sum of row counts from the parquet footers in a directory — a
+    driver-side metadata read (no Spark job) for counting a frame that
+    was just written."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet") and not f.startswith("."):
+            total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return total
+
 
 __all__ = [
     "read_chunk_index",
@@ -165,25 +185,51 @@ def start_cdc_index_stream(
             ):
                 prev[key] = spark.conf.get(key, None)
                 spark.conf.set(key, str(val))
-        # widen the compute-heavy chunking stage past the
-        # maxFilesPerTrigger-partition source (winnow_index note)
-        batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
+        # r12: NO width repartition — the Arrow kernel chunks a
+        # microbatch in tens of milliseconds, so the source's
+        # maxFilesPerTrigger partitions (floored at 4 by
+        # minPartitionNum) are already enough parallelism and the
+        # extra exchange was costing more than the compute it spread.
+        # On a cluster whose triggers carry GBs, pass
+        # batch_shuffle_partitions=None and the session defaults
+        # (file split sizing + AQE) re-widen the scan naturally.
         try:
+            # r12 job shape: the chunk computation WRITES ITS INDEX DIR
+            # FIRST (one job: scan → width repartition → chunk →
+            # narrow-4 shuffle → write), then everything downstream
+            # reads the batch's fingerprints back from that MB-scale
+            # parquet dir.  This kills the old persist (cache
+            # materialization) and the separate fps.count() job —
+            # total_chunks is summed from the written files' parquet
+            # footers driver-side, a free metadata read.  Replay-safe:
+            # the index write was already batch-keyed OVERWRITE, and
+            # every index consumer is duplicate-immune (module
+            # docstring), so the own-batch rows now always visible in
+            # the read_chunk_index scan collapse inside fp_groups' sets
+            # exactly as a crash-window replay always did.
+            batch_dir = f"{index_root}/batch={batch_id}"
             fps = (
-                cdc_chunks(
+                # the vectorized Arrow twin (parity-pinned vs the
+                # expression form) — HOF lambdas are interpreted, so at
+                # microbatch latency budgets the numpy kernel is the
+                # right chunker
+                cdc_chunks_arrow(
                     batch_df, mask_bits=mask_bits,
                     id_col=id_col, text_col=text_col,
                 )
                 .select("doc_id", F.col("chunk_hash").alias("gh"))
-                # repartition, NOT coalesce: the r10 array-HOF chunker has
-                # no shuffle of its own, so a coalesce(4) here would
-                # collapse the whole chunk computation to 4 tasks; the
-                # explicit (tiny, chunk-row-sized) shuffle keeps the
-                # compute stage at the repartitioned batch width and only
-                # the persisted frame narrow
-                .repartition(4)
                 .persist()
             )
+            # no repartition: with the width shuffle gone the scan
+            # arrives in minPartitionNum(=4) partitions, so the chunk
+            # job is ONE fully narrow stage — scan → kernel → cache →
+            # write, zero exchanges — and the batch dir still holds ~4
+            # small files for the next batch's scan to bin-pack.  The
+            # write doubles as the cache materialization; the pairs job
+            # then probes the MB-scale cached frame instead of
+            # re-scanning parquet.
+            fps.write.mode("overwrite").parquet(batch_dir)
+            total_chunks = _parquet_rowcount(batch_dir)
             index = read_chunk_index(spark, index_root)
             # r11 (winnow_index's rework, shared machinery): restrict the
             # history view to chunk hashes present in this batch
@@ -238,7 +284,6 @@ def start_cdc_index_stream(
                 f"{out_root}/batch={batch_id}"
             )
             stats = obs.get
-            total_chunks = fps.count()
             if max_df is not None:
                 write_hot_fps(
                     index_root, batch_id, list(stats["newly_hot"])
@@ -248,9 +293,6 @@ def start_cdc_index_stream(
                 batch_id,
                 total_chunks,
                 total_chunks - int(stats["fc"] or 0),
-            )
-            fps.write.mode("overwrite").parquet(
-                f"{index_root}/batch={batch_id}"
             )
             fps.unpersist()
             if compact_every and (batch_id + 1) % compact_every == 0:

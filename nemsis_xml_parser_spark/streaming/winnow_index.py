@@ -234,6 +234,12 @@ def write_hot_fps(index_root: str, batch_id: int, ghs: list[int]) -> None:
         return
     d = os.path.join(index_root, "hot", f"batch={batch_id}")
     os.makedirs(d, exist_ok=True)
+    # clear foreign files (stale Spark-named part-* from an older writer
+    # version, or a crashed tmp) so the fixed-name rename below leaves
+    # exactly one readable file for the glob scan
+    for f in os.listdir(d):
+        if f != "part-0.parquet":
+            os.remove(os.path.join(d, f))
     tmp = os.path.join(d, ".part-0.parquet.tmp")
     pq.write_table(
         pa.table({"gh": pa.array(sorted(ghs), pa.int64())}), tmp

@@ -10,6 +10,7 @@ from nemsis_xml_parser_spark.operators.cdc import (
     GEAR_WINDOW,
     _P61,
     cdc_chunks,
+    cdc_chunks_arrow,
     cdc_dedup_summary,
 )
 
@@ -87,3 +88,24 @@ def test_empty_doc_yields_no_chunks(spark):
     )
     rows = cdc_chunks(docs, mask_bits=6).collect()
     assert {r.doc_id for r in rows} == {2}
+
+
+def test_arrow_twin_parity(spark):
+    """cdc_chunks_arrow (the vectorized streaming-hot-path kernel) is
+    row-identical to the expression form across edits, empty docs,
+    non-Latin-1 codepoints (the md5 fallback branch), and mask_bits
+    variants."""
+    edited = BASE.replace("quick brown", "quick shiny brown", 1)
+    unicode_doc = "naïve café — ∑ über 東京 " + BASE[:80]
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, edited), (3, ""), (4, None), (5, unicode_doc)],
+        "doc_id long, text string",
+    )
+    for mb in (4, 6):
+        exp = sorted(
+            tuple(r) for r in cdc_chunks(docs, mask_bits=mb).collect()
+        )
+        got = sorted(
+            tuple(r) for r in cdc_chunks_arrow(docs, mask_bits=mb).collect()
+        )
+        assert got == exp and len(got) > 0
