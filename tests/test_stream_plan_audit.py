@@ -50,7 +50,7 @@ def test_stream_batch_plans_within_budget(spark, tmp_path, budgets):
         spark.conf.set(key, val)
     try:
         frames = stream_batch_frames(spark, str(tmp_path))
-        missing = sorted(set(frames) - set(budgets))
+        missing = sorted(set(frames) - (set(budgets) - {"__live__"}))
         assert not missing, (
             f"frames with no stream plan budget: {missing} — run "
             "python tools/gen_plan_budgets_stream.py"
@@ -84,3 +84,47 @@ def test_stream_batch_plans_within_budget(spark, tmp_path, budgets):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_stream_live_plans_within_budget(spark, tmp_path, budgets):
+    """The STATEFUL pipelines, run live for one availableNow drain:
+    exchanges bounded, cartesian forbidden, and the stateful-operator
+    counts pinned EXACTLY — a windowed aggregate losing its
+    StateStoreSave (watermark column dropped) or the stream-stream join
+    degrading out of StreamingSymmetricHashJoin is a correctness
+    regression no batch frame can catch."""
+    from tools.gen_plan_budgets_stream import live_plan_stats
+    from tools.stream_plan_frames import stream_live_plans
+
+    assert "__live__" in budgets, (
+        "run python tools/gen_plan_budgets_stream.py first"
+    )
+    live_budgets = budgets["__live__"]
+    plans = stream_live_plans(spark, str(tmp_path))
+    missing = sorted(set(plans) - set(live_budgets))
+    assert not missing, (
+        f"live pipelines with no budget: {missing} — run "
+        "python tools/gen_plan_budgets_stream.py"
+    )
+    failures = []
+    for name, plan in sorted(plans.items()):
+        stats = live_plan_stats(plan)
+        b = live_budgets[name]
+        if stats["cartesian"] > 0:
+            failures.append(f"{name}: CartesianProduct in live plan")
+        if stats["exchanges"] > b["exchanges"]:
+            failures.append(
+                f"{name}: {stats['exchanges']} exchanges > "
+                f"budget {b['exchanges']}"
+            )
+        if stats["bnlj"] > b["bnlj"]:
+            failures.append(
+                f"{name}: {stats['bnlj']} BNLJ > budget {b['bnlj']}"
+            )
+        for op in ("state_store_save", "streaming_dedup", "streaming_join",
+                   "coalesce"):
+            if stats[op] != b[op]:
+                failures.append(
+                    f"{name}: {op}={stats[op]} != pinned {b[op]}"
+                )
+    assert not failures, "\n".join(failures)

@@ -36,9 +36,36 @@ def stream_plan_stats(df) -> dict[str, int]:
     }
 
 
+# ops pinned in LIVE MicroBatchExecution plans (tree format, captured
+# after one availableNow drain — see stream_plan_frames.stream_live_plans).
+# Stateful-op counts are the contract: a windowed agg losing its
+# StateStoreSave (e.g. a watermark column silently dropped) or a
+# stream-stream join degrading out of StreamingSymmetricHashJoin is a
+# correctness regression that no batch frame can see.
+LIVE_OPS = {
+    "exchanges": r"\bExchange\b",  # no match inside Reused/BroadcastExchange
+    "cartesian": r"\bCartesianProduct\b",
+    "bnlj": r"\bBroadcastNestedLoopJoin\b",
+    "coalesce": r"\bCoalesce\b",
+    "state_store_save": r"\bStateStoreSave\b",
+    "streaming_dedup": r"\bStreamingDeduplicate(?:WithinWatermark)?\b",
+    "streaming_join": r"\bStreamingSymmetricHashJoin\b",
+}
+
+
+def live_plan_stats(plan: str) -> dict[str, int]:
+    return {
+        name: len(re.findall(pat, plan, re.MULTILINE))
+        for name, pat in LIVE_OPS.items()
+    }
+
+
 def main() -> None:
     from nemsis_xml_parser_spark.session import get_spark
-    from tools.stream_plan_frames import stream_batch_frames
+    from tools.stream_plan_frames import (
+        stream_batch_frames,
+        stream_live_plans,
+    )
 
     spark = get_spark("stream-plan-budgets")
     # the streams plan their batch bodies under these scoped overrides
@@ -53,10 +80,17 @@ def main() -> None:
         budgets = {
             name: stream_plan_stats(df) for name, df in frames.items()
         }
+        budgets["__live__"] = {
+            name: live_plan_stats(plan)
+            for name, plan in stream_live_plans(spark, root).items()
+        }
     BUDGET_PATH.write_text(
         json.dumps(budgets, indent=1, sort_keys=True) + "\n"
     )
-    print(f"wrote {BUDGET_PATH} ({len(budgets)} frames)")
+    print(
+        f"wrote {BUDGET_PATH} ({len(budgets) - 1} frames + "
+        f"{len(budgets['__live__'])} live plans)"
+    )
 
 
 if __name__ == "__main__":

@@ -3,7 +3,12 @@ streaming pipelines — the input to the stream plan-budget gate
 (tools/gen_plan_budgets_stream.py writes budgets,
 tests/test_stream_plan_audit.py enforces them).
 
-The six foreachBatch pipelines hand-partition their batch bodies
+Coverage (r12): every bench pipeline.  The foreachBatch families get a
+representative batch-body frame below; the stateful pipelines
+(windowed aggregates, watermark dedup, stream-stream join) are run
+LIVE for one availableNow drain by :func:`stream_live_plans` so their
+stateful operators are pinned too.  The foreachBatch pipelines
+hand-partition their batch bodies
 (scoped narrow shuffles, widened compute stages); the classic
 regression there is NOT a new Exchange but a ``coalesce`` landing
 above a narrow producer and collapsing the whole compute stage to a
@@ -48,7 +53,7 @@ def stream_batch_frames(
 ) -> dict[str, DataFrame]:
     """{pipeline_frame_name: DataFrame} for plan auditing."""
     from nemsis_xml_parser_spark.functions.hashing import md5_long
-    from nemsis_xml_parser_spark.operators.cdc import cdc_chunks
+    from nemsis_xml_parser_spark.operators.cdc import cdc_chunks_arrow
     from nemsis_xml_parser_spark.operators.dedup import minhash_band_keys
     from nemsis_xml_parser_spark.operators.sketches import (
         countmin_cells,
@@ -88,11 +93,12 @@ def stream_batch_frames(
         fp_groups(wfps, widx), max_df=50, min_shared=3
     )
 
-    # --- cdc history index (streaming/cdc_index.py body) ---
-    cfps = (
-        cdc_chunks(docs.repartition(width), mask_bits=6)
-        .select("doc_id", F.col("chunk_hash").alias("gh"))
-        .repartition(4)
+    # --- cdc history index (streaming/cdc_index.py body, r12 shape:
+    # vectorized Arrow chunker, fully narrow — NO width repartition, NO
+    # narrow-4 shuffle; the batch dir is written first and the pairs
+    # half consumes the same frame) ---
+    cfps = cdc_chunks_arrow(docs, mask_bits=6).select(
+        "doc_id", F.col("chunk_hash").alias("gh")
     )
     cfps.write.mode("overwrite").parquet(f"{root}/cdcidx/batch=0")
     cidx = read_fp_index(spark, f"{root}/cdcidx")
@@ -144,6 +150,10 @@ def stream_batch_frames(
     )
 
     # --- ivf index maintenance (streaming/ivf_index.py body) ---
+    # (live stateful plans — windowed_rollup, minhash_dedup,
+    # stream_join, drift/cusum/hh windowed counts — are captured by
+    # stream_live_plans below: their defining operators only exist in
+    # a MicroBatchExecution plan, not in a batch frame)
     from nemsis_xml_parser_spark.operators.ivf import (
         assign_cells,
         train_centroids,
@@ -156,6 +166,71 @@ def stream_batch_frames(
     )
     cents = train_centroids(vecs, nlist=4, iters=1)
     frames["ivf_assign"] = assign_cells(vecs, cents)
+
+    # --- connected-components maintenance (streaming/components.py
+    # body: read store -> fold batch -> commit) ---
+    from nemsis_xml_parser_spark.streaming.components import (
+        merge_components_batch,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(16)], "src long, dst long"
+    )
+    cc_state = spark.createDataFrame(
+        [(i, i % 3) for i in range(6)], "node long, component long"
+    )
+    frames["cc_merge"] = merge_components_batch(cc_state, edges)
+
+    # --- MSF maintenance (streaming/msf.py body; the tiny-residual
+    # microbatch path finishes with the single-task Kruskal endgame,
+    # which is the legitimate coalesce(1) this frame pins) ---
+    from nemsis_xml_parser_spark.streaming.msf import merge_msf_batch
+
+    wedges = spark.createDataFrame(
+        [(i, (i + 1) % 10, (i * 3) % 7 + 1) for i in range(14)],
+        "u long, v long, w long",
+    )
+    forest = spark.createDataFrame([], "u long, v long, w long")
+    frames["msf_merge"] = merge_msf_batch(forest, wedges)
+
+    # --- drift monitor batch half (streaming/drift.py::psi_from_counts
+    # over one closed window's histogram) ---
+    from nemsis_xml_parser_spark.streaming.drift import psi_from_counts
+
+    counts = spark.createDataFrame(
+        [(0, 3600, b, 10 + b) for b in range(8)],
+        "window_start long, window_end long, bucket int, n_cur long",
+    )
+    reference = spark.createDataFrame(
+        [(b, 12 + b, 100.0) for b in range(8)],
+        "bucket int, n_ref long, t_ref double",
+    )
+    frames["drift_psi"] = psi_from_counts(counts, reference)
+
+    # --- heavy-hitter monitor batch half
+    # (streaming/heavyhitters.py::heavy_hitters_from_counts) ---
+    from nemsis_xml_parser_spark.streaming.heavyhitters import (
+        heavy_hitters_from_counts,
+    )
+
+    key_counts = spark.createDataFrame(
+        [(0, 3600, f"u{i % 5}", 10 + i) for i in range(15)],
+        "window_start long, window_end long, key string, n long",
+    )
+    frames["hh_topk"] = heavy_hitters_from_counts(key_counts)
+
+    # --- exactly-once JDBC sinks (streaming/sink.py): the batch body is
+    # DBAPI staging (no SQL plan) — what the gate CAN pin is the staged
+    # projection feeding mapPartitionsWithIndex, which must stay narrow
+    # (an exchange here would shuffle every microbatch row before the
+    # per-partition scratch-table writes) ---
+    frames["sink_staged_projection"] = docs.select("doc_id", "text")
+
+    # cusum_counts' batch body is a watermark-bounded orderBy+collect on
+    # the driver (documented in streaming/changepoint.py) — its SQL half
+    # is the windowed_event_counts stateful plan, pinned by the live
+    # capture in gen_plan_budgets_stream.py alongside windowed_rollup,
+    # minhash_dedup, stream_join, drift/hh windowed counts.
 
     # --- count-min delta + estimate (streaming/countmin.py body) ---
     keyed = (
@@ -171,3 +246,103 @@ def stream_batch_frames(
     )
 
     return frames
+
+
+def stream_live_plans(spark: SparkSession, root: str) -> dict[str, str]:
+    """{pipeline_name: last-executed microbatch plan string} for the
+    STATEFUL pipelines — watermarked windowed aggregates, the
+    dropDuplicatesWithinWatermark dedup, the stream-stream interval
+    join.  Their defining physical operators (StateStoreSave,
+    StreamingDeduplicateWithinWatermark, StreamingSymmetricHashJoin)
+    only exist in a MicroBatchExecution plan, so each pipeline is run
+    for one availableNow drain into the noop sink on a tiny staged
+    corpus and its executed plan captured via ``explainInternal`` —
+    the live counterpart of the batch frames above."""
+    from nemsis_xml_parser_spark.streaming.changepoint import (
+        windowed_event_counts,
+    )
+    from nemsis_xml_parser_spark.streaming.drift import windowed_counts
+    from nemsis_xml_parser_spark.streaming.events import (
+        dedup_stream_by_minhash,
+        tumbling_counts,
+    )
+    from nemsis_xml_parser_spark.streaming.heavyhitters import (
+        windowed_key_counts,
+    )
+    from nemsis_xml_parser_spark.streaming.joins import (
+        attribute_clicks_stream,
+    )
+
+    ev_rows = [
+        (
+            f"2024-01-01 {h:02d}:{m:02d}:00",
+            "view" if i % 3 else "click",
+            float(i),
+            i % 5,
+            i,
+        )
+        for i, (h, m) in enumerate(
+            (h, m) for h in range(4) for m in (0, 20, 40)
+        )
+    ]
+    ev = spark.createDataFrame(
+        ev_rows, "ts_s string, event_type string, value double, "
+        "user_id long, event_id long"
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value", "user_id", "event_id",
+    )
+    ev.write.mode("overwrite").parquet(f"{root}/live_events")
+    ds = _docs(spark).select(
+        "doc_id", "text", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts")
+    )
+    ds = ds.withColumn("n_chars", F.length("text"))
+    ds.write.mode("overwrite").parquet(f"{root}/live_docs")
+
+    def src(path, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    ev_schema = spark.read.parquet(f"{root}/live_events").schema
+    doc_schema = spark.read.parquet(f"{root}/live_docs").schema
+
+    pipelines = {
+        "windowed_rollup": lambda: tumbling_counts(
+            src(f"{root}/live_events", ev_schema)
+        ),
+        "minhash_dedup": lambda: dedup_stream_by_minhash(
+            src(f"{root}/live_docs", doc_schema)
+        ),
+        "stream_join": lambda: attribute_clicks_stream(
+            src(f"{root}/live_events", ev_schema).where(
+                F.col("event_type") == "view"
+            ),
+            src(f"{root}/live_events", ev_schema).where(
+                F.col("event_type") == "click"
+            ),
+        ),
+        "drift_windowed_counts": lambda: windowed_counts(
+            src(f"{root}/live_docs", doc_schema)
+        ),
+        "cusum_windowed_counts": lambda: windowed_event_counts(
+            src(f"{root}/live_events", ev_schema)
+        ),
+        "hh_windowed_counts": lambda: windowed_key_counts(
+            src(f"{root}/live_events", ev_schema)
+        ),
+    }
+    plans: dict[str, str] = {}
+    for i, (name, build) in enumerate(sorted(pipelines.items())):
+        q = (
+            build()
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{root}/live_cp_{i}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plans[name] = q._jsq.explainInternal(False)
+    return plans
