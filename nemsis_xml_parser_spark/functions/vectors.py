@@ -63,6 +63,20 @@ def cosine_similarity_pandas():
     from pyspark.sql.functions import pandas_udf
 
     def cos(a, b):
+        try:
+            # uniform-length fast path (embedding columns): one stacked
+            # einsum for the whole Arrow batch instead of a Python loop
+            av = np.stack(a.to_numpy()).astype(np.float64)
+            bv = np.stack(b.to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", av, bv)
+            den = np.sqrt(np.einsum("ij,ij->i", av, av)) * np.sqrt(
+                np.einsum("ij,ij->i", bv, bv)
+            )
+            out = np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0)
+            return pd.Series(out)
+        except ValueError:  # ragged lengths: per-row fallback
+            pass
+
         def one(x, y):
             xv = np.asarray(x, dtype=np.float64)
             yv = np.asarray(y, dtype=np.float64)

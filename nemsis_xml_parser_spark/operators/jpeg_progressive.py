@@ -832,6 +832,49 @@ def make_progressive_420_jpeg_image(image_id: int) -> bytes:
     return encode_progressive_jpeg_420(yp, *chroma)
 
 
+def make_progressive_420_gradient_image(image_id: int) -> bytes:
+    """Deterministic NON-CONSTANT 4:2:0 progressive JPEG: linear-ramp
+    planes (Y(x,y) = (3x + 5y + 11·id) mod 256 full-res; chroma c at
+    (5x + 3y + 11·id + 40c) mod 256 half-res), width 16·(id%3+1),
+    height 16·(id%2+1).  Every block carries AC energy, so all four AC
+    scan kinds — EOB runs, ZRL, newly-significant ±1<<Al and the
+    §G.1.2.3 correction bits — travel through the SUBSAMPLED MCU walk
+    (the r11 fixtures were constant-block, DC-only).  Decoding is
+    lossy-given-quantization: the exact expectation is the dequant+IDCT
+    of the quantized ramp, pinned by tests and by the
+    reference-reconstruction parity column of the registered query."""
+    w, h = 16 * (image_id % 3 + 1), 16 * (image_id % 2 + 1)
+    X, Y = np.meshgrid(np.arange(w), np.arange(h))
+    yp = ((3 * X + 5 * Y + 11 * image_id) % 256).astype(np.uint8)
+    Xc, Yc = np.meshgrid(np.arange(w // 2), np.arange(h // 2))
+    chroma = [
+        ((5 * Xc + 3 * Yc + 11 * image_id + 40 * c) % 256).astype(np.uint8)
+        for c in (1, 2)
+    ]
+    return encode_progressive_jpeg_420(yp, *chroma)
+
+
+def reference_reconstruction(plane: np.ndarray) -> np.ndarray:
+    """The decoded pixels a correct codec MUST produce for ``plane``:
+    forward DCT → quantize → dequantize → IDCT → round/clip, straight
+    from the pixel array — no bitstream involved, the independent twin
+    the roundtrip tests and the gradient query compare the decoder
+    against."""
+    h, w, nby, nbx, blocks = _quantized_blocks(plane)
+    q = np.empty((8, 8))
+    for idx, (u, v) in enumerate(ZIGZAG):
+        q[u, v] = QTABLE_ZZ[idx]
+    ref = np.empty((nby * 8, nbx * 8))
+    for b, zz in enumerate(blocks):
+        s = np.zeros((8, 8))
+        for idx, (u, v) in enumerate(ZIGZAG):
+            s[u, v] = zz[idx]
+        blk = _A.T @ (s * q) @ _A + 128.0
+        byy, bxx = divmod(b, nbx)
+        ref[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = blk
+    return np.clip(np.round(ref[:h, :w]), 0, 255).astype(np.uint8)
+
+
 def make_progressive_jpeg_image(image_id: int) -> bytes:
     """Deterministic REAL progressive JPEG with the SAME closed-form
     pixel law as the baseline fixture (operators/jpeg.py::

@@ -1895,6 +1895,80 @@ def synthesize_progressive_420_jpeg_media(
     return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthesize_progressive_420_gradient_media(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus of NON-CONSTANT (linear-ramp) 4:2:0
+    progressive JPEGs — every AC scan kind carries real payload through
+    the subsampled MCU walk (jpeg_progressive.py::
+    make_progressive_420_gradient_image) — MEDIA_SCHEMA, Arrow-batched."""
+    from .jpeg_progressive import make_progressive_420_gradient_image
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                buf = make_progressive_420_gradient_image(int(i))
+                rows.append((str(int(i)), "image/jpeg", buf, len(buf)))
+            yield pd.DataFrame(
+                rows, columns=["path", "media_type", "content", "length"]
+            )
+
+    return spread_ids(ids, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def jpeg_progressive_gradient_parity_stats(media: DataFrame) -> DataFrame:
+    """Per gradient-fixture image: dimensions, subpixel count, and
+    ``n_mismatch`` — the count of decoded subpixels differing from the
+    INDEPENDENT reference reconstruction (forward DCT → quantize →
+    dequantize → IDCT of the known ramp law, no bitstream involved;
+    chroma replicated 2x2).  A correct codec yields n_mismatch = 0 for
+    every image, which is the column the DuckDB oracle pins alongside
+    the closed-form dimensions — the decode-vs-reconstruction equality
+    travels through the oracle gate as data."""
+    import numpy as np
+
+    from .jpeg_progressive import (
+        decode_progressive_jpeg,
+        reference_reconstruction,
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                i = int(path)
+                got = decode_progressive_jpeg(bytes(content))
+                h, w = got.shape[:2]
+                X, Y = np.meshgrid(np.arange(w), np.arange(h))
+                yp = ((3 * X + 5 * Y + 11 * i) % 256).astype(np.uint8)
+                mism = int((got[:, :, 0] != reference_reconstruction(yp)).sum())
+                Xc, Yc = np.meshgrid(np.arange(w // 2), np.arange(h // 2))
+                for c in (1, 2):
+                    cp = (
+                        (5 * Xc + 3 * Yc + 11 * i + 40 * c) % 256
+                    ).astype(np.uint8)
+                    ref = np.repeat(
+                        np.repeat(reference_reconstruction(cp), 2, axis=0),
+                        2, axis=1,
+                    )
+                    mism += int((got[:, :, c] != ref).sum())
+                rows.append((i, w, h, int(got.size), mism))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "width", "height", "n_subpixels",
+                    "n_mismatch",
+                ],
+            )
+
+    return media.mapInPandas(
+        stats,
+        schema="image_id long, width int, height int, "
+        "n_subpixels long, n_mismatch long",
+    )
+
+
 def synthesize_progressive_color_jpeg_media(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,739 @@
+"""Streaming graph-ANN index maintenance — incremental node insert into
+the persisted navigable-small-world graph (the streaming twin of
+``operators/nsw.py::build_nsw_graph``, the r11 VERDICT's remaining
+batch-only ANN index).
+
+Deployment model mirrors ``streaming/ivf_index.py`` (train-once /
+add-forever):
+
+* coarse centroids AND the per-cell hub seeds are fixed by batch 0 and
+  frozen — the seeded iters=0 quantizer of the batch graph, so cell
+  boundaries and the navigation hub layer never move under
+  already-linked nodes (re-seeding would strand old nav links);
+* the VECTOR store is byte-compatible with the IVF stream's
+  (``cells/batch={id}/cid={c}``, batch-keyed OVERWRITE,
+  cid-partitioned) — ``read_ivf_cells``/``compact_ivf_cells`` are
+  reused verbatim;
+* EDGES are maintained per microbatch with the classic NSW insertion
+  rule (Malkov et al.): each new node links to its ``g_intra`` most
+  cosine-similar CANDIDATES, where history candidates come from a
+  BEAM SEARCH over the graph built so far (cost O(batch × beam ×
+  degree × hops) — independent of corpus size; an exhaustive
+  history-in-cell scan is O(corpus²/nlist) over a stream's lifetime
+  and measured 61 rows/s at bench scale) and in-batch candidates from
+  a vectorized same-cell top-``g_intra`` matmul kernel
+  (trigger-bounded).  Each beam-found HISTORY neighbor gains a
+  back-link so new nodes stay reachable — capped at ``g_intra`` per
+  old node per batch, with edge COMPACTION re-pruning every node's
+  intra out-edges to the exact top-``g_intra`` by current cosine.
+  Navigation links (node → its ``seed_links`` nearest cells' seeds,
+  uncapped; seed → node, capped at ``NAV_MAX`` per cell EVER via the
+  nav-budget sidecar) are kept apart under ``kind='nav'`` and never
+  cosine-pruned — they are the navigability bootstrap, and the hub
+  cap is what keeps the beam's first-hop expansion corpus-independent.
+
+Single-batch equivalence: a corpus arriving in ONE batch (under the
+nav budget) produces exactly ``build_nsw_graph``'s edge set — the
+guided path with an empty graph degenerates to the batch build's
+per-src top-``g_intra`` + bidirectional seed links, with the matmul
+kernel reproducing the expression scoring ROUND-6-exactly — pinned by
+``tests/test_nsw_index_stream``.
+
+Exactly-once: both stores are batch-keyed OVERWRITE (the history-index
+argument verbatim); the batch body is a deterministic function of the
+batch and the history EXCLUDING the batch's own dir, so a replay
+rewrites identical bytes.  Crash/replay windows can leave duplicate
+rows visible; the searcher is duplicate-immune (edges are joined
+distinct, candidates deduped per (query, node) before ranking) and the
+next compaction folds duplicates away.
+
+Reference parity: none — §2.I streaming-similarity tier.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions import vectors as V
+from ..operators.ivf import _nearest, assign_cells, train_centroids
+from ..operators.lineage import cut_lineage
+from ..operators.txlog import commit_table, current_version, read_table, vacuum
+from .ivf_index import compact_ivf_cells, read_ivf_cells, read_ivf_centroids
+
+__all__ = [
+    "read_nsw_seeds",
+    "read_nsw_edges",
+    "nsw_insertion_edges_guided",
+    "start_nsw_index_stream",
+    "nsw_stream_index_topk",
+    "compact_nsw_edges",
+]
+
+_EDGE_COMPACT = "edges_compacted"
+EDGE_SCHEMA = "src long, dst long, kind string"
+
+#: hub fan-out ceiling: total seed→node nav edges per cell, ever.  The
+#: flat hub layer is only navigable if a seed's out-degree stays
+#: bounded — un-capped, every batch adds its nodes under their seeds
+#: and the beam search's first-hop expansion grows with the CORPUS
+#: (measured: the 61 rows/s wall).  Reachability of later nodes comes
+#: from the intra back-links the beam-guided insert creates, so the
+#: hub only needs enough children to bootstrap descent.
+NAV_MAX = 128
+
+
+def _read_nav_used(
+    index_root: str, exclude_batch: int | None = None
+) -> dict[int, int]:
+    """Per-cell count of nav seed→node edges committed so far — the
+    monotone budget sidecar (driver-side pyarrow, the hot-fps recipe:
+    one tiny ``nav_used/batch=N`` dir per batch that added any,
+    own-batch dir excluded on replay)."""
+    import pyarrow.parquet as pq
+
+    root = os.path.join(index_root, "nav_used")
+    used: dict[int, int] = {}
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("batch=") or d == f"batch={exclude_batch}":
+                continue
+            f = os.path.join(root, d, "part-0.parquet")
+            if os.path.isfile(f):
+                t = pq.read_table(f)
+                for cid, n in zip(
+                    t["cid"].to_pylist(), t["n"].to_pylist()
+                ):
+                    used[int(cid)] = used.get(int(cid), 0) + int(n)
+    return used
+
+
+def _write_nav_used(
+    index_root: str, batch_id: int, counts: dict[int, int]
+) -> None:
+    """Batch-keyed sidecar append (tmp + atomic rename, foreign files
+    cleared; nothing written when empty — the write_hot_fps contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not counts:
+        return
+    d = os.path.join(index_root, "nav_used", f"batch={batch_id}")
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(d):
+        if f != "part-0.parquet":
+            os.remove(os.path.join(d, f))
+    cids = sorted(counts)
+    tmp = os.path.join(d, ".part-0.parquet.tmp")
+    pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array(cids, pa.int32()),
+                "n": pa.array([counts[c] for c in cids], pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, os.path.join(d, "part-0.parquet"))
+
+
+def _nav_adds_from_edges(
+    index_root: str, batch_id: int, seeds_map: dict[int, int]
+) -> dict[int, int]:
+    """Count the batch's seed→node nav additions per cell by reading
+    the just-written edges dir driver-side (pyarrow, MB-scale, no
+    Spark job).  ``seeds_map`` is svid → cid."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_root, "edges", f"batch={batch_id}")
+    counts: dict[int, int] = {}
+    svids = set(seeds_map)
+    for f in os.listdir(d):
+        if not f.endswith(".parquet") or f.startswith("."):
+            continue
+        t = pq.read_table(os.path.join(d, f), columns=["src", "kind"])
+        for src, kind in zip(t["src"].to_pylist(), t["kind"].to_pylist()):
+            if kind == "nav" and src in svids:
+                cid = seeds_map[src]
+                counts[cid] = counts.get(cid, 0) + 1
+    return counts
+
+
+def read_nsw_seeds(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """Frozen (cid, svid) hub seeds, or None before batch 0 commits them
+    (same _SUCCESS-gated bootstrap as the centroids)."""
+    d = f"{index_root}/seeds"
+    if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+        return None
+    return spark.read.parquet(d)
+
+
+def read_nsw_edges(
+    spark: SparkSession, index_root: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """All committed (src, dst, kind) edges: the latest compaction plus
+    every batch dir since.  ``exclude_batch`` skips one batch dir (the
+    replay determinism guard — a replayed batch must not see its own
+    crashed output).  May contain duplicates in crash windows —
+    consumers read it distinct."""
+    edges_dir = f"{index_root}/edges"
+    parts = []
+    if os.path.isdir(edges_dir):
+        dirs = [
+            os.path.join(edges_dir, d)
+            for d in sorted(os.listdir(edges_dir))
+            if d.startswith("batch=") and d != f"batch={exclude_batch}"
+        ]
+        if dirs:
+            parts.append(
+                spark.read.schema(EDGE_SCHEMA).parquet(*dirs)
+            )
+    if current_version(index_root, _EDGE_COMPACT) is not None:
+        parts.append(
+            read_table(spark, index_root, _EDGE_COMPACT).select(
+                "src", "dst", "kind"
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], EDGE_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pair_cos(sv, sn, dv, dn):
+    denom = sn * dn
+    return F.round(
+        F.when(denom > 0, V.dot(sv, dv) / denom).otherwise(F.lit(0.0)), 6
+    )
+
+
+def compact_nsw_edges(
+    spark: SparkSession, index_root: str, g_intra: int = 6
+) -> int:
+    """Fold the edge view into the next txlog version: nav links pass
+    through DISTINCT (navigability is not a similarity property); intra
+    edges are re-pruned to each src's exact top-``g_intra`` by cosine
+    against the CURRENT vector store — the bounded-degree invariant the
+    per-batch back-links relax between folds.  Folded batch dirs are
+    removed, old versions vacuumed."""
+    edges_dir = f"{index_root}/edges"
+    folded = [
+        d for d in os.listdir(edges_dir)
+        if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+    ] if os.path.isdir(edges_dir) else []
+    edges = read_nsw_edges(spark, index_root).distinct()
+    vecs = (
+        read_ivf_cells(spark, index_root)
+        .dropDuplicates(["item_id"])
+        .select("item_id", "iv", V.norm(F.col("iv")).alias("nrm"))
+    )
+    sv = vecs.select(
+        F.col("item_id").alias("src"),
+        F.col("iv").alias("sv"), F.col("nrm").alias("sn"),
+    )
+    dv = vecs.select(
+        F.col("item_id").alias("dst"),
+        F.col("iv").alias("dv"), F.col("nrm").alias("dn"),
+    )
+    intra = (
+        edges.where(F.col("kind") == "intra")
+        .join(sv, "src").join(dv, "dst")
+        .select(
+            "src", "dst",
+            _pair_cos(F.col("sv"), F.col("sn"), F.col("dv"), F.col("dn")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    pruned = (
+        intra.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= g_intra)
+        .select("src", "dst", F.lit("intra").alias("kind"))
+    )
+    nav = edges.where(F.col("kind") == "nav").select("src", "dst", "kind")
+    ver = commit_table(pruned.unionByName(nav), index_root, _EDGE_COMPACT)
+    for d in folded:
+        shutil.rmtree(os.path.join(edges_dir, d), ignore_errors=True)
+    vacuum(index_root, _EDGE_COMPACT, keep=2)
+    return ver
+
+
+def _cells_view(
+    spark: SparkSession, index_root: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """read_ivf_cells with one batch dir optionally excluded (the
+    replay-determinism guard: a replayed batch must not see its own
+    crashed cell output).  Exclusion is by file path — the compacted
+    txlog rows carry no batch dir and always pass."""
+    cells = read_ivf_cells(spark, index_root)
+    if exclude_batch is None:
+        return cells
+    return (
+        cells.withColumn(
+            "__b", F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1)
+        )
+        .where(F.col("__b") != F.lit(str(exclude_batch)))
+        .drop("__b")
+    )
+
+
+def _beam_search(
+    qv: DataFrame,
+    graph: DataFrame,
+    vecs: DataFrame,
+    seeds: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    beam: int,
+    hops: int,
+    entries: int,
+) -> DataFrame:
+    """The NSW beam-search loop over explicit (query_id, qv) /
+    (src, dst) / (node, nv) frames — shared by the public searcher and
+    the graph-guided insertion (which points it at exclude-own-batch
+    views).  Candidate scoring is the Arrow cosine
+    (``V.cosine_similarity_pandas`` — stacked einsum per batch; the
+    interpreted HOF fold was ~100 µs per candidate).  Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    cos_udf = V.cosine_similarity_pandas()
+    seeded_cents = centroids.join(
+        F.broadcast(seeds.select("cid")), "cid", "left_semi"
+    )
+    qcell = _nearest(
+        qv.select(F.col("query_id").alias("__vid"), F.col("qv").alias("v")),
+        seeded_cents,
+        keep=entries,
+    ).select(F.col("__vid").alias("query_id"), "cid")
+    state = qcell.join(F.broadcast(seeds), "cid").select(
+        "query_id", F.col("svid").alias("node")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node").asc()
+    )
+    for _hop in range(hops):
+        cand = state.select("query_id", "node").distinct()
+        scored = (
+            cand.join(qv, "query_id")
+            .join(vecs, "node")
+            .select(
+                "query_id", "node",
+                F.round(
+                    cos_udf(F.col("qv"), F.col("nv")), 6
+                ).alias("cosine"),
+            )
+        )
+        kept = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= beam)
+            .select("query_id", "node")
+            # cut per hop: hop t+1's scoring must not replay hops 1..t
+            # (operators/nsw.py's rejected-experiment note).  REJECTED
+            # r12 variant: skipping the LAST hop's cut — its kept feeds
+            # two consumers, and the duplicated subtree re-scans the
+            # GROWING vector store; measured 568 -> 452 rows/s on the
+            # maintenance bench as history accumulated.
+            .transform(cut_lineage)
+        )
+        expansion = kept.join(
+            graph, kept["node"] == graph["src"]
+        ).select("query_id", F.col("dst").alias("node"))
+        state = kept.unionByName(expansion)
+    final = (
+        state.select("query_id", "node")
+        .distinct()
+        .join(qv, "query_id")
+        .join(vecs, "node")
+        .where(F.col("node") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.round(cos_udf(F.col("qv"), F.col("nv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _inbatch_topg_pairs(cells: DataFrame, g_intra: int) -> DataFrame:
+    """(src, dst, cos) — each batch node's top-``g_intra`` ROUND-6
+    cosine neighbors WITHIN its cell, among the batch's own nodes.
+    Vectorized: one normalized matmul per cell group inside
+    ``applyInPandas`` (the in-cell pair count is trigger-bounded but
+    still ~batch²/nlist — at ~100 µs per interpreted HOF dot that was
+    the 61-rows/s wall; the matmul does the same flops in
+    milliseconds).  Tie-break matches the expression form exactly:
+    cosine desc, then dst asc, on the ROUNDED value."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["item_id"].to_numpy()
+        n = ids.shape[0]
+        if n < 2:
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype="int64"),
+                 "dst": pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        M = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        safe = np.where(nrm == 0, 1.0, nrm)
+        Vn = M / safe[:, None]
+        S = np.round(Vn @ Vn.T, 6)
+        S[nrm == 0, :] = 0.0
+        S[:, nrm == 0] = 0.0
+        out_src, out_dst, out_cos = [], [], []
+        for i in range(n):
+            order = np.lexsort((ids, -S[i]))
+            taken = 0
+            for j in order:
+                if j == i:
+                    continue
+                out_src.append(int(ids[i]))
+                out_dst.append(int(ids[j]))
+                out_cos.append(float(S[i, j]))
+                taken += 1
+                if taken == g_intra:
+                    break
+        return pd.DataFrame(
+            {"src": pd.Series(out_src, dtype="int64"),
+             "dst": pd.Series(out_dst, dtype="int64"),
+             "cos": pd.Series(out_cos, dtype="float64")}
+        )
+
+    return cells.select("cid", "item_id", "iv").groupBy("cid").applyInPandas(
+        kern, schema="src long, dst long, cos double"
+    )
+
+
+def nsw_insertion_edges_guided(
+    batch_df: DataFrame,
+    cells: DataFrame,
+    found: DataFrame,
+    seeds: DataFrame,
+    centroids: DataFrame,
+    g_intra: int = 6,
+    seed_links: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nav_max: int | None = None,
+    nav_used: dict[int, int] | None = None,
+) -> DataFrame:
+    """Edge additions — the textbook NSW insert: each new node's
+    HISTORY candidates come from a BEAM SEARCH over the current graph
+    (``found``: (query_id, neighbor_id, cosine) from
+    :func:`_beam_search`, cost independent of corpus size — an
+    exhaustive history scan would be O(corpus²/nlist) across a stream's
+    lifetime), its IN-BATCH candidates from the vectorized same-cell
+    top-``g_intra`` kernel (trigger-bounded).  Both pools carry the
+    same ROUND-6 cosine, so one per-src window picks the final
+    top-``g_intra`` across them; back-links and nav links follow the
+    module docstring.  With an empty ``found`` (batch 0) this IS the
+    batch build's edge set (kernel == expression scoring up to
+    last-ulp rounding, pinned by the single-batch parity test)."""
+    in_batch = _inbatch_topg_pairs(cells, g_intra).select(
+        "src", "dst", F.lit(False).alias("is_hist"), "cos"
+    )
+    hist_cand = found.select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.lit(True).alias("is_hist"),
+        F.col("cosine").alias("cos"),
+    )
+    scored = in_batch.unionByName(hist_cand)
+    wsrc = Window.partitionBy("src").orderBy(
+        F.col("cos").desc(), F.col("dst").asc()
+    )
+    intra = (
+        scored.withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") <= g_intra)
+        .select("src", "dst", "is_hist", "cos")
+    )
+    wdst = Window.partitionBy("dst").orderBy(
+        F.col("cos").desc(), F.col("src").asc()
+    )
+    back = (
+        intra.where(F.col("is_hist"))
+        .withColumn("bn", F.row_number().over(wdst))
+        .where(F.col("bn") <= g_intra)
+        .select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.lit("intra").alias("kind"),
+        )
+    )
+    seeded_cents = centroids.join(
+        F.broadcast(seeds.select("cid")), "cid", "left_semi"
+    )
+    probes = _nearest(
+        batch_df.select(
+            F.col(id_col).alias("__vid"),
+            V.to_double_array(F.col(vec_col)).alias("v"),
+        ),
+        seeded_cents,
+        keep=seed_links,
+    ).select(F.col("__vid").alias("node"), "cid")
+    linked = probes.join(F.broadcast(seeds), "cid").where(
+        F.col("node") != F.col("svid")
+    )
+    nav_up = linked.select(
+        F.col("node").alias("src"), F.col("svid").alias("dst"),
+        F.lit("nav").alias("kind"),
+    )
+    nav_down = linked
+    if nav_max is not None:
+        # hub fan-out budget: only the first (nav_max - used) nodes per
+        # cell, by id, ever receive a seed->node edge — the EXACT
+        # degree cap (module NAV_MAX note); the used counts come from
+        # the driver-side sidecar, so the budget is monotone and
+        # replay-deterministic.  node->seed edges stay uncapped (their
+        # degree is <= seed_links per node).
+        spark = batch_df.sparkSession
+        wnav = Window.partitionBy("cid").orderBy(F.col("node").asc())
+        nav_down = nav_down.withColumn("__rn", F.row_number().over(wnav))
+        if nav_used:
+            used_df = spark.createDataFrame(
+                [(int(c), int(n)) for c, n in sorted(nav_used.items())],
+                "cid int, __used long",
+            )
+            nav_down = nav_down.join(F.broadcast(used_df), "cid", "left")
+        else:
+            nav_down = nav_down.withColumn("__used", F.lit(0).cast("long"))
+        nav_down = nav_down.where(
+            F.col("__rn") <= nav_max - F.coalesce(F.col("__used"), F.lit(0))
+        )
+    nav = nav_up.unionByName(
+        nav_down.select(
+            F.col("svid").alias("src"), F.col("node").alias("dst"),
+            F.lit("nav").alias("kind"),
+        )
+    )
+    return (
+        intra.select("src", "dst", F.lit("intra").alias("kind"))
+        .unionByName(back)
+        .unionByName(nav)
+        .distinct()
+    )
+
+
+def start_nsw_index_stream(
+    vec_stream: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    g_intra: int = 6,
+    seed_links: int = 3,
+    beam: int = 8,
+    hops: int = 3,
+    nav_max: int = NAV_MAX,
+    available_now: bool = True,
+    batch_shuffle_partitions: int | None = 4,
+    compact_every: int | None = 8,
+) -> StreamingQuery:
+    """foreachBatch loop: (freeze centroids + seeds on batch 0) →
+    assign cells → NSW insertion edges → batch-keyed OVERWRITE writes →
+    periodic compaction of both stores.
+
+    Insertion has two regimes.  Batch 0 (empty history) runs the
+    exhaustive in-cell scan — exactly ``build_nsw_graph``, the parity
+    contract.  Every later batch is GRAPH-GUIDED (the textbook NSW
+    insert): history candidates come from a ``beam``×``hops`` beam
+    search over the graph built so far, so per-batch cost is
+    O(batch × beam × degree × hops) — independent of corpus size —
+    while in-batch candidates stay the exhaustive same-cell pairs
+    (trigger-bounded).  An exhaustive-vs-history scan would be
+    O(corpus²/nlist) across the stream's lifetime; the beam-guided
+    insert is what makes the index maintainable forever."""
+
+    seeds_map_cache: dict[int, int] = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev: dict[str, str | None] = {}
+        if batch_shuffle_partitions is not None:
+            for key, val in (
+                ("spark.sql.shuffle.partitions", batch_shuffle_partitions),
+                ("spark.sql.files.minPartitionNum", 4),
+                ("spark.sql.adaptive.enabled", "false"),
+            ):
+                prev[key] = spark.conf.get(key, None)
+                spark.conf.set(key, str(val))
+        try:
+            centroids = read_ivf_centroids(spark, index_root)
+            if centroids is None:
+                # iters=0: the seeded closed-form quantizer — the exact
+                # cell geometry of the batch NSW build (parity contract)
+                train_centroids(
+                    batch_df, nlist, 0, id_col, vec_col
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{index_root}/centroids"
+                )
+                centroids = read_ivf_centroids(spark, index_root)
+            if read_nsw_seeds(spark, index_root) is None:
+                # hub layer frozen from batch 0: min id per id%nlist
+                # stratum (build_nsw_graph's _seed_members on batch 0);
+                # strata batch 0 misses simply have no hub — their
+                # queries enter through the nearest SEEDED cell
+                (
+                    batch_df.select(
+                        (F.col(id_col) % nlist).cast("int").alias("cid"),
+                        F.col(id_col).alias("svid"),
+                    )
+                    .groupBy("cid")
+                    .agg(F.min("svid").alias("svid"))
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(f"{index_root}/seeds")
+                )
+            seeds = read_nsw_seeds(spark, index_root)
+            cells = assign_cells(
+                batch_df, centroids, id_col, vec_col
+            ).withColumn("nrm", V.norm(F.col("iv"))).persist()
+            edir = f"{index_root}/edges"
+            have_graph = (
+                current_version(index_root, _EDGE_COMPACT) is not None
+                or (
+                    os.path.isdir(edir)
+                    and any(
+                        d.startswith("batch=")
+                        and d != f"batch={batch_id}"
+                        for d in os.listdir(edir)
+                    )
+                )
+            )
+            if not have_graph:
+                # batch 0 (or nothing committed yet): no graph to
+                # search — the guided path with an empty candidate
+                # frame degenerates to the batch build's edge set
+                found = spark.createDataFrame(
+                    [], "query_id long, neighbor_id long, cosine double"
+                )
+            else:
+                graph = (
+                    read_nsw_edges(
+                        spark, index_root, exclude_batch=batch_id
+                    )
+                    .select("src", "dst")
+                    .distinct()
+                )
+                # graph-guided insert: candidates via beam search over
+                # the committed graph (own-batch dirs excluded from
+                # both views — the replay determinism guard)
+                vecs = (
+                    _cells_view(spark, index_root, exclude_batch=batch_id)
+                    .dropDuplicates(["item_id"])
+                    .select(
+                        F.col("item_id").alias("node"),
+                        F.col("iv").alias("nv"),
+                    )
+                )
+                qv = batch_df.select(
+                    F.col(id_col).alias("query_id"),
+                    V.to_double_array(F.col(vec_col)).alias("qv"),
+                )
+                # insertion search runs leaner than query search: one
+                # entry cell and hops-1 is enough to land candidates —
+                # the final per-src window mixes them with the in-batch
+                # kernel pairs and the back-links keep the graph
+                # reachable; the recall parity test guards the quality
+                found = _beam_search(
+                    qv, graph.transform(cut_lineage), vecs, seeds,
+                    centroids, k=g_intra, beam=beam,
+                    hops=max(2, hops - 1), entries=1,
+                )
+            nav_used = _read_nav_used(index_root, exclude_batch=batch_id)
+            edges = nsw_insertion_edges_guided(
+                batch_df, cells, found, seeds, centroids,
+                g_intra=g_intra, seed_links=seed_links,
+                id_col=id_col, vec_col=vec_col,
+                nav_max=nav_max, nav_used=nav_used,
+            )
+            edges.write.mode("overwrite").parquet(
+                f"{index_root}/edges/batch={batch_id}"
+            )
+            if not seeds_map_cache:  # seeds are frozen: one bounded
+                seeds_map_cache.update(   # metadata collect, ever
+                    {int(r.svid): int(r.cid) for r in seeds.collect()}
+                )
+            seeds_map = seeds_map_cache
+            _write_nav_used(
+                index_root, batch_id,
+                _nav_adds_from_edges(index_root, batch_id, seeds_map),
+            )
+            cells.select("cid", "item_id", "iv").write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(
+                f"{index_root}/cells/batch={batch_id}"
+            )
+            cells.unpersist()
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_ivf_cells(spark, index_root)
+                compact_nsw_edges(spark, index_root, g_intra=g_intra)
+        finally:
+            for key, val in prev.items():
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
+
+    writer = vec_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def nsw_stream_index_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    hops: int = 3,
+    entries: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Beam search over the stream-maintained graph —
+    ``operators/nsw.py::nsw_beam_topk``'s search loop (``_beam_search``)
+    pointed at the persisted stores, duplicate-immune (edges joined
+    distinct, candidates deduped per hop by the same distinct the batch
+    searcher already applies)."""
+    centroids = read_ivf_centroids(spark, index_root)
+    seeds = read_nsw_seeds(spark, index_root)
+    if centroids is None or seeds is None:
+        raise ValueError(f"no committed index under {index_root}")
+    graph = read_nsw_edges(spark, index_root).select(
+        "src", "dst"
+    ).distinct().transform(cut_lineage)
+    vecs = (
+        read_ivf_cells(spark, index_root)
+        .dropDuplicates(["item_id"])
+        .select(F.col("item_id").alias("node"), F.col("iv").alias("nv"))
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    return _beam_search(
+        qv, graph, vecs, seeds, centroids,
+        k=k, beam=beam, hops=hops, entries=entries,
+    )

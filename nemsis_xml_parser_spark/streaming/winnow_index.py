@@ -109,7 +109,13 @@ def fp_groups(
     two extra exchanges.  The batch's gh column is broadcast
     UN-deduplicated straight off the persisted batch frame — an extra
     distinct would be one more stage, and the semi-join hash build
-    collapses duplicates anyway.
+    collapses duplicates on arrival.  Broadcast-size bound: the payload
+    is one long per fingerprint INSTANCE in the trigger, i.e. ≤ 8 B ×
+    trigger rows × fingerprints-per-doc — set by ``maxFilesPerTrigger``
+    (MBs for the bench's ~6k-doc triggers), trigger-bounded, never
+    history- or corpus-bounded; a deployment with GB triggers should
+    dedup before broadcasting (one extra narrow stage) or raise the
+    driver/executor broadcast ceiling knowingly.
 
     Set-size bound: callers that maintain a monotone hot-fingerprint
     sidecar (the streams below) drop already-hot ghs from BOTH sides

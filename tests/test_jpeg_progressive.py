@@ -192,3 +192,27 @@ def test_420_encoder_validates_shapes():
             np.zeros((16, 16), dtype=np.uint8),
             np.zeros((8, 8), dtype=np.uint8),
         )
+
+
+def test_420_gradient_matches_direct_reconstruction():
+    """NON-constant 4:2:0: ramp planes push AC-first EOB runs, ZRL and
+    the §G.1.2.3 correction bits through the subsampled MCU walk; the
+    decode must equal the independent dequant+IDCT reconstruction of
+    each plane, chroma upsampled by replication."""
+    for i in (0, 1, 4, 7):
+        w, h = 16 * (i % 3 + 1), 16 * (i % 2 + 1)
+        got = P.decode_progressive_jpeg(
+            P.make_progressive_420_gradient_image(i)
+        )
+        assert got.shape == (h, w, 3)
+        X, Y = np.meshgrid(np.arange(w), np.arange(h))
+        yp = ((3 * X + 5 * Y + 11 * i) % 256).astype(np.uint8)
+        assert (got[:, :, 0] == P.reference_reconstruction(yp)).all(), i
+        Xc, Yc = np.meshgrid(np.arange(w // 2), np.arange(h // 2))
+        for c in (1, 2):
+            cp = ((5 * Xc + 3 * Yc + 11 * i + 40 * c) % 256).astype(
+                np.uint8
+            )
+            ref = P.reference_reconstruction(cp)
+            up = np.repeat(np.repeat(ref, 2, axis=0), 2, axis=1)
+            assert (got[:, :, c] == up).all(), f"id {i} chroma {c}"

@@ -559,6 +559,32 @@ def main() -> None:
                 spark, str(work / "ivfidx")
             ).count(),
         }
+
+        # streaming NSW graph-index maintenance (streaming/nsw_index.py):
+        # per batch NSW insertion edges vs the cid-pruned history +
+        # batch-keyed edge/cell writes; rows/s includes edge selection
+        from nemsis_xml_parser_spark.streaming.nsw_index import (
+            read_nsw_edges,
+            start_nsw_index_stream,
+        )
+
+        q = start_nsw_index_stream(
+            source(vec_dir, vec_schema),
+            str(work / "nswidx"),
+            str(work / "cp18"),
+        )
+        t0 = time.time()
+        q.awaitTermination()
+        wall = time.time() - t0
+        out["nsw_index_maintenance"] = {
+            "rows": rows,
+            "batches": sum(1 for _ in q.recentProgress),
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "peak_state_rows": read_nsw_edges(
+                spark, str(work / "nswidx")
+            ).count(),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

@@ -167,6 +167,36 @@ def stream_batch_frames(
     cents = train_centroids(vecs, nlist=4, iters=1)
     frames["ivf_assign"] = assign_cells(vecs, cents)
 
+    # --- NSW graph-index maintenance (streaming/nsw_index.py body:
+    # beam-found history candidates + the vectorized in-batch kernel
+    # feeding one per-src window; nav edges under the hub budget) ---
+    from nemsis_xml_parser_spark.functions import vectors as VV
+    from nemsis_xml_parser_spark.streaming.nsw_index import (
+        NAV_MAX,
+        nsw_insertion_edges_guided,
+    )
+
+    ncents = train_centroids(vecs, nlist=4, iters=0)
+    ncells = assign_cells(vecs, ncents).withColumn(
+        "nrm", VV.norm(F.col("iv"))
+    )
+    nseeds = (
+        vecs.select(
+            (F.col("vec_id") % 4).cast("int").alias("cid"),
+            F.col("vec_id").alias("svid"),
+        )
+        .groupBy("cid")
+        .agg(F.min("svid").alias("svid"))
+    )
+    nfound = spark.createDataFrame(
+        [(0, 1, 0.5), (2, 3, 0.25)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    frames["nsw_insertion_edges"] = nsw_insertion_edges_guided(
+        vecs, ncells, nfound, nseeds, ncents,
+        nav_max=NAV_MAX, nav_used={0: 3},
+    )
+
     # --- connected-components maintenance (streaming/components.py
     # body: read store -> fold batch -> commit) ---
     from nemsis_xml_parser_spark.streaming.components import (
