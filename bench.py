@@ -156,6 +156,9 @@ HEADLINE = [
     "cluster_single_linkage_mst",
     "retrieval_qld_dirichlet",
     "er_blocking_quality",
+    # round 12 flagships (subtract when comparing totals vs earlier rounds)
+    "dedup_substring_spans",
+    "multimodal_jpeg_progressive_gradient_stats",
 ]
 
 
