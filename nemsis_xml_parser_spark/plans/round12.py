@@ -84,27 +84,34 @@ SUB_MAXDF = 50   # boilerplate guard: grams in more docs than this are mute
     "shape: O(corpus tokens) gram rows, ONE shuffle on the gram for "
     "guard + self-join (both sides reuse the gram partitioning), the "
     "diagonal window repartitions by pair — never all-pairs, pair fan-"
-    "out bounded by the df guard; at 100 TB the gram join key becomes "
-    "md5_long(gram) (60-bit int, same plan shape).",
+    "out bounded by the df guard.  The gram join key is md5_long(gram) "
+    "(60-bit BIGINT, identical expression in the oracle): shuffling "
+    "8-byte longs instead of ~80-byte strings shrinks the dominant "
+    "exchange ~10x and keeps sort/compare cost flat at 100 TB; NULL "
+    "texts are filtered before gram build (a NULL token array must "
+    "emit no grams, not one empty gram per NULL doc).",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  SELECT doc_id, string_split(trim(text), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
 ),
 ng AS (
   SELECT doc_id, i AS pos,
-         array_to_string(t[i:i+{SUB_L - 1}], ' ') AS g
+         CAST(('0x' || substr(md5(
+           array_to_string(t[i:i+{SUB_L - 1}], ' ')), 1, 15)) AS BIGINT)
+           AS hv
   FROM toks, UNNEST(range(1, len(t) - {SUB_L - 2})) AS u(i)
 ),
 dup AS (
-  SELECT g FROM ng GROUP BY g
+  SELECT hv FROM ng GROUP BY hv
   HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SUB_MAXDF}
 ),
 ngd AS (
-  SELECT ng.* FROM ng SEMI JOIN dup ON ng.g = dup.g
+  SELECT ng.* FROM ng SEMI JOIN dup ON ng.hv = dup.hv
 ),
 p AS (
   SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-  FROM ngd a JOIN ngd b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM ngd a JOIN ngd b ON a.hv = b.hv AND a.doc_id < b.doc_id
 ),
 isl AS (
   SELECT da, db, pa,
@@ -127,24 +134,29 @@ FROM spans GROUP BY da, db
 """,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    from ..functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
 
     # positions are 1-based to match the SQL; the token array is bound
     # once through the single-element-array transform (no LET in Spark
     # SQL — same trick as functions.text.word_ngrams) so the split does
-    # not re-run per gram
+    # not re-run per gram.  count is never NULL here (text filtered
+    # NOT NULL above), so the <= 0 guard is exhaustive.
     def build(toks):
         count = F.size(toks) - F.lit(SUB_L - 1)
         idxs = F.sequence(F.lit(1), F.greatest(count, F.lit(0)))
         return F.when(
             count <= 0,
-            F.array().cast("array<struct<pos:int,g:string>>"),
+            F.array().cast("array<struct<pos:int,hv:bigint>>"),
         ).otherwise(
             F.transform(
                 idxs,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.concat_ws(" ", F.slice(toks, i, SUB_L)).alias("g"),
+                    md5_long(
+                        F.concat_ws(" ", F.slice(toks, i, SUB_L))
+                    ).alias("hv"),
                 ),
             )
         )
@@ -155,17 +167,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.flatten(F.transform(F.array(toks), build))).alias("s"),
         )
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.hv").alias("hv"))
     )
     dup = (
-        ng.groupBy("g")
+        ng.groupBy("hv")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where((F.col("nd") >= 2) & (F.col("nd") <= SUB_MAXDF))
-        .select("g")
+        .select("hv")
     )
-    ngd = ng.join(dup, "g", "left_semi")
+    ngd = ng.join(dup, "hv", "left_semi")
     a, b = ngd.alias("a"), ngd.alias("b")
-    p = a.join(b, "g").where(F.col("a.doc_id") < F.col("b.doc_id")).select(
+    p = a.join(b, "hv").where(F.col("a.doc_id") < F.col("b.doc_id")).select(
         F.col("a.doc_id").alias("da"),
         F.col("b.doc_id").alias("db"),
         F.col("a.pos").alias("pa"),

@@ -75,3 +75,20 @@ def test_boilerplate_guard(spark):
     rows = [(i, _words(f"u{i}_", 10) + " " + boiler)
             for i in range(SUB_MAXDF + 5)]
     assert _run(spark, rows) == {}
+
+
+def test_null_and_empty_text_emit_nothing(spark):
+    """NULL and empty texts must produce zero grams (ADVICE r12: the
+    pre-fix plan turned each NULL text into one empty gram, so two NULL
+    docs manufactured a spurious pair).  A real shared span alongside
+    them still reports exactly once."""
+    shared = _words("s", 20)
+    rows = [
+        (1, None),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, _words("a", 5) + " " + shared),
+        (6, shared + " " + _words("b", 5)),
+    ]
+    assert _run(spark, rows) == {(5, 6): (20, 1, 20 - SUB_L + 1)}
