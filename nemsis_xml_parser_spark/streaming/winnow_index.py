@@ -106,16 +106,15 @@ def fp_groups(
     cumulative document frequency, and replay duplicates (a replayed
     batch whose rows already sit in the index) collapse inside the sets
     — the dup-immunity the old count_distinct formulation bought with
-    two extra exchanges.  The batch's gh column is broadcast
-    UN-deduplicated straight off the persisted batch frame — an extra
-    distinct would be one more stage, and the semi-join hash build
-    collapses duplicates on arrival.  Broadcast-size bound: the payload
-    is one long per fingerprint INSTANCE in the trigger, i.e. ≤ 8 B ×
-    trigger rows × fingerprints-per-doc — set by ``maxFilesPerTrigger``
-    (MBs for the bench's ~6k-doc triggers), trigger-bounded, never
-    history- or corpus-bounded; a deployment with GB triggers should
-    dedup before broadcasting (one extra narrow stage) or raise the
-    driver/executor broadcast ceiling knowingly.
+    two extra exchanges.  The batch's gh column is DEDUPLICATED before
+    the broadcast (ADVICE r12 #4): the distinct's map-side partial
+    collapses per-partition duplicates before its (tiny) exchange, so
+    the broadcast payload is one long per DISTINCT fingerprint in the
+    trigger — ≤ 8 B × distinct ghs, trigger-bounded, never history- or
+    corpus-bounded, and immune to fingerprint-per-doc fan-out even at
+    GB triggers.  Cost: one extra small exchange per batch (re-pinned
+    in tools/plan_budgets_stream.json), bought back by the smaller
+    driver collect + executor fan-out.
 
     Set-size bound: callers that maintain a monotone hot-fingerprint
     sidecar (the streams below) drop already-hot ghs from BOTH sides
@@ -124,7 +123,7 @@ def fp_groups(
     even at cluster scale."""
     if restrict:
         index = index.join(
-            F.broadcast(fps_batch.select("gh")), "gh", "left_semi"
+            F.broadcast(fps_batch.select("gh").distinct()), "gh", "left_semi"
         )
     tagged = index.select(
         "gh", "doc_id", F.lit(False).alias("is_batch")
