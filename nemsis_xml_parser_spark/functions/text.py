@@ -91,7 +91,13 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     string work per document."""
 
     def build(toks: Column) -> Column:
-        count = F.size(toks) - F.lit(n - 1)
+        # coalesce guards NULL text: size(NULL) is NULL, the <= 0 test
+        # falls through, and sequence(0, greatest(NULL-1, -1)) would emit
+        # PHANTOM empty-string shingles — two NULL docs then collide in
+        # every downstream shingle join (the dedup_substring_spans bug,
+        # ADVICE r12).  NULL text => zero shingles, matching the DuckDB
+        # string_split/UNNEST oracles.
+        count = F.coalesce(F.size(toks) - F.lit(n - 1), F.lit(0))
         idxs = F.sequence(F.lit(0), F.greatest(count - 1, F.lit(-1)))
         return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
             F.transform(

@@ -171,6 +171,101 @@ def minhash_band_keys(
     )
 
 
+def minhash_band_keys_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Vectorized Arrow twin of :func:`minhash_band_keys` (md5 family) —
+    byte-identical output, parity-pinned by tests/test_dedup_index.py.
+
+    Why a twin exists (the cdc_chunks_arrow argument, SCALING.md r12):
+    the expression form's shingle transform + 16 double-hash members +
+    array_min all run through INTERPRETED higher-order-function lambdas
+    (~0.5 µs/element — they never enter whole-stage codegen), which
+    dominates a microbatch latency budget.  The kernel does the same
+    math per Arrow batch: one hashlib-md5 digest per DISTINCT shingle
+    (bytes 0-7.5 → h1, 8-14 → h2 — exactly substring(md5,1,15)/(17,12)
+    of the hex form), the Kirsch-Mitzenmacher members as ONE numpy
+    (shingles × k) broadcast mod M61 with a reduceat min per doc
+    segment, and the band key as md5 of the comma-joined decimal
+    signature slice.  Tokenization twins Java semantics exactly: strip
+    of chars <= U+0020 (Java trim) and an ASCII ``\\s+`` split (Java
+    ``\\s`` is ASCII-only by default).  Still a narrow map — no
+    shuffle, parallel per Arrow batch; the streaming history-index hot
+    path.  The expression form remains the oracle-parity showcase and
+    the batch queries' audited plan."""
+    import re
+    from hashlib import md5
+
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    prime = H.MINHASH_PRIME
+    sentinel = 2**62
+    ws = re.compile(r"\s+", re.ASCII)
+    ks = np.arange(num_hashes, dtype=np.int64)
+
+    java_ws = ("\x00\x01\x02\x03\x04\x05\x06\x07\x08\t\n\x0b\x0c\r"
+               "\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a"
+               "\x1b\x1c\x1d\x1e\x1f ")
+
+    def kernel(batches):
+        for pdf in batches:
+            digests, offsets = [], [0]
+            for text in pdf[text_col]:
+                toks = ws.split(text.strip(java_ws)) if text else []
+                toks = [t for t in toks if t]
+                grams = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                digests.extend(md5(g.encode("utf-8")).digest() for g in grams)
+                offsets.append(len(digests))
+            n_docs = len(pdf)
+            sigs = np.full((n_docs, num_hashes), sentinel, dtype=np.int64)
+            if digests:
+                # bulk h1/h2 extraction: one frombuffer over the joined
+                # digests instead of two int.from_bytes per shingle
+                raw = np.frombuffer(b"".join(digests), dtype=np.uint8)
+                raw = raw.reshape(-1, 16).astype(np.int64)
+                w7 = 256 ** np.arange(6, -1, -1, dtype=np.int64)
+                # hex[0:15] = 60 bits: 7 whole bytes (< 2^56, int64-safe;
+                # a naive 8-byte dot would overflow) then the high nibble
+                # of byte 7; hex[16:28] = bytes 8..13
+                h1 = ((raw[:, :7] @ w7) << 4) | (raw[:, 7] >> 4)
+                h2 = raw[:, 8:14] @ w7[1:]
+                members = h1[:, None] + ks[None, :] * h2[:, None]
+                if num_hashes > 4096:
+                    # h1 < 2^60 and k*h2 < k*2^48, so for k <= 4095 the
+                    # sum is < 2^60 + 2^60 - 2^48 < M61 and the mod is
+                    # the identity — skipping it halves the matrix pass
+                    members %= prime
+                starts = np.asarray(offsets[:-1])
+                nonempty = starts < np.asarray(offsets[1:])
+                mins = np.minimum.reduceat(members, starts[nonempty], axis=0)
+                sigs[nonempty] = mins
+            out_id, out_idx, out_hash = [], [], []
+            for row_id, sig in zip(pdf[id_col], sigs):
+                for b in range(bands):
+                    part = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    key = ",".join(str(int(v)) for v in part)
+                    out_id.append(row_id)
+                    out_idx.append(b)
+                    out_hash.append(md5(key.encode("ascii")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_id, "band_idx": out_idx, "band_hash": out_hash}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        kernel, schema="doc_id long, band_idx int, band_hash string"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -5,10 +5,11 @@ persisted MinHash-LSH bucket index maintained per microbatch.
 inside the watermark horizon — the right tool for replayed feeds, but a
 production ingest must answer "is this document a near-dup of ANYTHING
 we have ever accepted?".  This module is that operator: the LSH
-band-bucket keys (``operators/dedup.py::minhash_band_keys`` — the
-byte-identical keys the batch pair generator joins on) are persisted as
-an APPEND-ONLY index, and each microbatch equi-joins its keys against
-it.
+band-bucket keys (``operators/dedup.py::minhash_band_keys`` — keys
+byte-identical to the batch pair generator's for the same hash
+family; the stream defaults to the cheaper xxhash64 family, see
+``start_dedup_index_stream``) are persisted as an APPEND-ONLY index,
+and each microbatch equi-joins its keys against it.
 
 Per batch:
 
@@ -41,7 +42,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import minhash_band_keys
+from ..operators.dedup import minhash_band_keys_arrow
 
 BAND_SCHEMA = "doc_id long, band_idx int, band_hash string"
 
@@ -61,14 +62,26 @@ def read_index(spark: SparkSession, index_root: str) -> DataFrame:
 
 
 def candidates_against_index(
-    banded_batch: DataFrame, index: DataFrame
+    banded_batch: DataFrame, index: DataFrame, distinct: bool = True
 ) -> DataFrame:
     """Distinct canonical (doc_a < doc_b) candidate pairs touching the
-    batch: batch x history on the band key, plus the batch's self-join."""
+    batch: batch x history on the band key, plus the batch's self-join.
+    ``distinct=False`` skips the final dedup exchange and may emit a
+    pair once per shared band (≤ ``bands`` copies) — the streaming body
+    writes that form because ``read_candidate_pairs`` distincts on read
+    anyway, and at microbatch latency a whole exchange+aggregate stage
+    costs more than the ≤4x write amplification.
+
+    Shuffle shape (r13): the banded batch is trigger-bounded (4 keys x
+    ``maxFilesPerTrigger`` docs), so it is BROADCAST into both joins —
+    the O(history) index side is only ever SCANNED, never shuffled
+    (the winnow_index/fp_groups posture; pre-r13 this sort-merge-joined
+    the whole index on the band key every batch).  The only exchange
+    left in the candidate path is the final pair distinct."""
     hist = (
-        banded_batch.alias("n")
+        index.alias("h")
         .join(
-            index.alias("h"),
+            F.broadcast(banded_batch.alias("n")),
             (F.col("n.band_idx") == F.col("h.band_idx"))
             & (F.col("n.band_hash") == F.col("h.band_hash"))
             & (F.col("n.doc_id") != F.col("h.doc_id")),
@@ -81,14 +94,15 @@ def candidates_against_index(
     a = banded_batch.alias("a")
     b = banded_batch.alias("b")
     selfp = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    return hist.unionByName(selfp).distinct()
+    out = hist.unionByName(selfp)
+    return out.distinct() if distinct else out
 
 
 def start_dedup_index_stream(
@@ -106,11 +120,12 @@ def start_dedup_index_stream(
 ) -> StreamingQuery:
     """foreachBatch loop: band → candidates vs index → batch-keyed
     OVERWRITE writes (module docstring's exactly-once argument), with
-    the winnow_index r10 microbatch tuning: shuffles and scan width
-    scoped narrow for the MB-scale batch jobs (AQE off inside the
-    hand-partitioned body), the compute-heavy banding stage widened
-    past the maxFilesPerTrigger source partitioning, narrow index
-    files out."""
+    the cdc_index r12 microbatch recipe: banding runs through the
+    Arrow kernel twin (``minhash_band_keys_arrow`` — byte-identical
+    md5-family keys without the interpreted-HOF ~0.5 µs/element wall),
+    the batch body keeps the scan's own partitioning (no repartition
+    bracketing — scheduling dominates MB-scale stages), shuffles
+    scoped narrow and AQE off inside the hand-partitioned body."""
     spark = docs_stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -132,19 +147,22 @@ def start_dedup_index_stream(
             ):
                 prev[key] = spark.conf.get(key, None)
                 spark.conf.set(key, str(val))
-        batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
         try:
-            # repartition, NOT coalesce: minhash_band_keys is pure narrow
-            # expressions (signatures + band explode, no shuffle), so a
-            # coalesce(4) would collapse the whole signature computation
-            # to 4 tasks; the explicit key-row-sized shuffle keeps the
-            # compute stage at the repartitioned batch width and only the
-            # persisted frame narrow
-            banded = minhash_band_keys(
-                batch_df, text_col, id_col, num_hashes, bands, n
-            ).repartition(4).persist()
+            # ONE repartition, before the kernel: shingle hashing is the
+            # batch's CPU (one md5 per distinct shingle), so the Arrow
+            # stage must run wider than maxFilesPerTrigger's 1-2 scan
+            # partitions; the exchange moves only the raw text (MBs).
+            # The banded output is persisted at the same width — narrow
+            # enough for index files, wide enough for the probe build.
+            banded = minhash_band_keys_arrow(
+                batch_df.repartition(8), text_col, id_col,
+                num_hashes, bands, n
+            ).persist()
             index = read_index(spark, index_root)
-            pairs = candidates_against_index(banded, index)
+            # distinct=False: read_candidate_pairs dedups on read; the
+            # per-batch exchange+aggregate stage costs more than the
+            # ≤4x write amplification at microbatch latency
+            pairs = candidates_against_index(banded, index, distinct=False)
             pairs.write.mode("overwrite").parquet(
                 f"{out_root}/batch={batch_id}"
             )

@@ -101,20 +101,43 @@ def read_ivf_cells(spark: SparkSession, index_root: str) -> DataFrame:
     return out
 
 
-def compact_ivf_cells(spark: SparkSession, index_root: str) -> int:
+def compact_ivf_cells(
+    spark: SparkSession, index_root: str, exclude_batch: int | None = None
+) -> int:
     """Fold the current cells view DISTINCT into the next txlog version
     (replay duplicates collapse on (cid, item_id) — the vector is a
     function of the id, so first-row-wins is exact), remove the folded
-    batch dirs, vacuum old versions."""
+    batch dirs, vacuum old versions.
+
+    ``exclude_batch`` keeps one batch dir OUT of the fold (neither read
+    nor removed): a caller compacting at the START of batch N must not
+    fold a crashed prior attempt of batch N itself, or the replay would
+    see its own rows through the compacted store (the exactly-once
+    argument needs own-batch exclusion to stay exact across the
+    compaction boundary)."""
     cells_dir = f"{index_root}/cells"
     folded = [
         d
         for d in os.listdir(cells_dir)
         if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+        and d != f"batch={exclude_batch}"
     ] if os.path.isdir(cells_dir) else []
-    full = read_ivf_cells(spark, index_root).dropDuplicates(
-        ["cid", "item_id"]
-    )
+    parts = [
+        spark.read.option("basePath", cells_dir)
+        .parquet(os.path.join(cells_dir, d))
+        .select(F.col("cid").cast("int").alias("cid"), "item_id", "iv")
+        for d in folded
+    ]
+    if current_version(index_root, _COMPACT_NAME) is not None:
+        parts.append(
+            read_table(spark, index_root, _COMPACT_NAME).select(
+                F.col("cid").cast("int").alias("cid"), "item_id", "iv"
+            )
+        )
+    full = parts[0] if parts else spark.createDataFrame([], CELL_SCHEMA)
+    for p in parts[1:]:
+        full = full.unionByName(p)
+    full = full.dropDuplicates(["cid", "item_id"])
     ver = commit_table(full, index_root, _COMPACT_NAME)
     for d in folded:
         shutil.rmtree(os.path.join(cells_dir, d), ignore_errors=True)

@@ -27,10 +27,15 @@ add-forever):
   old node per batch, with edge COMPACTION re-pruning every node's
   intra out-edges to the exact top-``g_intra`` by current cosine.
   Navigation links (node → its ``seed_links`` nearest cells' seeds,
-  uncapped; seed → node, capped at ``NAV_MAX`` per cell EVER via the
-  nav-budget sidecar) are kept apart under ``kind='nav'`` and never
-  cosine-pruned — they are the navigability bootstrap, and the hub
-  cap is what keeps the beam's first-hop expansion corpus-independent.
+  uncapped, ``kind='nav_up'``; seed → node, ``kind='nav_down'``,
+  capped at ``NAV_MAX`` per cell EVER via the nav-budget sidecar) are
+  kept apart from intra edges and never cosine-pruned — they are the
+  navigability bootstrap, and the hub cap is what keeps the beam's
+  first-hop expansion corpus-independent.  The two nav directions
+  carry distinct kinds so the budget sidecar counts exactly the
+  down-links (ADVICE r12: batch 0's seed nodes emit seed→seed
+  up-links that a single 'nav' kind made indistinguishable,
+  overcounting each cell's budget by up to ``seed_links``).
 
 Single-batch equivalence: a corpus arriving in ONE batch (under the
 nav budget) produces exactly ``build_nsw_graph``'s edge set — the
@@ -42,10 +47,15 @@ kernel reproducing the expression scoring ROUND-6-exactly — pinned by
 Exactly-once: both stores are batch-keyed OVERWRITE (the history-index
 argument verbatim); the batch body is a deterministic function of the
 batch and the history EXCLUDING the batch's own dir, so a replay
-rewrites identical bytes.  Crash/replay windows can leave duplicate
-rows visible; the searcher is duplicate-immune (edges are joined
-distinct, candidates deduped per (query, node) before ranking) and the
-next compaction folds duplicates away.
+rewrites identical bytes.  That claim holds ACROSS the compaction
+boundary because compaction runs at the START of the batch after the
+fold window's checkpoint commit and excludes any crashed prior attempt
+of the running batch (r13; previously it ran between a batch's writes
+and its commit, where a replay could see its own rows through the
+compacted store).  Crash/replay windows can still leave duplicate rows
+visible; the searcher is duplicate-immune (edges are joined distinct,
+candidates deduped per (query, node) before ranking) and the next
+compaction folds duplicates away.
 
 Reference parity: none — §2.I streaming-similarity tier.
 """
@@ -157,7 +167,7 @@ def _nav_adds_from_edges(
             continue
         t = pq.read_table(os.path.join(d, f), columns=["src", "kind"])
         for src, kind in zip(t["src"].to_pylist(), t["kind"].to_pylist()):
-            if kind == "nav" and src in svids:
+            if kind == "nav_down" and src in svids:
                 cid = seeds_map[src]
                 counts[cid] = counts.get(cid, 0) + 1
     return counts
@@ -214,22 +224,29 @@ def _pair_cos(sv, sn, dv, dn):
 
 
 def compact_nsw_edges(
-    spark: SparkSession, index_root: str, g_intra: int = 6
+    spark: SparkSession, index_root: str, g_intra: int = 6,
+    exclude_batch: int | None = None,
 ) -> int:
     """Fold the edge view into the next txlog version: nav links pass
     through DISTINCT (navigability is not a similarity property); intra
     edges are re-pruned to each src's exact top-``g_intra`` by cosine
     against the CURRENT vector store — the bounded-degree invariant the
     per-batch back-links relax between folds.  Folded batch dirs are
-    removed, old versions vacuumed."""
+    removed, old versions vacuumed.  ``exclude_batch`` keeps one batch
+    dir out of the fold entirely (the compact_ivf_cells own-batch
+    exclusion argument: compacting at the start of batch N must not
+    fold a crashed prior attempt of N itself)."""
     edges_dir = f"{index_root}/edges"
     folded = [
         d for d in os.listdir(edges_dir)
         if d.startswith("batch=") and d.split("=", 1)[1].isdigit()
+        and d != f"batch={exclude_batch}"
     ] if os.path.isdir(edges_dir) else []
-    edges = read_nsw_edges(spark, index_root).distinct()
+    edges = read_nsw_edges(
+        spark, index_root, exclude_batch=exclude_batch
+    ).distinct()
     vecs = (
-        read_ivf_cells(spark, index_root)
+        _cells_view(spark, index_root, exclude_batch=exclude_batch)
         .dropDuplicates(["item_id"])
         .select("item_id", "iv", V.norm(F.col("iv")).alias("nrm"))
     )
@@ -255,7 +272,7 @@ def compact_nsw_edges(
         .where(F.col("rn") <= g_intra)
         .select("src", "dst", F.lit("intra").alias("kind"))
     )
-    nav = edges.where(F.col("kind") == "nav").select("src", "dst", "kind")
+    nav = edges.where(F.col("kind") != "intra").select("src", "dst", "kind")
     ver = commit_table(pruned.unionByName(nav), index_root, _EDGE_COMPACT)
     for d in folded:
         shutil.rmtree(os.path.join(edges_dir, d), ignore_errors=True)
@@ -448,7 +465,14 @@ def nsw_insertion_edges_guided(
     batch build's edge set (kernel == expression scoring up to
     last-ulp rounding, pinned by the single-batch parity test)."""
     in_batch = _inbatch_topg_pairs(cells, g_intra).select(
-        "src", "dst", F.lit(False).alias("is_hist"), "cos"
+        "src", "dst", F.lit(False).alias("is_hist"),
+        # re-round with F.round (HALF_UP): the beam pool's cosines are
+        # F.round'ed, and both pools rank in ONE per-src window below —
+        # the kernel's np.round (half-to-even) could tie-break a cosine
+        # landing exactly on a 5e-7 boundary differently (ADVICE r12).
+        # Idempotent for values already on the 1e-6 grid; the kernel
+        # keeps np.round internally only for its own top-g selection.
+        F.round(F.col("cos"), 6).alias("cos"),
     )
     hist_cand = found.select(
         F.col("query_id").alias("src"),
@@ -493,7 +517,7 @@ def nsw_insertion_edges_guided(
     )
     nav_up = linked.select(
         F.col("node").alias("src"), F.col("svid").alias("dst"),
-        F.lit("nav").alias("kind"),
+        F.lit("nav_up").alias("kind"),
     )
     nav_down = linked
     if nav_max is not None:
@@ -520,7 +544,7 @@ def nsw_insertion_edges_guided(
     nav = nav_up.unionByName(
         nav_down.select(
             F.col("svid").alias("src"), F.col("node").alias("dst"),
-            F.lit("nav").alias("kind"),
+            F.lit("nav_down").alias("kind"),
         )
     )
     return (
@@ -576,6 +600,24 @@ def start_nsw_index_stream(
                 prev[key] = spark.conf.get(key, None)
                 spark.conf.set(key, str(val))
         try:
+            if compact_every and batch_id > 0 and (
+                batch_id % compact_every == 0
+            ):
+                # compaction runs at the START of the batch AFTER the
+                # fold window's checkpoint commit — never between a
+                # batch's writes and its commit — and excludes any
+                # crashed prior attempt of THIS batch, so a replayed
+                # batch can never see its own rows through the
+                # compacted store (exactly-once stays exact across the
+                # compaction boundary; same fold coverage as the old
+                # end-of-batch trigger, shifted one commit later)
+                compact_ivf_cells(
+                    spark, index_root, exclude_batch=batch_id
+                )
+                compact_nsw_edges(
+                    spark, index_root, g_intra=g_intra,
+                    exclude_batch=batch_id,
+                )
             centroids = read_ivf_centroids(spark, index_root)
             if centroids is None:
                 # iters=0: the seeded closed-form quantizer — the exact
@@ -683,9 +725,6 @@ def start_nsw_index_stream(
                 f"{index_root}/cells/batch={batch_id}"
             )
             cells.unpersist()
-            if compact_every and (batch_id + 1) % compact_every == 0:
-                compact_ivf_cells(spark, index_root)
-                compact_nsw_edges(spark, index_root, g_intra=g_intra)
         finally:
             for key, val in prev.items():
                 if val is None:

@@ -37,22 +37,26 @@ def _corpus(k: int):
 
 
 def test_fold_matches_batch_candidates(spark, tmp_path):
-    rows = _corpus(18)
-    batches = [rows[0:6], rows[6:12], rows[12:18]]
-    index = read_index(spark, str(tmp_path / "idx"))
-    got = set()
-    for b in batches:
-        banded = minhash_band_keys(_docs(spark, b))
-        pairs = candidates_against_index(banded, index)
-        got |= {(r.doc_a, r.doc_b) for r in pairs.collect()}
-        index = index.unionByName(banded)
-    exp = {
-        (r.doc_a, r.doc_b)
-        for r in minhash_lsh_pairs(
-            _docs(spark, rows), candidates_only=True
-        ).collect()
-    }
-    assert got == exp
+    # both hash families: the fold == batch property is per-family (the
+    # stream defaults to fast=True; the oracle-checked batch queries use
+    # the md5 family) — parity must hold for whichever is asked for
+    for fast in (False, True):
+        rows = _corpus(18)
+        batches = [rows[0:6], rows[6:12], rows[12:18]]
+        index = read_index(spark, str(tmp_path / "idx"))
+        got = set()
+        for b in batches:
+            banded = minhash_band_keys(_docs(spark, b), fast=fast)
+            pairs = candidates_against_index(banded, index)
+            got |= {(r.doc_a, r.doc_b) for r in pairs.collect()}
+            index = index.unionByName(banded)
+        exp = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(
+                _docs(spark, rows), candidates_only=True, fast=fast
+            ).collect()
+        }
+        assert got == exp, f"fold/batch divergence (fast={fast})"
 
 
 def test_streaming_e2e_and_replay_stability(spark, tmp_path):
@@ -114,3 +118,36 @@ def test_self_pairs_not_emitted(spark, tmp_path):
         banded, read_index(spark, str(tmp_path / "none"))
     ).collect()
     assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_arrow_band_keys_parity(spark):
+    """minhash_band_keys_arrow == minhash_band_keys frame-for-frame on an
+    edge-case corpus: NULL / empty / all-whitespace text, sub-shingle
+    docs, tab/newline separators, control-char padding (Java trim),
+    unicode tokens, duplicate shingles."""
+    from nemsis_xml_parser_spark.operators.dedup import (
+        minhash_band_keys_arrow,
+    )
+
+    rows = _corpus(10) + [
+        (100, None),
+        (101, ""),
+        (102, "   \t\n  "),
+        (103, "two words"),
+        (104, "exactly three tokens"),
+        (105, "tab\tsep\ttokens\tand more\ttokens here"),
+        (106, "line\nbreaks\ncount\nas\nwhitespace too"),
+        (107, "\x01\x02 control padded text needs java trim twin \x1f"),
+        (108, "répété répété répété unicode tokens naïve café"),
+        (109, "a a a a a a a a (degenerate repeated token stream)"),
+    ]
+    d = _docs(spark, rows)
+    exp = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in minhash_band_keys(d).collect()
+    }
+    got = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in minhash_band_keys_arrow(d).collect()
+    }
+    assert got == exp

@@ -54,7 +54,6 @@ def stream_batch_frames(
     """{pipeline_frame_name: DataFrame} for plan auditing."""
     from nemsis_xml_parser_spark.functions.hashing import md5_long
     from nemsis_xml_parser_spark.operators.cdc import cdc_chunks_arrow
-    from nemsis_xml_parser_spark.operators.dedup import minhash_band_keys
     from nemsis_xml_parser_spark.operators.sketches import (
         countmin_cells,
         countmin_estimate,
@@ -107,14 +106,23 @@ def stream_batch_frames(
         fp_groups(cfps, cidx), max_df=50, min_shared=2
     )
 
-    # --- minhash-LSH dedup index (streaming/dedup_index.py body) ---
-    banded = minhash_band_keys(
-        docs.repartition(width), "text", "doc_id", 16, 4, 3
-    ).repartition(4)
+    # --- minhash-LSH dedup index (streaming/dedup_index.py body, r13
+    # shape: Arrow banding kernel after ONE repartition, batch side
+    # broadcast into both candidate joins, per-batch distinct dropped —
+    # read_candidate_pairs dedups on read) ---
+    from nemsis_xml_parser_spark.operators.dedup import (
+        minhash_band_keys_arrow,
+    )
+
+    banded = minhash_band_keys_arrow(
+        docs.repartition(8), "text", "doc_id", 16, 4, 3
+    )
     banded.write.mode("overwrite").parquet(f"{root}/ndidx/batch=0")
     nidx = read_index(spark, f"{root}/ndidx")
     frames["dedup_banded"] = banded
-    frames["dedup_pairs"] = candidates_against_index(banded, nidx)
+    frames["dedup_pairs"] = candidates_against_index(
+        banded, nidx, distinct=False
+    )
 
     # --- kmv fold (streaming/kmv.py body, fold transcribed; state is
     # the batch-0 empty frame — the txlog read needs a committed
