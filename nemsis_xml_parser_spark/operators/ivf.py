@@ -66,6 +66,93 @@ def _nearest(
     )
 
 
+def nearest_arrow(
+    vecs: DataFrame,
+    centroid_rows,
+    vec_col: str = "v",
+    keep: int = 1,
+) -> DataFrame:
+    """Arrow twin of :func:`_nearest` with the nlist centroids carried
+    in the kernel closure — same output schema and the same ROUND-6
+    (l2 asc, cid asc) ranking, WITHOUT the nlist-x row expansion or the
+    interpreted HOF distance (~0.5 µs/element — the cdc_chunks_arrow
+    argument; at a 12.5k-vector microbatch the expression form costs
+    ~1.5 s per call).  ``centroid_rows`` is the collected KB-scale
+    centroid table (rows with .cid/.centroid).  The streaming index
+    maintainers use this; the batch IVF queries keep the expression
+    form their oracles audit."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(centroid_rows, key=lambda r: int(r.cid))
+    cids = np.asarray([int(r.cid) for r in rows], dtype=np.int64)
+    C = (
+        np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+        if rows
+        else np.zeros((0, 1), dtype=np.float64)
+    )
+    nkeep = min(keep, len(rows)) if rows else 0
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(C):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            diff = M[:, None, :] - C[None, :, :]
+            D = np.round(np.sqrt((diff * diff).sum(axis=-1)), 6)
+            if nkeep == 1:
+                # argmin returns the FIRST minimum; centroids sorted by
+                # cid, so ties break cid-asc — the expression ranking
+                j = np.argmin(D, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__vid": pdf["__vid"].to_numpy(),
+                        vec_col: pdf[vec_col],
+                        "cid": cids[j].astype("int32"),
+                        "dist": D[np.arange(len(D)), j],
+                    }
+                )
+            else:
+                order = np.argsort(D, axis=1, kind="stable")[:, :nkeep]
+                n = len(pdf)
+                out_vid = np.repeat(pdf["__vid"].to_numpy(), nkeep)
+                out_v = pdf[vec_col].iloc[
+                    np.repeat(np.arange(n), nkeep)
+                ].reset_index(drop=True)
+                flat = order.ravel()
+                yield pd.DataFrame(
+                    {
+                        "__vid": out_vid,
+                        vec_col: out_v,
+                        "cid": cids[flat].astype("int32"),
+                        "dist": D[np.repeat(np.arange(n), nkeep), flat],
+                    }
+                )
+
+    return vecs.select("__vid", vec_col).mapInPandas(
+        kernel,
+        schema=f"__vid long, {vec_col} array<double>, cid int, dist double",
+    )
+
+
+def assign_cells_arrow(
+    corpus: DataFrame,
+    centroid_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of :func:`assign_cells` (see :func:`nearest_arrow`)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        V.to_double_array(F.col(vec_col)).alias("v"),
+    )
+    return nearest_arrow(vecs, centroid_rows).select(
+        "cid", F.col("__vid").alias("item_id"), F.col("v").alias("iv")
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     nlist: int = 8,

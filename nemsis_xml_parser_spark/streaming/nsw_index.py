@@ -70,7 +70,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions import vectors as V
-from ..operators.ivf import _nearest, assign_cells, train_centroids
+from ..operators.ivf import assign_cells_arrow, nearest_arrow, train_centroids
 from ..operators.lineage import cut_lineage
 from ..operators.txlog import commit_table, current_version, read_table, vacuum
 from .ivf_index import compact_ivf_cells, read_ivf_cells, read_ivf_centroids
@@ -83,6 +83,14 @@ __all__ = [
     "nsw_stream_index_topk",
     "compact_nsw_edges",
 ]
+
+def _seeded_cent_rows(seeds, centroids):
+    """Collected centroid rows restricted to SEEDED cells — the KB-scale
+    closure input of the Arrow nearest kernel (two tiny driver reads;
+    both tables are frozen after batch 0)."""
+    seed_cids = {int(r.cid) for r in seeds.select("cid").collect()}
+    return [r for r in centroids.collect() if int(r.cid) in seed_cids]
+
 
 _EDGE_COMPACT = "edges_compacted"
 EDGE_SCHEMA = "src long, dst long, kind string"
@@ -304,7 +312,7 @@ def _beam_search(
     graph: DataFrame,
     vecs: DataFrame,
     seeds: DataFrame,
-    centroids: DataFrame,
+    cent_rows,
     k: int,
     beam: int,
     hops: int,
@@ -313,17 +321,52 @@ def _beam_search(
     """The NSW beam-search loop over explicit (query_id, qv) /
     (src, dst) / (node, nv) frames — shared by the public searcher and
     the graph-guided insertion (which points it at exclude-own-batch
-    views).  Candidate scoring is the Arrow cosine
-    (``V.cosine_similarity_pandas`` — stacked einsum per batch; the
-    interpreted HOF fold was ~100 µs per candidate).  Returns
-    (query_id, neighbor_id, cosine, rank)."""
-    cos_udf = V.cosine_similarity_pandas()
-    seeded_cents = centroids.join(
-        F.broadcast(seeds.select("cid")), "cid", "left_semi"
-    )
-    qcell = _nearest(
+    views).  Returns (query_id, neighbor_id, cosine, rank).
+
+    Scoring shape (r13, measured on the maintenance bench): candidate
+    pairs are scored by shipping ONLY (query_id, node) ids through
+    Arrow — both vector sides ride in the kernel closure
+    (``V.cosine_pairs_indexed_pandas``, same per-row float64 math as
+    the two-column kernel).  The query side is trigger/caller-bounded;
+    the candidate-node side is gathered per hop with one small
+    semi-join collect and is HUB-BUDGET-bounded (<= nlist x NAV_MAX
+    first-hop children, x degree per further hop), never
+    corpus-bounded — the NAV_MAX cap is what makes the gather sound.
+    vs the join-the-vector-store-per-hop form this cuts the per-pair
+    payload ~30x (two 32-dim float64 copies -> 16 bytes) and drops the
+    vecs join from every hop job; the hub fan-out (~NAV_MAX ids per
+    query at hop 2) stays, but as ids, not embeddings.
+
+    Hop 1 skips scoring entirely when ``entries <= beam``: its
+    candidates are exactly the <= ``entries`` entry seeds per query,
+    so top-``beam`` of them is the identity — the first score + rank
+    + checkpoint job was pure overhead (measured ~1s/batch)."""
+    qrows = qv.collect()
+    spark = qv.sparkSession
+
+    def pair_scorer(cand):
+        """Gather the candidate nodes' vectors (one bounded collect),
+        return (scored_df, kernel) with non-indexed nodes filtered —
+        the inner vecs join used to do that filtering."""
+        nid_df = cand.select("node").distinct()
+        nrows = vecs.join(
+            F.broadcast(nid_df), "node", "left_semi"
+        ).collect()
+        cos_udf = V.cosine_pairs_indexed_pandas(
+            [r.query_id for r in qrows], [r.qv for r in qrows],
+            [r.node for r in nrows], [r.nv for r in nrows],
+        )
+        known = spark.createDataFrame(
+            [(int(r.node),) for r in nrows], "node long"
+        )
+        return (
+            cand.join(F.broadcast(known), "node", "left_semi"),
+            cos_udf,
+        )
+
+    qcell = nearest_arrow(
         qv.select(F.col("query_id").alias("__vid"), F.col("qv").alias("v")),
-        seeded_cents,
+        cent_rows,
         keep=entries,
     ).select(F.col("__vid").alias("query_id"), "cid")
     state = qcell.join(F.broadcast(seeds), "cid").select(
@@ -333,43 +376,43 @@ def _beam_search(
         F.col("cosine").desc(), F.col("node").asc()
     )
     for _hop in range(hops):
-        cand = state.select("query_id", "node").distinct()
-        scored = (
-            cand.join(qv, "query_id")
-            .join(vecs, "node")
-            .select(
+        if _hop == 0 and entries <= beam:
+            # <= entries candidates per query, all kept: rank is the
+            # identity.  One cheap cut replaces the score+window job.
+            kept = state.transform(cut_lineage)
+        else:
+            cand = state.select("query_id", "node").distinct()
+            filtered, cos_udf = pair_scorer(cand)
+            scored = filtered.select(
                 "query_id", "node",
                 F.round(
-                    cos_udf(F.col("qv"), F.col("nv")), 6
+                    cos_udf(F.col("query_id"), F.col("node")), 6
                 ).alias("cosine"),
             )
-        )
-        kept = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= beam)
-            .select("query_id", "node")
-            # cut per hop: hop t+1's scoring must not replay hops 1..t
-            # (operators/nsw.py's rejected-experiment note).  REJECTED
-            # r12 variant: skipping the LAST hop's cut — its kept feeds
-            # two consumers, and the duplicated subtree re-scans the
-            # GROWING vector store; measured 568 -> 452 rows/s on the
-            # maintenance bench as history accumulated.
-            .transform(cut_lineage)
-        )
+            kept = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= beam)
+                .select("query_id", "node")
+                # cut per hop: hop t+1's scoring must not replay hops
+                # 1..t (operators/nsw.py's rejected-experiment note).
+                # REJECTED r12 variant: skipping the LAST hop's cut —
+                # its kept feeds two consumers, and the duplicated
+                # subtree re-scans the GROWING vector store; measured
+                # 568 -> 452 rows/s as history accumulated.
+                .transform(cut_lineage)
+            )
         expansion = kept.join(
             graph, kept["node"] == graph["src"]
         ).select("query_id", F.col("dst").alias("node"))
         state = kept.unionByName(expansion)
+    fcand = state.select("query_id", "node").distinct()
+    ffiltered, fcos = pair_scorer(fcand)
     final = (
-        state.select("query_id", "node")
-        .distinct()
-        .join(qv, "query_id")
-        .join(vecs, "node")
-        .where(F.col("node") != F.col("query_id"))
+        ffiltered.where(F.col("node") != F.col("query_id"))
         .select(
             "query_id",
             F.col("node").alias("neighbor_id"),
-            F.round(cos_udf(F.col("qv"), F.col("nv")), 6).alias(
+            F.round(fcos(F.col("query_id"), F.col("node")), 6).alias(
                 "cosine"
             ),
         )
@@ -444,7 +487,7 @@ def nsw_insertion_edges_guided(
     cells: DataFrame,
     found: DataFrame,
     seeds: DataFrame,
-    centroids: DataFrame,
+    cent_rows=None,
     g_intra: int = 6,
     seed_links: int = 3,
     id_col: str = "vec_id",
@@ -501,15 +544,12 @@ def nsw_insertion_edges_guided(
             F.lit("intra").alias("kind"),
         )
     )
-    seeded_cents = centroids.join(
-        F.broadcast(seeds.select("cid")), "cid", "left_semi"
-    )
-    probes = _nearest(
+    probes = nearest_arrow(
         batch_df.select(
             F.col(id_col).alias("__vid"),
             V.to_double_array(F.col(vec_col)).alias("v"),
         ),
-        seeded_cents,
+        cent_rows,
         keep=seed_links,
     ).select(F.col("__vid").alias("node"), "cid")
     linked = probes.join(F.broadcast(seeds), "cid").where(
@@ -586,7 +626,7 @@ def start_nsw_index_stream(
     O(corpus²/nlist) across the stream's lifetime; the beam-guided
     insert is what makes the index maintainable forever."""
 
-    seeds_map_cache: dict[int, int] = {}
+    frozen_cache: dict = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -645,8 +685,22 @@ def start_nsw_index_stream(
                     .parquet(f"{index_root}/seeds")
                 )
             seeds = read_nsw_seeds(spark, index_root)
-            cells = assign_cells(
-                batch_df, centroids, id_col, vec_col
+            if not frozen_cache:
+                # centroids and seeds are frozen after batch 0: collect
+                # both ONCE per stream (KB-scale) — the Arrow nearest
+                # kernels carry them in their closures every batch
+                cent_rows = centroids.collect()
+                seeds_map = {
+                    int(r.svid): int(r.cid) for r in seeds.collect()
+                }
+                seed_cids = set(seeds_map.values())
+                frozen_cache["cents"] = cent_rows
+                frozen_cache["seeded_cents"] = [
+                    r for r in cent_rows if int(r.cid) in seed_cids
+                ]
+                frozen_cache["seeds_map"] = seeds_map
+            cells = assign_cells_arrow(
+                batch_df, frozen_cache["cents"], id_col, vec_col
             ).withColumn("nrm", V.norm(F.col("iv"))).persist()
             edir = f"{index_root}/edges"
             have_graph = (
@@ -678,6 +732,11 @@ def start_nsw_index_stream(
                 # graph-guided insert: candidates via beam search over
                 # the committed graph (own-batch dirs excluded from
                 # both views — the replay determinism guard)
+                # materialize the deduped vector view ONCE per batch:
+                # every beam hop's checkpoint job joins it, and without
+                # the cut each hop re-scans the growing (and batch-dir-
+                # fragmented) cell store — measured the dominant share
+                # of the per-hop job cost at bench scale (r13)
                 vecs = (
                     _cells_view(spark, index_root, exclude_batch=batch_id)
                     .dropDuplicates(["item_id"])
@@ -685,6 +744,7 @@ def start_nsw_index_stream(
                         F.col("item_id").alias("node"),
                         F.col("iv").alias("nv"),
                     )
+                    .transform(cut_lineage)
                 )
                 qv = batch_df.select(
                     F.col(id_col).alias("query_id"),
@@ -697,31 +757,36 @@ def start_nsw_index_stream(
                 # reachable; the recall parity test guards the quality
                 found = _beam_search(
                     qv, graph.transform(cut_lineage), vecs, seeds,
-                    centroids, k=g_intra, beam=beam,
+                    frozen_cache["seeded_cents"], k=g_intra, beam=beam,
                     hops=max(2, hops - 1), entries=1,
                 )
             nav_used = _read_nav_used(index_root, exclude_batch=batch_id)
             edges = nsw_insertion_edges_guided(
-                batch_df, cells, found, seeds, centroids,
+                batch_df, cells, found, seeds,
+                frozen_cache["seeded_cents"],
                 g_intra=g_intra, seed_links=seed_links,
                 id_col=id_col, vec_col=vec_col,
                 nav_max=nav_max, nav_used=nav_used,
             )
-            edges.write.mode("overwrite").parquet(
+            # single file per batch dir (same defragmentation argument
+            # as the cells write; ~60k edge rows per bench batch)
+            edges.repartition(1).write.mode("overwrite").parquet(
                 f"{index_root}/edges/batch={batch_id}"
             )
-            if not seeds_map_cache:  # seeds are frozen: one bounded
-                seeds_map_cache.update(   # metadata collect, ever
-                    {int(r.svid): int(r.cid) for r in seeds.collect()}
-                )
-            seeds_map = seeds_map_cache
+            seeds_map = frozen_cache["seeds_map"]
             _write_nav_used(
                 index_root, batch_id,
                 _nav_adds_from_edges(index_root, batch_id, seeds_map),
             )
-            cells.select("cid", "item_id", "iv").write.mode(
-                "overwrite"
-            ).partitionBy("cid").parquet(
+            # repartition by cid before the partitionBy write: ONE file
+            # per (batch, cid) instead of one per (shuffle partition,
+            # cid) — the cell store is re-scanned by every subsequent
+            # batch's beam, and the 4x file fan-out was listing/open
+            # latency in every hop job (repartition, not coalesce: the
+            # compute above keeps its width)
+            cells.select("cid", "item_id", "iv").repartition(
+                F.col("cid")
+            ).write.mode("overwrite").partitionBy("cid").parquet(
                 f"{index_root}/cells/batch={batch_id}"
             )
             cells.unpersist()
@@ -760,6 +825,7 @@ def nsw_stream_index_topk(
     seeds = read_nsw_seeds(spark, index_root)
     if centroids is None or seeds is None:
         raise ValueError(f"no committed index under {index_root}")
+    cent_rows = _seeded_cent_rows(seeds, centroids)
     graph = read_nsw_edges(spark, index_root).select(
         "src", "dst"
     ).distinct().transform(cut_lineage)
@@ -773,6 +839,6 @@ def nsw_stream_index_topk(
         V.to_double_array(F.col(vec_col)).alias("qv"),
     )
     return _beam_search(
-        qv, graph, vecs, seeds, centroids,
+        qv, graph, vecs, seeds, cent_rows,
         k=k, beam=beam, hops=hops, entries=entries,
     )

@@ -181,6 +181,7 @@ def stream_batch_frames(
     from nemsis_xml_parser_spark.functions import vectors as VV
     from nemsis_xml_parser_spark.streaming.nsw_index import (
         NAV_MAX,
+        _seeded_cent_rows as _seeded_rows,
         nsw_insertion_edges_guided,
     )
 
@@ -201,7 +202,10 @@ def stream_batch_frames(
         "query_id long, neighbor_id long, cosine double",
     )
     frames["nsw_insertion_edges"] = nsw_insertion_edges_guided(
-        vecs, ncells, nfound, nseeds, ncents,
+        # r13: the guided insert takes the frozen seed-filtered centroid
+        # ROWS (the Arrow nearest kernel's closure input), not the frame
+        vecs, ncells, nfound, nseeds,
+        _seeded_rows(nseeds, ncents),
         nav_max=NAV_MAX, nav_used={0: 3},
     )
 
