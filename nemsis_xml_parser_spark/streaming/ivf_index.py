@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions import vectors as V
-from ..operators.ivf import _nearest, assign_cells, train_centroids
+from ..operators.ivf import (
+    _nearest,
+    assign_cells_arrow,
+    train_centroids,
+)
 from ..operators.txlog import commit_table, current_version, read_table, vacuum
 
 __all__ = [
@@ -158,7 +162,15 @@ def start_ivf_index_stream(
     compact_every: int | None = 8,
 ) -> StreamingQuery:
     """foreachBatch loop: (train centroids if absent) → assign cells →
-    batch-keyed cid-partitioned OVERWRITE append → periodic compaction."""
+    batch-keyed cid-partitioned OVERWRITE append → periodic compaction.
+
+    Assignment runs through ``assign_cells_arrow`` (r13): the
+    expression form's per-(vector, centroid) HOF l2 is interpreted
+    (~0.5 µs/element) and expands every vector nlist-x through the
+    plan; the numpy kernel carries the frozen KB-scale centroid table
+    in its closure (collected once per stream)."""
+
+    frozen_cents: list = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # conf overrides land on the streaming query's CLONED session
@@ -186,8 +198,17 @@ def start_ivf_index_stream(
                     f"{index_root}/centroids"
                 )
                 centroids = read_ivf_centroids(spark, index_root)
-            cells = assign_cells(batch_df, centroids, id_col, vec_col)
-            cells.write.mode("overwrite").partitionBy("cid").parquet(
+            if not frozen_cents:
+                frozen_cents.extend(centroids.collect())
+            cells = assign_cells_arrow(
+                batch_df, frozen_cents, id_col, vec_col
+            )
+            # one file per (batch, cid): the store is re-scanned by
+            # every search and compaction — repartition, not coalesce,
+            # so the kernel stage keeps its width
+            cells.repartition(F.col("cid")).write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(
                 f"{index_root}/cells/batch={batch_id}"
             )
             if compact_every and (batch_id + 1) % compact_every == 0:

@@ -131,6 +131,53 @@ def main() -> None:
         name, got, wall = run(name, fn)
         results[name] = {"recall_at_k": _recall(truth, got), "wall_sec": wall}
 
+    # r13: the STREAM-maintained NSW graph (streaming/nsw_index.py) —
+    # the same corpus arriving in 4 microbatches builds the index via
+    # the graph-guided insert, then the SAME query set searches it with
+    # the batch row's beam parameters.  recall here prices the guided
+    # insert's approximation (history candidates from a beam search
+    # instead of the batch build's exhaustive in-cell scan);
+    # index_build_sec is the availableNow drain wall.
+    import shutil
+    import tempfile
+
+    from nemsis_xml_parser_spark.streaming.nsw_index import (
+        nsw_stream_index_topk,
+        start_nsw_index_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="annrecall_nswstream_")
+    try:
+        corpus.repartition(8).write.parquet(f"{work}/vecs")
+        vschema = spark.read.parquet(f"{work}/vecs").schema
+        src = (
+            spark.readStream.schema(vschema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{work}/vecs")
+        )
+        t0 = time.time()
+        start_nsw_index_stream(
+            src, f"{work}/idx", f"{work}/cp"
+        ).awaitTermination()
+        build_wall = round(time.time() - t0, 2)
+        for sname, entries in (
+            ("nsw_stream_beam8x3", 1),
+            ("nsw_stream_beam8x3_entries3", 3),
+        ):
+            sname, got, wall = run(
+                sname,
+                lambda e=entries: nsw_stream_index_topk(
+                    spark, f"{work}/idx", queries, k=K, entries=e
+                ),
+            )
+            results[sname] = {
+                "recall_at_k": _recall(truth, got),
+                "wall_sec": wall,
+                "index_build_sec": build_wall,
+            }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     centroids, codebooks, codes = train_ivfpq(corpus)
     for df in (centroids, codebooks, codes):
         df.persist().count()

@@ -73,6 +73,10 @@ SF1_QUERIES = [
     "retrieval_qld_dirichlet",
     "multimodal_wav_adpcm_stats",
     "multimodal_png_subbyte_stats",
+    # round 12 flagships (r13: the substring-span df-guard is the
+    # boundedness argument — prove it at 10x data)
+    "dedup_substring_spans",
+    "multimodal_jpeg_progressive_gradient_stats",
 ]
 
 

@@ -163,7 +163,7 @@ def stream_batch_frames(
     # stream_live_plans below: their defining operators only exist in
     # a MicroBatchExecution plan, not in a batch frame)
     from nemsis_xml_parser_spark.operators.ivf import (
-        assign_cells,
+        assign_cells_arrow,
         train_centroids,
     )
 
@@ -173,7 +173,9 @@ def stream_batch_frames(
         "vec_id long, embedding array<double>",
     )
     cents = train_centroids(vecs, nlist=4, iters=1)
-    frames["ivf_assign"] = assign_cells(vecs, cents)
+    # r13: production assignment is the Arrow kernel with closure-held
+    # centroids (collected once per stream)
+    frames["ivf_assign"] = assign_cells_arrow(vecs, cents.collect())
 
     # --- NSW graph-index maintenance (streaming/nsw_index.py body:
     # beam-found history candidates + the vectorized in-batch kernel
@@ -186,7 +188,7 @@ def stream_batch_frames(
     )
 
     ncents = train_centroids(vecs, nlist=4, iters=0)
-    ncells = assign_cells(vecs, ncents).withColumn(
+    ncells = assign_cells_arrow(vecs, ncents.collect()).withColumn(
         "nrm", VV.norm(F.col("iv"))
     )
     nseeds = (
