@@ -5,11 +5,11 @@ persisted MinHash-LSH bucket index maintained per microbatch.
 inside the watermark horizon — the right tool for replayed feeds, but a
 production ingest must answer "is this document a near-dup of ANYTHING
 we have ever accepted?".  This module is that operator: the LSH
-band-bucket keys (``operators/dedup.py::minhash_band_keys`` — keys
-byte-identical to the batch pair generator's for the same hash
-family; the stream defaults to the cheaper xxhash64 family, see
-``start_dedup_index_stream``) are persisted as an APPEND-ONLY index,
-and each microbatch equi-joins its keys against it.
+band-bucket keys (md5 family, byte-identical to the batch pair
+generator's ``operators/dedup.py::minhash_band_keys`` — the stream
+computes them through the Arrow twin ``minhash_band_keys_arrow``,
+parity-pinned) are persisted as an APPEND-ONLY index, and each
+microbatch equi-joins its keys against it.
 
 Per batch:
 
@@ -23,9 +23,11 @@ Per batch:
 
 Exactly-once without a ledger: both writes are keyed by batch id, so a
 replayed batch overwrites its own outputs; and because pairs are
-canonicalized (min, max) and distinct, re-running step 2 AFTER step 4
-already committed yields the same set (the batch's own keys joining
-back against themselves produce exactly the self-join pairs).  The
+canonicalized (min, max) and deduped on read (the per-batch files may
+carry one copy per shared band — ``read_candidate_pairs`` distincts),
+re-running step 2 AFTER step 4 already committed yields the same SET
+(the batch's own keys joining back against themselves produce exactly
+the self-join pairs).  The
 index is append-only — per-batch cost is O(batch), never O(history) —
 which is what lets the pattern run forever; the batch twin's
 ``max_bucket`` star-capping applies to the history side verbatim when
