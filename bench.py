@@ -159,6 +159,8 @@ HEADLINE = [
     # round 12 flagships (subtract when comparing totals vs earlier rounds)
     "dedup_substring_spans",
     "multimodal_jpeg_progressive_gradient_stats",
+    # round 13 flagship (subtract when comparing totals vs earlier rounds)
+    "quality_conformal_interval",
 ]
 
 
