@@ -75,38 +75,15 @@ def build_nsw_graph(
             corpus, nlist=nlist, iters=0, id_col=id_col, vec_col=vec_col
         ).transform(cut_lineage)
     cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    # hoist each node's norm out of the pair loop: the pair score is then
-    # ONE interpreted array fold (dot) instead of three — higher-order
-    # functions bypass whole-stage codegen, so per-pair folds dominate
-    # the build.  sqrt(dot(v,v)) here is the exact expression the
-    # per-pair form evaluates, so scores stay bit-identical to the
-    # generated oracle.
-    cells = cells.withColumn("nrm", V.norm(F.col("iv")))
-    a = cells.select(
-        "cid", F.col("item_id").alias("src"),
-        F.col("iv").alias("sv"), F.col("nrm").alias("sn"),
-    )
-    b = cells.select(
-        "cid", F.col("item_id").alias("dst"),
-        F.col("iv").alias("dv"), F.col("nrm").alias("dn"),
-    )
-    denom = F.col("sn") * F.col("dn")
-    pair_cos = F.when(
-        denom > 0, V.dot(F.col("sv"), F.col("dv")) / denom
-    ).otherwise(F.lit(0.0))
-    scored = (
-        a.join(b, "cid")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", F.round(pair_cos, 6).alias("cos"))
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.col("cos").desc(), F.col("dst").asc()
-    )
-    intra = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= g_intra)
-        .select("src", "dst")
-    )
+    # in-cell top-g via the Arrow matmul kernel (r13): the expression
+    # all-pairs form — even with the r11 norm hoist down to ONE
+    # interpreted array fold per pair — paid ~100 µs per pair and
+    # dominated the registered queries' wall (~2/3 of ~6.5 s at the
+    # 2000-vector harness); the kernel does the same flops as one
+    # normalized matmul per cell with the identical (cos desc, dst asc)
+    # tie-break on the identical ROUND-6 value, so the generated SQL
+    # oracles that replay the expression form stay green.
+    intra = cell_topg_pairs_arrow(cells, g_intra).select("src", "dst")
     vecs = corpus.select(
         F.col(id_col).alias("__vid"), V.to_double_array(F.col(vec_col)).alias("v")
     )
@@ -121,6 +98,60 @@ def build_nsw_graph(
         linked.select(F.col("svid").alias("src"), F.col("node").alias("dst"))
     )
     return intra.unionByName(links).distinct().transform(cut_lineage)
+
+
+def cell_topg_pairs_arrow(cells: DataFrame, g_intra: int) -> DataFrame:
+    """(src, dst, cos) — each node's top-``g_intra`` ROUND-6 cosine
+    neighbors WITHIN its cell (input: (cid, item_id, iv) rows).
+    Vectorized: one normalized matmul per cell group inside
+    ``applyInPandas`` — the in-cell pair count is corpus²/nlist, and at
+    ~100 µs per interpreted HOF dot the expression form dominated both
+    the streaming insert (the 61-rows/s wall, r12) and the batch graph
+    build (~2/3 of the registered queries' wall, r13).  Tie-break
+    matches the expression form exactly: cosine desc, then dst asc, on
+    the ROUNDED value (round-6 parity pinned by the stream==batch
+    single-batch test and the generated SQL oracles)."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["item_id"].to_numpy()
+        n = ids.shape[0]
+        if n < 2:
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype="int64"),
+                 "dst": pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        M = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        safe = np.where(nrm == 0, 1.0, nrm)
+        Vn = M / safe[:, None]
+        S = np.round(Vn @ Vn.T, 6)
+        S[nrm == 0, :] = 0.0
+        S[:, nrm == 0] = 0.0
+        out_src, out_dst, out_cos = [], [], []
+        for i in range(n):
+            order = np.lexsort((ids, -S[i]))
+            taken = 0
+            for j in order:
+                if j == i:
+                    continue
+                out_src.append(int(ids[i]))
+                out_dst.append(int(ids[j]))
+                out_cos.append(float(S[i, j]))
+                taken += 1
+                if taken == g_intra:
+                    break
+        return pd.DataFrame(
+            {"src": pd.Series(out_src, dtype="int64"),
+             "dst": pd.Series(out_dst, dtype="int64"),
+             "cos": pd.Series(out_cos, dtype="float64")}
+        )
+
+    return cells.select("cid", "item_id", "iv").groupBy("cid").applyInPandas(
+        kern, schema="src long, dst long, cos double"
+    )
 
 
 def nsw_beam_topk(

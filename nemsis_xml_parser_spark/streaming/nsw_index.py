@@ -71,6 +71,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..functions import vectors as V
 from ..operators.ivf import assign_cells_arrow, nearest_arrow, train_centroids
+from ..operators.nsw import cell_topg_pairs_arrow as _inbatch_topg_pairs
 from ..operators.lineage import cut_lineage
 from ..operators.txlog import commit_table, current_version, read_table, vacuum
 from .ivf_index import compact_ivf_cells, read_ivf_cells, read_ivf_centroids
@@ -427,58 +428,6 @@ def _beam_search(
             "query_id", "neighbor_id", "cosine",
             F.col("rank").cast("int").alias("rank"),
         )
-    )
-
-
-def _inbatch_topg_pairs(cells: DataFrame, g_intra: int) -> DataFrame:
-    """(src, dst, cos) — each batch node's top-``g_intra`` ROUND-6
-    cosine neighbors WITHIN its cell, among the batch's own nodes.
-    Vectorized: one normalized matmul per cell group inside
-    ``applyInPandas`` (the in-cell pair count is trigger-bounded but
-    still ~batch²/nlist — at ~100 µs per interpreted HOF dot that was
-    the 61-rows/s wall; the matmul does the same flops in
-    milliseconds).  Tie-break matches the expression form exactly:
-    cosine desc, then dst asc, on the ROUNDED value."""
-    import numpy as np
-    import pandas as pd
-
-    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        ids = pdf["item_id"].to_numpy()
-        n = ids.shape[0]
-        if n < 2:
-            return pd.DataFrame(
-                {"src": pd.Series([], dtype="int64"),
-                 "dst": pd.Series([], dtype="int64"),
-                 "cos": pd.Series([], dtype="float64")}
-            )
-        M = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(M, axis=1)
-        safe = np.where(nrm == 0, 1.0, nrm)
-        Vn = M / safe[:, None]
-        S = np.round(Vn @ Vn.T, 6)
-        S[nrm == 0, :] = 0.0
-        S[:, nrm == 0] = 0.0
-        out_src, out_dst, out_cos = [], [], []
-        for i in range(n):
-            order = np.lexsort((ids, -S[i]))
-            taken = 0
-            for j in order:
-                if j == i:
-                    continue
-                out_src.append(int(ids[i]))
-                out_dst.append(int(ids[j]))
-                out_cos.append(float(S[i, j]))
-                taken += 1
-                if taken == g_intra:
-                    break
-        return pd.DataFrame(
-            {"src": pd.Series(out_src, dtype="int64"),
-             "dst": pd.Series(out_dst, dtype="int64"),
-             "cos": pd.Series(out_cos, dtype="float64")}
-        )
-
-    return cells.select("cid", "item_id", "iv").groupBy("cid").applyInPandas(
-        kern, schema="src long, dst long, cos double"
     )
 
 
