@@ -57,7 +57,11 @@ def _selected_fps_arr(
     P = F.lit(2147483647).cast("long")  # rolling_hash modulus
 
     def from_keys(ks: F.Column) -> F.Column:
-        n_win = F.size(ks) - F.lit(w - 1)
+        # coalesce guards NULL text (size(NULL) is NULL and the <= 0
+        # test would fall through — the word_ngrams r13 bug class; at
+        # the default k=5,w=4 the window guard happened to mask it, but
+        # the emptiness must not depend on parameter luck)
+        n_win = F.coalesce(F.size(ks) - F.lit(w - 1), F.lit(0))
         return F.when(
             n_win <= 0, F.array().cast("array<bigint>")
         ).otherwise(
@@ -92,7 +96,7 @@ def _selected_fps_arr(
         )
 
     def shingle_keys(hps: F.Column) -> F.Column:
-        n_ng = F.size(hps) - F.lit(k - 1)
+        n_ng = F.coalesce(F.size(hps) - F.lit(k - 1), F.lit(0))
 
         def combine(acc: F.Column, x: F.Column) -> F.Column:
             # append ' ' + word: shift by 31^(1+len), add H(' '||word)
@@ -146,6 +150,106 @@ def _selected_fps_arr(
         )
     )
     return F.array_distinct(sel)
+
+
+def winnowing_fingerprints_arrow(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int | None = 50,
+    pos_bits: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vectorized Arrow twin of :func:`winnowing_fingerprints` —
+    identical (doc_id, gh) output, parity-pinned by
+    tests/test_winnow.py.
+
+    Why a twin exists (the cdc/minhash r12/r13 argument): the
+    array-HOF selection, though already one narrow stage, evaluates
+    every word fold, shingle composition and window min in the
+    INTERPRETED expression path.  The kernel does the same math per
+    Arrow batch: one polynomial char fold per DISTINCT word
+    (partition-cached — corpora repeat words heavily), the shingle
+    hash composed across k words as k-1 vectorized numpy passes using
+    the same H(s1‖s2) = H(s1)·31^(1+len(s2)) + H(' '‖s2) identity
+    (every factor < 2^31, products < 2^62 — int64-exact, bit-identical
+    to rolling_hash over the joined string), the packed
+    (hash, rightmost-pos) key and the w-wide sliding min as
+    ``np.minimum`` over w shifted views.  Tokenization twins Java
+    semantics (trim of chars <= U+0020, ASCII \\s+).  Still a narrow
+    map — the guard aggregate is the only shuffle, as in the
+    expression form."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    P = 2147483647
+    mask = (1 << pos_bits) - 1
+    ws_re = re.compile(r"\s+", re.ASCII)
+    java_ws = "".join(chr(c) for c in range(0x21))
+
+    def kernel(batches):
+        cache: dict[str, tuple[int, int]] = {}
+
+        def word_hp(wd: str) -> tuple[int, int]:
+            hp = cache.get(wd)
+            if hp is None:
+                h = 0
+                for ch in wd:
+                    h = (h * 31 + ord(ch)) % P
+                hp = (h, pow(31, len(wd), P))
+                cache[wd] = hp
+            return hp
+
+        for pdf in batches:
+            out_id, out_gh = [], []
+            for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws_re.split(text.strip(java_ws)) if text else []
+                toks = [t for t in toks if t]
+                n_ng = len(toks) - (k - 1)
+                n_win = n_ng - (w - 1)
+                if n_win <= 0:
+                    continue
+                hps = [word_hp(t) for t in toks]
+                H = np.fromiter(
+                    (h for h, _ in hps), dtype=np.int64, count=len(hps)
+                )
+                PW = np.fromiter(
+                    (p for _, p in hps), dtype=np.int64, count=len(hps)
+                )
+                S = H[:n_ng].copy()
+                for j in range(1, k):
+                    hx = H[j : j + n_ng]
+                    pwx = PW[j : j + n_ng]
+                    S = (S * ((pwx * 31) % P) + ((pwx * 32) % P + hx)) % P
+                key = (S << pos_bits) + (mask - np.arange(n_ng))
+                m = key[:n_win].copy()
+                for j in range(1, w):
+                    np.minimum(m, key[j : j + n_win], out=m)
+                for gh in np.unique(m >> pos_bits):
+                    out_id.append(row_id)
+                    out_gh.append(int(gh))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "gh": pd.Series(out_gh, dtype="int64"),
+                }
+            )
+
+    fps = docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        kernel, schema="doc_id long, gh long"
+    )
+    if max_df is None:
+        return fps
+    ok = (
+        fps.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("gh")
+    )
+    return fps.join(ok, "gh", "left_semi")
 
 
 def winnowing_fingerprints(

@@ -11,8 +11,9 @@ SIGMOD'03 MOSS selection), whose locality guarantee (any shared run of
 Per batch:
 
 1. select the batch's UNGUARDED per-doc fingerprints
-   (``winnowing_fingerprints(max_df=None)`` — the same expression tree
-   as the batch twin, so stream == batch byte-identically);
+   (``winnowing_fingerprints_arrow(max_df=None)`` — the numpy kernel
+   twin, row-set-identical to the batch expression form by the
+   tests/test_winnow.py parity pin, so stream == batch exactly);
 2. cumulative document frequency per fingerprint = distinct docs over
    index ∪ batch — the batch twin's ``max_df`` guard evaluated on the
    prefix of the corpus seen so far, computed only for fingerprints
@@ -56,7 +57,10 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.winnow import winnowing_fingerprints
+from ..operators.winnow import (  # noqa: F401 (re-export)
+    winnowing_fingerprints,
+    winnowing_fingerprints_arrow,
+)
 
 FP_SCHEMA = "doc_id long, gh long"
 
@@ -309,28 +313,19 @@ def start_winnow_index_stream(
             ):
                 prev[key] = spark.conf.get(key, None)
                 spark.conf.set(key, str(val))
-        # The file source hands the batch over in maxFilesPerTrigger
-        # partitions, so the COMPUTE-heavy stage (ngram explode + per-char
-        # rolling hash, the pipeline's real CPU) would run ~2-wide on a
-        # 32-core executor pool: repartition the raw docs to full width
-        # first (a ~MB shuffle) — HASHED BY doc_id, so the per-doc window
-        # (ClusteredDistribution(doc_id)) and the (doc_id, gh) distinct
-        # (partitioning exprs ⊆ grouping keys) inside
-        # winnowing_fingerprints both reuse this exchange instead of
-        # adding their own: the whole fingerprint computation is ONE
-        # wide stage (r11; was 3 exchanges).
-        batch_df = batch_df.repartition(
-            spark.sparkContext.defaultParallelism, F.col(id_col)
-        )
         try:
-            # 4-way persisted frame: a microbatch's fingerprints are
-            # MB-scale — narrow frames in, narrow index files out (the
-            # batch=N dirs hold 4 small files the next batch's scan
-            # bin-packs).
-            fps = winnowing_fingerprints(
-                batch_df, k=k, w=w, max_df=None,
+            # ONE repartition before the Arrow kernel (the dedup_index
+            # r13 shape): fingerprint selection is the batch's CPU, so
+            # the kernel stage must run wider than maxFilesPerTrigger's
+            # 1-2 scan partitions; the exchange moves only raw text.
+            # The kernel dedups per doc internally (no window, no
+            # distinct), so the r11 exchange-reuse bracketing is moot —
+            # the persisted frame keeps the kernel width and the
+            # batch=N index dirs stay small-file-bounded.
+            fps = winnowing_fingerprints_arrow(
+                batch_df.repartition(8), k=k, w=w, max_df=None,
                 id_col=id_col, text_col=text_col,
-            ).repartition(4).persist()
+            ).persist()
             index = read_fp_index(spark, index_root)
             # r11: no union cache, no per-batch df aggregate over the
             # full history.  The history scan is restricted to batch ghs

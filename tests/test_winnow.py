@@ -63,3 +63,47 @@ def test_arr_matches_window_hypothesis(spark, texts):
         winnowing_fingerprints(d, max_df=None, k=3, w=2),
         winnowing_fingerprints_window(d, max_df=None, k=3, w=2),
     ) == 0
+
+
+def test_arrow_twin_parity(spark):
+    """winnowing_fingerprints_arrow == winnowing_fingerprints row-set-
+    identical on the real corpus plus edge cases (NULL / empty /
+    whitespace text, sub-window docs, tab/newline separators,
+    control-char padding, unicode, repeated tokens)."""
+    import pyspark.sql.functions as F
+
+    from nemsis_xml_parser_spark.operators.winnow import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_arrow,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    extra = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "   \t\n  "),
+            (9004, "seven words is just below the window"),
+            (9005, "exactly eight words meets the winnow window floor"),
+            (9006, "tab\tsep\ttokens and\tmore tokens here for the window"),
+            (9007, "\x01\x02 control padded text needs the java trim twin here \x1f"),
+            (9008, "répété répété répété unicode naïve café tokens beyond window"),
+            (9009, "a a a a a a a a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(extra)
+    for max_df in (None, 50):
+        exp = {
+            (r.doc_id, r.gh)
+            for r in winnowing_fingerprints(d, max_df=max_df).collect()
+        }
+        got = {
+            (r.doc_id, r.gh)
+            for r in winnowing_fingerprints_arrow(d, max_df=max_df).collect()
+        }
+        assert got == exp, f"arrow/expression divergence (max_df={max_df})"

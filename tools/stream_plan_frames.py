@@ -59,7 +59,7 @@ def stream_batch_frames(
         countmin_estimate,
     )
     from nemsis_xml_parser_spark.operators.winnow import (
-        winnowing_fingerprints,
+        winnowing_fingerprints_arrow,
     )
     from nemsis_xml_parser_spark.streaming.countmin import read_cm_cells
     from nemsis_xml_parser_spark.streaming.dedup_index import (
@@ -81,10 +81,12 @@ def stream_batch_frames(
     width = spark.sparkContext.defaultParallelism
     frames: dict[str, DataFrame] = {}
 
-    # --- winnow history index (streaming/winnow_index.py body) ---
-    wfps = winnowing_fingerprints(
-        docs.repartition(width, F.col("doc_id")), max_df=None
-    ).repartition(4)
+    # --- winnow history index (streaming/winnow_index.py body, r13
+    # shape: Arrow fingerprint kernel after ONE repartition — the
+    # kernel dedups per doc internally, so no window/distinct) ---
+    wfps = winnowing_fingerprints_arrow(
+        docs.repartition(8), max_df=None
+    )
     wfps.write.mode("overwrite").parquet(f"{root}/wnidx/batch=0")
     widx = read_fp_index(spark, f"{root}/wnidx")
     frames["winnow_fps"] = wfps
