@@ -91,47 +91,6 @@ def cosine_similarity_pandas():
     return pandas_udf(cos, "double")
 
 
-def cosine_vs_indexed_pandas(qids, qvecs):
-    """Scalar ``@pandas_udf`` ``(query_id, v) -> cosine(query_vec, v)``
-    with the query vectors carried in the CLOSURE as one numpy matrix.
-
-    For query-bounded workloads (a microbatch's inserts, a caller's
-    query set) this halves the Arrow payload of pairwise scoring vs
-    :func:`cosine_similarity_pandas` — only the candidate-side vector
-    crosses the socket, and the per-hop ``join(qv)`` disappears from
-    the plan entirely.  Bit-identical to the two-column kernel: same
-    float64 einsum/sqrt/where sequence per row (the query norms are
-    precomputed with the identical expression, which is row-wise
-    equivalent)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    index = {int(q): i for i, q in enumerate(qids)}
-    qmat = (
-        np.stack([np.asarray(v, dtype=np.float64) for v in qvecs])
-        if len(qvecs)
-        else np.zeros((0, 1), dtype=np.float64)
-    )
-    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
-
-    def cosq(qid, b):
-        rows = np.fromiter(
-            (index[int(q)] for q in qid), dtype=np.int64, count=len(qid)
-        )
-        av = qmat[rows]
-        bv = np.stack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", av, bv)
-        den = qnorm[rows] * np.sqrt(np.einsum("ij,ij->i", bv, bv))
-        out = np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0)
-        return pd.Series(out)
-
-    cosq.__annotations__ = {
-        "qid": pd.Series, "b": pd.Series, "return": pd.Series
-    }
-    return pandas_udf(cosq, "double")
-
-
 def cosine_pairs_indexed_pandas(qids, qvecs, nids, nvecs):
     """Scalar ``@pandas_udf`` ``(query_id, node_id) -> cosine`` with BOTH
     vector sides carried in the closure — the Arrow payload per scored

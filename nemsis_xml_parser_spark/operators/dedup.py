@@ -192,9 +192,15 @@ def minhash_band_keys_arrow(
     of the hex form), the Kirsch-Mitzenmacher members as ONE numpy
     (shingles × k) broadcast mod M61 with a reduceat min per doc
     segment, and the band key as md5 of the comma-joined decimal
-    signature slice.  Tokenization twins Java semantics exactly: strip
-    of chars <= U+0020 (Java trim) and an ASCII ``\\s+`` split (Java
-    ``\\s`` is ASCII-only by default).  Still a narrow map — no
+    signature slice.  Tokenization twins the expression form exactly:
+    an ASCII ``\\s+`` split (Java ``\\s`` is ASCII-only by default,
+    same class as Python's ``re.ASCII`` ``\\s``) with empty tokens
+    filtered — identical to ``filter(split(trim(col),'\\s+'), t!='')``
+    because Spark's trim strips only spaces and the empty-token filter
+    absorbs any leading/trailing whitespace run.  No extra strip: a
+    Java-trim-style strip of ALL chars <= U+0020 would drop leading /
+    trailing CONTROL chars the expression form keeps inside tokens
+    (ADVICE r13 high).  Still a narrow map — no
     shuffle, parallel per Arrow batch; the streaming history-index hot
     path.  The expression form remains the oracle-parity showcase and
     the batch queries' audited plan."""
@@ -210,15 +216,11 @@ def minhash_band_keys_arrow(
     ws = re.compile(r"\s+", re.ASCII)
     ks = np.arange(num_hashes, dtype=np.int64)
 
-    java_ws = ("\x00\x01\x02\x03\x04\x05\x06\x07\x08\t\n\x0b\x0c\r"
-               "\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a"
-               "\x1b\x1c\x1d\x1e\x1f ")
-
     def kernel(batches):
         for pdf in batches:
             digests, offsets = [], [0]
             for text in pdf[text_col]:
-                toks = ws.split(text.strip(java_ws)) if text else []
+                toks = ws.split(text) if text else []
                 toks = [t for t in toks if t]
                 grams = {
                     " ".join(toks[i : i + n])

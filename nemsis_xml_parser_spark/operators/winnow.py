@@ -176,9 +176,14 @@ def winnowing_fingerprints_arrow(
     (every factor < 2^31, products < 2^62 — int64-exact, bit-identical
     to rolling_hash over the joined string), the packed
     (hash, rightmost-pos) key and the w-wide sliding min as
-    ``np.minimum`` over w shifted views.  Tokenization twins Java
-    semantics (trim of chars <= U+0020, ASCII \\s+).  Still a narrow
-    map — the guard aggregate is the only shuffle, as in the
+    ``np.minimum`` over w shifted views.  Tokenization twins the
+    expression form exactly: ASCII ``\\s+`` split with empty tokens
+    filtered — identical to ``filter(split(trim(col),'\\s+'), t!='')``
+    since Spark trim strips only spaces and the empty filter absorbs
+    boundary whitespace; NO Java-trim-style strip of all chars <=
+    U+0020, which would drop leading/trailing control chars the
+    expression form keeps inside tokens (ADVICE r13 high).  Still a
+    narrow map — the guard aggregate is the only shuffle, as in the
     expression form."""
     import re
 
@@ -188,7 +193,6 @@ def winnowing_fingerprints_arrow(
     P = 2147483647
     mask = (1 << pos_bits) - 1
     ws_re = re.compile(r"\s+", re.ASCII)
-    java_ws = "".join(chr(c) for c in range(0x21))
 
     def kernel(batches):
         cache: dict[str, tuple[int, int]] = {}
@@ -206,7 +210,7 @@ def winnowing_fingerprints_arrow(
         for pdf in batches:
             out_id, out_gh = [], []
             for row_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = ws_re.split(text.strip(java_ws)) if text else []
+                toks = ws_re.split(text) if text else []
                 toks = [t for t in toks if t]
                 n_ng = len(toks) - (k - 1)
                 n_win = n_ng - (w - 1)

@@ -140,7 +140,11 @@ def minhash_sig_strings_pandas(
             sigs = []
             for text in pdf[text_col]:
                 s = "" if text is None else str(text)
-                toks = [t for t in ws.split(s.strip()) if t]
+                # no .strip(): argless Python strip removes UNICODE
+                # whitespace (U+00A0, U+2028, ...) that the ASCII-\s
+                # expression form keeps inside boundary tokens; the
+                # empty-token filter absorbs ASCII-\s runs by itself
+                toks = [t for t in ws.split(s) if t]
                 sh = {
                     " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
                 }

@@ -38,8 +38,10 @@ def _corpus(k: int):
 
 def test_fold_matches_batch_candidates(spark, tmp_path):
     # both hash families: the fold == batch property is per-family (the
-    # stream defaults to fast=True; the oracle-checked batch queries use
-    # the md5 family) — parity must hold for whichever is asked for
+    # stream runs the md5-family Arrow kernel — minhash_band_keys_arrow
+    # has no fast/xxhash option; the oracle-checked batch queries use the
+    # md5 family too) — batch-side parity must hold for whichever family
+    # is asked for
     for fast in (False, True):
         rows = _corpus(18)
         batches = [rows[0:6], rows[6:12], rows[12:18]]
@@ -140,6 +142,16 @@ def test_arrow_band_keys_parity(spark):
         (107, "\x01\x02 control padded text needs java trim twin \x1f"),
         (108, "répété répété répété unicode tokens naïve café"),
         (109, "a a a a a a a a (degenerate repeated token stream)"),
+    ]
+    # ADVICE r13: control chars ATTACHED to boundary words (no space
+    # between) — the expression form keeps "\x01word" as one token, so a
+    # kernel that Java-trims chars <= U+0020 produces a different shingle
+    # set AND (with fully distinct vocab per doc) different minima; these
+    # rows fail against the pre-fix kernel instead of passing by the
+    # Kirsch-Mitzenmacher-envelope coincidence.
+    rows += [
+        (200 + i, f"\x01w{i}a w{i}b w{i}c w{i}d w{i}e\x1f")
+        for i in range(20)
     ]
     d = _docs(spark, rows)
     exp = {

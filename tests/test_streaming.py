@@ -186,6 +186,11 @@ def test_minhash_pandas_signature_parity(spark):
         "one two three",   # exactly one shingle
         "héllo wörld über tokens naïve café crème brûlée encore",
         "x " * 50,         # heavy repetition -> one distinct shingle
+        # ADVICE r13 family: boundary UNICODE whitespace + attached
+        # control chars — argless str.strip() would remove U+00A0 /
+        # U+2028 that the ASCII-\s expression form keeps inside tokens
+        " alpha beta gamma delta epsilon tokens here ",
+        "\x01ctrl attached words one two three four\x1f",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

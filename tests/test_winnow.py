@@ -93,6 +93,18 @@ def test_arrow_twin_parity(spark):
             (9007, "\x01\x02 control padded text needs the java trim twin here \x1f"),
             (9008, "répété répété répété unicode naïve café tokens beyond window"),
             (9009, "a a a a a a a a a a a a"),
+        ]
+        # ADVICE r13: control chars ATTACHED to boundary words — the
+        # expression form keeps "\x01word" / "word\x1f" as single tokens;
+        # a kernel that Java-trims chars <= U+0020 yields different
+        # shingles and different window minima on these distinct-vocab
+        # docs (they fail against the pre-fix kernel).
+        + [
+            (
+                9100 + i,
+                f"\x01v{i}a v{i}b v{i}c v{i}d v{i}e v{i}f v{i}g v{i}h\x1f",
+            )
+            for i in range(20)
         ],
         "doc_id long, text string",
     )
