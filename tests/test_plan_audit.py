@@ -154,6 +154,9 @@ JUSTIFIED_BNLJ = {
     "dedup_semdedup_band",         # broadcast k=8-row seed-centroid
                                    # crossJoins (assignment passes; the
                                    # ivf.py coarse-quantizer shape)
+    "curation_facility_location",  # broadcast candidate pool (bounded)
+                                   # + per-pick broadcast 1-row
+                                   # winner/coverage scalars (k=5)
 }
 
 
