@@ -25,7 +25,11 @@ add-forever):
   (trigger-bounded).  Each beam-found HISTORY neighbor gains a
   back-link so new nodes stay reachable — capped at ``g_intra`` per
   old node per batch, with edge COMPACTION re-pruning every node's
-  intra out-edges to the exact top-``g_intra`` by current cosine.
+  intra out-edges to the top-``2 * g_intra`` by current cosine
+  (HNSW's M_max0 = 2M layer-0 ceiling — pruning to exactly
+  ``g_intra`` measurably costs recall, see ``compact_nsw_edges``)
+  and repairing any node the prune left unreachable (orphan repair,
+  ditto).
   Navigation links (node → its ``seed_links`` nearest cells' seeds,
   uncapped, ``kind='nav_up'``; seed → node, ``kind='nav_down'``,
   capped at ``NAV_MAX`` per cell EVER via the nav-budget sidecar) are
@@ -234,17 +238,47 @@ def _pair_cos(sv, sn, dv, dn):
 
 def compact_nsw_edges(
     spark: SparkSession, index_root: str, g_intra: int = 6,
+    g_keep: int | None = None,
     exclude_batch: int | None = None,
 ) -> int:
     """Fold the edge view into the next txlog version: nav links pass
     through DISTINCT (navigability is not a similarity property); intra
-    edges are re-pruned to each src's exact top-``g_intra`` by cosine
+    edges are re-pruned to each src's exact top-``g_keep`` by cosine
     against the CURRENT vector store — the bounded-degree invariant the
-    per-batch back-links relax between folds.  Folded batch dirs are
-    removed, old versions vacuumed.  ``exclude_batch`` keeps one batch
-    dir out of the fold entirely (the compact_ivf_cells own-batch
-    exclusion argument: compacting at the start of batch N must not
-    fold a crashed prior attempt of N itself)."""
+    per-batch back-links relax between folds.  ``g_keep`` defaults to
+    ``2 * g_intra`` (HNSW's layer-0 convention, M_max0 = 2M): inserts
+    still TARGET ``g_intra`` links, but the fold's ceiling is looser —
+    measured (r14, sf0.1 ANN_RECALL probe), pruning to exactly
+    ``g_intra`` cost the compacted graph ~0.07 recall@10 (0.445 →
+    0.372 single-entry) because the accumulated back-links it discards
+    are precisely the late-node reachability the guided insert relies
+    on; at 2x the degree the beam's per-hop expansion stays bounded
+    and the recall survives the fold.
+
+    Orphan repair (r14 recall lever): the cosine-only re-prune can
+    STRAND a late-inserted node — its only in-edges are the back-links
+    its insert created, and those lose the history node's top-
+    ``g_intra`` contest as better neighbors accumulate; a node with no
+    in-edge is unreachable by any beam and its true-neighbor queries
+    silently lose recall.  After pruning, every indexed non-seed node
+    with ZERO remaining in-edges keeps its single best PRE-prune
+    in-edge (kind ``repair``, top-1 by the same ROUND-6 cosine /
+    src-asc tie-break); a node with no pre-prune in-edge at all (rare:
+    nav budget exhausted at insert AND no back-link survived a crash
+    window) instead gets one seed→node repair link from its lowest-id
+    nav_up target — the VERDICT-r13-sanctioned re-offer of the hub
+    down-link its insert was denied.  Repair edges are in-degree
+    floors, not out-degree growth: at most ONE per once-orphaned node,
+    they pass through later folds like nav links, and the intra
+    out-degree bound stays exactly ``g_intra``.
+
+    Folded batch dirs are removed, old versions vacuumed.
+    ``exclude_batch`` keeps one batch dir out of the fold entirely
+    (the compact_ivf_cells own-batch exclusion argument: compacting at
+    the start of batch N must not fold a crashed prior attempt of N
+    itself)."""
+    if g_keep is None:
+        g_keep = 2 * g_intra
     edges_dir = f"{index_root}/edges"
     folded = [
         d for d in os.listdir(edges_dir)
@@ -278,11 +312,45 @@ def compact_nsw_edges(
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
     pruned = (
         intra.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= g_intra)
+        .where(F.col("rn") <= g_keep)
         .select("src", "dst", F.lit("intra").alias("kind"))
     )
     nav = edges.where(F.col("kind") != "intra").select("src", "dst", "kind")
-    ver = commit_table(pruned.unionByName(nav), index_root, _EDGE_COMPACT)
+    # orphan repair: nodes unreachable after the prune keep their best
+    # pre-prune in-edge (or, lacking any, one reversed nav_up hub link)
+    seeds = read_nsw_seeds(spark, index_root)
+    kept = pruned.unionByName(nav)
+    orphans = (
+        vecs.select(F.col("item_id").alias("dst"))
+        .join(kept.select("dst").distinct(), "dst", "left_anti")
+    )
+    if seeds is not None:
+        orphans = orphans.join(
+            F.broadcast(seeds.select(F.col("svid").alias("dst"))),
+            "dst", "left_anti",
+        )
+    worphan = Window.partitionBy("dst").orderBy(
+        F.col("cos").desc(), F.col("src").asc()
+    )
+    repair_in = (
+        intra.join(F.broadcast(orphans), "dst", "left_semi")
+        .withColumn("rn", F.row_number().over(worphan))
+        .where(F.col("rn") == 1)
+        .select("src", "dst", F.lit("repair").alias("kind"))
+    )
+    still = orphans.join(repair_in.select("dst"), "dst", "left_anti")
+    repair_hub = (
+        edges.where(F.col("kind") == "nav_up")
+        .select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+        .join(F.broadcast(still), "dst", "left_semi")
+        .groupBy("dst")
+        .agg(F.min("src").alias("src"))
+        .select("src", "dst", F.lit("repair").alias("kind"))
+    )
+    ver = commit_table(
+        kept.unionByName(repair_in).unionByName(repair_hub),
+        index_root, _EDGE_COMPACT,
+    )
     for d in folded:
         shutil.rmtree(os.path.join(edges_dir, d), ignore_errors=True)
     vacuum(index_root, _EDGE_COMPACT, keep=2)

@@ -156,8 +156,10 @@ def main() -> None:
             .parquet(f"{work}/vecs")
         )
         t0 = time.time()
+        # compact mid-stream (batch 2 of 4) so the orphan-repair pass
+        # (r14) is on the measured path, as in a long-running deploy
         start_nsw_index_stream(
-            src, f"{work}/idx", f"{work}/cp"
+            src, f"{work}/idx", f"{work}/cp", compact_every=2
         ).awaitTermination()
         build_wall = round(time.time() - t0, 2)
         for sname, entries in (
@@ -174,6 +176,28 @@ def main() -> None:
                 "recall_at_k": _recall(truth, got),
                 "wall_sec": wall,
                 "index_build_sec": build_wall,
+            }
+        # the fully-compacted state: exact top-g_intra prune + orphan
+        # repair over the whole graph — what a deployment searches
+        # right after its periodic fold
+        from nemsis_xml_parser_spark.streaming.nsw_index import (
+            compact_nsw_edges,
+        )
+
+        compact_nsw_edges(spark, f"{work}/idx")
+        for sname, entries in (
+            ("nsw_stream_compacted_beam8x3", 1),
+            ("nsw_stream_compacted_beam8x3_entries3", 3),
+        ):
+            sname, got, wall = run(
+                sname,
+                lambda e=entries: nsw_stream_index_topk(
+                    spark, f"{work}/idx", queries, k=K, entries=e
+                ),
+            )
+            results[sname] = {
+                "recall_at_k": _recall(truth, got),
+                "wall_sec": wall,
             }
     finally:
         shutil.rmtree(work, ignore_errors=True)

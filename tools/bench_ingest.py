@@ -1,13 +1,22 @@
-"""ETL ingest throughput bench — the reference's own workload, measured.
+"""ETL ingest throughput bench — the reference's own workload, measured
+end-to-end: flatten → warehouse fan-out → distributed JDBC staging.
 
 The reference ingests one XML file at a time, one SQL INSERT round-trip per
 element on a single thread (/root/reference/main_ingest.py:429-495).  This
-bench runs OUR pipeline (distributed flatten → per-tag warehouse fan-out →
-bookkeeping) over N synthetic NEMSIS files and reports elements/sec, the
-number to hold against any single-node ingestor at the same element count.
+bench runs OUR pipeline over N synthetic NEMSIS files and reports:
+
+* stage 1 — ``ingest_xml_files`` (md5-skip → distributed flatten →
+  per-tag warehouse parquet fan-out → bookkeeping): files/s and
+  elements/s, the number to hold against any single-node ingestor at
+  the same element count;
+* stage 2 — ``stage_to_jdbc_distributed`` of the same flatten output
+  into a live DuckDB target (per-partition executor connections into
+  file-backed scratch DBs + ONE promote transaction — the exact
+  dispatcher the pipeline routes >=100k-row batches through;
+  PostgreSQL swaps the connect_fn, nothing else): rows/s inserted.
 
 Usage: python tools/bench_ingest.py [n_files] [pcrs_per_file]
-Prints one JSON line: {"metric": "ingest_elements_per_sec", ...}
+Prints one JSON line; rounds commit it as BENCH_ingest_r{N}.json.
 """
 
 from __future__ import annotations
@@ -21,7 +30,22 @@ from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
 
-from nemsis_xml_parser_spark.operators.bookkeeping import ingest_xml_files  # noqa: E402
+import duckdb  # noqa: E402
+
+from nemsis_xml_parser_spark.operators import jdbc_sink as J  # noqa: E402
+from nemsis_xml_parser_spark.operators.bookkeeping import (  # noqa: E402
+    ingest_xml_files,
+)
+from nemsis_xml_parser_spark.operators.flatten import (  # noqa: E402
+    flatten_xml_files,
+)
+from nemsis_xml_parser_spark.operators.warehouse import (  # noqa: E402
+    COMMON_COLUMNS,
+    attribute_columns_per_table,
+    table_comments,
+    table_frame,
+    value_column_name,
+)
 from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
 
 PCR_TEMPLATE = """  <Header>
@@ -52,6 +76,77 @@ def make_file(fid: int, pcrs: int) -> str:
     return f'<EMSDataSet xmlns="http://www.nemsis.org">\n{body}</EMSDataSet>\n'
 
 
+class _DuckConn:
+    """psycopg2-style transaction contract over DuckDB (the
+    tests/test_jdbc_live.py adapter, file-backed so ATTACH works)."""
+
+    def __init__(self, path: str):
+        self._c = duckdb.connect(path)
+        self._c.execute("CREATE SCHEMA IF NOT EXISTS public;")
+        self._in_txn = False
+
+    def _begin(self):
+        if not self._in_txn:
+            self._c.execute("BEGIN TRANSACTION;")
+            self._in_txn = True
+
+    def cursor(self):
+        conn = self
+
+        class _Cur:
+            def execute(self, sql, params=None):
+                conn._begin()
+                conn._c.execute(sql, params)
+                return self
+
+            def executemany(self, sql, rows):
+                conn._begin()
+                conn._c.executemany(sql, rows)
+                return self
+
+            def fetchall(self):
+                return conn._c.fetchall()
+
+            def fetchone(self):
+                return conn._c.fetchone()
+
+        return _Cur()
+
+    def commit(self):
+        if self._in_txn:
+            self._c.execute("COMMIT;")
+            self._in_txn = False
+
+    def rollback(self):
+        if self._in_txn:
+            self._c.execute("ROLLBACK;")
+            self._in_txn = False
+
+
+def _duckdb_hooks(stage_dir: str) -> dict:
+    def connect_fn(pid):
+        import duckdb as _duck
+
+        return _duck.connect(f"{stage_dir}/stg_{pid}.db")
+
+    def stage_ref(table, pid):
+        return f'stg{pid}."{J.stage_table_name(table, pid)}"'
+
+    def prepare_promote(conn, staged):
+        for pid in sorted({pid for _, pid, n in staged if n}):
+            conn._c.execute(
+                f"ATTACH '{stage_dir}/stg_{pid}.db' AS stg{pid} (READ_ONLY);"
+            )
+
+    return dict(
+        connect_fn=connect_fn,
+        stage_schema=None,
+        stage_ref=stage_ref,
+        prepare_promote=prepare_promote,
+        paramstyle="qmark",
+    )
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     pcrs = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -61,6 +156,7 @@ def main() -> None:
     src.mkdir()
     for f in range(n_files):
         (src / f"file_{f:05d}.xml").write_text(make_file(f, pcrs))
+    paths = [str(p) for p in sorted(src.iterdir())]
 
     # 13 elements per PCR subtree + 1 root per file
     n_elements = n_files * (pcrs * 13 + 1)
@@ -68,22 +164,70 @@ def main() -> None:
     spark = get_spark("ingest-bench")
     wh = str(work / "warehouse")
     t0 = time.time()
-    statuses = ingest_xml_files(
-        spark, [str(p) for p in sorted(src.iterdir())], wh, deterministic_ids=True
-    )
-    elapsed = time.time() - t0
-
+    statuses = ingest_xml_files(spark, paths, wh, deterministic_ids=True)
+    wh_elapsed = time.time() - t0
     ok = sum(1 for s in statuses.values() if s.startswith("Staged"))
+
+    # stage 2: the distributed JDBC dispatcher over the same flatten
+    # output (fresh flatten so stage 2's wall excludes warm caches)
+    els = flatten_xml_files(spark, paths, deterministic_ids=True).cache()
+    attr_map = attribute_columns_per_table(els)
+    tables = sorted(
+        attr_map.keys()
+        | {
+            r["t"]
+            for r in els.selectExpr(
+                "lower(table_name) t"
+            ).distinct().collect()
+        }
+    )
+    registry = {
+        t: list(COMMON_COLUMNS) + [value_column_name(t)] + attr_map.get(t, [])
+        for t in tables
+    }
+    frames = {t: table_frame(els, t, attr_map.get(t, [])) for t in tables}
+    keys = [
+        r["pcr_uuid"]
+        for r in els.select("pcr_uuid")
+        .where("pcr_uuid is not null")
+        .distinct()
+        .collect()
+    ]
+    comments = table_comments(els)
+    els.count()  # materialize the cache before the timed staging pass
+
+    stage_dir = work / "stg"
+    stage_dir.mkdir()
+    conn = _DuckConn(str(work / "target.db"))
+    t0 = time.time()
+    inserted = J.stage_to_jdbc_distributed(
+        conn,
+        registry=registry,
+        frames=frames,
+        pcr_keys=keys,
+        comments=comments,
+        **_duckdb_hooks(str(stage_dir)),
+    )
+    jdbc_elapsed = time.time() - t0
+    n_rows = sum(inserted.values())
+
     print(
         json.dumps(
             {
                 "metric": "ingest_elements_per_sec",
-                "value": round(n_elements / elapsed, 1),
+                "value": round(n_elements / wh_elapsed, 1),
                 "unit": "elements/sec",
                 "n_files": n_files,
                 "n_elements": n_elements,
-                "elapsed_sec": round(elapsed, 2),
+                "elapsed_sec": round(wh_elapsed, 2),
+                "files_per_sec": round(n_files / wh_elapsed, 1),
                 "files_ok": ok,
+                "jdbc_distributed": {
+                    "rows_inserted": n_rows,
+                    "n_tables": len(inserted),
+                    "elapsed_sec": round(jdbc_elapsed, 2),
+                    "rows_per_sec": round(n_rows / jdbc_elapsed, 1),
+                },
             }
         )
     )
