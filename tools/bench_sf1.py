@@ -77,6 +77,12 @@ SF1_QUERIES = [
     # boundedness argument — prove it at 10x data)
     "dedup_substring_spans",
     "multimodal_jpeg_progressive_gradient_stats",
+    # round 13/14 flagships (VERDICT r13 #3: every flagship gets a
+    # measured 10x-data ratio — conformal's grid window and facility
+    # location's per-step corpus aggregates are the new unbounded-input
+    # shapes to prove)
+    "quality_conformal_interval",
+    "curation_facility_location",
 ]
 
 
