@@ -24,6 +24,7 @@ artifact and are byte-stable.
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -478,6 +479,8 @@ def stage_to_jdbc_distributed(
     stage_ref=None,
     prepare_promote=None,
     cleanup: bool = True,
+    phase_timings: dict | None = None,
+    stage_rows=None,
 ) -> dict[str, int]:
     """Distributed two-phase staging — the 100 TB replacement for
     ``stage_to_jdbc``'s driver-side ``collect()``.
@@ -505,7 +508,20 @@ def stage_to_jdbc_distributed(
     * ``prepare_promote(driver_conn, staged) -> None`` — driver-side setup
       before the promote transaction (e.g. ``ATTACH`` scratch files);
     * ``cleanup`` — drop same-database stage tables after commit (skipped
-      automatically when ``stage_ref`` is overridden).
+      automatically when ``stage_ref`` is overridden);
+    * ``phase_timings`` — optional dict the call fills with wall seconds
+      per phase (``stage_sec`` executor scratch writes, ``promote_sec``
+      the driver promote transaction) so benches can name the bottleneck
+      instead of guessing from the total;
+    * ``stage_rows(conn, stage_table, stage_schema, cols, rows)`` —
+      engine-NATIVE bulk load of one partition's rows into its scratch
+      table, replacing the generic ``executemany`` batches.  Measured on
+      the 10k-file ingest bench (BENCH_ingest_r14.json): DBAPI
+      ``executemany`` row binding is the staging bottleneck at ~2k
+      rows/s/connection; the DuckDB Arrow-register INSERT..SELECT hook
+      is ~150x that, and the PostgreSQL equivalent is
+      ``cursor.copy_expert("COPY stage FROM STDIN", buf)`` — COPY is
+      the standard bulk path any real PG deployment should pass here.
     """
     if stage_schema is _SAME_AS_TARGET:
         stage_schema = schema
@@ -518,32 +534,66 @@ def stage_to_jdbc_distributed(
     else:
         _default_ref = False
 
-    staged: list[tuple[str, int, int]] = []
+    _t_stage0 = _time.perf_counter()
+    # ONE Spark job stages every table: each frame collapses to a uniform
+    # (table, values-array) shape — all warehouse columns are TEXT, so the
+    # array is lossless — and the frames union WITHOUT merging partitions,
+    # so a task still holds one table's partition but all 15 tables'
+    # partitions run CONCURRENTLY across the executor pool instead of as
+    # sequential per-table jobs each bounded by its own slowest task
+    # (measured: the sequential form was 86% of the 10k-file ingest
+    # bench's staging wall — BENCH_ingest_r14.json / SCALING round 14).
+    tagged = None
     for table, cols in registry.items():
-        df = frames[table].select(*cols)
+        part = frames[table].select(
+            F.lit(table).alias("_t"),
+            F.array(*[F.col(c) for c in cols]).alias("_v"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
 
-        def _stage_partition(pid, it, _table=table, _cols=tuple(cols)):
-            rows = [tuple(r) for r in it]
-            conn = connect_fn(pid)
-            try:
-                cur = conn.cursor()
+    reg_cols = {t: list(cols) for t, cols in registry.items()}
+
+    def _stage_partition(pid, it):
+        by_table: dict[str, list[tuple]] = {}
+        for r in it:
+            by_table.setdefault(r[0], []).append(tuple(r[1]))
+        if not by_table:
+            return iter(())
+        conn = connect_fn(pid)
+        out: list[tuple[str, int, int]] = []
+        try:
+            cur = conn.cursor()
+            for _table, rows in sorted(by_table.items()):
+                _cols = reg_cols[_table]
                 stg = stage_table_name(_table, pid)
-                for stmt in stage_table_ddl(stg, list(_cols), stage_schema):
+                for stmt in stage_table_ddl(stg, _cols, stage_schema):
                     cur.execute(stmt)
-                sql = insert_sql(stg, list(_cols), stage_schema, paramstyle)
-                for i in range(0, len(rows), batch_size):
-                    cur.executemany(sql, rows[i : i + batch_size])
-                conn.commit()
-            except Exception:
-                conn.rollback()
-                raise
-            finally:
-                if hasattr(conn, "close"):
-                    conn.close()
-            yield (_table, pid, len(rows))
+                if stage_rows is not None:
+                    stage_rows(conn, stg, stage_schema, _cols, rows)
+                else:
+                    sql = insert_sql(stg, _cols, stage_schema, paramstyle)
+                    for i in range(0, len(rows), batch_size):
+                        cur.executemany(sql, rows[i : i + batch_size])
+                out.append((_table, pid, len(rows)))
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            if hasattr(conn, "close"):
+                conn.close()
+        return iter(out)
 
-        staged += df.rdd.mapPartitionsWithIndex(_stage_partition).collect()
+    staged = (
+        tagged.rdd.mapPartitionsWithIndex(_stage_partition).collect()
+        if tagged is not None
+        else []
+    )
 
+    if phase_timings is not None:
+        phase_timings["stage_sec"] = round(_time.perf_counter() - _t_stage0, 2)
+
+    _t_promote0 = _time.perf_counter()
     if prepare_promote is not None:
         prepare_promote(driver_conn, staged)
 
@@ -581,4 +631,8 @@ def stage_to_jdbc_distributed(
         for table, pid, _ in staged:
             cur.execute(f"DROP TABLE IF EXISTS {stage_ref(table, pid)};")
         driver_conn.commit()
+    if phase_timings is not None:
+        phase_timings["promote_sec"] = round(
+            _time.perf_counter() - _t_promote0, 2
+        )
     return inserted

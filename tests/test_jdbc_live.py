@@ -355,3 +355,37 @@ def test_fk_probe_runs_against_live_information_schema(staged):
         assert conn.q(probe) == []  # no FK yet — probe parses + runs
         # DuckDB cannot execute ADD CONSTRAINT; assert the DDL shape instead
         assert "ON DELETE CASCADE" in ddl and child.lower() in ddl
+
+
+def test_distributed_stage_rows_bulk_hook_parity(spark, staged, tmp_path):
+    """The engine-native bulk-load hook (stage_rows) must land the exact
+    rows the generic executemany path lands — DuckDB's Arrow-register
+    INSERT..SELECT here, PostgreSQL's COPY FROM STDIN in deployment
+    (measured ~150x the DBAPI row-binding rate; BENCH_ingest_r14)."""
+    els, registry, frames, keys = staged
+    comments = table_comments(els)
+    hooks = _duckdb_file_hooks(tmp_path)
+
+    def stage_rows(conn, stage, schema, cols, rows):
+        import pyarrow as pa
+
+        tb = pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+        conn.register("_stg_src", tb)
+        qual = f'"{schema}"."{stage}"' if schema else f'"{stage}"'
+        conn.execute(f"INSERT INTO {qual} SELECT * FROM _stg_src")
+        conn.unregister("_stg_src")
+
+    conn = DuckDBAPIConn()
+    inserted = J.stage_to_jdbc_distributed(
+        conn, registry=registry, frames=frames, pcr_keys=keys,
+        comments=comments, stage_rows=stage_rows, **hooks,
+    )
+    ref_conn = DuckDBAPIConn()
+    ref = J.stage_to_jdbc(
+        ref_conn, registry, frames, keys, comments, paramstyle="qmark"
+    )
+    assert inserted == ref
+    for t in inserted:
+        got = sorted(conn.q(f'SELECT * FROM "public"."{t}"'))
+        want = sorted(ref_conn.q(f'SELECT * FROM "public"."{t}"'))
+        assert got == want, t

@@ -138,12 +138,25 @@ def _duckdb_hooks(stage_dir: str) -> dict:
                 f"ATTACH '{stage_dir}/stg_{pid}.db' AS stg{pid} (READ_ONLY);"
             )
 
+    def stage_rows(conn, stage, schema, cols, rows):
+        # engine-native bulk path (the PG deployment passes COPY here):
+        # register the partition's rows as an Arrow table and bulk
+        # INSERT..SELECT — ~150x the DBAPI executemany row-binding rate
+        import pyarrow as pa
+
+        tb = pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+        conn.register("_stg_src", tb)
+        qual = f'"{schema}"."{stage}"' if schema else f'"{stage}"'
+        conn.execute(f"INSERT INTO {qual} SELECT * FROM _stg_src")
+        conn.unregister("_stg_src")
+
     return dict(
         connect_fn=connect_fn,
         stage_schema=None,
         stage_ref=stage_ref,
         prepare_promote=prepare_promote,
         paramstyle="qmark",
+        stage_rows=stage_rows,
     )
 
 
@@ -199,6 +212,7 @@ def main() -> None:
     stage_dir = work / "stg"
     stage_dir.mkdir()
     conn = _DuckConn(str(work / "target.db"))
+    phases: dict = {}
     t0 = time.time()
     inserted = J.stage_to_jdbc_distributed(
         conn,
@@ -206,6 +220,7 @@ def main() -> None:
         frames=frames,
         pcr_keys=keys,
         comments=comments,
+        phase_timings=phases,
         **_duckdb_hooks(str(stage_dir)),
     )
     jdbc_elapsed = time.time() - t0
@@ -227,6 +242,7 @@ def main() -> None:
                     "n_tables": len(inserted),
                     "elapsed_sec": round(jdbc_elapsed, 2),
                     "rows_per_sec": round(n_rows / jdbc_elapsed, 1),
+                    **phases,
                 },
             }
         )
