@@ -161,6 +161,9 @@ HEADLINE = [
     "multimodal_jpeg_progressive_gradient_stats",
     # round 13 flagship (subtract when comparing totals vs earlier rounds)
     "quality_conformal_interval",
+    # round 14 flagships (subtract when comparing totals vs earlier rounds)
+    "curation_facility_location",
+    "text_suffix_array",
 ]
 
 

@@ -85,3 +85,58 @@ def scalable_running_sum(
         .drop("_pid", "_local", "_pa", "_off")
     )
     return out
+
+
+def global_dense_rank(
+    df: DataFrame,
+    cols: list[str],
+    rank_col: str = "gr",
+    num_ranges: int = 8,
+) -> DataFrame:
+    """All input columns + ``rank_col`` = global DENSE rank of the key
+    tuple ``cols``, computed without any single-partition window — the
+    ranking sibling of ``scalable_running_sum``.
+
+    The two-pass shape: DISTINCT keys are range-partitioned (contiguous,
+    non-overlapping, ascending ranges — and distinct, so no key straddles
+    a boundary), each partition computes a LOCAL dense rank (window input
+    bounded by distinct-keys / num_ranges), and the per-partition
+    distinct counts — one metadata-sized row per partition — become
+    exclusive prefix offsets via the same broadcast triangular join as
+    the prefix sum.  global rank = partition offset + local rank; the
+    ranked key dictionary then joins back onto the input by key.
+
+    The range boundaries are sampled nondeterministically per
+    materialization, so the keyed frame is eagerly pinned with
+    ``cut_lineage`` before ``_pid`` is read twice (same discipline as
+    ``scalable_running_sum``); the resulting RANKS are boundary-invariant
+    either way — only the pinning of ``_pid`` across the two branches is
+    load-bearing.
+    """
+    keys = (
+        df.select(*cols)
+        .distinct()
+        .repartitionByRange(num_ranges, *[F.col(c) for c in cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .transform(cut_lineage)
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*cols)
+    local = keys.withColumn("_lr", F.dense_rank().over(local_w))
+    counts = keys.groupBy("_pid").agg(F.count(F.lit(1)).alias("_ct"))
+    ca = counts.select(F.col("_pid").alias("_pa"))
+    cb = counts.select(F.col("_pid").alias("_pb"), "_ct")
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("_pb") < F.col("_pa"))
+        .groupBy("_pa")
+        .agg(F.sum("_ct").alias("_off"))
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), local["_pid"] == offsets["_pa"], "left")
+        .select(
+            *cols,
+            (F.coalesce(F.col("_off"), F.lit(0)) + F.col("_lr"))
+            .cast("long")
+            .alias(rank_col),
+        )
+    )
+    return df.join(ranked, cols)

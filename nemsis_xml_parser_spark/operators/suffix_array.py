@@ -1,0 +1,162 @@
+"""Distributed suffix-array construction by prefix doubling.
+
+The corpus-scale exact-substring primitive: Lee et al.'s training-data
+deduplication builds a suffix array over the concatenated corpus to
+find repeated substrings ("Deduplicating Training Data Makes Language
+Models Better"); ``dedup_substring_spans`` covers the fixed-L gram
+form, this operator builds the FULL lexicographic suffix order with
+the Manber–Myers prefix-doubling recurrence re-expressed as O(log n)
+rounds of equi-joins + distributed dense ranking (sort-based SA
+construction is the standard shared-nothing approach).
+
+No counterpart in the reference (a single-threaded psycopg2 ETL);
+§2.I-10 text-tier extension.
+
+Round k orders positions by their first 2^k characters, represented as
+the pair ``(rank_k[i], rank_k[i + 2^k])`` — both O(1) lookups into the
+previous round's rank table via a self equi-join on position, never a
+string comparison.  Ranks come from
+``operators.prefix_sum.global_dense_rank``: distinct key pairs are
+range-partitioned, locally dense-ranked (window input bounded by
+distinct-pairs / num_ranges), and offset by broadcast per-partition
+counts — no single-reducer window anywhere, so every round is a plain
+shuffle-and-rank the way a TeraSort round is.
+
+A position past the end of the corpus ranks as 0 (below every real
+rank): if suffix A is a proper prefix of suffix B then A < B, which is
+exactly the tie-break the sentinel encodes, so no terminator character
+needs to exist in the data.
+
+Early stop: once ``max(rank) == n`` every rank is unique and the order
+is final — on natural text that happens after 3–5 rounds (most 8–32
+character windows are already unique), far below the log2(n) worst
+case.  The probe rides the per-round ``cut_lineage`` materialization
+via ``Observation`` (the convergence-probe discipline of
+``operators/components.py``), costing no extra job.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, Window
+
+from .lineage import cut_lineage
+from .prefix_sum import global_dense_rank
+
+# Per-document separator appended before concatenation: sorts below
+# every printable ASCII char in both engines (byte 0x01), so a suffix
+# that crosses a document boundary compares consistently with DuckDB's
+# byte-wise substr ordering.
+DOC_SEP = "\x01"
+
+
+def corpus_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 300,
+) -> tuple[DataFrame, DataFrame]:
+    """(bounded doc tier) -> (chars, doc_offsets).
+
+    ``chars``: one row per corpus position — (pos, c, doc_id,
+    local_pos), where pos is the 0-based offset into the concatenation
+    of the tier's documents in doc_id order (each sanitized to
+    printable ASCII, capped at ``max_chars``, and terminated by
+    ``DOC_SEP``).  ``doc_offsets``: one row per tier document —
+    (doc_id, doc_text, doc_len, doc_off).
+
+    The doc-offset running sum is a window over the TIER's documents —
+    bounded by the tier size the caller selected, not by corpus volume
+    (at an unbounded tier, swap in ``scalable_running_sum`` over
+    doc_id; the chars explode is per-document and already narrow).
+    """
+    clean = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.concat(
+            F.substring(
+                F.regexp_replace(
+                    F.coalesce(F.col(text_col), F.lit("")), "[^ -~]", ""
+                ),
+                1,
+                max_chars,
+            ),
+            F.lit(DOC_SEP),
+        ).alias("doc_text"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = clean.withColumn("doc_len", F.length("doc_text")).withColumn(
+        "doc_off",
+        F.coalesce(F.sum("doc_len").over(w), F.lit(0)).cast("long"),
+    )
+    chars = (
+        offsets.select(
+            "doc_id",
+            "doc_off",
+            "doc_text",
+            F.explode(F.sequence(F.lit(1), F.col("doc_len"))).alias("lp"),
+        )
+        .select(
+            (F.col("doc_off") + F.col("lp") - 1).alias("pos"),
+            F.expr("substring(doc_text, lp, 1)").alias("c"),
+            "doc_id",
+            (F.col("lp") - 1).cast("long").alias("local_pos"),
+        )
+    )
+    return chars, offsets
+
+
+def suffix_array_prefix_doubling(
+    chars: DataFrame, max_rounds: int = 40, num_ranges: int = 8
+) -> DataFrame:
+    """(pos, c, ...) -> (pos, sa_rank): the 1-based lexicographic rank
+    of each suffix of the corpus string the positions spell out.
+
+    ``max_rounds`` is a safety bound only — the loop exits when ranks
+    are all-distinct or the doubling offset passes the corpus length,
+    whichever is first (<= ceil(log2(n)) rounds always).
+    """
+    alphabet = chars.select("c").distinct()
+    # window over the distinct-character dictionary — bounded by the
+    # printable-ASCII alphabet (<= 96 rows), never by corpus size
+    alpha_rank = alphabet.withColumn(
+        "r", F.dense_rank().over(Window.orderBy("c")).cast("long")
+    )
+    obs = Observation()
+    cur = (
+        chars.join(F.broadcast(alpha_rank), "c")
+        .select("pos", "r")
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.max("r").alias("mx"))
+        .transform(cut_lineage)
+    )
+    n = obs.get["n"] or 0
+    mx = obs.get["mx"] or 0
+    d = 1
+    rounds = 0
+    while mx < n and d < n and rounds < max_rounds:
+        shifted = cur.select(
+            (F.col("pos") - d).alias("pos"), F.col("r").alias("r2")
+        )
+        paired = (
+            cur.join(shifted, "pos", "left")
+            .select(
+                "pos",
+                F.col("r").alias("r1"),
+                F.coalesce("r2", F.lit(0)).alias("r2"),
+            )
+        )
+        ranked = global_dense_rank(
+            paired, ["r1", "r2"], rank_col="rn", num_ranges=num_ranges
+        )
+        obs = Observation()
+        cur = (
+            ranked.select("pos", F.col("rn").alias("r"))
+            .observe(
+                obs, F.count(F.lit(1)).alias("n"), F.max("r").alias("mx")
+            )
+            .transform(cut_lineage)
+        )
+        n = obs.get["n"] or 0
+        mx = obs.get["mx"] or 0
+        d *= 2
+        rounds += 1
+    return cur.select("pos", F.col("r").alias("sa_rank"))

@@ -157,6 +157,14 @@ JUSTIFIED_BNLJ = {
     "curation_facility_location",  # broadcast candidate pool (bounded)
                                    # + per-pick broadcast 1-row
                                    # winner/coverage scalars (k=5)
+    "text_suffix_array",           # prefix_sum.global_dense_rank's
+                                   # triangular offset join — broadcast
+                                   # side = one metadata row per range
+                                   # partition (num_ranges=8)
+    "quality_bootstrap_ci",        # broadcast 1-row n/CI scalar frames
+                                   # (the resample modulus + final stats)
+    "quality_benford_digits",      # broadcast 1-row total/chi2 scalars
+                                   # onto the 9-row digit spine
 }
 
 

@@ -29,6 +29,18 @@ from nemsis_xml_parser_spark.session import get_spark  # noqa: E402
 # argument.  Every entry must name a dimension whose cardinality is fixed
 # by the schema or the time horizon, NOT by corpus size.
 BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
+    "text_suffix_array": (
+        "doc-offset running sum over the BOUNDED verification tier's "
+        "documents (doc_id % 101) + dense rank over the distinct-"
+        "character dictionary (<= 96 printable-ASCII rows); the "
+        "corpus-sized per-round ranking runs through prefix_sum."
+        "global_dense_rank, which is range-partitioned, never global"
+    ),
+    "quality_bootstrap_ci": (
+        "order statistics over the B = 200 resample MEANS — window "
+        "input fixed by the resampling protocol, never corpus-sized "
+        "(the corpus-sized work is the hash-aggregate of draws)"
+    ),
     "curation_waterfill_budget": (
         "rank over per-SOURCE token supplies — source is a schema "
         "dimension (~20 values), not corpus-sized; at an open source "

@@ -83,6 +83,7 @@ SF1_QUERIES = [
     # shapes to prove)
     "quality_conformal_interval",
     "curation_facility_location",
+    "text_suffix_array",
 ]
 
 
