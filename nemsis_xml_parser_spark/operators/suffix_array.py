@@ -160,3 +160,105 @@ def suffix_array_prefix_doubling(
         d *= 2
         rounds += 1
     return cur.select("pos", F.col("r").alias("sa_rank"))
+
+
+def suffix_array_with_history(
+    chars: DataFrame, num_ranges: int = 8
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """Full-ladder prefix doubling that RETAINS every round's rank table.
+
+    Returns ``(sa, history)`` where ``sa`` is (pos, sa_rank) as in
+    ``suffix_array_prefix_doubling`` and ``history`` is
+    ``[(span, ranks)]`` with ranks = (pos, r) ordering positions by
+    their first ``span`` characters.  rank_span[i] == rank_span[j] iff
+    the two length-``span`` prefixes are identical (a suffix shorter
+    than ``span`` never ties anything — the 0 sentinel encodes its
+    length class), which is exactly the predicate the LCP binary walk
+    needs, so the ladder runs to span >= n with NO early stop: the
+    walk's binary decomposition must reach any LCP value, not just
+    distinguish ranks.
+    """
+    alphabet = chars.select("c").distinct()
+    alpha_rank = alphabet.withColumn(
+        "r", F.dense_rank().over(Window.orderBy("c")).cast("long")
+    )
+    obs = Observation()
+    cur = (
+        chars.join(F.broadcast(alpha_rank), "c")
+        .select("pos", "r")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .transform(cut_lineage)
+    )
+    n = obs.get["n"] or 0
+    history: list[tuple[int, DataFrame]] = [(1, cur)]
+    d = 1
+    while d < n:
+        shifted = cur.select(
+            (F.col("pos") - d).alias("pos"), F.col("r").alias("r2")
+        )
+        paired = cur.join(shifted, "pos", "left").select(
+            "pos",
+            F.col("r").alias("r1"),
+            F.coalesce("r2", F.lit(0)).alias("r2"),
+        )
+        cur = (
+            global_dense_rank(
+                paired, ["r1", "r2"], rank_col="rn", num_ranges=num_ranges
+            )
+            .select("pos", F.col("rn").alias("r"))
+            .transform(cut_lineage)
+        )
+        d *= 2
+        history.append((d, cur))
+    sa = cur.select("pos", F.col("r").alias("sa_rank"))
+    return sa, history
+
+
+def lcp_adjacent(
+    sa: DataFrame, history: list[tuple[int, DataFrame]]
+) -> DataFrame:
+    """(pos, sa_rank) + rank history -> one row per ADJACENT suffix pair
+    in lexicographic order: (sa_rank, pos_a, pos_b, lcp).
+
+    The classic rank-table LCP walk: descend the spans (largest first);
+    whenever rank_span[pos_a + acc] == rank_span[pos_b + acc], the next
+    ``span`` characters match and ``acc += span`` — a binary
+    decomposition of the LCP into O(log n) EQUI-joins against the
+    retained rank tables (two lookups per level), never a character
+    comparison.  The maximum over these rows is the corpus's longest
+    repeated substring (Lee et al.'s dedup target); Kasai's O(n) walk
+    is inherently sequential, this form is log-round distributed.
+    """
+    nxt = sa.select(
+        (F.col("sa_rank") - 1).alias("sa_rank"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        sa.join(nxt, "sa_rank")
+        .select(
+            "sa_rank",
+            F.col("pos").alias("pos_a"),
+            "pos_b",
+            F.lit(0).cast("long").alias("acc"),
+        )
+        .transform(cut_lineage)
+    )
+    for span, ranks in sorted(history, key=lambda t: -t[0]):
+        ra = ranks.select(F.col("pos").alias("_pa"), F.col("r").alias("_ra"))
+        rb = ranks.select(F.col("pos").alias("_pb"), F.col("r").alias("_rb"))
+        pairs = (
+            pairs.join(
+                ra, pairs["pos_a"] + pairs["acc"] == ra["_pa"], "left"
+            )
+            .join(rb, pairs["pos_b"] + pairs["acc"] == rb["_pb"], "left")
+            .withColumn(
+                "acc",
+                F.when(
+                    F.col("_ra").isNotNull()
+                    & (F.col("_ra") == F.col("_rb")),
+                    F.col("acc") + span,
+                ).otherwise(F.col("acc")),
+            )
+            .drop("_pa", "_ra", "_pb", "_rb")
+            .transform(cut_lineage)
+        )
+    return pairs.select("sa_rank", "pos_a", "pos_b", F.col("acc").alias("lcp"))

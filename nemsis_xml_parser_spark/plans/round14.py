@@ -454,3 +454,93 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("chi2"), 6).alias("chi2_total"),
         )
     )
+
+
+_LCP_ORACLE = f"""
+WITH tier AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         substr(regexp_replace(COALESCE(text, ''), '[^ -~]', '', 'g'),
+                1, {SA_MAX_CHARS}) || chr(1) AS doc_text
+  FROM documents WHERE doc_id % {SA_DOC_MOD} = 0
+),
+offs AS MATERIALIZED (
+  SELECT doc_id, doc_text, length(doc_text) AS doc_len,
+         CAST(COALESCE(SUM(length(doc_text)) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS doc_off
+  FROM tier
+),
+corpus AS MATERIALIZED (
+  SELECT string_agg(doc_text, '' ORDER BY doc_id) AS s FROM tier
+),
+posn AS MATERIALIZED (
+  SELECT doc_off + unnest(generate_series(1, doc_len)) - 1 AS pos
+  FROM offs
+),
+ranked AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (
+           ORDER BY substr((SELECT s FROM corpus),
+                           CAST(pos + 1 AS INTEGER))) AS BIGINT) AS sa_rank,
+         CAST(pos AS BIGINT) AS pos
+  FROM posn
+),
+pairs AS MATERIALIZED (
+  SELECT a.sa_rank, a.pos AS pos_a, b.pos AS pos_b,
+         (SELECT length(s) FROM corpus) - GREATEST(a.pos, b.pos) + 1
+           AS maxcmp
+  FROM ranked a JOIN ranked b ON b.sa_rank = a.sa_rank + 1
+),
+probes AS MATERIALIZED (
+  SELECT sa_rank, pos_a, pos_b,
+         unnest(generate_series(1, maxcmp)) AS k
+  FROM pairs
+)
+SELECT sa_rank, pos_a, pos_b,
+       CAST(MIN(CASE WHEN substr((SELECT s FROM corpus),
+                                 CAST(pos_a + k AS INTEGER), 1)
+                       <> substr((SELECT s FROM corpus),
+                                 CAST(pos_b + k AS INTEGER), 1)
+                 THEN k END) - 1 AS BIGINT) AS lcp
+FROM probes
+GROUP BY sa_rank, pos_a, pos_b
+"""
+
+
+@register(
+    "text_suffix_lcp",
+    family="text",
+    doc="LCP array over the suffix-array-adjacent suffix pairs of the "
+    "same bounded corpus tier as text_suffix_array — the repeated-"
+    "substring readout of Lee et al.'s dedup pipeline (the MAX row is "
+    "the corpus's longest repeated substring).  Kasai's O(n) LCP walk "
+    "is inherently sequential; this uses the rank-table binary "
+    "decomposition instead (operators/suffix_array.py::lcp_adjacent): "
+    "the full-ladder doubling RETAINS each span's rank table, then "
+    "each adjacent pair descends the spans largest-first, adding span "
+    "to its accumulator whenever rank_span[pos_a+acc] == "
+    "rank_span[pos_b+acc] — O(log n) levels of two EQUI-joins each, "
+    "never a character comparison.  The oracle probes characters "
+    "directly (first differing offset per adjacent pair) — an "
+    "independent O(sum maxcmp) algorithm, affordable on the tier.  "
+    "Emits (sa_rank, pos_a, pos_b, lcp) for every adjacent pair.",
+    oracle=_LCP_ORACLE,
+)
+def text_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.suffix_array import (
+        corpus_positions,
+        lcp_adjacent,
+        suffix_array_with_history,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % SA_DOC_MOD == 0
+    )
+    chars, _ = corpus_positions(docs, max_chars=SA_MAX_CHARS)
+    sa, history = suffix_array_with_history(chars)
+    return lcp_adjacent(sa, history).select(
+        F.col("sa_rank").cast("long").alias("sa_rank"),
+        F.col("pos_a").cast("long").alias("pos_a"),
+        F.col("pos_b").cast("long").alias("pos_b"),
+        F.col("lcp").cast("long").alias("lcp"),
+    )

@@ -61,7 +61,14 @@ def test_stream_medians_quoted_in_narrative():
 def test_interleaved_headline_quoted_in_narrative():
     reps = _newest("/root/repo/BENCH_REPS_r*.json")
     assert reps is not None
-    shared = reps.get("per_query_median_total_on_120_shared") or {}
+    shared = next(
+        (
+            v
+            for k, v in reps.items()
+            if re.fullmatch(r"per_query_median_total_on_\d+_shared", k)
+        ),
+        {},
+    )
     docs = _narrative()
     for v in shared.values():
         assert f"{v:.1f}" in docs, (

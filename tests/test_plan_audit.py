@@ -161,6 +161,8 @@ JUSTIFIED_BNLJ = {
                                    # triangular offset join — broadcast
                                    # side = one metadata row per range
                                    # partition (num_ranges=8)
+    "text_suffix_lcp",             # same triangular offset join via
+                                   # global_dense_rank (num_ranges rows)
     "quality_bootstrap_ci",        # broadcast 1-row n/CI scalar frames
                                    # (the resample modulus + final stats)
     "quality_benford_digits",      # broadcast 1-row total/chi2 scalars

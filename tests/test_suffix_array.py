@@ -125,3 +125,47 @@ def test_early_stop_round_count(spark):
         for r in suffix_array_prefix_doubling(chars, num_ranges=4).collect()
     }
     assert early == _true_ranks(s)
+
+
+def _true_lcps(s: str) -> dict[int, tuple[int, int, int]]:
+    order = sorted(range(len(s)), key=lambda i: s[i:])
+    out = {}
+    for r in range(len(order) - 1):
+        a, b = order[r], order[r + 1]
+        l = 0
+        while a + l < len(s) and b + l < len(s) and s[a + l] == s[b + l]:
+            l += 1
+        out[r + 1] = (a, b, l)
+    return out
+
+
+def test_lcp_walk_banana(spark):
+    from nemsis_xml_parser_spark.operators.suffix_array import (
+        lcp_adjacent,
+        suffix_array_with_history,
+    )
+
+    s = "banana"
+    sa, hist = suffix_array_with_history(_chars_frame(spark, s), num_ranges=4)
+    got = {
+        r["sa_rank"]: (r["pos_a"], r["pos_b"], r["lcp"])
+        for r in lcp_adjacent(sa, hist).collect()
+    }
+    assert got == _true_lcps(s)
+
+
+def test_lcp_walk_repetitive_and_random(spark):
+    from nemsis_xml_parser_spark.operators.suffix_array import (
+        lcp_adjacent,
+        suffix_array_with_history,
+    )
+
+    for s in ("aaaaaaab", "abcabcabcabcxyzabcabc", "mississippi river runs"):
+        sa, hist = suffix_array_with_history(
+            _chars_frame(spark, s), num_ranges=4
+        )
+        got = {
+            r["sa_rank"]: (r["pos_a"], r["pos_b"], r["lcp"])
+            for r in lcp_adjacent(sa, hist).collect()
+        }
+        assert got == _true_lcps(s), s

@@ -36,6 +36,11 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
         "corpus-sized per-round ranking runs through prefix_sum."
         "global_dense_rank, which is range-partitioned, never global"
     ),
+    "text_suffix_lcp": (
+        "same bounded-tier doc-offset sum + alphabet-dictionary rank as "
+        "text_suffix_array; the corpus-sized ranking and the LCP walk "
+        "are range-partitioned joins, never global windows"
+    ),
     "quality_bootstrap_ci": (
         "order statistics over the B = 200 resample MEANS — window "
         "input fixed by the resampling protocol, never corpus-sized "

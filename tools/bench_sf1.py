@@ -84,6 +84,7 @@ SF1_QUERIES = [
     "quality_conformal_interval",
     "curation_facility_location",
     "text_suffix_array",
+    "text_suffix_lcp",
 ]
 
 
