@@ -165,18 +165,26 @@ def suffix_array_prefix_doubling(
 def suffix_array_with_history(
     chars: DataFrame, num_ranges: int = 8
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
-    """Full-ladder prefix doubling that RETAINS every round's rank table.
+    """Prefix doubling that RETAINS the duplicate-bearing rank tables.
 
-    Returns ``(sa, history)`` where ``sa`` is (pos, sa_rank) as in
-    ``suffix_array_prefix_doubling`` and ``history`` is
+    Returns ``(sa, walk_history)`` where ``sa`` is (pos, sa_rank) as in
+    ``suffix_array_prefix_doubling`` and ``walk_history`` is
     ``[(span, ranks)]`` with ranks = (pos, r) ordering positions by
     their first ``span`` characters.  rank_span[i] == rank_span[j] iff
     the two length-``span`` prefixes are identical (a suffix shorter
     than ``span`` never ties anything — the 0 sentinel encodes its
     length class), which is exactly the predicate the LCP binary walk
-    needs, so the ladder runs to span >= n with NO early stop: the
-    walk's binary decomposition must reach any LCP value, not just
-    distinguish ranks.
+    needs.
+
+    The ladder early-stops at the first ALL-DISTINCT span s exactly
+    like ``suffix_array_prefix_doubling``, because all-distinct ranks
+    at span s mean no two suffixes share an s-prefix, i.e. **max LCP
+    <= s - 1** — and the retained spans 1, 2, ..., s/2 sum to exactly
+    s - 1, so the binary decomposition can reach every possible LCP
+    value.  The all-distinct final table itself is EXCLUDED from
+    walk_history (its equality test can never fire); on natural text
+    that leaves ~3-5 duplicate-bearing levels instead of the full
+    log2(n) ladder.
     """
     alphabet = chars.select("c").distinct()
     alpha_rank = alphabet.withColumn(
@@ -186,13 +194,15 @@ def suffix_array_with_history(
     cur = (
         chars.join(F.broadcast(alpha_rank), "c")
         .select("pos", "r")
-        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.max("r").alias("mx"))
         .transform(cut_lineage)
     )
     n = obs.get["n"] or 0
-    history: list[tuple[int, DataFrame]] = [(1, cur)]
+    mx = obs.get["mx"] or 0
+    history: list[tuple[int, DataFrame]] = []
     d = 1
-    while d < n:
+    while mx < n and d < n:
+        history.append((d, cur))  # cur still has duplicate ranks
         shifted = cur.select(
             (F.col("pos") - d).alias("pos"), F.col("r").alias("r2")
         )
@@ -201,15 +211,20 @@ def suffix_array_with_history(
             F.col("r").alias("r1"),
             F.coalesce("r2", F.lit(0)).alias("r2"),
         )
+        obs = Observation()
         cur = (
             global_dense_rank(
                 paired, ["r1", "r2"], rank_col="rn", num_ranges=num_ranges
             )
             .select("pos", F.col("rn").alias("r"))
+            .observe(
+                obs, F.count(F.lit(1)).alias("n"), F.max("r").alias("mx")
+            )
             .transform(cut_lineage)
         )
+        n = obs.get["n"] or 0
+        mx = obs.get["mx"] or 0
         d *= 2
-        history.append((d, cur))
     sa = cur.select("pos", F.col("r").alias("sa_rank"))
     return sa, history
 

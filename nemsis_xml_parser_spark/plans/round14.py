@@ -516,10 +516,13 @@ GROUP BY sa_rank, pos_a, pos_b
     "the corpus's longest repeated substring).  Kasai's O(n) LCP walk "
     "is inherently sequential; this uses the rank-table binary "
     "decomposition instead (operators/suffix_array.py::lcp_adjacent): "
-    "the full-ladder doubling RETAINS each span's rank table, then "
+    "the doubling ladder RETAINS each duplicate-bearing span's rank "
+    "table — all-distinct ranks at span s imply max LCP <= s-1, so "
+    "the ladder early-stops there and the retained spans sum to "
+    "exactly s-1 (~3-5 levels on natural text, not log2(n)) — then "
     "each adjacent pair descends the spans largest-first, adding span "
     "to its accumulator whenever rank_span[pos_a+acc] == "
-    "rank_span[pos_b+acc] — O(log n) levels of two EQUI-joins each, "
+    "rank_span[pos_b+acc] — two EQUI-joins per level, "
     "never a character comparison.  The oracle probes characters "
     "directly (first differing offset per adjacent pair) — an "
     "independent O(sum maxcmp) algorithm, affordable on the tier.  "
