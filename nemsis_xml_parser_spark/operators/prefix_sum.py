@@ -112,6 +112,11 @@ def global_dense_rank(
     ``scalable_running_sum``); the resulting RANKS are boundary-invariant
     either way — only the pinning of ``_pid`` across the two branches is
     load-bearing.
+
+    NULL-key rows are dropped by the final equi-join-back (SQL NULL !=
+    NULL) — pre-coalesce key columns if NULLs must rank (the suffix-array
+    caller encodes its past-the-end sentinel as 0 for exactly this
+    reason).
     """
     keys = (
         df.select(*cols)
