@@ -52,6 +52,70 @@ def random_projection_bucket(a: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+# ---------------------------------------------------------------------------
+# SQL-string twins for constant-plane expressions.
+#
+# Building a hyperplane battery through the Column API costs one py4j
+# round-trip per literal: 8 tables x 6 planes x 64 components x 2 sides
+# is ~7,000 driver<->JVM calls — measured at ~7 s of pure plan
+# CONSTRUCTION for ann_lsh_multitable_topk, dwarfing its ~1.3 s of
+# execution.  Emitting the same expression as ONE SQL string parsed by
+# a single F.expr call moves that work into the JVM parser (ms).  The
+# generated tree is operator-for-operator identical to the Column form
+# (same zip_with/aggregate fold, same casts), so results are
+# bit-identical — pinned by tests/test_similarity.py::test_bucket_sql_parity.
+# ---------------------------------------------------------------------------
+
+
+def double_lit_sql(v: float) -> str:
+    """Exact DOUBLE literal: string-cast round-trips repr() precisely and
+    never parses as DECIMAL (Spark fractional literals are DECIMALs —
+    NOTES gotcha 13)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def array_lit_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(double_lit_sql(v) for v in vals) + ")"
+
+
+def to_double_array_sql(vec_sql: str) -> str:
+    """SQL twin of :func:`to_double_array`."""
+    return f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL twin of :func:`dot` — same zip_with/aggregate left fold."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def random_projection_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL twin of :func:`random_projection_bucket` (same bit/sum shape)."""
+    terms = ["CAST(0 AS BIGINT)"]
+    for i, plane in enumerate(planes):
+        bit = (
+            f"(CASE WHEN {dot_sql(vec_sql, array_lit_sql(plane))} >= 0 "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+        terms.append(f"({bit} * CAST({2 ** i} AS BIGINT))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def random_projection_buckets_sql(
+    vec_sql: str, plane_sets: list[list[list[float]]]
+) -> str:
+    """array(bucket_for_plane_set_0, ...) as one SQL string."""
+    return (
+        "array("
+        + ", ".join(
+            random_projection_bucket_sql(vec_sql, p) for p in plane_sets
+        )
+        + ")"
+    )
+
+
 def cosine_similarity_pandas():
     """Vectorized scalar ``@pandas_udf`` twin of ``cosine_similarity`` —
     Arrow-batched numpy, the escape hatch when an expression outgrows

@@ -168,10 +168,20 @@ def with_lsh_bucket(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Attach the sign-LSH bucket id (deterministic seeded hyperplanes)."""
+    """Attach the sign-LSH bucket id (deterministic seeded hyperplanes).
+
+    The bucket expression is emitted as ONE SQL string (64 x num_planes
+    literals through a single F.expr) — bit-identical to the Column-API
+    form but without its one-py4j-call-per-literal construction cost
+    (see functions/vectors.py)."""
     planes = _lcg_planes(num_planes, dim, seed)
     return df.withColumn(
-        "bucket", V.random_projection_bucket(V.to_double_array(F.col(vec_col)), planes)
+        "bucket",
+        F.expr(
+            V.random_projection_bucket_sql(
+                V.to_double_array_sql(f"`{vec_col}`"), planes
+            )
+        ),
     )
 
 
@@ -253,11 +263,12 @@ def lsh_multiprobe_topk(
         V.to_double_array(F.col(vec_col)).alias("qv"),
         "bucket",
     )
-    dots = F.array(
-        *[
-            V.dot(F.col("qv"), F.array(*[F.lit(float(v)) for v in p]))
-            for p in planes
-        ]
+    dots = F.expr(
+        "array("
+        + ", ".join(
+            V.dot_sql("`qv`", V.array_lit_sql(p)) for p in planes
+        )
+        + ")"
     )
     qd = qb.select(
         "query_id", "qv", "bucket",
@@ -336,13 +347,13 @@ def lsh_multitable_topk(
     )
 
     def buckets(vcol: str) -> F.Column:
-        return F.array(
-            *[
-                V.random_projection_bucket(
-                    F.col(vcol), _lcg_planes(num_planes, dim, seed + t)
-                )
-                for t in range(n_tables)
-            ]
+        # one SQL string for the whole L-table battery: ~7,000 py4j
+        # calls -> 1 (pure construction cost; the tree is identical)
+        return F.expr(
+            V.random_projection_buckets_sql(
+                f"`{vcol}`",
+                [_lcg_planes(num_planes, dim, seed + t) for t in range(n_tables)],
+            )
         )
 
     qb = q.select(

@@ -21,6 +21,11 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Repo root (the directory holding nemsis_xml_parser_spark/) — put on
+# PYTHONPATH for the worker daemon so spark.python.daemon.module can
+# import the preloading daemon (pydaemon.py) in the forked worker tree.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def get_spark(
     app_name: str = "nemsis_xml_parser_spark",
@@ -37,6 +42,20 @@ def get_spark(
         master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    # Python workers are forked from a daemon process and idle-culled
+    # after a hard-coded 60 s; a stock daemon makes every fresh worker
+    # re-import numpy/pandas/pyarrow (~1-3 s × every concurrent worker,
+    # re-paid after each cull — a multi-second storm ahead of every
+    # Arrow-kernel stage that follows a gap).  pydaemon preloads the
+    # stack once in the daemon so forked workers inherit it via
+    # copy-on-write (see pydaemon.py).  Must be on PYTHONPATH *before*
+    # the JVM launches, because the daemon inherits the JVM's env.
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + pp if pp else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -51,6 +70,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.python.daemon.module",
+            "nemsis_xml_parser_spark.pydaemon",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

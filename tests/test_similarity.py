@@ -296,3 +296,56 @@ def test_multitable_lsh_tables1_equals_single_table(spark):
         for r in S.lsh_topk(queries, e, k=5, num_planes=6, dim=64).collect()
     )
     assert a == b
+
+
+def test_bucket_sql_parity_with_column_form(spark):
+    """The SQL-string bucket builders (functions/vectors.py) must stay
+    bit-identical to the Column-API expressions they replaced — on REAL
+    embeddings, full 64-dim planes, every table of the multitable
+    battery (the r14-optimization construction-path rewrite)."""
+    from nemsis_xml_parser_spark.functions import vectors as V
+    from nemsis_xml_parser_spark.operators.similarity import _lcg_planes
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c = emb.select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("v")
+    )
+    plane_sets = [_lcg_planes(6, 64, 42 + t) for t in range(8)]
+
+    # column-API form (the original construction)
+    old = F.array(
+        *[V.random_projection_bucket(F.col("v"), p) for p in plane_sets]
+    )
+    new = F.expr(V.random_projection_buckets_sql("`v`", plane_sets))
+    bad = (
+        c.select("vec_id", old.alias("a"), new.alias("b"))
+        .where(F.expr("a <> b OR a IS NULL OR b IS NULL"))
+        .count()
+    )
+    assert bad == 0
+
+    # single-bucket + to_double_array twins over the raw float column
+    old1 = V.random_projection_bucket(
+        V.to_double_array(F.col("embedding")), plane_sets[0]
+    )
+    new1 = F.expr(
+        V.random_projection_bucket_sql(
+            V.to_double_array_sql("`embedding`"), plane_sets[0]
+        )
+    )
+    bad1 = (
+        emb.select(old1.alias("a"), new1.alias("b"))
+        .where(F.expr("a <> b OR a IS NULL OR b IS NULL"))
+        .count()
+    )
+    assert bad1 == 0
+
+    # dot_sql twin
+    oldd = V.dot(F.col("v"), F.array(*[F.lit(float(x)) for x in plane_sets[0][0]]))
+    newd = F.expr(V.dot_sql("`v`", V.array_lit_sql(plane_sets[0][0])))
+    badd = (
+        c.select(oldd.alias("a"), newd.alias("b"))
+        .where(F.expr("a <> b OR a IS NULL OR b IS NULL"))
+        .count()
+    )
+    assert badd == 0
