@@ -197,6 +197,13 @@ def train_centroids(
         # Lloyd round deepens the lineage and every downstream action
         # re-scans the corpus once per iteration (at 100 TB, iters× scans)
         centroids = centroids.transform(cut_lineage)
+    if iters == 0:
+        # the seeded (iters=0) table is still a corpus-wide subplan (scan +
+        # stratum-min + self-join); materialize it too, so every downstream
+        # broadcast of the centroids is a KB-scale leaf instead of a
+        # re-execution of the seeding scan (same contract as iters>0,
+        # where the last Lloyd round's cut already guarantees it)
+        centroids = centroids.transform(cut_lineage)
     return centroids
 
 

@@ -32,7 +32,121 @@ from pyspark.sql import DataFrame, Window
 
 from ..functions import vectors as V
 from . import ivf as IVF
-from .pq import _sq_dist, pq_encode, train_pq
+from .pq import _sq_dist, train_pq
+
+
+def _centroid_matrix(centroid_rows):
+    """Collected (cid, centroid) rows -> (cids int64 asc, C float64[n,dim]).
+    Sorted by cid so argmin's first-minimum tie-break equals the
+    expression form's min(struct(dist, cid))."""
+    import numpy as np
+
+    rows = sorted(centroid_rows, key=lambda r: int(r.cid))
+    cids = np.asarray([int(r.cid) for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in rows])
+    return cids, C
+
+
+def _residuals_arrow(
+    corpus: DataFrame,
+    centroid_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, item_id, rv ARRAY<DOUBLE>) — coarse assignment + residual in
+    ONE Arrow stage.  Value-identical to ``assign_cells`` -> ``zip_with(iv,
+    centroid, x - y)``: same round-6 l2 (nearest_arrow's formula), same
+    cid-asc tie-break, exact float64 subtraction.  ``centroid_rows`` is
+    the collected nlist-bounded table (the documented safe-collect class:
+    KB-scale, frozen for the query)."""
+    import numpy as np
+    import pandas as pd
+
+    cids, C = _centroid_matrix(centroid_rows)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            diff = M[:, None, :] - C[None, :, :]
+            D = np.round(np.sqrt((diff * diff).sum(axis=-1)), 6)
+            j = np.argmin(D, axis=1)
+            R = M - C[j]
+            yield pd.DataFrame(
+                {
+                    "cid": cids[j].astype("int32"),
+                    "item_id": pdf[id_col].to_numpy(),
+                    "rv": list(R),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, schema="cid int, item_id long, rv array<double>"
+    )
+
+
+def _encode_arrow(
+    corpus: DataFrame,
+    centroid_rows,
+    codebook_rows,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, item_id, codes ARRAY<INT>[m]) — the ENTIRE IVF-PQ encode
+    (coarse assign -> residual -> per-subspace nearest code) as ONE Arrow
+    stage over the raw corpus scan.
+
+    Replaces a 5-operator relational pipeline (broadcast-NLJ cell
+    expansion, two sort-aggregate pairs with their exchanges, a dim/m-way
+    posexplode and the HOF fold distance — ~0.5 µs/element interpreted)
+    with three numpy matmul-shaped reductions per batch (guide §4.2).
+    Tie conventions replicated exactly: round-6 distances, coarse ties ->
+    lowest cid (centroids sorted asc + argmin first-min == min(struct(
+    dist, cid))), subspace ties -> lowest code (codebooks sorted asc ==
+    min(struct(dist, code))).  Oracle-checked value parity at sf0.01 and
+    sf0.1 (OPTIMIZATION_r14.md)."""
+    import numpy as np
+    import pandas as pd
+
+    cids, C = _centroid_matrix(centroid_rows)
+    sub = dim // m
+    cb = {}
+    for r in codebook_rows:
+        cb[(int(r.sub_idx), int(r.code))] = np.asarray(r.centroid, dtype=np.float64)
+    subs_sorted = sorted({k[0] for k in cb})
+    codes_sorted = sorted({k[1] for k in cb})
+    CB = np.stack(
+        [np.stack([cb[(s, c)] for c in codes_sorted]) for s in subs_sorted]
+    )  # (m, ksub, sub)
+    code_vals = np.asarray(codes_sorted, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            diff = M[:, None, :] - C[None, :, :]
+            D = np.round(np.sqrt((diff * diff).sum(axis=-1)), 6)
+            j = np.argmin(D, axis=1)
+            R = (M - C[j]).reshape(len(M), m, sub)
+            d2 = np.round(
+                ((R[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(axis=-1), 6
+            )
+            code_idx = np.argmin(d2, axis=2)
+            yield pd.DataFrame(
+                {
+                    "cid": cids[j].astype("int32"),
+                    "item_id": pdf[id_col].to_numpy(),
+                    "codes": list(code_vals[code_idx].astype("int32")),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, schema="cid int, item_id long, codes array<int>"
+    )
 
 
 def train_ivfpq(
@@ -54,21 +168,25 @@ def train_ivfpq(
                inverted file; at scale, persist partitioned by cid.
     """
     centroids = IVF.train_centroids(corpus, nlist, iters_coarse, id_col, vec_col)
-    cells = IVF.assign_cells(corpus, centroids, id_col, vec_col)
-    residuals = cells.join(F.broadcast(centroids), "cid").select(
-        "cid",
-        "item_id",
-        F.zip_with("iv", "centroid", lambda x, y: x - y).alias("rv"),
+    # centroids is a materialized KB-scale leaf (train_centroids cuts
+    # lineage); collecting it is the documented nlist-bounded safe class.
+    # Re-wrap the collected rows as a LocalRelation so every downstream
+    # broadcast (residual join, probe ranking, LUT build) is job-free
+    # instead of a scan of the checkpointed RDD.
+    crows = centroids.collect()
+    centroids = corpus.sparkSession.createDataFrame(
+        [(int(r.cid), list(r.centroid)) for r in crows],
+        "cid int, centroid array<double>",
     )
-    res_vecs = residuals.select(
+    res_vecs = _residuals_arrow(corpus, crows, id_col, vec_col).select(
         F.col("item_id").alias("vec_id"), F.col("rv").alias("embedding")
     )
     codebooks = train_pq(res_vecs, m=m, ksub=ksub, iters=iters_pq, dim=dim)
-    encoded = pq_encode(res_vecs, codebooks, m=m, dim=dim)
-    codes = (
-        residuals.select("cid", "item_id")
-        .join(encoded, residuals["item_id"] == encoded["vec_id"])
-        .select("cid", "item_id", "codes")
+    # the encode (assign -> residual -> nearest code, with cid attached)
+    # is ONE Arrow stage over the raw corpus — no cell-expansion join, no
+    # sort-aggregate exchanges, no corpus-sized re-join to attach cid
+    codes = _encode_arrow(
+        corpus, crows, codebooks.collect(), m, dim, id_col, vec_col
     )
     return centroids, codebooks, codes
 

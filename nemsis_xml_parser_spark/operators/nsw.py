@@ -71,9 +71,11 @@ def build_nsw_graph(
     and without the cut each hop would replay the whole within-cell
     build."""
     if centroids is None:
+        # train_centroids returns a materialized KB-scale leaf (it cuts
+        # lineage internally for iters=0 too), so no extra cut here
         centroids = train_centroids(
             corpus, nlist=nlist, iters=0, id_col=id_col, vec_col=vec_col
-        ).transform(cut_lineage)
+        )
     cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     # in-cell top-g via the Arrow matmul kernel (r13): the expression
     # all-pairs form — even with the r11 norm hoist down to ONE
@@ -177,7 +179,7 @@ def nsw_beam_topk(
     the recall a single unlucky entry cell forfeits."""
     centroids = train_centroids(
         corpus, nlist=nlist, iters=0, id_col=id_col, vec_col=vec_col
-    ).transform(cut_lineage)
+    )
     graph = build_nsw_graph(
         corpus, nlist=nlist, g_intra=g_intra, seed_links=seed_links,
         id_col=id_col, vec_col=vec_col, centroids=centroids,

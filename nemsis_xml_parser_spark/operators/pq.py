@@ -34,15 +34,26 @@ from ..functions import vectors as V
 
 
 def _subvectors(
-    corpus: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+    corpus: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(__vid, sub_idx, sv ARRAY<DOUBLE>[dim/m]) — narrow projection."""
+    """(__vid, [passthrough...], sub_idx, sv ARRAY<DOUBLE>[dim/m]) —
+    narrow projection.  ``passthrough`` columns ride along unchanged
+    (e.g. an IVF cell id), so callers never need a corpus-sized join to
+    re-attach them after encoding."""
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     sub = dim // m
     v = V.to_double_array(F.col(vec_col))
-    return corpus.select(F.col(id_col).alias("__vid"), v.alias("__v")).select(
+    return corpus.select(
+        F.col(id_col).alias("__vid"), *passthrough, v.alias("__v")
+    ).select(
         "__vid",
+        *passthrough,
         F.posexplode(
             F.array(*[F.slice("__v", i * sub + 1, sub) for i in range(m)])
         ).alias("sub_idx", "sv"),
@@ -57,18 +68,25 @@ def _sq_dist(a, b):
     )
 
 
-def _nearest_code(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+def _nearest_code(
+    subs: DataFrame,
+    codebooks: DataFrame,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Nearest codebook entry per (__vid, sub_idx): broadcast the m×ksub
     codebook, hash-aggregate min(struct(dist, code)) — no sort, map-side
-    combine, the IVF assignment pattern."""
+    combine, the IVF assignment pattern.  ``passthrough`` columns (one
+    value per __vid) ride through the aggregate via FIRST."""
     d = F.round(_sq_dist(F.col("sv"), F.col("centroid")), 6)
     expanded = subs.join(F.broadcast(codebooks), "sub_idx").withColumn("dist", d)
     best = expanded.groupBy("__vid", "sub_idx").agg(
         F.min(F.struct("dist", "code")).alias("best"),
         F.first("sv").alias("sv"),
+        *[F.first(c).alias(c) for c in passthrough],
     )
     return best.select(
         "__vid",
+        *passthrough,
         "sub_idx",
         "sv",
         F.col("best.code").alias("code"),
@@ -93,13 +111,37 @@ def train_pq(
     (sub_idx, stratum)).  Each iteration shuffles only (sub_idx, code,
     dim)-sized aggregates, never raw vectors by key."""
     subs = _subvectors(corpus, m, dim, id_col, vec_col)
+    # Seeding: min __vid per __vid % ksub stratum — identical for every
+    # sub_idx, so derive it from the UN-exploded corpus (one narrow agg,
+    # no m-way explode), fetch the ≤ksub seed vectors (ksub-bounded, the
+    # documented safe-collect class) and slice them driver-side into a
+    # LocalRelation.  Value-identical to the old (sub_idx, g) stratum-min
+    # over the exploded subvectors: same ids, same slices, and float64
+    # slicing is exact.  The old shape cost two full explode passes plus
+    # an exchange just to pick ~ksub rows.
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
     seed_ids = (
-        subs.withColumn("g", (F.col("__vid") % ksub).cast("int"))
-        .groupBy("sub_idx", "g")
-        .agg(F.min("__vid").alias("__vid"))
+        corpus.select(
+            (F.col(id_col) % ksub).cast("int").alias("g"),
+            F.col(id_col).alias("__sid"),
+        )
+        .groupBy("g")
+        .agg(F.min("__sid").alias("__sid"))
     )
-    codebooks = seed_ids.join(subs, ["__vid", "sub_idx"]).select(
-        "sub_idx", F.col("g").alias("code"), F.col("sv").alias("centroid")
+    seed_rows = (
+        corpus.join(F.broadcast(seed_ids), F.col(id_col) == F.col("__sid"))
+        .select("g", V.to_double_array(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    codebooks = corpus.sparkSession.createDataFrame(
+        [
+            (s, int(r.g), list(r.v[s * sub : (s + 1) * sub]))
+            for r in seed_rows
+            for s in range(m)
+        ],
+        "sub_idx int, code int, centroid array<double>",
     )
     for _ in range(iters):
         assigned = _nearest_code(subs, codebooks)
@@ -120,6 +162,7 @@ def train_pq(
         # KB-scale table; checkpoint so each Lloyd round doesn't deepen the
         # lineage into iters× corpus re-scans (same rationale as ivf.py)
         codebooks = codebooks.transform(cut_lineage)
+    # iters=0 needs no cut: the seeded codebook is already a LocalRelation
     return codebooks
 
 
@@ -130,21 +173,25 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, codes ARRAY<INT>[m]) — the compressed corpus.  At scale
-    this is the table you persist (and optionally partition by an IVF cid
-    for IVF-PQ)."""
-    subs = _subvectors(corpus, m, dim, id_col, vec_col)
+    """(vec_id, codes ARRAY<INT>[m] [, passthrough...]) — the compressed
+    corpus.  At scale this is the table you persist (and optionally
+    partition by an IVF cid for IVF-PQ).  ``passthrough`` columns (one
+    value per id) ride through both aggregates via FIRST, so attaching
+    e.g. the IVF cell id costs no corpus-sized join."""
+    subs = _subvectors(corpus, m, dim, id_col, vec_col, passthrough)
     return (
-        _nearest_code(subs, codebooks)
+        _nearest_code(subs, codebooks, passthrough)
         .groupBy("__vid")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("sub_idx", "code"))),
                 lambda s: s["code"],
-            ).alias("codes")
+            ).alias("codes"),
+            *[F.first(c).alias(c) for c in passthrough],
         )
-        .select(F.col("__vid").alias(id_col), "codes")
+        .select(F.col("__vid").alias(id_col), "codes", *passthrough)
     )
 
 
