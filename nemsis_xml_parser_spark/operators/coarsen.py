@@ -132,14 +132,21 @@ def coarsen_stats(edges: DataFrame, rounds: int) -> DataFrame:
     )
     rows = []
     for r in range(1, rounds + 1):
-        nodes = e.select(F.col("u").alias("n")).unionByName(
-            e.select(F.col("v").alias("n"))
-        ).distinct()
-        n_nodes, n_edges, total_w = (
-            nodes.count(),
-            e.count(),
-            (e.agg(F.sum("w")).collect()[0][0] or 0),
+        # ONE job for all three graph scalars (the old loop paid three:
+        # a distinct-count, a count and a sum) — each edge contributes
+        # both endpoints to the explode, so edge count and weight come
+        # back doubled and halve exactly (integers)
+        st = (
+            e.select(F.explode(F.array("u", "v")).alias("n"), "w")
+            .agg(
+                F.countDistinct("n").alias("nn"),
+                F.count(F.lit(1)).alias("ne2"),
+                F.coalesce(F.sum("w"), F.lit(0)).alias("tw2"),
+            )
+            .collect()[0]
         )
+        # exact integer halving driver-side (both totals are doubled)
+        n_nodes, n_edges, total_w = st["nn"], st["ne2"] // 2, st["tw2"] // 2
         contracted, matches = heavy_edge_matching_round(e)
         magg = matches.agg(
             F.count(F.lit(1)).alias("n"), F.sum("w").alias("mw")

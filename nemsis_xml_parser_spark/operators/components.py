@@ -122,20 +122,24 @@ def connected_components(
     )
     if (obs0.get["n"] or 0) <= local_finish_max:
         return union_find_local(sym)
+    # Convergence probe: labels only ever decrease, so sum(comp) strictly
+    # decreases until the fixpoint.  The probe RIDES each round's
+    # checkpoint via observe (the scc.py fusion — a dedicated per-round
+    # aggregate job would double the round's job count for a scalar the
+    # materialization pass can compute for free).
+    # Summed as decimal(38,0): a BIGINT sum over huge node ids can wrap
+    # (non-ANSI Spark), and a wrapped sum equal to prev_sum would falsely
+    # report convergence.
+    _probe = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    obs1 = Observation()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .observe(obs1, _probe)
         .transform(cut_lineage)
     )
-    # Convergence probe: labels only ever decrease, so sum(comp) strictly
-    # decreases until the fixpoint — one scalar aggregate per round on the
-    # checkpointed (node, comp) table, cheaper than a change-detection join.
-    # Summed as decimal(38,0): a BIGINT sum over huge node ids can wrap
-    # (non-ANSI Spark), and a wrapped sum equal to prev_sum would falsely
-    # report convergence.
-    _probe = F.sum(F.col("comp").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_probe).collect()[0][0]
+    prev_sum = obs1.get["s"]
     for _ in range(max_iter):
         # 1. propagate: every node offers its label to each neighbor
         msgs = sym.join(labels, sym["src"] == labels["node"]).select(
@@ -151,6 +155,7 @@ def connected_components(
         jump = new.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp_jump")
         )
+        obs = Observation()
         new = (
             new.join(jump, "comp", "left")
             .select(
@@ -159,10 +164,11 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("comp_jump"), F.col("comp"))
                 ).alias("comp"),
             )
+            .observe(obs, _probe)
             .transform(cut_lineage)
         )
         labels = new
-        cur_sum = labels.agg(_probe).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             return labels.select("node", F.col("comp").alias("component"))
         prev_sum = cur_sum

@@ -156,93 +156,127 @@ def gram_power_components(
 ) -> DataFrame:
     """Top-``k`` eigenvectors of a d×d Gram TABLE via power iteration +
     Hotelling deflation — the eigsolve stage of Gram → eigsolve →
-    project.  Everything here operates on d²-row (broadcast-sized)
-    state; the corpus is never rescanned, which is the entire point of
-    materializing the Gram first at 100 TB.
+    project.  The corpus is never rescanned, which is the entire point
+    of materializing the Gram first at 100 TB.
 
     Returns (comp_idx INT, i INT, vc DOUBLE, eigenvalue DOUBLE): unit
     eigenvector components at 12 dp and the ‖u‖ Rayleigh estimate in
     Gram scale.  Determinism contract as operators/pca.py: round-12 +
-    DECIMAL casts before every sum, per-iteration localCheckpoint, so a
-    generated SQL oracle can replay each iteration bit-for-bit.
+    DECIMAL casts before every sum, so a generated SQL oracle can
+    replay each iteration bit-for-bit.
 
-    The per-iteration norm is a GLOBAL window over ``u`` — u is the d-row
-    matvec result, so the window funnels exactly ``dim`` rows (fixed by
-    the embedding width, never by corpus size); folding it into the same
-    plan as the matvec halves the per-iteration job count vs a separate
-    broadcast norm frame, which had to recompute u to build its
-    broadcast.  The window executes inside the eager checkpoint, so it
-    never appears in (and cannot regress) an audited consumer plan."""
-    from pyspark.sql import Window
+    Shape: d is the embedding width — a compile-time constant, never a
+    data size — so the whole d×d Gram collapses into ONE matrix row
+    (array<array<double>>, KB-scale) materialized with a single eager
+    checkpoint, and the ENTIRE eigsolve (every power iteration, norm
+    and deflation) is then ONE narrow expression on that single row: no
+    per-iteration join, exchange, window or checkpoint job (the former
+    d²-row join form paid ~2 jobs × k·iters of pure local-mode latency;
+    at cluster scale the same chain is k·iters sequential stage
+    barriers on KB of state).  Every reused intermediate (u, nrm, the
+    iterate structs, deflated matrices) is LAMBDA-BOUND via the
+    ``transform(array(x), v -> body)[0]`` LET idiom (operators/winnow.py
+    convention) — a plain chained-select form here re-evaluates
+    exponentially, because CollapseProject inlines single-referenced
+    aliases into HOF lambda bodies where they evaluate PER ELEMENT (the
+    documented HOF-lambda re-evaluation landmine).  Values are
+    unchanged: every sum is an exact-DECIMAL fold over round-12 terms,
+    and decimal addition is exact, so the fold's j-ascending order
+    gives bit-identical results to the hash aggregate's arbitrary
+    order."""
+    dec0 = "cast(0 as decimal(37,12))"
 
-    g = mirror_full(gram_upper).coalesce(1).transform(cut_lineage)
-    out: DataFrame | None = None
-    spark = gram_upper.sparkSession
-    whole = Window.partitionBy()
-    for c in range(k):
-        v = spark.range(dim).select(
-            F.col("id").cast("int").alias("i"),
-            F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("vc"),
+    def let(val: str, var: str, body: str) -> str:
+        return f"transform(array({val}), {var} -> {body})[0]"
+
+    seq = f"sequence(0, {dim - 1})"
+    v0 = f"transform({seq}, z -> cast(if(z = 0, 1.0, 0.0) as double))"
+
+    def u_of(gv: str, vref: str, s: str) -> str:
+        # u_i = double(Σ_j decimal(round(g_ij · v_j, 12)))
+        return (
+            f"transform({gv}, row{s} -> cast(aggregate({seq}, {dec0},"
+            f" (ua{s}, uj{s}) -> cast(ua{s} + cast(round(row{s}[uj{s}] *"
+            f" {vref}[uj{s}], 12) as decimal(32,12)) as decimal(37,12)))"
+            " as double))"
         )
-        for _ in range(iters):
-            vj = v.select(F.col("i").alias("__j"), "vc")
-            u = (
-                g.join(F.broadcast(vj), F.col("j") == F.col("__j"))
-                .groupBy("i")
-                .agg(
-                    F.sum(
-                        F.round(F.col("gram") * F.col("vc"), 12).cast(
-                            "decimal(38,12)"
-                        )
-                    )
-                    .cast("double")
-                    .alias("u")
-                )
-            )
-            v = (
-                u.withColumn(
-                    "nrm",
-                    F.sqrt(
-                        F.sum(
-                            F.round(F.col("u") * F.col("u"), 12).cast(
-                                "decimal(38,12)"
-                            )
-                        )
-                        .over(whole)
-                        .cast("double")
-                    ),
-                )
-                .select(
-                    "i", F.round(F.col("u") / F.col("nrm"), 12).alias("vc"), "nrm"
-                )
-                .transform(cut_lineage)
-            )
-        comp = v.select(
-            F.lit(c).cast("int").alias("comp_idx"),
-            "i",
-            "vc",
-            F.col("nrm").alias("eigenvalue"),
+
+    def nrm_of(uv: str, s: str) -> str:
+        return (
+            f"sqrt(cast(aggregate({uv}, {dec0}, (na{s}, nx{s}) ->"
+            f" cast(na{s} + cast(round(nx{s} * nx{s}, 12) as decimal(32,12))"
+            " as decimal(37,12))) as double))"
         )
-        out = comp if out is None else out.unionByName(comp)
-        if c < k - 1:
-            a = v.select(F.col("i").alias("__ai"), F.col("vc").alias("va"))
-            b = v.select(
-                F.col("i").alias("__bi"),
-                F.col("vc").alias("vb"),
-                F.col("nrm").alias("__nrm"),
+
+    def iter_struct(gv: str, vref: str, s: str) -> str:
+        # one power iteration -> struct(v, nrm), u and nrm lambda-bound
+        body = (
+            f"struct(transform(u{s}, vx{s} -> round(vx{s} / nr{s}, 12))"
+            f" as v, nr{s} as nrm)"
+        )
+        return let(
+            u_of(gv, vref, s),
+            f"u{s}",
+            let(nrm_of(f"u{s}", s), f"nr{s}", body),
+        )
+
+    def deflate(gv: str, stv: str, s: str) -> str:
+        return (
+            f"transform({seq}, di{s} -> transform({seq}, dj{s} ->"
+            f" round({gv}[di{s}][dj{s}] - {stv}.nrm * {stv}.v[di{s}] *"
+            f" {stv}.v[dj{s}], 12)))"
+        )
+
+    def component_chain(c: int, gv: str) -> str:
+        # iterate component c on matrix gv, then (deflate and) recurse;
+        # the innermost body assembles the final array — outer lambda
+        # variables stay in scope through the nesting
+        def iters_chain(t: int) -> str:
+            vref = v0 if t == 1 else f"st{c}_{t - 1}.v"
+            inner = (
+                tail(c)
+                if t == iters
+                else iters_chain(t + 1)
             )
-            g = (
-                g.join(F.broadcast(a), F.col("i") == F.col("__ai"))
-                .join(F.broadcast(b), F.col("j") == F.col("__bi"))
-                .select(
-                    "i",
-                    "j",
-                    F.round(
-                        F.col("gram") - F.col("__nrm") * F.col("va") * F.col("vb"),
-                        12,
-                    ).alias("gram"),
+            return let(iter_struct(gv, vref, f"{c}_{t}"), f"st{c}_{t}", inner)
+
+        def tail(cc: int) -> str:
+            if cc == k - 1:
+                parts = ", ".join(f"st{x}_{iters}" for x in range(k))
+                return f"array({parts})"
+            return let(
+                deflate(gv if cc == c else f"g{cc}", f"st{cc}_{iters}", str(cc)),
+                f"g{cc + 1}",
+                component_chain(cc + 1, f"g{cc + 1}"),
+            )
+
+        return iters_chain(1)
+
+    # one matrix row, (i, j)-ordered — array_sort on struct(i, j, gram)
+    # sorts lexicographically and (i, j) is unique; the sorted list is
+    # LET-bound so the reshape lambda cannot inline+re-sort per element
+    mat = (
+        mirror_full(gram_upper)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "j", "gram"))).alias("s"))
+        .select(
+            F.expr(
+                let(
+                    "s",
+                    "sm",
+                    f"transform({seq}, mi -> transform({seq}, mj ->"
+                    f" element_at(sm, mi * {dim} + mj + 1).gram))",
                 )
-                .coalesce(1)
-                .transform(cut_lineage)
-            )
-    return out
+            ).alias("g")
+        )
+        .transform(cut_lineage)
+    )
+    comps = mat.select(F.expr(component_chain(0, "g")).alias("comps"))
+    return (
+        comps.select(F.posexplode("comps").alias("comp_idx", "st"))
+        .select(
+            F.col("comp_idx").cast("int").alias("comp_idx"),
+            F.posexplode("st.v").alias("i", "vc"),
+            F.col("st.nrm").alias("eigenvalue"),
+        )
+        .select("comp_idx", "i", "vc", "eigenvalue")
+    )

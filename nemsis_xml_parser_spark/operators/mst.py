@@ -47,6 +47,44 @@ from .lineage import cut_lineage
 _BROADCAST_STATE_MAX = 4_000_000
 
 
+def _resolve_roots_local(ptr: DataFrame) -> DataFrame:
+    """Single-task twin of ``_resolve_roots`` for a pointer graph that
+    fits one executor — the Lattanzi filtering endgame
+    (components.union_find_local / kruskal_local convention): ONE Arrow
+    batch replaces the per-round 2-cycle-break checkpoint plus
+    O(log chain) sequential jump jobs.  The pointer fixpoint is unique
+    (a functional forest whose roots self-loop after the 2-cycle rule),
+    so labels are bit-identical to the distributed doubling
+    (tests/test_mst.py parity pins it)."""
+    import pandas as pd
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        oc = dict(zip((int(x) for x in pdf["c"]), (int(x) for x in pdf["oc"])))
+        # 2-cycle break: mutual pairs root at the smaller label
+        par = {
+            c: (min(c, o) if oc.get(o) == c else o) for c, o in oc.items()
+        }
+
+        def find(x: int) -> int:
+            r = x
+            while par.get(r, r) != r:
+                r = par[r]
+            while par.get(x, x) != x:  # path compression
+                par[x], x = r, par[x]
+            return r
+
+        cs = sorted(oc)
+        return pd.DataFrame(
+            {"c": cs, "root": [find(c) for c in cs]}
+        ).astype({"c": "int64", "root": "int64"})
+
+    return (
+        ptr.select("c", "oc")
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(lambda pdf: finish(pdf), "c long, root long")
+    )
+
+
 def _resolve_roots(
     ptr: DataFrame, max_jump: int = 25, small: bool = False
 ) -> DataFrame:
@@ -165,12 +203,23 @@ def boruvka_forest(
         # an empty pick means no cross-component edge survived — the
         # emptiness probe rides the pick checkpoint (the old loop paid
         # a dedicated limit(1).count() job per round)
-        if (obs.get["n"] or 0) == 0:
+        n_pick = obs.get["n"] or 0
+        if n_pick == 0:
             break
         picked_parts.append(
             pick.select("u", "v", "w").distinct().withColumn("round", F.lit(r))
         )
-        roots = _resolve_roots(pick.select("c", "oc"), small=small)
+        # the pointer graph is one row per PICKING component — when it
+        # fits one executor (the same filtering budget as kruskal_local)
+        # the root fixpoint resolves as one Arrow batch lazily inside
+        # the contraction checkpoint, replacing 2-5 sequential jump jobs
+        # per round; at scale the distributed doubling path is untouched
+        ptr = pick.select("c", "oc")
+        roots = (
+            _resolve_roots_local(ptr)
+            if n_pick <= LOCAL_FINISH_MAX
+            else _resolve_roots(ptr, small=small)
+        )
         comp = (
             comp.join(
                 hint(roots.withColumnRenamed("c", "c_old")),

@@ -26,7 +26,7 @@ both engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 from .lineage import cut_lineage
 
@@ -50,49 +50,57 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # bound lineage once: every iteration re-scans the edge list
     e = e.transform(cut_lineage)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # fold the out-degree onto the edge list ONCE — the former loop
+    # re-joined deg every iteration (guide §2.1: remove the repeated
+    # shuffle outright; one extra edge-sized materialization up front
+    # buys iters× fewer joins)
+    ed = e.join(deg, "src").select("src", "dst", "deg").transform(cut_lineage)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+    )
+    # the rank state carries is_sink so the per-iteration dangling mass
+    # is a NARROW aggregate over the state itself — the former loop paid
+    # an anti-join against deg every iteration.  The node count rides
+    # the state's materialization via observe (no dedicated count job).
+    obs0 = Observation()
+    state = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.col("deg").isNull().alias("is_sink"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .transform(cut_lineage)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = nodes.count()  # driver scalar, same footprint as CC probe
+    n_nodes = obs0.get["n"]
     base = (1.0 - damping) / n_nodes
 
-    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    pr = state.withColumn("pr", F.lit(1.0 / n_nodes))
     for _ in range(iters):
-        contrib = (
-            e.join(pr, e["src"] == pr["node"])
-            .join(deg, "src")
-            .select(
-                "dst",
-                F.round(F.col("pr") / F.col("deg"), 12)
-                .cast("decimal(20,12)")
-                .alias("c"),
-            )
+        contrib = ed.join(pr, ed["src"] == pr["node"]).select(
+            "dst",
+            F.round(F.col("pr") / F.col("deg"), 12)
+            .cast("decimal(20,12)")
+            .alias("c"),
         )
         # dangling mass: rank held by sink nodes (no out-edges); a 1-row
         # aggregate broadcast back in — no driver collect per iteration
-        dangling = (
-            pr.join(deg, pr["node"] == deg["src"], "left_anti")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("pr").cast("decimal(20,12)")), F.lit(0)
-                )
-                .cast("double")
-                .alias("dm")
-            )
+        dangling = pr.where(F.col("is_sink")).agg(
+            F.coalesce(F.sum(F.col("pr").cast("decimal(20,12)")), F.lit(0))
+            .cast("double")
+            .alias("dm")
         )
         pr = (
-            nodes.join(
+            pr.select("node", "is_sink")
+            .join(
                 contrib.groupBy("dst").agg(F.sum("c").alias("s")),
-                nodes["node"] == contrib["dst"],
+                pr["node"] == contrib["dst"],
                 "left",
             )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "is_sink",
                 F.round(
                     F.lit(base)
                     + F.lit(damping)
@@ -133,55 +141,58 @@ def personalized_pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.transform(cut_lineage)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # same shuffle removals as ``pagerank``: degree folded onto the edge
+    # list once, is_sink folded into the state, scalars via observe
+    ed = e.join(deg, "src").select("src", "dst", "deg").transform(cut_lineage)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    obs0 = Observation()
     nodes_s = (
         nodes.join(sd.withColumn("_s", F.lit(1)), "node", "left")
-        .select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
+        .join(deg, nodes["node"] == deg["src"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"),
+            F.col("deg").isNull().alias("is_sink"),
+        )
+        .observe(obs0, F.sum("is_seed").alias("ns"))
         .transform(cut_lineage)
     )
-    n_seeds = nodes_s.agg(F.sum("is_seed")).collect()[0][0]  # driver scalar
+    n_seeds = obs0.get["ns"]  # rides the checkpoint job, no driver collect
     if not n_seeds:
         raise ValueError("no seed intersects the graph's node set")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     seed_mass = F.col("is_seed").cast("double") / F.lit(float(n_seeds))
     pr = nodes_s.withColumn("pr", F.round(seed_mass, 12))
     for _ in range(iters):
-        contrib = (
-            e.join(pr, e["src"] == pr["node"])
-            .join(deg, "src")
-            .select(
-                "dst",
-                F.round(F.col("pr") / F.col("deg"), 12)
-                .cast("decimal(20,12)")
-                .alias("c"),
-            )
+        contrib = ed.join(pr, ed["src"] == pr["node"]).select(
+            "dst",
+            F.round(F.col("pr") / F.col("deg"), 12)
+            .cast("decimal(20,12)")
+            .alias("c"),
         )
-        dangling = (
-            pr.join(deg, pr["node"] == deg["src"], "left_anti")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("pr").cast("decimal(20,12)")), F.lit(0)
-                )
-                .cast("double")
-                .alias("dm")
-            )
+        dangling = pr.where(F.col("is_sink")).agg(
+            F.coalesce(F.sum(F.col("pr").cast("decimal(20,12)")), F.lit(0))
+            .cast("double")
+            .alias("dm")
         )
         pr = (
-            nodes_s.join(
+            pr.select("node", "is_seed", "is_sink")
+            .join(
                 contrib.groupBy("dst").agg(F.sum("c").alias("s")),
-                nodes_s["node"] == contrib["dst"],
+                pr["node"] == contrib["dst"],
                 "left",
             )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "is_seed",
+                "is_sink",
                 F.round(
                     F.lit(1.0 - damping) * seed_mass
                     + F.lit(damping)

@@ -96,6 +96,11 @@ def power_iteration_components(
             "eigenvalue",
             "n_vectors",
         )
+        if comp_idx < k - 1:
+            # two consumers (the output union AND the deflation's v_df):
+            # materialize the 64-row extraction once so the deflation's
+            # broadcast build does not re-run the iteration chain
+            comp = comp.transform(cut_lineage)
         out = comp if out is None else out.unionByName(comp)
         if comp_idx == k - 1:
             break
@@ -145,12 +150,22 @@ def power_iteration_top_component(
     base = base.transform(cut_lineage)
     n_df = base.agg(F.count(F.lit(1)).alias("n"))
 
+    # The iterate rides as a 1-row (v array, nrm) frame whose norm and
+    # normalization are NARROW array folds over the matvec aggregate —
+    # the former separate norm frame re-executed u's corpus aggregate
+    # inside its broadcast build (2 corpus aggregates per iteration) and
+    # each iterate paid an eager checkpoint job.  Now each v is consumed
+    # exactly once (by the next iteration's broadcast), so the whole
+    # loop chains into ONE linear plan executed by the final action: per
+    # iteration exactly one corpus scan and zero driver-side jobs.
+    # Values are unchanged — decimal sums are exact, so the fold order
+    # cannot move a bit.
+    dec0 = "cast(0 as decimal(37,12))"
     v = base.sparkSession.range(1).select(
         F.array(
             *[F.lit(1.0 if j == 0 else 0.0) for j in range(dim)]
         ).alias("v")
     )
-    nrm_last = None
     for _ in range(iters):
         scored = base.crossJoin(F.broadcast(v)).select(
             "x",
@@ -158,7 +173,7 @@ def power_iteration_top_component(
             .cast("decimal(38,12)")
             .alias("s"),
         )
-        u = (
+        u_rows = (
             scored.select(
                 F.col("s").cast("double").alias("s"),
                 F.posexplode("x").alias("i", "xi"),
@@ -172,23 +187,26 @@ def power_iteration_top_component(
                 .alias("u")
             )
         )
-        nrm = u.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
-                ).cast("double")
-            ).alias("nrm")
+        v = (
+            u_rows.agg(
+                F.array_sort(F.collect_list(F.struct("i", "u"))).alias("su")
+            )
+            .select(F.expr("transform(su, e -> e.u)").alias("u"))
+            .select(
+                "u",
+                F.expr(
+                    f"sqrt(cast(aggregate(u, {dec0}, (acc, x) ->"
+                    " cast(acc + cast(round(x * x, 12) as decimal(32,12))"
+                    " as decimal(37,12))) as double))"
+                ).alias("nrm"),
+            )
+            .select(
+                F.expr("transform(u, e -> round(e / nrm, 12))").alias("v"),
+                "nrm",
+            )
         )
-        v = _as_vector(
-            u.crossJoin(F.broadcast(nrm)).select(
-                "i", F.round(F.col("u") / F.col("nrm"), 12).alias("c")
-            ),
-            "c",
-        ).transform(cut_lineage)
-        nrm_last = nrm
     return (
-        v.select(F.posexplode("v").alias("i", "component"))
-        .crossJoin(F.broadcast(nrm_last))
+        v.select(F.posexplode("v").alias("i", "component"), "nrm")
         .crossJoin(F.broadcast(n_df))
         .select(
             F.col("i").cast("int").alias("i"),

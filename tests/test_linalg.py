@@ -59,3 +59,59 @@ def test_full_matrix_symmetric(spark):
     for i in range(3):
         for j in range(3):
             assert abs(full[(i, j)] - full[(j, i)]) < 1e-12
+
+
+def test_gram_power_components_matches_decimal_replay(spark):
+    """The one-row-matrix eigsolve must reproduce the documented
+    round-12 + exact-decimal arithmetic bit-for-bit — replicated here
+    independently with Python Decimal (the oracle's formulation)."""
+    import random
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from nemsis_xml_parser_spark.operators.linalg import (
+        gram_power_components,
+    )
+
+    dim, k, iters = 8, 2, 3
+    rng = random.Random(23)
+    full = [
+        [0.0] * dim for _ in range(dim)
+    ]
+    rows = []
+    for i in range(dim):
+        for j in range(i, dim):
+            g = round(rng.uniform(-1.5, 2.0) + (8.0 if i == j else 0.0), 9)
+            full[i][j] = full[j][i] = g
+            rows.append((i, j, g))
+    gdf = spark.createDataFrame(rows, "i int, j int, gram double")
+
+    def r12(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+        )
+
+    def dsum12(terms):
+        acc = Decimal(0)
+        for t in terms:
+            acc += Decimal(repr(r12(t)))
+        return float(acc)
+
+    g = [row[:] for row in full]
+    expect = {}
+    for c in range(k):
+        v = [1.0] + [0.0] * (dim - 1)
+        for _ in range(iters):
+            u = [dsum12(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            nrm = dsum12(x * x for x in u) ** 0.5
+            v = [r12(x / nrm) for x in u]
+        for i in range(dim):
+            expect[(c, i)] = (v[i], nrm)
+        g = [
+            [r12(g[i][j] - nrm * v[i] * v[j]) for j in range(dim)]
+            for i in range(dim)
+        ]
+    got = {
+        (r["comp_idx"], r["i"]): (r["vc"], r["eigenvalue"])
+        for r in gram_power_components(gdf, dim=dim, k=k, iters=iters).collect()
+    }
+    assert got == expect

@@ -128,3 +128,40 @@ def test_cut_lineage_rows_and_stats(spark):
         )
     assert digits(par) < 25
     assert par.count() == 100
+
+
+def test_resolve_roots_local_matches_distributed(spark):
+    """The single-task root-resolution endgame must be bit-identical to
+    the distributed pointer-jump doubling on valid Borůvka pointer
+    graphs (only 2-cycles; every referenced component has a pointer)."""
+    import random
+
+    from nemsis_xml_parser_spark.operators.mst import (
+        _resolve_roots,
+        _resolve_roots_local,
+    )
+
+    rng = random.Random(1413)
+    for trial in range(4):
+        # mutual pairs first (the 2-cycles), then chain nodes pointing at
+        # any already-present component — acyclic beyond the 2-cycles,
+        # exactly the shape a total-order min-edge pick produces
+        ids = rng.sample(range(1, 10_000), 120)
+        ptr = {}
+        for a, b in zip(ids[0:20:2], ids[1:20:2]):
+            ptr[a], ptr[b] = b, a
+        present = list(ptr)
+        for c in ids[20:]:
+            ptr[c] = rng.choice(present)
+            present.append(c)
+        df = spark.createDataFrame(
+            sorted(ptr.items()), "c long, oc long"
+        ).transform(cut_lineage)
+        got_local = {
+            (r["c"], r["root"]) for r in _resolve_roots_local(df).collect()
+        }
+        got_dist = {
+            (r["c"], r["root"])
+            for r in _resolve_roots(df, small=(trial % 2 == 0)).collect()
+        }
+        assert got_local == got_dist
