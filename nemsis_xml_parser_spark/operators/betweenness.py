@@ -33,6 +33,8 @@ graph surface; §2.I extension tier.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -63,8 +65,16 @@ def betweenness_sampled(
         .transform(cut_lineage)
     )
     levels.append(frontier)
-    visited = frontier.select("src", "v").transform(cut_lineage)
     for _ in range(1, max_hops + 1):
+        # visited = the union of the already-pinned levels — reading it
+        # back per hop costs nothing extra and saves the dedicated
+        # visited checkpoint job every hop (guide §1.2: the job ladder,
+        # not the anti-join, is the wall at demo scale; at cluster
+        # scale the anti-join input is identical either way).
+        visited = reduce(
+            DataFrame.unionByName,
+            [lv.select("src", "v") for lv in levels],
+        )
         nxt = (
             adj.join(
                 frontier.select("src", F.col("v").alias("u"), "sigma"), "u"
@@ -74,7 +84,6 @@ def betweenness_sampled(
             .agg(F.sum("sigma").alias("sigma"))
             .transform(cut_lineage)
         )
-        visited = visited.unionByName(nxt.select("src", "v")).transform(cut_lineage)
         levels.append(nxt)
         frontier = nxt
     # backward: deepest level has delta = 0

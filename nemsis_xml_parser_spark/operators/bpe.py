@@ -52,24 +52,116 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+BPE_LOCAL_MAX = 2_000_000  # vocab rows under which the merge loop runs
+# as ONE single-task Arrow stage (the operators/mst.py
+# _resolve_roots_local guarded-endgame pattern)
+
+
+def _bpe_merge_loop(
+    cells: list, cnts: list, rounds: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge loop on a materialized vocabulary — operation-for-
+    operation the Spark loop below: pair counts are exact int sums over
+    the ``)(``-split cells, the argmax orders (count DESC, x ASC,
+    y ASC) (Python str comparison == Spark's binary UTF8 ordering —
+    UTF-8 byte order preserves code-point order), and the fuse is a
+    left-to-right non-overlapping literal replace (str.replace ==
+    F.replace)."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for s, c in zip(cells, cnts):
+            toks = s[1:-1].split(")(")
+            if len(toks) < 2:
+                continue
+            c = int(c)
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:  # vocabulary fully fused — nothing left to merge
+            break
+        (x, y), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, x, y, x + y, int(c)))
+        if r < rounds:
+            old, new = f"({x})({y})", f"({x}{y})"
+            cells = [s.replace(old, new) for s in cells]
+    return merges
+
+
 def train_bpe_merges(words: DataFrame, rounds: int) -> DataFrame:
     """Learn ``rounds`` BPE merges from a (w, cnt) word-frequency frame.
 
     Returns a tiny local frame ``(round, left_tok, right_tok, merged,
     merge_count)`` — merge_count is the pair's corpus frequency at the
-    moment it was chosen (i.e. before it was fused).  Each round is one
-    distributed pair-count aggregate over the vocabulary plus a 1-row
-    argmax collect (the scalar-probe pattern); the merge is applied with
-    a narrow literal replace and the vocabulary lineage is cut per round
-    (operators/lineage.py — never bare localCheckpoint in a loop).
+    moment it was chosen (i.e. before it was fused).
+
+    The corpus collapses to the vocabulary before any merge work; when
+    the vocabulary fits the ``BPE_LOCAL_MAX`` row budget (measured off
+    the pin's ``observe`` — no extra job) the whole merge loop runs as
+    ONE single-task Arrow stage over the pinned vocab instead of
+    ``rounds`` sequential (pair-count aggregate + argmax collect +
+    lineage cut) job pairs — the guarded local endgame of
+    ``operators/mst.py::_resolve_roots_local`` (guide §1.2: at demo
+    scale the job ladder is the wall; at 100 TB an over-budget vocab
+    takes the distributed loop below unchanged).  Both paths compute
+    the identical merge table (``tests/test_bpe.py`` pins local ==
+    distributed).
     """
+    from pyspark.sql import Observation
+
     spark = words.sparkSession
+    obs = Observation()
     vocab = cut_lineage(
         words.select(
             F.regexp_replace(F.col("w"), "(.)", "($1)").alias("cells"),
             F.col("cnt"),
-        )
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
     )
+    n_vocab = obs.get["n"] or 0
+    out_schema = (
+        "round int, left_tok string, right_tok string, merged string, "
+        "merge_count bigint"
+    )
+    if n_vocab <= BPE_LOCAL_MAX:
+
+        def run(batches):
+            import pandas as pd
+
+            cells: list = []
+            cnts: list = []
+            for b in batches:
+                cells.extend(b["cells"].tolist())
+                cnts.extend(b["cnt"].tolist())
+            got = _bpe_merge_loop(cells, cnts, rounds)
+            yield pd.DataFrame(
+                got,
+                columns=[
+                    "round", "left_tok", "right_tok", "merged",
+                    "merge_count",
+                ],
+            ).astype(
+                {"round": "int32", "merge_count": "int64"}
+            ) if got else pd.DataFrame(
+                {
+                    "round": pd.Series(dtype="int32"),
+                    "left_tok": pd.Series(dtype="object"),
+                    "right_tok": pd.Series(dtype="object"),
+                    "merged": pd.Series(dtype="object"),
+                    "merge_count": pd.Series(dtype="int64"),
+                }
+            )
+
+        rows = (
+            vocab.coalesce(1)  # pinned leaf — the corpus aggregate above
+            # already ran wide; this only narrows the merge-loop task
+            .mapInPandas(run, out_schema)
+            .collect()  # <= rounds rows, bounded by the protocol constant
+        )
+        return spark.createDataFrame(
+            [tuple(r) for r in rows] or [], out_schema
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
         toks = vocab.select(

@@ -14,6 +14,17 @@ edge list against the sparse (v, j, mj) register state plus ONE
 per node regardless of ball size).  t iterations give N(0..t), the
 curve behind effective-diameter and centrality estimates.
 
+Both per-round states — the sketch registers and the exact-closure
+tie-out tier — propagate with the SAME shape (join the adjacency on
+the current node, re-aggregate by key with an idempotent fold), so
+they ride ONE tagged union frame: kind 0 rows are (v, j, mj) registers
+(fold = MAX), kind 1 rows are (dst, src) closure pairs (fold =
+DISTINCT, i.e. MAX over an all-NULL payload).  That halves both the
+per-round shuffles and the per-round lineage-cut jobs relative to
+maintaining the two states separately (guide §2.4: two operations
+keyed the same way share one exchange; §1.2: the job ladder is the
+wall in an iterative operator).
+
 Determinism: registers come from the cross-engine md5 hash with the
 exact integer rho of ``operators/hll.py``, and the estimate is the
 same DECIMAL-staged harmonic form — every register value and every
@@ -36,10 +47,14 @@ from .hll import HLL_NUM_TERM, hll_est_expr, hll_rho
 from .lineage import cut_lineage
 
 
-def _tier(state: DataFrame, closure: DataFrame, t: int) -> DataFrame:
+def _tier(comb: DataFrame, t: int) -> DataFrame:
     """One (hop, n_pairs_exact, anf_estimate, rel_error) row: the sum of
     per-node round-6 HLL ball estimates (DECIMAL-summed, order-free)
-    next to the exact closure pair count."""
+    next to the exact closure pair count.  ``comb`` is the tagged union
+    state: kind 0 = (x=v, y=j, m=mj), kind 1 = (x=dst, y=src)."""
+    state = comb.where(F.col("kind") == 0).select(
+        F.col("x").alias("v"), F.col("m").cast("int").alias("mj")
+    )
     per = state.groupBy("v").agg(
         F.sum(F.expr(HLL_NUM_TERM)).alias("num_present"),
         F.count(F.lit(1)).alias("n_present"),
@@ -53,7 +68,10 @@ def _tier(state: DataFrame, closure: DataFrame, t: int) -> DataFrame:
             F.sum(F.col("e").cast("decimal(28,6)")).cast("double"), 6
         ).alias("anf_estimate")
     )
-    exact = closure.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_exact"))
+    exact = (
+        comb.where(F.col("kind") == 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_exact"))
+    )
     return tot.crossJoin(F.broadcast(exact)).select(
         F.lit(t).cast("int").alias("hop"),
         "n_pairs_exact",
@@ -76,28 +94,35 @@ def hyperball_anf(adj: DataFrame, max_t: int = 3) -> DataFrame:
     """
     nodes = adj.select(F.col("u").alias("v")).distinct()
     h = md5_long(F.col("v").cast("string"))
-    state = nodes.select(
-        "v", (h % 64).alias("j"), hll_rho(h).alias("mj")
-    ).transform(cut_lineage)
-    closure = nodes.select(
-        F.col("v").alias("src"), F.col("v").alias("dst")
-    ).transform(cut_lineage)
-    tiers = [_tier(state, closure, 0)]
+    # tagged union state: sketch registers (kind 0, fold = MAX) and the
+    # exact-closure pairs (kind 1, payload NULL, fold = DISTINCT) share
+    # one frame, one per-round shuffle, one per-round lineage cut.
+    comb = cut_lineage(
+        nodes.select(
+            F.lit(0).alias("kind"),
+            F.col("v").alias("x"),
+            (h % 64).alias("y"),
+            hll_rho(h).cast("long").alias("m"),
+        ).unionByName(
+            nodes.select(
+                F.lit(1).alias("kind"),
+                F.col("v").alias("x"),
+                F.col("v").alias("y"),
+                F.lit(None).cast("long").alias("m"),
+            )
+        )
+    )
+    tiers = [_tier(comb, 0)]
     for t in range(1, max_t + 1):
-        prop = adj.join(
-            state.withColumnRenamed("v", "u"), "u"
-        ).select("v", "j", "mj")
-        state = (
-            state.unionAll(prop)
-            .groupBy("v", "j")
-            .agg(F.max("mj").alias("mj"))
-            .transform(cut_lineage)
+        # state rows propagate v -> neighbors; closure rows propagate
+        # dst -> neighbors (src rides in y) — the SAME join on x == u.
+        prop = adj.join(comb.withColumnRenamed("x", "u"), "u").select(
+            "kind", F.col("v").alias("x"), "y", "m"
         )
-        step = adj.join(
-            closure.withColumnRenamed("dst", "u"), "u"
-        ).select("src", F.col("v").alias("dst"))
-        closure = (
-            closure.unionAll(step).distinct().transform(cut_lineage)
+        comb = cut_lineage(
+            comb.unionByName(prop)
+            .groupBy("kind", "x", "y")
+            .agg(F.max("m").alias("m"))
         )
-        tiers.append(_tier(state, closure, t))
+        tiers.append(_tier(comb, t))
     return reduce(DataFrame.unionByName, tiers)

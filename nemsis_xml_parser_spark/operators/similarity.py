@@ -534,50 +534,62 @@ def mmr_rerank(
     oracles need the exact literal).
 
     Scores round to 6 dp with vec_id tie-break, so the greedy path is
-    engine-deterministic.  Each of the k iterations runs on
-    candidate-sized frames (orderBy+limit(1) = TakeOrdered on <= N
-    rows); localCheckpoint keeps the plan flat (NOTES gotcha 13).
-    Returns (pick 1..k, vec_id, score).
+    engine-deterministic.  Both inputs are bounded by the first-stage
+    retriever's N (a protocol constant), so the greedy runs DRIVER-SIDE
+    on the two collected candidate tables — two bounded collects
+    (the documented nlist/ksub-bounded safe class) replace ~3k
+    sequential candidate-sized jobs (per pick: argmax + union pin +
+    anti-join pin; guide §1.2 — the job ladder was the wall, the data
+    never exceeded N rows + N² pair sims).  The Python replay is
+    operation-identical: lam·rel − mu·max_sim in IEEE double order,
+    rounded via shortest-repr decimal HALF_UP == Spark's Round, vec_id
+    tie-break.  Returns (pick 1..k, vec_id, score) as a LocalRelation.
     """
+    import decimal
+
     if k < 1:
         raise ValueError("k must be >= 1")
-    selected = None
-    remaining = cand.transform(cut_lineage)
-    pair_sims = pair_sims.transform(cut_lineage)
+    spark = cand.sparkSession
+    id_type = cand.schema["vec_id"].dataType.simpleString()
+    crows = cand.select("vec_id", "rel").collect()  # <= first-stage N
+    srows = pair_sims.select("ia", "ib", "sim").collect()  # <= N^2
+
+    def _r6(x: float) -> float:
+        # Spark Round(double) = BigDecimal.valueOf(shortest repr),
+        # setScale(6, HALF_UP) — Python repr() is the same shortest
+        # round-trip decimal, so this replays bit-for-bit
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    rel = {r["vec_id"]: float(r["rel"]) for r in crows}
+    sim: dict = {}
+    for r in srows:
+        sim[(r["ia"], r["ib"])] = float(r["sim"])
+    selected: list = []
+    out_rows: list = []
+    remaining = set(rel)
     for i in range(1, k + 1):
-        if selected is None:
-            scores = remaining.select(
-                "vec_id", F.round(F.lit(lam) * F.col("rel"), 6).alias("score")
-            )
-        else:
-            pen = (
-                pair_sims.join(
-                    selected.select(F.col("vec_id").alias("ib")), "ib"
-                )
-                .groupBy("ia")
-                .agg(F.max("sim").alias("msim"))
-            )
-            scores = remaining.join(
-                pen, remaining["vec_id"] == pen["ia"], "left"
-            ).select(
-                "vec_id",
-                F.round(
-                    F.lit(lam) * F.col("rel")
-                    - F.lit(mu) * F.coalesce(F.col("msim"), F.lit(0.0)),
-                    6,
-                ).alias("score"),
-            )
-        pick = (
-            scores.orderBy(F.col("score").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .select(F.lit(i).alias("pick"), "vec_id", "score")
-            .transform(cut_lineage)
-        )
-        selected = (
-            pick if selected is None
-            else selected.unionByName(pick).transform(cut_lineage)
-        )
-        remaining = remaining.join(
-            pick.select("vec_id"), "vec_id", "left_anti"
-        ).transform(cut_lineage)
-    return selected
+        if not remaining:
+            break
+        best = None
+        for v in remaining:
+            if not selected:
+                raw = lam * rel[v]
+            else:
+                pens = [sim[(v, s)] for s in selected if (v, s) in sim]
+                msim = max(pens) if pens else 0.0
+                raw = lam * rel[v] - mu * msim
+            key = (-_r6(raw), v)
+            if best is None or key < best[0]:
+                best = (key, v, _r6(raw))
+        _, pick_id, score = best
+        out_rows.append((i, pick_id, score))
+        selected.append(pick_id)
+        remaining.discard(pick_id)
+    return spark.createDataFrame(
+        out_rows, f"pick int, vec_id {id_type}, score double"
+    )

@@ -15,12 +15,14 @@ No counterpart in the reference (a single-threaded psycopg2 ETL);
 Round k orders positions by their first 2^k characters, represented as
 the pair ``(rank_k[i], rank_k[i + 2^k])`` — both O(1) lookups into the
 previous round's rank table via a self equi-join on position, never a
-string comparison.  Ranks come from
-``operators.prefix_sum.global_dense_rank``: distinct key pairs are
-range-partitioned, locally dense-ranked (window input bounded by
-distinct-pairs / num_ranges), and offset by broadcast per-partition
-counts — no single-reducer window anywhere, so every round is a plain
-shuffle-and-rank the way a TeraSort round is.
+string comparison.  Ranks come from a rows-direct two-pass global
+dense rank (``_ranked_rows`` — the ``prefix_sum.global_dense_rank``
+shape minus the distinct pass and the join-back, which buy nothing
+when the pairs are near-distinct anyway): pairs are range-partitioned,
+locally dense-ranked (window input bounded by n / num_ranges), and
+offset by broadcast per-partition distinct counts — no single-reducer
+window anywhere, so every round is a plain shuffle-and-rank the way a
+TeraSort round is, and exactly ONE eager job per round.
 
 A position past the end of the corpus ranks as 0 (below every real
 rank): if suffix A is a proper prefix of suffix B then A < B, which is
@@ -41,7 +43,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, Window
 
 from .lineage import cut_lineage
-from .prefix_sum import global_dense_rank
 
 # Per-document separator appended before concatenation: sorts below
 # every printable ASCII char in both engines (byte 0x01), so a suffix
@@ -105,16 +106,9 @@ def corpus_positions(
     return chars, offsets
 
 
-def suffix_array_prefix_doubling(
-    chars: DataFrame, max_rounds: int = 40, num_ranges: int = 8
-) -> DataFrame:
-    """(pos, c, ...) -> (pos, sa_rank): the 1-based lexicographic rank
-    of each suffix of the corpus string the positions spell out.
-
-    ``max_rounds`` is a safety bound only — the loop exits when ranks
-    are all-distinct or the doubling offset passes the corpus length,
-    whichever is first (<= ceil(log2(n)) rounds always).
-    """
+def _alpha_ranks(chars: DataFrame) -> tuple[DataFrame, int, bool]:
+    """Initial per-position ranks from the character dictionary.
+    Returns (cur PINNED (pos, r), n, all_distinct)."""
     alphabet = chars.select("c").distinct()
     # window over the distinct-character dictionary — bounded by the
     # printable-ASCII alphabet (<= 96 rows), never by corpus size
@@ -130,33 +124,95 @@ def suffix_array_prefix_doubling(
     )
     n = obs.get["n"] or 0
     mx = obs.get["mx"] or 0
+    return cur, n, mx >= n
+
+
+def _paired(cur: DataFrame, d: int) -> DataFrame:
+    """(pos, r1, r2): this round's prefix-doubling pair — r2 = the rank
+    d positions ahead, 0 past the end (the prefix-of tie-break)."""
+    shifted = cur.select(
+        (F.col("pos") - d).alias("pos"), F.col("r").alias("r2")
+    )
+    return cur.join(shifted, "pos", "left").select(
+        "pos",
+        F.col("r").alias("r1"),
+        F.coalesce("r2", F.lit(0)).alias("r2"),
+    )
+
+
+def _ranked_rows(
+    paired: DataFrame, num_ranges: int
+) -> tuple[DataFrame, bool]:
+    """Rows-direct two-pass global dense rank of the (r1, r2) pairs —
+    the ``global_dense_rank`` shape WITHOUT the distinct pass and
+    without the join-back (positions carry their ranks directly), which
+    removes two pair-sized exchanges per round; the all-ranks-distinct
+    termination probe rides the pin's ``observe`` as max(per-pair
+    count) == 1, so no dedicated probe job exists either (guide §1.4,
+    §2.4).  Rank correctness does not depend on where the sampled range
+    boundaries fall; only the _pid consistency between the local-rank
+    window and the offsets aggregate is load-bearing, and the eager pin
+    freezes _pid as data before either branch reads it (the
+    ``prefix_sum`` discipline).  Returns (ranked LAZY (pos, r),
+    all_distinct)."""
+    obs = Observation()
+    ranged = (
+        paired.repartitionByRange(num_ranges, F.col("r1"), F.col("r2"))
+        .withColumn("_pid", F.spark_partition_id())
+        # duplicate probe: a window clustered by the pair key — range
+        # partitioning on (r1, r2) already satisfies it, no exchange
+        .withColumn(
+            "_dup", F.count(F.lit(1)).over(Window.partitionBy("r1", "r2"))
+        )
+        .observe(obs, F.max("_dup").alias("dups"))
+        .transform(cut_lineage)
+    )
+    local = ranged.withColumn(
+        "_lr",
+        F.dense_rank().over(Window.partitionBy("_pid").orderBy("r1", "r2")),
+    )
+    counts = ranged.groupBy("_pid").agg(
+        F.countDistinct("r1", "r2").alias("_ct")
+    )
+    ca = counts.select(F.col("_pid").alias("_pa"))
+    cb = counts.select(F.col("_pid").alias("_pb"), "_ct")
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("_pb") < F.col("_pa"))
+        .groupBy("_pa")
+        .agg(F.sum("_ct").alias("_off"))
+    )
+    ranked = (
+        local.join(
+            F.broadcast(offsets), local["_pid"] == offsets["_pa"], "left"
+        )
+        .select(
+            "pos",
+            (F.coalesce(F.col("_off"), F.lit(0)) + F.col("_lr"))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    dups = obs.get["dups"] or 0
+    return ranked, dups <= 1
+
+
+def suffix_array_prefix_doubling(
+    chars: DataFrame, max_rounds: int = 40, num_ranges: int = 8
+) -> DataFrame:
+    """(pos, c, ...) -> (pos, sa_rank): the 1-based lexicographic rank
+    of each suffix of the corpus string the positions spell out.
+
+    ``max_rounds`` is a safety bound only — the loop exits when ranks
+    are all-distinct or the doubling offset passes the corpus length,
+    whichever is first (<= ceil(log2(n)) rounds always).  One eager job
+    per round (the ``_ranked_rows`` pin); the rank computation itself
+    stays lazy and folds into the next round's (or the caller's) job.
+    """
+    cur, n, done = _alpha_ranks(chars)
     d = 1
     rounds = 0
-    while mx < n and d < n and rounds < max_rounds:
-        shifted = cur.select(
-            (F.col("pos") - d).alias("pos"), F.col("r").alias("r2")
-        )
-        paired = (
-            cur.join(shifted, "pos", "left")
-            .select(
-                "pos",
-                F.col("r").alias("r1"),
-                F.coalesce("r2", F.lit(0)).alias("r2"),
-            )
-        )
-        ranked = global_dense_rank(
-            paired, ["r1", "r2"], rank_col="rn", num_ranges=num_ranges
-        )
-        obs = Observation()
-        cur = (
-            ranked.select("pos", F.col("rn").alias("r"))
-            .observe(
-                obs, F.count(F.lit(1)).alias("n"), F.max("r").alias("mx")
-            )
-            .transform(cut_lineage)
-        )
-        n = obs.get["n"] or 0
-        mx = obs.get["mx"] or 0
+    while not done and d < n and rounds < max_rounds:
+        cur, done = _ranked_rows(_paired(cur, d), num_ranges)
         d *= 2
         rounds += 1
     return cur.select("pos", F.col("r").alias("sa_rank"))
@@ -186,44 +242,15 @@ def suffix_array_with_history(
     that leaves ~3-5 duplicate-bearing levels instead of the full
     log2(n) ladder.
     """
-    alphabet = chars.select("c").distinct()
-    alpha_rank = alphabet.withColumn(
-        "r", F.dense_rank().over(Window.orderBy("c")).cast("long")
-    )
-    obs = Observation()
-    cur = (
-        chars.join(F.broadcast(alpha_rank), "c")
-        .select("pos", "r")
-        .observe(obs, F.count(F.lit(1)).alias("n"), F.max("r").alias("mx"))
-        .transform(cut_lineage)
-    )
-    n = obs.get["n"] or 0
-    mx = obs.get["mx"] or 0
+    cur, n, done = _alpha_ranks(chars)
     history: list[tuple[int, DataFrame]] = []
     d = 1
-    while mx < n and d < n:
+    while not done and d < n:
         history.append((d, cur))  # cur still has duplicate ranks
-        shifted = cur.select(
-            (F.col("pos") - d).alias("pos"), F.col("r").alias("r2")
-        )
-        paired = cur.join(shifted, "pos", "left").select(
-            "pos",
-            F.col("r").alias("r1"),
-            F.coalesce("r2", F.lit(0)).alias("r2"),
-        )
-        obs = Observation()
-        cur = (
-            global_dense_rank(
-                paired, ["r1", "r2"], rank_col="rn", num_ranges=num_ranges
-            )
-            .select("pos", F.col("rn").alias("r"))
-            .observe(
-                obs, F.count(F.lit(1)).alias("n"), F.max("r").alias("mx")
-            )
-            .transform(cut_lineage)
-        )
-        n = obs.get["n"] or 0
-        mx = obs.get["mx"] or 0
+        ranked, done = _ranked_rows(_paired(cur, d), num_ranges)
+        # unlike the plain SA loop, every retained rank table is read
+        # MANY times by the LCP binary walk — pin each round's result
+        cur = cut_lineage(ranked)
         d *= 2
     sa = cur.select("pos", F.col("r").alias("sa_rank"))
     return sa, history

@@ -157,12 +157,12 @@ JUSTIFIED_BNLJ = {
     "curation_facility_location",  # broadcast candidate pool (bounded)
                                    # + per-pick broadcast 1-row
                                    # winner/coverage scalars (k=5)
-    "text_suffix_array",           # prefix_sum.global_dense_rank's
+    "text_suffix_array",           # suffix_array._ranked_rows'
                                    # triangular offset join — broadcast
                                    # side = one metadata row per range
                                    # partition (num_ranges=8)
     "text_suffix_lcp",             # same triangular offset join via
-                                   # global_dense_rank (num_ranges rows)
+                                   # _ranked_rows (num_ranges rows)
     "quality_bootstrap_ci",        # broadcast 1-row n/CI scalar frames
                                    # (the resample modulus + final stats)
     "quality_benford_digits",      # broadcast 1-row total/chi2 scalars
