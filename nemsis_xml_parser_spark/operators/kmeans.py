@@ -73,6 +73,7 @@ def farthest_point_seed(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    spark = df.sparkSession
     base = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -80,34 +81,84 @@ def farthest_point_seed(
         )
         .transform(cut_lineage)
     )
-    chosen = (
-        base.orderBy("_id")
-        .limit(1)
-        .select(
-            F.lit(0).alias("c"),
-            F.col("_id").alias("vec_id"),
-            F.col("x").alias("cv"),
-            F.lit(0.0).alias("sep_d2"),
-        )
-        .transform(cut_lineage)
-    )
+    id_type = base.schema["_id"].dataType.simpleString()
+    schema = f"c int, vec_id {id_type}, cv array<double>, sep_d2 double"
+    # The chosen set is k-bounded (a protocol constant), so it
+    # accumulates DRIVER-SIDE: each round is exactly one TakeOrdered
+    # collect of the 1-row argmax (the bounded-collect safe class), and
+    # the chosen vectors re-enter as a job-free LocalRelation broadcast
+    # — no per-round union checkpoint, no per-round broadcast-build job
+    # (guide §1.2; the corpus scan per round is the algorithm and
+    # stays).  Collect round-trips doubles exactly, so d2 arithmetic is
+    # bit-identical to the frame-accumulated form.
+    first = base.orderBy("_id").limit(1).select("_id", "x").collect()
+    if not first:
+        return spark.createDataFrame([], schema)
+    rows = [(0, first[0]["_id"], first[0]["x"], 0.0)]
     for t in range(1, k):
+        cvs = _cents_values_frame(
+            spark, [(i, r[2]) for i, r in enumerate(rows)]
+        ).select("cv")
         picked = (
-            base.crossJoin(F.broadcast(chosen.select("cv")))
+            base.crossJoin(F.broadcast(cvs))
             .select("_id", "x", _d2_col("x", "cv").alias("d2"))
             .groupBy("_id")
             .agg(F.min("d2").alias("mind2"), F.first("x").alias("x"))
             .orderBy(F.col("mind2").desc(), F.col("_id").asc())
             .limit(1)
-            .select(
-                F.lit(t).alias("c"),
-                F.col("_id").alias("vec_id"),
-                F.col("x").alias("cv"),
-                F.col("mind2").alias("sep_d2"),
-            )
+            .collect()
         )
-        chosen = chosen.unionByName(picked).transform(cut_lineage)
-    return chosen
+        rows.append(
+            (t, picked[0]["_id"], picked[0]["x"], float(picked[0]["mind2"]))
+        )
+    from ..functions.vectors import array_lit_sql, double_lit_sql
+
+    vals = ", ".join(
+        f"({c}, CAST('{vid}' AS {id_type}), {array_lit_sql(cv)}, "
+        f"{double_lit_sql(sep)})"
+        for c, vid, cv, sep in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(c, vec_id, cv, sep_d2)"
+    )
+
+
+def _cents_values_frame(spark, rows: list) -> DataFrame:
+    """(c, cv) rows -> a TRUE LocalRelation via a VALUES inline table
+    with exact-double literals (functions/vectors.py discipline).
+    PySpark's ``createDataFrame`` builds an RDD-backed LogicalRDD whose
+    every broadcast costs a 1-partition job; a parsed VALUES table is a
+    LocalRelation, and BroadcastExchange over LocalTableScan collects
+    driver-locally with NO job at all."""
+    from ..functions.vectors import array_lit_sql
+
+    vals = ", ".join(f"({int(c)}, {array_lit_sql(cv)})" for c, cv in rows)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(c, cv)")
+
+
+def _seed_cents_local(base: DataFrame, k: int) -> DataFrame:
+    """Seed centroids = the vectors of the k smallest ids, collected
+    (k-bounded, a protocol constant) into a job-free LocalRelation —
+    replaces the limit-k window + eager checkpoint + per-iteration
+    broadcast-build of the frame-resident form."""
+    rows = base.orderBy("_id").limit(k).select("_id", "x").collect()
+    return _cents_values_frame(
+        base.sparkSession, [(i, r["x"]) for i, r in enumerate(rows)]
+    )
+
+
+def _upd_cents_local(upd: DataFrame) -> DataFrame:
+    """Collect the (c, i, m) per-dimension means (k·d rows — protocol
+    constants) and rebuild the (c, cv) centroid table as a
+    LocalRelation; the sort by dimension index replays
+    array_sort(collect_list(struct(i, m))) exactly."""
+    by_c: dict = {}
+    for r in upd.collect():
+        by_c.setdefault(r["c"], []).append((r["i"], r["m"]))
+    return _cents_values_frame(
+        upd.sparkSession,
+        [(c, [m for _, m in sorted(v)]) for c, v in sorted(by_c.items())],
+    )
 
 
 def lloyd_kmeans(
@@ -136,15 +187,13 @@ def lloyd_kmeans(
         )
         .transform(cut_lineage)
     )
-    w = Window.orderBy("_id")  # applied below a LIMIT k — k rows, never corpus
-    cents = (
-        base.orderBy("_id")
-        .limit(k)
-        .select((F.row_number().over(w) - 1).alias("c"), F.col("x").alias("cv"))
-        .transform(cut_lineage)
-    )
+    # centroids live driver-side between iterations (k·d doubles — the
+    # bounded-collect safe class): each update is one collect of the
+    # (c, i, m) means instead of an eager checkpoint, and the next
+    # assignment broadcasts a job-free LocalRelation (guide §1.2)
+    cents = _seed_cents_local(base, k)
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         scored = (
             base.crossJoin(F.broadcast(cents))
             .select(
@@ -169,14 +218,23 @@ def lloyd_kmeans(
         best = Window.partitionBy("_id").orderBy(
             F.col("d2").asc(), F.col("c").asc()
         )
+        # intermediate iterations are not pinned: each assignment is
+        # consumed exactly once (the update collect below), so the pin
+        # bought nothing but a corpus-sized checkpoint write.  Only the
+        # LAST assignment is pinned — it is read twice (final update +
+        # the caller's result).
         assigned = (
             scored.withColumn("rn", F.row_number().over(best))
             .where(F.col("rn") == 1)
             .select("_id", "c", "d2")
-            .transform(cut_lineage)
         )
+        if it == iters - 1:
+            assigned = cut_lineage(assigned)
         upd = (
-            assigned.join(base, "_id")
+            assigned.join(
+                base.select(F.col("_id").alias("_bid"), "x"),
+                F.col("_id") == F.col("_bid"),
+            )
             .select("c", F.posexplode("x").alias("i", "xi"))
             .groupBy("c", "i")
             .agg(
@@ -188,16 +246,7 @@ def lloyd_kmeans(
                 ).alias("m")
             )
         )
-        cents = (
-            upd.groupBy("c")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .transform(cut_lineage)
-        )
+        cents = _upd_cents_local(upd)
     return assigned, cents
 
 
@@ -338,15 +387,9 @@ def weighted_lloyd_kmeans(
         )
         .transform(cut_lineage)
     )
-    w = Window.orderBy("_id")  # applied below a LIMIT k — k rows, never corpus
-    cents = (
-        base.orderBy("_id")
-        .limit(k)
-        .select((F.row_number().over(w) - 1).alias("c"), F.col("x").alias("cv"))
-        .transform(cut_lineage)
-    )
+    cents = _seed_cents_local(base, k)
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         scored = (
             base.crossJoin(F.broadcast(cents))
             .select(
@@ -372,15 +415,23 @@ def weighted_lloyd_kmeans(
         best = Window.partitionBy("_id").orderBy(
             F.col("d2").asc(), F.col("c").asc()
         )
+        # last-iteration pin only — same reasoning as lloyd_kmeans
         assigned = (
             scored.withColumn("rn", F.row_number().over(best))
             .where(F.col("rn") == 1)
             .select("_id", "c", "d2", "w6")
-            .transform(cut_lineage)
         )
+        if it == iters - 1:
+            assigned = cut_lineage(assigned)
         upd = (
-            assigned.join(base, "_id")
-            .select("c", base["w6"].alias("wv"), F.posexplode("x").alias("i", "xi"))
+            # assigned already carries w6; join back only for x (the
+            # projected base side avoids the self-join ambiguity now
+            # that assigned is lazy over base rather than a pinned leaf)
+            assigned.join(
+                base.select(F.col("_id").alias("_bid"), "x"),
+                F.col("_id") == F.col("_bid"),
+            )
+            .select("c", F.col("w6").alias("wv"), F.posexplode("x").alias("i", "xi"))
             .groupBy("c", "i")
             .agg(
                 F.round(
@@ -394,14 +445,5 @@ def weighted_lloyd_kmeans(
                 ).alias("m")
             )
         )
-        cents = (
-            upd.groupBy("c")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .transform(cut_lineage)
-        )
+        cents = _upd_cents_local(upd)
     return assigned, cents
