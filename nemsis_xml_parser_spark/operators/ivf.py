@@ -153,6 +153,18 @@ def assign_cells_arrow(
     )
 
 
+def _centroid_values_frame(spark, rows) -> DataFrame:
+    """(cid, centroid) rows -> a TRUE LocalRelation via a VALUES inline
+    table with exact-double literals (the kmeans.py discipline): every
+    downstream broadcast collects driver-locally with NO job, unlike a
+    checkpoint leaf (1 read job per broadcast build) or a
+    ``createDataFrame`` LogicalRDD (1-partition job per build)."""
+    vals = ", ".join(
+        f"({int(r.cid)}, {V.array_lit_sql(list(r.centroid))})" for r in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(cid, centroid)")
+
+
 def train_centroids(
     corpus: DataFrame,
     nlist: int = 8,
@@ -166,7 +178,16 @@ def train_centroids(
     ``id % nlist`` stratum.  Each iteration: broadcast-argmin assignment,
     then per-dimension mean via posexplode/groupBy — both shuffle only
     (cid, dim)-sized aggregates, never raw vectors by key.
+
+    The nlist-row centroid table lives DRIVER-SIDE between iterations
+    (the bounded-collect safe class, ≤ nlist·dim doubles): each round is
+    one collect of the distributed update aggregate — the update plan is
+    unchanged, only its materialization moved from an eager checkpoint
+    to a collect, so the values are bit-identical — and re-enters as a
+    VALUES LocalRelation, so the next assignment (and every downstream
+    broadcast in the callers) builds its broadcast with no job at all.
     """
+    spark = corpus.sparkSession
     vecs = corpus.select(
         F.col(id_col).alias("__vid"), V.to_double_array(F.col(vec_col)).alias("v")
     )
@@ -175,13 +196,23 @@ def train_centroids(
         .groupBy("g")
         .agg(F.min("__vid").alias("__vid"))
     )
-    centroids = (
+    seeded = (
         seed_ids.join(vecs, "__vid")
         .select(F.col("g").alias("cid"), F.col("v").alias("centroid"))
     )
+    if iters == 0:
+        rows = seeded.collect()
+        if not rows:  # degenerate empty corpus: keep the (empty) frame shape
+            return seeded.transform(cut_lineage)
+        return _centroid_values_frame(spark, rows)
+    # iters > 0: iteration 1 assigns against the DISTRIBUTED seeded frame
+    # (its broadcast build executes the seeding subtree inside iteration
+    # 1's job, exactly like the old checkpoint form — a separate seed
+    # collect would add one sequential job for nothing)
+    centroids = seeded
     for _ in range(iters):
         assigned = _nearest(vecs, centroids)
-        centroids = (
+        upd = (
             assigned.select("cid", F.posexplode("v").alias("dim", "val"))
             .groupBy("cid", "dim")
             .agg(F.avg("val").alias("mean"))
@@ -193,17 +224,10 @@ def train_centroids(
                 ).alias("centroid")
             )
         )
-        # materialize the KB-scale centroid table eagerly: without this each
-        # Lloyd round deepens the lineage and every downstream action
-        # re-scans the corpus once per iteration (at 100 TB, iters× scans)
-        centroids = centroids.transform(cut_lineage)
-    if iters == 0:
-        # the seeded (iters=0) table is still a corpus-wide subplan (scan +
-        # stratum-min + self-join); materialize it too, so every downstream
-        # broadcast of the centroids is a KB-scale leaf instead of a
-        # re-execution of the seeding scan (same contract as iters>0,
-        # where the last Lloyd round's cut already guarantees it)
-        centroids = centroids.transform(cut_lineage)
+        rows = upd.collect()
+        if not rows:  # degenerate empty corpus: keep the frame shape
+            return upd.transform(cut_lineage)
+        centroids = _centroid_values_frame(spark, rows)
     return centroids
 
 

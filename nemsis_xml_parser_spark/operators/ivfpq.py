@@ -168,16 +168,10 @@ def train_ivfpq(
                inverted file; at scale, persist partitioned by cid.
     """
     centroids = IVF.train_centroids(corpus, nlist, iters_coarse, id_col, vec_col)
-    # centroids is a materialized KB-scale leaf (train_centroids cuts
-    # lineage); collecting it is the documented nlist-bounded safe class.
-    # Re-wrap the collected rows as a LocalRelation so every downstream
-    # broadcast (residual join, probe ranking, LUT build) is job-free
-    # instead of a scan of the checkpointed RDD.
+    # train_centroids now returns a TRUE VALUES LocalRelation, so this
+    # collect is driver-local (no job) and every downstream broadcast
+    # (residual join, probe ranking, LUT build) is job-free.
     crows = centroids.collect()
-    centroids = corpus.sparkSession.createDataFrame(
-        [(int(r.cid), list(r.centroid)) for r in crows],
-        "cid int, centroid array<double>",
-    )
     res_vecs = _residuals_arrow(corpus, crows, id_col, vec_col).select(
         F.col("item_id").alias("vec_id"), F.col("rv").alias("embedding")
     )

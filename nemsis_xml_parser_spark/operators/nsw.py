@@ -71,8 +71,8 @@ def build_nsw_graph(
     and without the cut each hop would replay the whole within-cell
     build."""
     if centroids is None:
-        # train_centroids returns a materialized KB-scale leaf (it cuts
-        # lineage internally for iters=0 too), so no extra cut here
+        # train_centroids returns a VALUES LocalRelation (driver-side
+        # centroid state), so every broadcast of it below is job-free
         centroids = train_centroids(
             corpus, nlist=nlist, iters=0, id_col=id_col, vec_col=vec_col
         )

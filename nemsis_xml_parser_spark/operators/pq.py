@@ -28,8 +28,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from .lineage import cut_lineage
-
 from ..functions import vectors as V
 
 
@@ -94,6 +92,23 @@ def _nearest_code(
     )
 
 
+def _codebook_values_frame(spark, rows) -> DataFrame:
+    """(sub_idx, code, centroid) rows -> a TRUE LocalRelation via a
+    VALUES inline table with exact-double literals (kmeans.py/ivf.py
+    discipline).  ``createDataFrame`` would build an RDD-backed
+    LogicalRDD whose every broadcast costs a 1-partition job; a parsed
+    VALUES table broadcasts driver-locally with NO job."""
+    if not rows:  # degenerate empty corpus: typed empty LocalRelation
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) sub_idx, CAST(NULL AS INT) code, "
+            "CAST(NULL AS ARRAY<DOUBLE>) centroid WHERE 1=0"
+        )
+    vals = ", ".join(
+        f"({int(s)}, {int(c)}, {V.array_lit_sql(list(v))})" for s, c, v in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(sub_idx, code, centroid)")
+
+
 def train_pq(
     corpus: DataFrame,
     m: int = 8,
@@ -135,17 +150,17 @@ def train_pq(
         .select("g", V.to_double_array(F.col(vec_col)).alias("v"))
         .collect()
     )
-    codebooks = corpus.sparkSession.createDataFrame(
+    codebooks = _codebook_values_frame(
+        corpus.sparkSession,
         [
             (s, int(r.g), list(r.v[s * sub : (s + 1) * sub]))
             for r in seed_rows
             for s in range(m)
         ],
-        "sub_idx int, code int, centroid array<double>",
     )
     for _ in range(iters):
         assigned = _nearest_code(subs, codebooks)
-        codebooks = (
+        upd = (
             assigned.select(
                 "sub_idx", "code", F.posexplode("sv").alias("dim", "val")
             )
@@ -159,10 +174,15 @@ def train_pq(
                 ).alias("centroid")
             )
         )
-        # KB-scale table; checkpoint so each Lloyd round doesn't deepen the
-        # lineage into iters× corpus re-scans (same rationale as ivf.py)
-        codebooks = codebooks.transform(cut_lineage)
-    # iters=0 needs no cut: the seeded codebook is already a LocalRelation
+        # the m·ksub-row codebook lives DRIVER-SIDE between iterations
+        # (bounded-collect safe class): the update plan is unchanged —
+        # only its materialization moved from an eager checkpoint to a
+        # collect (bit-identical values) — and it re-enters as a VALUES
+        # LocalRelation, so each assignment broadcast is job-free
+        codebooks = _codebook_values_frame(
+            corpus.sparkSession,
+            [(int(r.sub_idx), int(r.code), list(r.centroid)) for r in upd.collect()],
+        )
     return codebooks
 
 
