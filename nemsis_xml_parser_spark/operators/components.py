@@ -240,7 +240,29 @@ def elect_survivors(
     # candidate-generation pipeline upstream (e.g. MinHash/LSH or a shingle
     # self-join) would re-execute for each
     pairs = pairs.transform(cut_lineage)
-    clusters = dedup_clusters(pairs, nodes=nodes, src=src, dst=dst, id_col=id_col)
+    # cluster sizes come from the pair-connected node set alone: the
+    # election filters to cluster_size >= 2, and a node outside every
+    # pair can only ever be a singleton — so the former corpus-sized
+    # left join + corpus-wide size window (dedup_clusters over the full
+    # ``nodes`` universe) bought nothing here.  ``nodes`` still scopes
+    # membership (pair endpoints outside the universe stay excluded,
+    # exactly as the left-join form excluded them), but as an inner
+    # join whose output is comp-sized — the corpus never shuffles and
+    # the size window's input is the pair-connected set (guide §2.4).
+    comp = connected_components(pairs, src=src, dst=dst)
+    if nodes is None:
+        base = comp.select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+        )
+    else:
+        base = (
+            nodes.select(F.col(id_col).cast("long").alias(id_col))
+            .join(comp, F.col(id_col) == F.col("node"))
+            .select(id_col, F.col("component").alias("cluster_id"))
+        )
+    clusters = base.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
     edges = pairs.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )

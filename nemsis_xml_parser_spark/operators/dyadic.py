@@ -89,3 +89,35 @@ def dyadic_rank_select(
             .alias("acc"),
         )
     return state.select("q", "target", F.col("prefix").alias("value"))
+
+
+def dyadic_rank_select_rows(
+    count_rows, targets: list[tuple], levels: int
+) -> list[tuple]:
+    """Driver-side twin of ``dyadic_rank_select`` over the COLLECTED
+    counts table — pure integer arithmetic, step-identical to the
+    17-join descent (tests/test_dyadic.py parity).
+
+    Sound at any corpus scale because the counts table is bounded by
+    the VALUE DOMAIN, not the data: at most ``2^(levels+1)`` rows
+    (sum over l of 2^(levels-l) buckets), ~6 MB at levels=17 — the
+    "decide with small rows" move (guide §8.4); the only corpus-scale
+    work is the one mergeable build aggregate the caller collects.
+
+    ``count_rows``: iterable of (l, bucket, c); ``targets``: list of
+    (q, target) with target the 1-based rank.  Returns
+    [(q, target, value)] in input order.
+    """
+    cmap = {(int(r[0]), int(r[1])): int(r[2]) for r in count_rows
+            if r[1] is not None}
+    out = []
+    for q, target in targets:
+        prefix, acc = 0, 0
+        for l in range(levels - 1, -1, -1):
+            lc = cmap.get((l, prefix * 2), 0)
+            if acc + lc >= target:  # take_left
+                prefix = prefix * 2
+            else:
+                prefix, acc = prefix * 2 + 1, acc + lc
+        out.append((q, target, prefix))
+    return out

@@ -135,8 +135,107 @@ def _resolve_roots(
     raise RuntimeError(f"pointer jumping did not converge in {max_jump} rounds")
 
 
+def _boruvka_local(
+    e: DataFrame, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Single-task twin of the full Borůvka round ladder for an edge
+    set under ``LOCAL_FINISH_MAX`` — ONE Arrow batch replays every
+    round's (min-edge pick, 2-cycle break, pointer-jump contraction)
+    with the identical integer logic, so both the round-tagged pick
+    set AND the final component labels are bit-for-bit the distributed
+    values (tests/test_mst.py parity pins both).  The distributed loop
+    pays 2+ eager jobs per round of pure local-mode latency; at scale
+    the caller's guard fails and that path is untouched.
+
+    Returns (picked (round, u, v, w), comp (node, c)) — both filters
+    over one pinned tag-union frame, so the kernel runs once.
+    """
+    import pandas as pd
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        us = [int(x) for x in pdf["u"]]
+        vs = [int(x) for x in pdf["v"]]
+        ws = [int(x) for x in pdf["w"]]
+        comp: dict[int, int] = {}
+        for u, v in zip(us, vs):
+            comp[u] = u
+            comp[v] = v
+        out_k: list[int] = []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[int] = []
+        out_d: list[int] = []
+        for r in range(1, rounds + 1):
+            best: dict[int, tuple[int, int, int, int]] = {}
+            for u, v, w in zip(us, vs, ws):
+                cu, cv = comp[u], comp[v]
+                if cu == cv:
+                    continue
+                key_u = (w, u, v, cv)
+                key_v = (w, u, v, cu)
+                if cu not in best or key_u < best[cu]:
+                    best[cu] = key_u
+                if cv not in best or key_v < best[cv]:
+                    best[cv] = key_v
+            if not best:
+                break
+            # picked edges this round, deduped across picking components
+            picked_round = sorted({(w, u, v) for w, u, v, _ in best.values()})
+            for w, u, v in picked_round:
+                out_k.append(0)
+                out_a.append(r)
+                out_b.append(u)
+                out_c.append(v)
+                out_d.append(w)
+            # pointer graph c -> oc, 2-cycle break, root fixpoint —
+            # the _resolve_roots_local logic inline
+            oc = {c: k[3] for c, k in best.items()}
+            par = {
+                c: (min(c, o) if oc.get(o) == c else o)
+                for c, o in oc.items()
+            }
+
+            def find(x: int) -> int:
+                root = x
+                while par.get(root, root) != root:
+                    root = par[root]
+                while par.get(x, x) != x:  # path compression
+                    par[x], x = root, par[x]
+                return root
+
+            roots = {c: find(c) for c in oc}
+            comp = {n: roots.get(c, c) for n, c in comp.items()}
+        for n in sorted(comp):
+            out_k.append(1)
+            out_a.append(n)
+            out_b.append(comp[n])
+            out_c.append(0)
+            out_d.append(0)
+        return pd.DataFrame(
+            {"k": out_k, "a": out_a, "b": out_b, "c": out_c, "d": out_d}
+        ).astype("int64")
+
+    tagged = cut_lineage(
+        e.select("u", "v", "w")
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda pdf: finish(pdf), "k int, a long, b long, c long, d long"
+        )
+    )
+    picked = tagged.where(F.col("k") == 0).select(
+        F.col("a").cast("int").alias("round"),
+        F.col("b").alias("u"),
+        F.col("c").alias("v"),
+        F.col("d").alias("w"),
+    )
+    comp = tagged.where(F.col("k") == 1).select(
+        F.col("a").alias("node"), F.col("b").alias("c")
+    )
+    return picked, comp
+
+
 def boruvka_forest(
-    edges: DataFrame, rounds: int
+    edges: DataFrame, rounds: int, local_finish_max: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``rounds`` Borůvka rounds over ``edges`` (u, v, w — canonical
     u < v, one row per undirected edge; (w, u, v) must be unique, which
@@ -150,11 +249,21 @@ def boruvka_forest(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    obs_m = Observation()
     e = (
         edges.select("u", "v", "w")
         .where(F.col("u") < F.col("v"))
+        .observe(obs_m, F.count(F.lit(1)).alias("m"))
         .transform(cut_lineage)
     )
+    # whole-ladder single-task endgame: when the edge set fits the
+    # filtering budget (count rides the pin's observe), every round's
+    # pick + contraction replays in ONE Arrow batch instead of 2+ eager
+    # jobs per round (see _boruvka_local; streaming/msf.py only reaches
+    # here when OVER the budget, so its distributed path is unchanged)
+    budget = LOCAL_FINISH_MAX if local_finish_max is None else local_finish_max
+    if (obs_m.get["m"] or 0) <= budget:
+        return _boruvka_local(e, rounds)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))

@@ -196,19 +196,86 @@ def _ranked_rows(
     return ranked, dups <= 1
 
 
+# Corpus-position count below which the whole prefix-doubling ladder
+# runs as ONE single-task Arrow batch (the Lattanzi filtering endgame —
+# components.union_find_local / mst.kruskal_local / bpe.BPE_LOCAL_MAX
+# convention): at the bound the (pos, r) state is ~32 MB and the numpy
+# doubling replay is sub-second, versus O(log n) sequential shuffle-
+# and-pin rounds x local-mode job latency.  At scale the guard fails
+# and the distributed rounds are untouched.
+SA_LOCAL_MAX = 2_000_000
+
+
+def _sa_local(cur: DataFrame, max_rounds: int) -> DataFrame:
+    """Single-task twin of the prefix-doubling loop over the pinned
+    alpha-rank frame — (pos, r) in, (pos, r) out with the identical
+    round ladder: per round the (r1, r2) pair at doubling offset d
+    (r2 = 0 past the end), then a dense rank by (r1, r2) ascending —
+    ``np.unique``'s sorted inverse IS that dense rank, and the packed
+    key r1*(n+1)+r2 preserves the lexicographic order exactly (both
+    ranks <= n, n <= SA_LOCAL_MAX so the key fits int64).  Loop
+    conditions replicate the distributed loop (all-distinct early
+    stop, d < n, max_rounds), so ranks are bit-identical
+    (tests/test_suffix_array.py parity covers both paths)."""
+    import pandas as pd
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pos = pdf["pos"].to_numpy(np.int64)
+        r = pdf["r"].to_numpy(np.int64)
+        order = np.argsort(pos)
+        pos = pos[order]
+        r = r[order]
+        n = int(pos.shape[0])
+        d = 1
+        rounds = 0
+        while d < n and rounds < max_rounds:
+            if np.unique(r).shape[0] == n:  # all-distinct early stop
+                break
+            idx = np.searchsorted(pos, pos + d)
+            safe = np.minimum(idx, n - 1)
+            valid = (idx < n) & (pos[safe] == pos + d)
+            r2 = np.where(valid, r[safe], 0)
+            key = r * np.int64(n + 1) + r2
+            _, inv = np.unique(key, return_inverse=True)
+            r = inv.astype(np.int64) + 1
+            d *= 2
+            rounds += 1
+        return pd.DataFrame({"pos": pos, "r": r})
+
+    return (
+        cur.select("pos", "r")
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(lambda pdf: finish(pdf), "pos long, r long")
+    )
+
+
 def suffix_array_prefix_doubling(
-    chars: DataFrame, max_rounds: int = 40, num_ranges: int = 8
+    chars: DataFrame,
+    max_rounds: int = 40,
+    num_ranges: int = 8,
+    local_max: int = SA_LOCAL_MAX,
 ) -> DataFrame:
     """(pos, c, ...) -> (pos, sa_rank): the 1-based lexicographic rank
     of each suffix of the corpus string the positions spell out.
 
     ``max_rounds`` is a safety bound only — the loop exits when ranks
     are all-distinct or the doubling offset passes the corpus length,
-    whichever is first (<= ceil(log2(n)) rounds always).  One eager job
-    per round (the ``_ranked_rows`` pin); the rank computation itself
-    stays lazy and folds into the next round's (or the caller's) job.
+    whichever is first (<= ceil(log2(n)) rounds always).  When the
+    position count (off the alpha-rank pin's observe) fits
+    ``local_max`` the whole ladder runs as ONE lazy single-task Arrow
+    batch (``_sa_local`` — zero per-round jobs; pass ``local_max=0``
+    to force the distributed path, as the parity tests do); otherwise
+    one eager job per round (the ``_ranked_rows`` pin) and the rank
+    computation itself stays lazy and folds into the next round's (or
+    the caller's) job.
     """
     cur, n, done = _alpha_ranks(chars)
+    if not done and n and n <= local_max:
+        return _sa_local(cur, max_rounds).select(
+            "pos", F.col("r").alias("sa_rank")
+        )
     d = 1
     rounds = 0
     while not done and d < n and rounds < max_rounds:

@@ -2271,27 +2271,27 @@ FROM t JOIN ranked r ON r.rn = t.target
 """,
 )
 def sketch_dyadic_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dyadic import dyadic_counts, dyadic_rank_select
-    from ..operators.lineage import cut_lineage
+    from ..operators.dyadic import dyadic_counts, dyadic_rank_select_rows
 
     li = table(spark, sf_dir, "lineitem")
     dollars = F.floor(F.col("l_extendedprice")).cast("long")
-    # materialize the level tables once — the descent reads them 17x
-    counts = cut_lineage(dyadic_counts(li, dollars, DYA_LEVELS))
-    tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    spine = spark.createDataFrame([(1,), (2,), (3,)], "k int")
-    targets = (
-        spine.crossJoin(F.broadcast(tot))
-        .select(
-            (F.col("k").cast("double") / 4).alias("q"),
-            F.expr("((n - 1) * k) div 4 + 1").cast("long").alias("target"),
-        )
+    # ONE corpus-scale job: the mergeable build aggregate, collected —
+    # the counts table is DOMAIN-bounded (<= 2^18 rows at 17 levels,
+    # ~6 MB, independent of corpus size), so the 17-level descent and
+    # the rank targets run driver-side on the small rows (guide §8.4;
+    # the former shape paid the 17 broadcast-build jobs of the join
+    # descent PLUS a second corpus scan for the count — the top level's
+    # bucket sum IS the row count, every value lands in exactly one
+    # bucket per level).  Descent replay is pure integer arithmetic,
+    # step-identical (tests/test_dyadic.py parity).
+    rows = dyadic_counts(li, dollars, DYA_LEVELS).collect()
+    n = sum(int(r["c"]) for r in rows if r["l"] == DYA_LEVELS - 1)
+    targets = [(k / 4.0, (n - 1) * k // 4 + 1) for k in (1, 2, 3)]
+    sel = dyadic_rank_select_rows(
+        [(r["l"], r["bucket"], r["c"]) for r in rows], targets, DYA_LEVELS
     )
-    sel = dyadic_rank_select(counts, targets, DYA_LEVELS)
-    return sel.select(
-        "q",
-        "target",
-        F.col("value").cast("bigint").alias("value_dollars"),
+    return spark.createDataFrame(
+        sel, "q double, target bigint, value_dollars bigint"
     )
 
 
